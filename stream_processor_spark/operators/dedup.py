@@ -1,0 +1,109 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, token-set Jaccard.
+
+Scale design:
+- Exact dedup = groupBy on the dedup key (or its md5 for wide text) with a
+  deterministic survivor (min id) — one shuffle on a high-cardinality key.
+- MinHash-LSH near-dup: shingle → MinHash signatures → band-bucket join, the
+  classic sub-quadratic pipeline; candidate pairs only within equal bands,
+  so cost scales with collisions, not n². Uses pyspark.ml's MinHashLSH.
+- SimHash: 64-bit signature per doc computed in one Arrow-vectorized pass;
+  near-dup candidates = equal signature bands (Hamming blocking).
+- Token-set Jaccard against a query doc: pure expression (array_intersect /
+  array_union sizes), no shuffle, oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the deterministic survivor (min ``order_col``) per key group."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def token_set(col: Column) -> Column:
+    return F.array_distinct(F.split(col, " "))
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Token-set Jaccard similarity, all-expression (JVM-side)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union
+
+
+@pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes).
+
+    md5 keeps the signature engine-independent and deterministic. Vectorized
+    per Arrow batch; at 100 TB this is a pure map pass.
+    """
+
+    def sig(text: str | None) -> int:
+        if not text:
+            return 0
+        acc = [0] * 64
+        for tok in text.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        # two's-complement into signed 64-bit for Spark LongType
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    return texts.map(sig)
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 8,
+    jaccard_distance_threshold: float = 0.6,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (ids a < b + distance).
+
+    shingle(tokens) → HashingTF sparse vector → MinHashLSH
+    approxSimilarityJoin. Band-bucket joining keeps this sub-quadratic: only
+    documents sharing a MinHash band are compared.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__tokens")
+    tf = HashingTF(inputCol="__tokens", outputCol="__features", numFeatures=num_features)
+    featurized = tf.transform(tok.transform(docs.select(id_col, text_col)))
+    # MinHashLSH requires at least one non-zero feature
+    featurized = featurized.filter(F.size("__tokens") > 0)
+
+    lsh = MinHashLSH(inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(featurized)
+    pairs = model.approxSimilarityJoin(
+        featurized, featurized, jaccard_distance_threshold, distCol="jaccard_distance"
+    )
+    a_id, b_id = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+    return (
+        pairs.filter(a_id < b_id)
+        .select(
+            a_id.alias("doc_a"),
+            b_id.alias("doc_b"),
+            F.round("jaccard_distance", 6).alias("jaccard_distance"),
+        )
+    )

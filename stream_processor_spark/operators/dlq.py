@@ -1,0 +1,108 @@
+"""Multi-way DLQ routing as a single Catalyst projection.
+
+Reference semantics (``src/consumer.js:86-151`` of
+inflect-framework/stream-processor): each record runs an ordered chain of
+steps; if step *i* raises and the step has a DLQ topic, the **original
+pre-chain record** is routed to that step's DLQ (``src/consumer.js:100``
+returns ``{dlqMessage: message}`` — the chain *input*, not the partial
+result); if it raises with no DLQ the record errors out; a *filter* step
+returning null drops the record silently (``src/filters/isEven.js:2``,
+counted at ``src/consumer.js:134-137``).
+
+Spark-first formulation: instead of catching per-record exceptions (which in
+Spark would fail the task), known failure modes are declared as
+*fail-when predicates* and the whole chain compiles to ONE projection with a
+``route`` column — Catalyst collapses the chain, predicates push down, and
+the sinks become cheap ``filter(route == ...)`` branches over a shared scan.
+No shuffle is introduced: routing is embarrassingly parallel, so at 100 TB
+this costs one map pass regardless of chain length.
+
+For *unanticipated* failures (arbitrary Python processors), see
+``stream_processor_spark.pipeline.processors.wrap_udf_chain`` which captures
+exceptions inside an Arrow-vectorized UDF and emits the same route column —
+failures become data, not task aborts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Cols = dict[str, Column]
+
+ROUTE_OK = "ok"
+ROUTE_DROPPED = "dropped"
+
+
+@dataclass
+class Step:
+    """One chain step: optional failure predicate + column transforms.
+
+    ``fail_when(cols)`` — predicate over the *current* (post-previous-steps)
+    column values; true means the reference processor would have thrown.
+    ``transform(cols)`` — replacement expressions applied when the step
+    succeeds. ``is_filter`` steps use ``fail_when`` as the *drop* predicate
+    (reference convention: filter returns null → silent drop). ``dlq`` names
+    the step's DLQ sink (None → hard error route ``error_<name>``).
+    """
+
+    name: str
+    transform: Callable[[Cols], Cols] = field(default=lambda cols: {})
+    fail_when: Callable[[Cols], Column] | None = None
+    is_filter: bool = False
+    dlq: str | None = None
+
+    def route_label(self) -> str:
+        if self.is_filter:
+            return ROUTE_DROPPED
+        return f"dlq_{self.name}" if self.dlq else f"error_{self.name}"
+
+
+def apply_chain(df: DataFrame, steps: list[Step], out_prefix: str = "out_") -> DataFrame:
+    """Compile a step chain to one projection with a ``route`` column.
+
+    Returns the input columns untouched (the DLQ payload is the ORIGINAL
+    record, per the reference) plus ``route`` and ``{out_prefix}{col}`` for
+    every column any step transforms (non-null only on ``route == 'ok'``
+    rows).
+    """
+    cur: Cols = {c: F.col(c) for c in df.columns}
+    route: Column = F.lit(ROUTE_OK)
+    failed: Column = F.lit(False)
+    touched: set[str] = set()
+
+    for step in steps:
+        fail = step.fail_when(cur) if step.fail_when is not None else F.lit(False)
+        fail = F.coalesce(fail, F.lit(not step.is_filter and step.fail_when is not None))
+        fails_here = (~failed) & fail
+        route = F.when(fails_here, F.lit(step.route_label())).otherwise(route)
+        new_failed = failed | fail
+        for name, expr in step.transform(cur).items():
+            touched.add(name)
+            prev = cur.get(name, F.lit(None))
+            cur[name] = F.when(~new_failed, expr).otherwise(prev)
+        failed = new_failed
+
+    out_cols = [F.col(c) for c in df.columns]
+    out_cols.append(route.alias("route"))
+    for name in sorted(touched):
+        out_cols.append(
+            F.when(route == ROUTE_OK, cur[name]).alias(f"{out_prefix}{name}")
+        )
+    return df.select(*out_cols)
+
+
+def split_routes(routed: DataFrame) -> dict[str, DataFrame]:
+    """Split a routed DataFrame into per-route DataFrames (ok / dlq_* / ...).
+
+    Distinct route labels are read from the chain, not the data, by callers
+    that know their steps; this generic helper enumerates from data and is
+    intended for tests / small control flows. In streaming, use
+    ``pipeline.runner.ForeachBatchRouter`` which filters a cached micro-batch
+    per route label without re-scanning the source.
+    """
+    labels = [r["route"] for r in routed.select("route").distinct().collect()]
+    return {label: routed.filter(F.col("route") == label) for label in labels}

@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything here is expression-first (JVM, codegen'd); the only Python is the
+language-ID scorer, which is a proper Arrow-vectorized pandas_udf because
+per-language n-gram scoring is not expressible as a fixed-size expression
+tree. At 100 TB all of these are embarrassingly parallel map passes — no
+shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Small built-in stopword set (ASCII, deterministic).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+WORD_RE = "[^a-zA-Z0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(col, " ")
+
+
+def regex_tokens(col: Column) -> Column:
+    """BPE-ish tokenization: split on non-alphanumeric runs, drop empties."""
+    return F.filter(F.split(col, WORD_RE), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS)))
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence + casing.
+
+    Deliberately simple and fully SQL-expressible so the oracle can verify;
+    mirrors the length/punct/stopword-ratio scoring used by common
+    web-corpus quality filters.
+    """
+    n_tok = token_count(col)
+    sw = stopword_ratio(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), 0.4).otherwise(0.0)
+    sw_ok = F.when((sw > 0.0) & (sw < 0.6), 0.4).otherwise(0.0)
+    alnum_ratio = (
+        F.length(F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")).cast("double")
+        / F.length(col)
+    )
+    alnum_ok = F.when(alnum_ratio > 0.8, 0.2).otherwise(0.0)
+    return F.round(len_ok + sw_ok + alnum_ok, 2)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    md5 (not xxhash64) so external engines can reproduce it bit-for-bit.
+    """
+    return F.md5(F.lower(F.trim(col)))
+
+
+# Tiny per-language marker sets for the heuristic language-ID scorer.
+# A real deployment would ship trained character-n-gram tables; the operator
+# shape (vectorized scoring UDF over a string column) is identical.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": (),  # CJK detected by charset below
+}
+
+
+@pandas_udf(StringType())
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Heuristic language ID: charset check then marker-word voting."""
+
+    def detect(text: str | None) -> str:
+        if not text:
+            return "unk"
+        if any("一" <= ch <= "鿿" for ch in text[:200]):
+            return "zh"
+        toks = set(text.lower().split()[:200])
+        best, best_hits = "unk", 0
+        for lang, markers in _LANG_MARKERS.items():
+            hits = sum(1 for m in markers if m in toks)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    return texts.map(detect)

@@ -1,0 +1,325 @@
+"""LLM-training-data operators (SURVEY.md §2.12 + north-star extensions).
+
+Deduplication (exact / MinHash-LSH / SimHash / token-Jaccard /
+embedding-cosine), similarity search (brute-force + bucketed ANN), text
+analysis (tokens, stats, quality, fingerprint, lang-id), multimodal binary
+plumbing. Deterministic operators are hash-checked against DuckDB; LSH and
+model-backed ops get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.operators import dedup as dd
+from stream_processor_spark.operators import multimodal as mm
+from stream_processor_spark.operators import similarity as sim
+from stream_processor_spark.operators import text as tx
+from stream_processor_spark.queries.base import register
+
+# ------------------------------------------------------------- similarity ----
+
+
+def _query_vec(t):
+    return t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle=sim.ORACLE_COSINE_CTE.format(query_filter="vec_id = 0", dim=64)
+    + "SELECT vec_id, cosine FROM scored",
+)
+def sim_cosine_pairs(t):
+    """Cosine of every embedding vs a fixed query vector (vec_id=0).
+
+    Array-fold dot product with exact decimal accumulation — one scan, no
+    shuffle, bit-deterministic (operators/similarity.py).
+    """
+    return sim.cosine_vs_query(t.embeddings, _query_vec(t)).select("vec_id", "cosine")
+
+
+@register(
+    "sim_topk",
+    oracle=sim.ORACLE_COSINE_CTE.format(query_filter="vec_id = 0", dim=64)
+    + "SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 20",
+)
+def sim_topk(t):
+    """Brute-force exact top-20 nearest neighbors (TakeOrderedAndProject)."""
+    return sim.topk_vs_query(t.embeddings, _query_vec(t), k=20)
+
+
+@register(
+    "sim_ann_bucketed",
+    oracle=sim.ORACLE_COSINE_CTE.format(query_filter="vec_id = 0", dim=64)
+    + """,
+    buckets AS (
+      SELECT vec_id,
+             CAST((CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END)
+                AS INT) AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0)
+    SELECT s.vec_id, s.cosine, b.bucket
+    FROM scored s JOIN buckets b ON s.vec_id = b.vec_id CROSS JOIN qb
+    WHERE b.bucket = qb.qbucket
+    ORDER BY s.cosine DESC, s.vec_id LIMIT 10
+    """,
+)
+def sim_ann_bucketed(t):
+    """ANN via deterministic sign-bucket LSH: probe only the query's bucket.
+
+    Scale path for similarity search: with the table partitioned by bucket,
+    the probe is a partition-pruned read of ~1/2^bits of the data.
+    """
+    e = t.embeddings.withColumn("bucket", sim.sign_bucket(F.col("embedding"), bits=4))
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    probed = e.join(F.broadcast(q), e.bucket == F.col("qbucket"))
+    return (
+        probed.withColumn("cosine", sim.cosine(F.col("embedding"), F.col("qv")))
+        .select("vec_id", "cosine", "bucket")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    terms AS (
+      SELECT vec_a, vec_b, label,
+             CAST(round(CAST(ea[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE) * 1e16)
+                  AS BIGINT) AS p,
+             CAST(round(CAST(ea[i.i] AS DOUBLE) * CAST(ea[i.i] AS DOUBLE) * 1e16)
+                  AS BIGINT) AS aa,
+             CAST(round(CAST(eb[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE) * 1e16)
+                  AS BIGINT) AS bb
+      FROM pairs CROSS JOIN generate_series(1, 64) AS i(i)
+    )
+    SELECT vec_a, vec_b, label,
+           CAST(SUM(p) AS DOUBLE) / (sqrt(CAST(SUM(aa) AS DOUBLE))
+                                     * sqrt(CAST(SUM(bb) AS DOUBLE))) AS cosine
+    FROM terms GROUP BY vec_a, vec_b, label
+    HAVING CAST(SUM(p) AS DOUBLE) / (sqrt(CAST(SUM(aa) AS DOUBLE))
+                                     * sqrt(CAST(SUM(bb) AS DOUBLE))) > 0.5
+    """,
+)
+def dedup_embedding_cosine(t):
+    """Embedding near-dup pairs: blocked self-join (same label) + cosine > τ.
+
+    Blocking key (label ≙ cluster/bucket id) keeps the self-join
+    sub-quadratic — the standard semantic-dedup shape at corpus scale.
+    """
+    e = t.embeddings
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b)).drop("label_b")
+    return (
+        pairs.withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") > 0.5)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
+
+
+# -------------------------------------------------------------------- dedup ----
+
+
+@register(
+    "dedup_token_jaccard",
+    oracle="""
+    WITH q AS (
+      SELECT list_distinct(string_split(text, ' ')) AS qtok
+      FROM documents WHERE doc_id = 0
+    )
+    SELECT d.doc_id,
+           CAST(len(list_intersect(list_distinct(string_split(d.text, ' ')), q.qtok))
+                AS DOUBLE)
+           / (len(list_distinct(string_split(d.text, ' '))) + len(q.qtok)
+              - len(list_intersect(list_distinct(string_split(d.text, ' ')), q.qtok)))
+             AS jaccard
+    FROM documents d CROSS JOIN q
+    """,
+)
+def dedup_token_jaccard(t):
+    """Token-set Jaccard of every document vs a query doc (doc_id=0).
+
+    All-expression set ops (array_intersect/array_union) — no shuffle.
+    """
+    d = t.documents.select("doc_id", dd.token_set(F.col("text")).alias("tok"))
+    q = d.filter(F.col("doc_id") == 0).select(F.col("tok").alias("qtok"))
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select("doc_id", dd.jaccard_tokens(F.col("tok"), F.col("qtok")).alias("jaccard"))
+    )
+
+
+@register("dedup_near")  # LSH: candidate set depends on hash seeds → rows-only
+def dedup_near(t):
+    """MinHash-LSH near-duplicate pairs (operators/dedup.py). Sub-quadratic
+    band-bucket join; rows-only check (LSH candidates are seed-dependent)."""
+    return dd.minhash_near_dup_pairs(t.documents)
+
+
+@register("dedup_simhash")  # python-hash signature → rows-only
+def dedup_simhash(t):
+    """64-bit SimHash signature per document + band keys for blocking."""
+    d = t.documents.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
+    return d.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % F.lit(1 << 16)).alias("band0"),
+        ((F.col("simhash") / F.lit(1 << 16)).cast("long") % F.lit(1 << 16)).alias("band1"),
+    )
+
+
+# ------------------------------------------------------------ text analysis ----
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def text_token_counts(t):
+    """Corpus token frequencies: explode(split) + count."""
+    return (
+        t.documents.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(t):
+    """Per-language corpus statistics."""
+    d = t.documents
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                     x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+                   AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(
+             (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+                   THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                       x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+                     AS DOUBLE) / len(string_split(text, ' ')) > 0.0
+                 AND CAST(len(list_filter(string_split(text, ' '),
+                       x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+                     AS DOUBLE) / len(string_split(text, ' ')) < 0.6
+                   THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                          AS DOUBLE) / length(text) > 0.8
+                   THEN 0.2 ELSE 0.0 END), 2) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(t):
+    """Heuristic quality scoring (length band / stopword band / charset)."""
+    d = t.documents
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fingerprint,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+                x -> x <> '')) AS INT) AS n_regex_tokens
+    FROM documents
+    """,
+)
+def text_fingerprint(t):
+    """Document fingerprint (md5, engine-portable) + regex token count."""
+    d = t.documents
+    return d.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(tx.regex_tokens(F.col("text"))).alias("n_regex_tokens"),
+    )
+
+
+@register("text_lang_id")  # heuristic model scoring → rows-only
+def text_lang_id(t):
+    """Language-ID via vectorized n-gram/marker scoring (pandas_udf)."""
+    return t.documents.select(
+        "doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+# --------------------------------------------------------------- multimodal ----
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS fingerprint,
+           substring(text, 1, 8) AS head
+    FROM documents
+    """,
+)
+def multimodal_features(t):
+    """Binary-column plumbing: text → binary payload → mapInPandas features.
+
+    Verifies the full Arrow round-trip (JVM binary → Python bytes →
+    features) against the oracle computing the same features from the
+    source text (ASCII corpus ⇒ byte length = char length).
+    """
+    with_payload = mm.attach_binary_payload(t.documents)
+    return mm.extract_binary_features(with_payload)

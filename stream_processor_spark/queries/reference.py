@@ -1,0 +1,242 @@
+"""Reference-faithful operators as batch analogs on the ``events`` table.
+
+The reference's data plane (inflect-framework/stream-processor) is a
+schema-decoded Kafka record stream through an ordered map/filter chain with
+per-step DLQ routing. ``events`` stands in for the stream
+(``event_id`` ≙ offset, ``user_id`` ≙ the demo record's ``num``,
+``event_type`` ≙ its ``value`` string — see FIXTURES.md §B).
+
+Citations into the reference for each behavior:
+- add10              src/transformations/add10.js:1-7
+- appendString       src/transformations/appendString.js:1-7
+- capitalize         src/transformations/capitalize.js:1-7
+- reverseString      src/transformations/reverseString.js:1-7
+- isEven filter      src/filters/isEven.js:1-3 (null → drop, consumer.js:134-137)
+- chain composition  src/consumer.js:86-112 (ordered fold)
+- DLQ routing        src/consumer.js:96-103 (original record to step DLQ)
+
+Every transformation is a single Catalyst projection (no UDF, no shuffle);
+chains collapse to one projection via Catalyst's CollapseProject rule — the
+Spark analog of the reference's fused per-message loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.operators.dlq import Step, apply_chain
+from stream_processor_spark.queries.base import register
+
+# ---------------------------------------------------------------- scans ----
+
+
+@register(
+    "scan_events",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def scan_events(t):
+    """Full scan of the stream-analog table (Kafka source batch analog)."""
+    return t.events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "scan_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           l_shipdate
+    FROM lineitem
+    """,
+)
+def scan_lineitem(t):
+    """Parquet batch scan [EXT] — column-complete read of the fact table."""
+    return t.lineitem
+
+
+# ----------------------------------------------------- transformations ----
+
+
+@register(
+    "transform_add10",
+    oracle="SELECT event_id, user_id + 10 AS num, event_type, value FROM events",
+)
+def transform_add10(t):
+    """num ← num + 10 (src/transformations/add10.js:5)."""
+    return t.events.select(
+        "event_id",
+        (F.col("user_id") + F.lit(10)).alias("num"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "transform_append_string",
+    oracle="SELECT event_id, event_type || '_appended' AS value_out FROM events",
+)
+def transform_append_string(t):
+    """value ← value ∥ '_appended' (src/transformations/appendString.js:4)."""
+    return t.events.select(
+        "event_id",
+        F.concat(F.col("event_type"), F.lit("_appended")).alias("value_out"),
+    )
+
+
+@register(
+    "transform_capitalize",
+    oracle="SELECT event_id, upper(event_type) AS value_out FROM events",
+)
+def transform_capitalize(t):
+    """value ← UPPER(value) (src/transformations/capitalize.js:4)."""
+    return t.events.select("event_id", F.upper("event_type").alias("value_out"))
+
+
+@register(
+    "transform_reverse_string",
+    oracle="SELECT event_id, reverse(event_type) AS value_out FROM events",
+)
+def transform_reverse_string(t):
+    """value ← reverse(value) (src/transformations/reverseString.js:4)."""
+    return t.events.select("event_id", F.reverse("event_type").alias("value_out"))
+
+
+@register(
+    "transform_chain",
+    oracle="""
+    SELECT event_id,
+           user_id + 10 AS num,
+           upper(event_type) || '_appended' AS value_out
+    FROM events
+    """,
+)
+def transform_chain(t):
+    """add10 ∘ capitalize ∘ appendString — ordered fold (consumer.js:89-109).
+
+    Expressed as chained withColumn; Catalyst's CollapseProject fuses the
+    three projections into one, so chain length does not add passes.
+    """
+    df = t.events.select(
+        "event_id", F.col("user_id").alias("num"), F.col("event_type").alias("value_out")
+    )
+    df = df.withColumn("num", F.col("num") + F.lit(10))  # add10
+    df = df.withColumn("value_out", F.upper(F.col("value_out")))  # capitalize
+    df = df.withColumn("value_out", F.concat(F.col("value_out"), F.lit("_appended")))
+    return df
+
+
+@register(
+    "project_orders",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           round(o_totalprice * 1.1, 2) AS price_with_surcharge,
+           upper(o_orderpriority) AS priority
+    FROM orders
+    """,
+)
+def project_orders(t):
+    """General projection [EXT]: select / rename / computed columns."""
+    return t.orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.round(F.col("o_totalprice") * F.lit(1.1), 2).alias("price_with_surcharge"),
+        F.upper("o_orderpriority").alias("priority"),
+    )
+
+
+# --------------------------------------------------------------- filters ----
+
+
+@register(
+    "filter_is_even",
+    oracle="SELECT event_id, user_id, event_type FROM events WHERE user_id % 2 = 0",
+)
+def filter_is_even(t):
+    """Keep record iff num % 2 == 0 (src/filters/isEven.js:2)."""
+    return t.events.filter(F.col("user_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "filter_compound",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'P'
+      AND o_orderpriority LIKE '%-%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_compound(t):
+    """Compound predicate [EXT]: AND / BETWEEN / IN / LIKE / IS NOT NULL.
+
+    Entirely built-in comparisons → fully pushed down to the parquet scan.
+    """
+    o = t.orders
+    return o.filter(
+        F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_orderstatus") != "P")
+        & F.col("o_orderpriority").like("%-%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+
+
+# ------------------------------------------------------------- DLQ split ----
+
+
+@register(
+    "dlq_split",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN k >= 90 THEN 'dlq_parse_k'
+                WHEN event_type = 'error' THEN 'dlq_capitalize'
+                ELSE 'ok' END AS route,
+           CASE WHEN k < 90 AND event_type <> 'error'
+                THEN k + 10 END AS out_k,
+           CASE WHEN k < 90 AND event_type <> 'error'
+                THEN upper(event_type) || '_appended' END AS out_value_str
+    FROM e
+    """,
+)
+def dlq_split(t):
+    """Per-step DLQ routing (consumer.js:86-151) as one projection.
+
+    Chain: parse_k (fails on k >= 90 ≙ schema violation, DLQ 1) →
+    capitalize (fails on event_type = 'error' ≙ poison message, DLQ 2) →
+    appendString. Failed rows keep the ORIGINAL record (consumer.js:100);
+    out_* columns are non-null only for route='ok'.
+    """
+    e = t.events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    steps = [
+        Step(
+            name="parse_k",
+            fail_when=lambda c: c["k"] >= 90,
+            transform=lambda c: {"k": c["k"] + F.lit(10)},
+            dlq="dlq-topic-1",
+        ),
+        Step(
+            name="capitalize",
+            fail_when=lambda c: c["event_type"] == "error",
+            transform=lambda c: {"value_str": F.upper(c["event_type"])},
+            dlq="dlq-topic-2",
+        ),
+        Step(
+            name="append",
+            transform=lambda c: {"value_str": F.concat(c["value_str"], F.lit("_appended"))},
+        ),
+    ]
+    routed = apply_chain(e, steps)
+    return routed.select("event_id", "route", "out_k", "out_value_str")

@@ -1,0 +1,330 @@
+"""Relational surface [EXT]: joins and aggregations (SURVEY.md §2.6-2.7).
+
+Not present in the reference (its data plane never joins or aggregates);
+this is the declared engine surface, all built-in Catalyst operators.
+
+Scale notes (100 TB stance, see docs/SCALE.md):
+- Dimension joins (customer/part/nation/region) are broadcast — zero
+  shuffle of the fact side. ``F.broadcast`` hints where the statistics
+  alone might not trigger it.
+- Fact-fact joins shuffle on the join key; AQE handles skew splits.
+- All money aggregates sum exact DECIMAL then cast to DOUBLE: the sum is
+  associative/commutative in decimal, so results are bit-identical across
+  any partitioning / merge order — deterministic at 32 partitions or 32k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from stream_processor_spark.queries.base import register
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent sum of a money-like DOUBLE: exact decimal sum → double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# ----------------------------------------------------------------- joins ----
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(t):
+    """Inner equi-join; Catalyst picks broadcast-hash (customer ≪ orders)."""
+    return t.orders.join(
+        F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left_outer(t):
+    """Left outer join preserving customers with no orders."""
+    return t.customer.join(
+        t.orders, t.orders.o_custkey == t.customer.c_custkey, "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(t):
+    """Left semi join: customers having at least one order."""
+    return t.customer.join(
+        t.orders, t.orders.o_custkey == t.customer.c_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(t):
+    """Left anti join: customers with no orders."""
+    return t.customer.join(
+        t.orders, t.orders.o_custkey == t.customer.c_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_name, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def join_broadcast(t):
+    """Explicit broadcast hint: ship the small dim to every executor.
+
+    At 100 TB the fact side never shuffles for a dimension join — this is
+    the single most important join strategy at scale.
+    """
+    return t.lineitem.join(
+        F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand")
+
+
+@register(
+    "join_cross_nations",
+    oracle="SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r",
+)
+def join_cross_nations(t):
+    """Cartesian product of two bounded dims (BroadcastNestedLoop)."""
+    return t.nation.crossJoin(t.region).select("n_name", "r_name")
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_nationkey AS bin, n.n_name AS bin_name
+    FROM events e JOIN nation n
+      ON e.user_id >= n.n_nationkey * 6 AND e.user_id < (n.n_nationkey + 1) * 6
+    """,
+)
+def join_range(t):
+    """Theta/range join: events binned against ranges derived from a dim.
+
+    The range side is tiny → BroadcastNestedLoopJoin; each event probes 25
+    ranges in-memory. At scale, a range join against a large interval table
+    would instead bucket both sides by coarse range ids first (equi-join on
+    bucket, residual range predicate after) — see docs/SCALE.md.
+    """
+    e, n = t.events, t.nation
+    cond = (e.user_id >= n.n_nationkey * 6) & (e.user_id < (n.n_nationkey + 1) * 6)
+    return e.join(F.broadcast(n), cond).select(
+        "event_id",
+        "user_id",
+        n.n_nationkey.alias("bin"),
+        n.n_name.alias("bin_name"),
+    )
+
+
+@register(
+    "join_star_3way",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_star_3way(t):
+    """Star join: fact ⋈ two dims, then aggregate (TPC-H Q3 shape).
+
+    Both dims broadcast; the only shuffle is the final (tiny) aggregation.
+    """
+    l, o, c = t.lineitem, t.orders, t.customer
+    revenue = l.l_extendedprice * (1 - l.l_discount)
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------- aggregations ----
+
+
+@register(
+    "agg_groupby_basic",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {_dsum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+           {_dsum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_basic(t):
+    """Hash aggregate with partial (map-side) combine — TPC-H Q1 shape.
+
+    Spark plans partial_sum per input partition then a final merge after a
+    32-way shuffle of only the grouped partials — at 100 TB the shuffle
+    carries ~groups×partitions rows, not the fact table.
+    """
+    l = t.lineitem
+    disc_price = l.l_extendedprice * (1 - l.l_discount)
+    charge = disc_price * (1 + l.l_tax)
+    return (
+        l.filter(l.l_shipdate <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(l.l_quantity).alias("sum_qty"),
+            dsum(l.l_extendedprice).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (dsum(l.l_quantity) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(l.l_extendedprice) / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           {_dsum_sql('l_quantity')} AS total_qty,
+           MIN(l_shipdate) AS min_shipdate,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+)
+def agg_global(t):
+    """Global (no-group) aggregate — single-row result."""
+    l = t.lineitem
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        dsum(l.l_quantity).alias("total_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(t):
+    """Exact count-distinct (expand + two-phase aggregate under the hood)."""
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("agg_approx_count_distinct")  # approximate → rows-only check
+def agg_approx_count_distinct(t):
+    """HyperLogLog++ approximate distinct — the 100 TB-scale path.
+
+    At scale exact countDistinct explodes the shuffle; HLL sketches merge
+    in constant space. No oracle (engine-specific estimates differ).
+    """
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(t):
+    """Rollup: hierarchical subtotals + grand total (Expand operator)."""
+    l = t.lineitem
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(l.l_quantity).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {_dsum_sql('o_totalprice')} AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(t):
+    """Cube: all grouping-set combinations."""
+    o = t.orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum(o.o_totalprice).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           COUNT(*) AS order_count,
+           {_dsum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def agg_having(t):
+    """HAVING-style post-aggregation filter."""
+    o = t.orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum(o.o_totalprice).alias("total_spend"),
+        )
+        .filter(F.col("order_count") >= 3)
+    )

@@ -1,0 +1,93 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+The reference's processors ARE user-defined functions (arbitrary JS modules
+loaded by name, src/consumer.js:90-91); the engine equivalent is the
+processor registry (pipeline/processors.py) backed by Arrow-vectorized
+pandas_udfs — never row-at-a-time Python. These queries prove the three UDF
+shapes end-to-end against the oracle where determinism allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
+
+from stream_processor_spark.queries.base import register
+
+
+@pandas_udf(LongType())
+def _add10(nums: pd.Series) -> pd.Series:
+    """Vectorized reimplementation of src/transformations/add10.js:5."""
+    return nums + 10
+
+
+@register(
+    "udf_scalar",
+    oracle="SELECT event_id, user_id + 10 AS num FROM events",
+)
+def udf_scalar(t):
+    """Scalar pandas_udf (Arrow-batched) — add10 parity vs pure SQL oracle."""
+    return t.events.select("event_id", _add10(F.col("user_id")).alias("num"))
+
+
+@pandas_udf(DoubleType())
+def _median_value(v: pd.Series) -> float:
+    """GROUPED_AGG median — not expressible as a built-in exact aggregate.
+
+    Median is order-insensitive → deterministic, so it hash-checks against
+    DuckDB's exact median().
+    """
+    return float(v.median())
+
+
+@pandas_udf(LongType())
+def _count_values(v: pd.Series) -> int:
+    return int(len(v))
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+    SELECT event_type,
+           median(value) AS median_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_grouped(t):
+    """Grouped-agg pandas_udfs (UDAF): exact median + count per event_type.
+
+    (Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    aggregates in one agg, so the count is a pandas aggregate too.)
+    """
+    return t.events.groupBy("event_type").agg(
+        _median_value(F.col("value")).alias("median_value"),
+        _count_values(F.col("value")).alias("n"),
+    )
+
+
+@register(
+    "udtf_flatmap",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+)
+def udtf_flatmap(t):
+    """UDTF shape: mapInPandas emitting N output rows per input row."""
+
+    def explode_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            out = pdf[["doc_id"]].copy()
+            out["token"] = toks
+            yield out.explode("token", ignore_index=True)
+
+    return t.documents.select("doc_id", "text").mapInPandas(
+        explode_tokens, schema="doc_id long, token string"
+    )
