@@ -66,8 +66,9 @@ def apply_chain(df: DataFrame, steps: list[Step], out_prefix: str = "out_") -> D
 
     Returns the input columns untouched (the DLQ payload is the ORIGINAL
     record, per the reference) plus ``route`` and ``{out_prefix}{col}`` for
-    every column any step transforms (non-null only on ``route == 'ok'``
-    rows).
+    every input and transformed column — the full output record, since the
+    reference re-encodes the whole message (consumer.js:139). ``out_*`` is
+    non-null only on ``route == 'ok'`` rows.
     """
     cur: Cols = {c: F.col(c) for c in df.columns}
     route: Column = F.lit(ROUTE_OK)
@@ -88,7 +89,8 @@ def apply_chain(df: DataFrame, steps: list[Step], out_prefix: str = "out_") -> D
 
     out_cols = [F.col(c) for c in df.columns]
     out_cols.append(route.alias("route"))
-    for name in sorted(touched):
+    out_names = list(df.columns) + sorted(n for n in touched if n not in df.columns)
+    for name in out_names:
         out_cols.append(
             F.when(route == ROUTE_OK, cur[name]).alias(f"{out_prefix}{name}")
         )

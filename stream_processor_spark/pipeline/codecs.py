@@ -1,0 +1,130 @@
+"""Wire-format codec layer: schema subject → decode/encode expressions.
+
+Reference behavior: every message value is decoded/encoded through a
+Confluent Schema Registry schema resolved at startup (src/consumer.js:
+212-219) with an id-keyed cache (:46,117-124); three wire formats are
+exercised — JSON Schema, Avro, Protobuf (SURVEY.md §1.2).
+
+Engine model: a ``SchemaRegistry`` maps subject name → (format, Spark
+schema, format-specific options); ``decode``/``encode`` return Column
+expressions (``from_json``/``from_avro``/``from_protobuf`` and duals) so
+codec work happens JVM-side inside the streaming plan — there is no
+per-message registry hit to cache away (the reference's schemaCache is a
+plan-time constant here).
+
+Avro/Protobuf functions require their Spark packages on the classpath;
+they are import-gated and raise a clear error when unavailable (this
+container ships neither), while JSON is always available.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+JSON = "json"
+AVRO = "avro"
+PROTOBUF = "protobuf"
+
+
+@dataclass(frozen=True)
+class SubjectSchema:
+    """One registry subject: wire format + record schema (+ codec options)."""
+
+    subject: str
+    fmt: str  # json | avro | protobuf
+    spark_schema: StructType
+    options: dict[str, str] = field(default_factory=dict)
+    # avro: JSON schema string; protobuf: descriptor path + message name
+    avro_json: str | None = None
+    proto_descriptor: str | None = None
+    proto_message: str | None = None
+
+
+class SchemaRegistry:
+    """subject name → SubjectSchema (the engine's Confluent registry)."""
+
+    def __init__(self, subjects: dict[str, SubjectSchema] | None = None):
+        self._subjects = dict(subjects or {})
+
+    def register(self, s: SubjectSchema) -> None:
+        self._subjects[s.subject] = s
+
+    def get(self, subject: str) -> SubjectSchema:
+        if subject not in self._subjects:
+            raise KeyError(f"unknown schema subject {subject!r}")
+        return self._subjects[subject]
+
+    # -- codec expressions -------------------------------------------------
+
+    def decode(self, subject: str, value: Column) -> Column:
+        """value (binary/string) → struct column, per the subject's format.
+
+        Decodes with the INCOMING subject — the intended reference
+        semantics; the reference itself decodes with the outgoing id
+        (consumer.js:241, bug documented in SURVEY.md §1.2).
+        """
+        s = self.get(subject)
+        if s.fmt == JSON:
+            return F.from_json(value.cast("string"), s.spark_schema, s.options)
+        if s.fmt == AVRO:
+            from_avro = _avro()[0]
+            return from_avro(value, s.avro_json, s.options)
+        if s.fmt == PROTOBUF:
+            from_protobuf = _protobuf()[0]
+            return from_protobuf(value, s.proto_message, s.proto_descriptor, s.options)
+        raise ValueError(f"unknown format {s.fmt!r}")
+
+    def encode(self, subject: str, record: Column) -> Column:
+        """struct column → wire bytes/string per the subject's format."""
+        s = self.get(subject)
+        if s.fmt == JSON:
+            return F.to_json(record, s.options)
+        if s.fmt == AVRO:
+            to_avro = _avro()[1]
+            return to_avro(record, s.avro_json)
+        if s.fmt == PROTOBUF:
+            to_protobuf = _protobuf()[1]
+            return to_protobuf(record, s.proto_message, s.proto_descriptor, s.options)
+        raise ValueError(f"unknown format {s.fmt!r}")
+
+
+def _avro():
+    try:
+        from pyspark.sql.avro.functions import from_avro, to_avro
+
+        return from_avro, to_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "Avro codec needs the spark-avro package (--packages "
+            "org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from e
+
+
+def _protobuf():
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf, to_protobuf
+
+        return from_protobuf, to_protobuf
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "Protobuf codec needs the spark-protobuf package (--packages "
+            "org.apache.spark:spark-protobuf_2.13:<spark-version>)"
+        ) from e
+
+
+# The reference's demo record schema (FIXTURES.md §A1; declared as Protobuf
+# at performance-testing/producers/producer_c.js:41-45).
+def demo_message_schema() -> StructType:
+    from pyspark.sql.types import IntegerType, StringType, StructField
+
+    return StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("value", StringType(), True),
+            StructField("num", IntegerType(), True),
+        ]
+    )

@@ -1,0 +1,245 @@
+"""Processor registry: named record transformations/filters + chains.
+
+Reference model: processors are arbitrary JS modules in
+``src/transformations/`` and ``src/filters/``, registered in the catalog by
+filename with an ``is_filter`` flag (scripts/pipelines/pull_processors.js:
+29-40, 53-66) and require()'d by name per pipeline step
+(src/consumer.js:90-91). Filters drop a record by returning null
+(src/filters/isEven.js:2).
+
+Engine model — two processor kinds, fastest-first:
+
+1. **Expression processors** (preferred): a factory ``cols -> dict`` of
+   replacement Column expressions (transform) or ``cols -> Column``
+   predicate (filter). These compile into the Catalyst plan (whole-stage
+   codegen, zero Python). The four reference transformations + isEven ship
+   as builtins.
+2. **Python processors**: an arbitrary ``dict -> dict | None`` record
+   function (the reference's actual contract). Chains of these run inside
+   ONE Arrow-batched ``mapInPandas`` pass that applies the whole chain
+   per record, catches exceptions, and emits the same ``route`` column the
+   expression path produces — failures become data, not task aborts
+   (SURVEY.md §4 custom item 2). Python-processor chains cost one
+   JVM→Python round-trip per batch regardless of chain length.
+
+Dynamic discovery mirrors pull_processors.js: ``discover_directory`` scans
+``<dir>/transformations/*.py`` and ``<dir>/filters/*.py``, importing each
+module's ``process`` callable under its filename.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+
+from stream_processor_spark.operators.dlq import ROUTE_DROPPED, ROUTE_OK, Step, apply_chain
+
+RecordFn = Callable[[dict], dict | None]
+
+
+@dataclass
+class Processor:
+    name: str
+    is_filter: bool = False
+    # expression form
+    expr_transform: Callable[[dict], dict] | None = None
+    expr_fail_when: Callable[[dict], Column] | None = None
+    # python-record form (reference contract: record -> record | None)
+    record_fn: RecordFn | None = None
+
+    @property
+    def is_expression(self) -> bool:
+        return self.expr_transform is not None or self.expr_fail_when is not None
+
+
+class ProcessorRegistry:
+    def __init__(self, processors: dict[str, Processor] | None = None):
+        self._procs: dict[str, Processor] = dict(processors or {})
+
+    def register(self, proc: Processor) -> None:
+        self._procs[proc.name] = proc
+
+    def get(self, name: str) -> Processor:
+        if name not in self._procs:
+            raise KeyError(f"unknown processor {name!r}; registered: {sorted(self._procs)}")
+        return self._procs[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._procs)
+
+    def discover_directory(self, root: str) -> list[str]:
+        """Scan ``root/transformations`` and ``root/filters`` for ``*.py``
+        modules exposing ``process(record)`` — the engine's
+        pull_processors.js. Returns the registered names."""
+        added: list[str] = []
+        for sub, is_filter in (("transformations", False), ("filters", True)):
+            d = os.path.join(root, sub)
+            if not os.path.isdir(d):
+                continue
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".py") or fname.startswith("_"):
+                    continue
+                name = fname[:-3]
+                spec = importlib.util.spec_from_file_location(
+                    f"sps_processors_{sub}_{name}", os.path.join(d, fname)
+                )
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+                fn = getattr(mod, "process", None)
+                if not callable(fn):
+                    continue
+                self.register(Processor(name=name, is_filter=is_filter, record_fn=fn))
+                added.append(name)
+        return added
+
+    # -- chain compilation -------------------------------------------------
+
+    def expression_chain(
+        self, names: list[str], dlq_topics: list[str | None] | None = None
+    ) -> list[Step]:
+        """Compile named expression processors into DLQ-routing steps."""
+        dlq_topics = dlq_topics or [None] * len(names)
+        steps = []
+        for name, dlq in zip(names, dlq_topics):
+            p = self.get(name)
+            if not p.is_expression:
+                raise ValueError(
+                    f"processor {name!r} is python-record form; use python_chain()"
+                )
+            steps.append(
+                Step(
+                    name=p.name,
+                    transform=p.expr_transform or (lambda c: {}),
+                    fail_when=p.expr_fail_when,
+                    is_filter=p.is_filter,
+                    dlq=dlq,
+                )
+            )
+        return steps
+
+    def apply_expression_chain(
+        self, df: DataFrame, names: list[str], dlq_topics: list[str | None] | None = None
+    ) -> DataFrame:
+        return apply_chain(df, self.expression_chain(names, dlq_topics))
+
+    def apply_python_chain(
+        self,
+        df: DataFrame,
+        names: list[str],
+        dlq_topics: list[str | None] | None = None,
+        out_prefix: str = "out_",
+    ) -> DataFrame:
+        """Run a python-record chain in one Arrow-batched pass.
+
+        Reference semantics reproduced exactly (consumer.js:86-151):
+        - step raises + step has DLQ → route ``dlq_<step>``, ORIGINAL record
+          kept (out_* nulled);
+        - step raises, no DLQ → route ``error_<step>`` (counted, dropped
+          downstream);
+        - filter step returns None → route ``dropped``;
+        - all steps pass → route ``ok`` with transformed out_* columns.
+        """
+        procs = [self.get(n) for n in names]
+        for p in procs:
+            if p.record_fn is None:
+                raise ValueError(f"processor {p.name!r} has no record_fn")
+        dlq_topics = dlq_topics or [None] * len(names)
+        chain = [
+            (p.name, p.record_fn, p.is_filter, dlq)
+            for p, dlq in zip(procs, dlq_topics)
+        ]
+        in_cols = df.columns
+        out_schema_fields = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+            + ["route string"]
+            + [
+                f"`{out_prefix}{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            ]
+        )
+
+        def run_chain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                routes, outs = [], []
+                for rec in pdf.to_dict("records"):
+                    route, cur = ROUTE_OK, dict(rec)
+                    for step_name, fn, is_filter, dlq in chain:
+                        try:
+                            res = fn(cur)
+                        except Exception:
+                            route = f"dlq_{step_name}" if dlq else f"error_{step_name}"
+                            break
+                        if res is None:
+                            if is_filter:
+                                route = ROUTE_DROPPED
+                                break
+                            route = f"error_{step_name}"
+                            break
+                        cur = res
+                    routes.append(route)
+                    outs.append(cur if route == ROUTE_OK else None)
+                out = pdf.copy()
+                out["route"] = routes
+                for c in in_cols:
+                    out[f"{out_prefix}{c}"] = [
+                        (o.get(c) if o is not None else None) for o in outs
+                    ]
+                yield out
+
+        return df.mapInPandas(run_chain, schema=out_schema_fields)
+
+
+# ---------------------------------------------------------------- builtins ----
+
+
+def _builtin_registry() -> ProcessorRegistry:
+    from pyspark.sql import functions as F
+
+    reg = ProcessorRegistry()
+    # Reference transformations operate on {key, value, num}; the engine's
+    # builtins use the same field names (src/transformations/*.js:1-7).
+    reg.register(
+        Processor(
+            name="add10",
+            expr_transform=lambda c: {"num": c["num"] + F.lit(10)},
+        )
+    )
+    reg.register(
+        Processor(
+            name="appendString",
+            expr_transform=lambda c: {"value": F.concat(c["value"], F.lit("_appended"))},
+        )
+    )
+    reg.register(
+        Processor(
+            name="capitalize",
+            # JS String.toUpperCase throws on null receiver → fail_when null
+            expr_transform=lambda c: {"value": F.upper(c["value"])},
+            expr_fail_when=lambda c: c["value"].isNull(),
+        )
+    )
+    reg.register(
+        Processor(
+            name="reverseString",
+            expr_transform=lambda c: {"value": F.reverse(c["value"])},
+            expr_fail_when=lambda c: c["value"].isNull(),
+        )
+    )
+    reg.register(
+        Processor(
+            name="isEven",
+            is_filter=True,
+            # filter convention: fail_when == drop predicate (keep evens)
+            expr_fail_when=lambda c: c["num"] % 2 != 0,
+        )
+    )
+    return reg
+
+
+BUILTIN_PROCESSORS = _builtin_registry()

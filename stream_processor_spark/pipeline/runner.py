@@ -1,0 +1,251 @@
+"""Pipeline runner: catalog definition → running Structured Streaming query.
+
+The reference's per-pod consumer loop (src/consumer.js:191-259) becomes one
+StreamingQuery:
+
+    readStream(source) → decode(incoming schema) → routed chain
+      → foreachBatch{ write ok → target; write dlq_i → step-i DLQ; metrics }
+      → checkpoint
+
+Semantics parity:
+- micro-batch quantum 5,000 (consumer.js:221) → ``maxOffsetsPerTrigger``;
+- at-least-once, offsets advance only after produce (consumer.js:243,254)
+  → exactly Structured Streaming's checkpoint-after-sink contract;
+- DLQ carries the ORIGINAL record (consumer.js:100): the routed frame keeps
+  input columns untouched; DLQ sinks re-encode those with the outgoing
+  schema (consumer.js:130 — DLQ payloads use the same encoder as the main
+  path);
+- dropped (filter) records are counted, not written (consumer.js:134-137).
+
+Scale notes: the micro-batch is cached once and each route branch filters
+the cached frame (no source re-read per sink); route split adds no shuffle.
+Kafka sinks are plan-built but need a broker — the file/parquet sinks give
+the same multi-sink semantics for local verification.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processor_spark.operators.dlq import ROUTE_OK
+from stream_processor_spark.pipeline.catalog import PipelineCatalog, ResolvedPipeline
+from stream_processor_spark.pipeline.codecs import SchemaRegistry
+from stream_processor_spark.pipeline.metrics import PipelineMetrics, route_counts
+from stream_processor_spark.pipeline.processors import ProcessorRegistry
+
+
+@dataclass
+class Sink:
+    """Where a route branch goes. kind: parquet | kafka | memory(noop)."""
+
+    kind: str
+    path_or_topic: str
+    options: dict[str, str] = field(default_factory=dict)
+
+    def write_batch(self, df: DataFrame) -> None:
+        if self.kind == "parquet":
+            df.write.mode("append").parquet(self.path_or_topic)
+        elif self.kind == "kafka":  # pragma: no cover - needs a broker
+            (
+                df.write.format("kafka")
+                .options(**self.options)
+                .option("topic", self.path_or_topic)
+                .save()
+            )
+        elif self.kind == "noop":
+            df.count()
+        else:
+            raise ValueError(f"unknown sink kind {self.kind!r}")
+
+
+class PipelineRunner:
+    """Builds and runs one pipeline (batch or streaming)."""
+
+    def __init__(
+        self,
+        catalog: PipelineCatalog,
+        processors: ProcessorRegistry,
+        schemas: SchemaRegistry | None = None,
+        pod_name: str = "spark",
+    ):
+        self.catalog = catalog
+        self.processors = processors
+        self.schemas = schemas
+        self.pod_name = pod_name
+
+    # -- plan building -----------------------------------------------------
+
+    def routed_frame(self, resolved: ResolvedPipeline, decoded: DataFrame) -> DataFrame:
+        """Decoded records → routed frame (route + out_* columns)."""
+        use_python = any(
+            not self.processors.get(n).is_expression for n in resolved.processor_names
+        )
+        if use_python:
+            return self.processors.apply_python_chain(
+                decoded, resolved.processor_names, resolved.dlq_topics
+            )
+        return self.processors.apply_expression_chain(
+            decoded, resolved.processor_names, resolved.dlq_topics
+        )
+
+    def decode_source(self, resolved: ResolvedPipeline, raw: DataFrame) -> DataFrame:
+        """Kafka-shaped (key, value) frame → decoded record columns.
+
+        Decodes with the INCOMING schema (intended semantics; the reference's
+        outgoing-id decode at consumer.js:241 is a documented bug we fix).
+        """
+        if self.schemas is None:
+            return raw
+        rec = self.schemas.decode(resolved.incoming_schema, F.col("value"))
+        return raw.select(F.col("key").cast("string").alias("_key"), rec.alias("_r")).select(
+            "_key", "_r.*"
+        )
+
+    def encode_output(self, resolved: ResolvedPipeline, routed_ok: DataFrame,
+                      out_prefix: str = "out_") -> DataFrame:
+        """ok branch → (key, value) wire frame using the OUTGOING schema."""
+        if self.schemas is None:
+            return routed_ok
+        out_cols = [
+            c
+            for c in routed_ok.columns
+            if c.startswith(out_prefix) and c != f"{out_prefix}_key"
+        ]
+        rec = F.struct(
+            *[F.col(c).alias(c[len(out_prefix):]) for c in out_cols]
+        )
+        return routed_ok.select(
+            F.col("_key").alias("key"),
+            self.schemas.encode(resolved.outgoing_schema, rec).alias("value"),
+        )
+
+    # -- execution ---------------------------------------------------------
+
+    def run_batch(
+        self,
+        pipeline_id: int,
+        source_df: DataFrame,
+        target_sink: Sink,
+        dlq_sinks: dict[str, Sink] | None = None,
+        metrics: PipelineMetrics | None = None,
+    ) -> dict[str, int]:
+        """One micro-batch worth of the pipeline; returns route counts."""
+        resolved = self.catalog.resolve(pipeline_id)
+        routed = self.routed_frame(resolved, self.decode_source(resolved, source_df))
+        return self._write_routed(resolved, routed, target_sink, dlq_sinks or {}, metrics)
+
+    def _write_routed(
+        self,
+        resolved: ResolvedPipeline,
+        routed: DataFrame,
+        target_sink: Sink,
+        dlq_sinks: dict[str, Sink],
+        metrics: PipelineMetrics | None,
+    ) -> dict[str, int]:
+        routed = routed.persist()
+        try:
+            counts = route_counts(routed)
+            ok = routed.filter(F.col("route") == ROUTE_OK)
+            target_sink.write_batch(self.encode_output(resolved, ok))
+            for step_name, dlq_topic in zip(resolved.processor_names, resolved.dlq_topics):
+                label = f"dlq_{step_name}"
+                if dlq_topic is None or counts.get(label, 0) == 0:
+                    continue
+                sink = dlq_sinks.get(dlq_topic)
+                if sink is None:
+                    raise KeyError(f"no sink bound for DLQ topic {dlq_topic!r}")
+                # ORIGINAL record payload: input columns only (consumer.js:100)
+                original_cols = [
+                    c for c in routed.columns
+                    if c != "route" and not c.startswith("out_")
+                ]
+                sink.write_batch(routed.filter(F.col("route") == label).select(*original_cols))
+            if metrics is not None:
+                metrics.record_batch(counts, n_steps=len(resolved.processor_names))
+            return counts
+        finally:
+            routed.unpersist()
+
+    def run_streaming(
+        self,
+        pipeline_id: int,
+        stream_df: DataFrame,
+        target_sink: Sink,
+        dlq_sinks: dict[str, Sink] | None = None,
+        checkpoint_dir: str | None = None,
+        trigger: dict | None = None,
+        metrics: PipelineMetrics | None = None,
+    ):
+        """Start the pipeline as a StreamingQuery over ``stream_df``.
+
+        ``stream_df`` comes from :func:`kafka_source` in production or the
+        file-stream harness in tests — the plan is identical either way.
+        """
+        resolved = self.catalog.resolve(pipeline_id)
+        metrics = metrics or PipelineMetrics(str(pipeline_id), self.pod_name)
+        dlq_sinks = dlq_sinks or {}
+
+        def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+            routed = self.routed_frame(resolved, self.decode_source(resolved, batch_df))
+            self._write_routed(resolved, routed, target_sink, dlq_sinks, metrics)
+
+        writer = stream_df.writeStream.foreachBatch(process_batch)
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        writer = writer.trigger(**(trigger or {"availableNow": True}))
+        return writer.start()
+
+    def deploy_all(
+        self,
+        spark: SparkSession,
+        source_for: Callable[[ResolvedPipeline], DataFrame],
+        sinks_for: Callable[[ResolvedPipeline], tuple[Sink, dict[str, Sink]]],
+        checkpoint_root: str,
+    ) -> dict[int, object]:
+        """Start a StreamingQuery per active pipeline — the engine's
+        ``make deploy`` (deploy-pipelines.sh:365-397: one pod per active
+        pipeline becomes one query per active pipeline)."""
+        queries = {}
+        for pid in self.catalog.active_pipeline_ids():
+            resolved = self.catalog.resolve(pid)
+            target, dlqs = sinks_for(resolved)
+            queries[pid] = self.run_streaming(
+                pid,
+                source_for(resolved),
+                target,
+                dlqs,
+                checkpoint_dir=os.path.join(checkpoint_root, f"pipeline-{pid}"),
+            )
+        return queries
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int = 5000,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source with the reference's consumption envelope.
+
+    Fetch tuning parity (src/consumer.js:200-205): 10 MiB/partition,
+    50 MiB/fetch; batch quantum 5,000 (consumer.js:221) via
+    maxOffsetsPerTrigger. The consumer group id scheme
+    ``pipeline-{id}-{topic}-group`` (consumer.js:199) maps to the
+    checkpoint directory identity in Structured Streaming.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .option("kafka.max.partition.fetch.bytes", str(10 * 1024 * 1024))
+        .option("kafka.fetch.max.bytes", str(50 * 1024 * 1024))
+        .load()
+    )

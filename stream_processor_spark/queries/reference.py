@@ -129,7 +129,7 @@ def transform_chain(t):
     oracle="""
     SELECT o_orderkey AS order_id,
            o_custkey AS customer_id,
-           round(o_totalprice * 1.1, 2) AS price_with_surcharge,
+           o_totalprice * 1.1 AS price_with_surcharge,
            upper(o_orderpriority) AS priority
     FROM orders
     """,
@@ -139,7 +139,7 @@ def project_orders(t):
     return t.orders.select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
-        F.round(F.col("o_totalprice") * F.lit(1.1), 2).alias("price_with_surcharge"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("price_with_surcharge"),
         F.upper("o_orderpriority").alias("priority"),
     )
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from stream_processor_spark.session import get_spark
@@ -18,4 +20,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_SMALL
+    # SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 replays the parity suite at
+    # the driver's correctness-gate scale.
+    return os.environ.get("SPARK_GRAFT_TEST_SF", SF_SMALL)

@@ -1,0 +1,231 @@
+"""Pipeline engine tests: catalog, processors, codecs, batch runner, metrics.
+
+These verify the reference-parity semantics the DuckDB oracle cannot see
+(SURVEY.md §5.3): DLQ routing with ORIGINAL-record payload, filter
+drop-convention, python-processor exception capture, catalog resolution.
+"""
+
+from __future__ import annotations
+
+import os
+import textwrap
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.pipeline.catalog import PipelineCatalog
+from stream_processor_spark.pipeline.codecs import (
+    JSON,
+    SchemaRegistry,
+    SubjectSchema,
+    demo_message_schema,
+)
+from stream_processor_spark.pipeline.metrics import PipelineMetrics
+from stream_processor_spark.pipeline.processors import BUILTIN_PROCESSORS, ProcessorRegistry
+from stream_processor_spark.pipeline.runner import PipelineRunner, Sink
+
+CATALOG_DOC = {
+    # mirrors scripts/pipelines/insertTestPipelines.js:16-44 (ids arbitrary)
+    "topics": [
+        {"id": 1, "topic_name": "topic-in"},
+        {"id": 2, "topic_name": "topic-out"},
+        {"id": 17, "topic_name": "dlq-capitalize"},
+    ],
+    "schemas": [{"id": 1, "schema_name": "schema_a"}],
+    "processors": [
+        {"id": 10, "processor_name": "add10", "is_filter": False},
+        {"id": 11, "processor_name": "capitalize", "is_filter": False},
+        {"id": 12, "processor_name": "appendString", "is_filter": False},
+        {"id": 13, "processor_name": "isEven", "is_filter": True},
+    ],
+    "pipelines": [
+        {
+            "id": 1,
+            "name": "demo",
+            "source_topic_id": 1,
+            "target_topic_id": 2,
+            "incoming_schema_id": 1,
+            "outgoing_schema_id": 1,
+            # dlq: [null, 17, null, null] — positional null like
+            # insertTestPipelines.js:32
+            "steps": {"processors": [10, 11, 12, 13], "dlq": [None, 17, None, None]},
+        },
+        {
+            "id": 2,
+            "name": "inactive",
+            "source_topic_id": 1,
+            "target_topic_id": 2,
+            "incoming_schema_id": 1,
+            "outgoing_schema_id": 1,
+            "steps": {"processors": [10]},
+            "is_active": False,
+        },
+    ],
+}
+
+RECORDS = [
+    {"key": "k1", "value": "hello", "num": 2},   # ok: HELLO_appended, 12 even
+    {"key": "k2", "value": "world", "num": 3},   # dropped: 13 odd
+    {"key": "k3", "value": None, "num": 4},      # dlq_capitalize (null value)
+    {"key": "k4", "value": "spark", "num": 8},   # ok: SPARK_appended, 18 even
+]
+
+
+@pytest.fixture()
+def catalog():
+    return PipelineCatalog.from_dict(CATALOG_DOC)
+
+
+def test_catalog_resolution(catalog):
+    assert catalog.active_pipeline_ids() == [1]
+    r = catalog.resolve(1)
+    assert r.source_topic == "topic-in" and r.target_topic == "topic-out"
+    assert r.processor_names == ["add10", "capitalize", "appendString", "isEven"]
+    assert r.dlq_topics == [None, "dlq-capitalize", None, None]
+    assert r.processor_is_filter == [False, False, False, True]
+    with pytest.raises(KeyError):
+        catalog.resolve(2)  # inactive (listen.js:47 is_active filter)
+
+
+def _demo_df(spark):
+    return spark.createDataFrame(RECORDS, schema=demo_message_schema())
+
+
+def test_expression_chain_routing(spark, catalog, tmp_path):
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    target = Sink("parquet", str(tmp_path / "target"))
+    dlq = Sink("parquet", str(tmp_path / "dlq"))
+    metrics = PipelineMetrics("1")
+
+    counts = runner.run_batch(
+        1, _demo_df(spark), target, {"dlq-capitalize": dlq}, metrics
+    )
+    assert counts == {"ok": 2, "dropped": 1, "dlq_capitalize": 1}
+
+    out = spark.read.parquet(str(tmp_path / "target")).orderBy("key").collect()
+    assert [(r.key, r.out_value, r.out_num) for r in out] == [
+        ("k1", "HELLO_appended", 12),
+        ("k4", "SPARK_appended", 18),
+    ]
+    # DLQ got the ORIGINAL record (consumer.js:100), not a partial transform
+    dlq_rows = spark.read.parquet(str(tmp_path / "dlq")).collect()
+    assert [(r.key, r.value, r.num) for r in dlq_rows] == [("k3", None, 4)]
+
+    snap = metrics.snapshot()
+    assert snap["messages_received_total"] == 4
+    assert snap["messages_completed_total"] == 2
+    assert snap["messages_dlq_total"] == 1
+    assert snap["messages_dropped_total"] == 1
+    assert snap["messages_error_total"] == 0
+
+
+def test_python_chain_matches_expression_chain(spark, tmp_path):
+    """A python-record chain (reference contract) routes identically."""
+    root = tmp_path / "procs"
+    (root / "transformations").mkdir(parents=True)
+    (root / "filters").mkdir()
+    (root / "transformations" / "add10.py").write_text(
+        textwrap.dedent(
+            """
+            def process(record):
+                # mirror of reference src/transformations/add10.js:1-7
+                return {**record, "num": record["num"] + 10}
+            """
+        )
+    )
+    (root / "transformations" / "capitalize.py").write_text(
+        textwrap.dedent(
+            """
+            def process(record):
+                # JS toUpperCase throws on null (src/transformations/capitalize.js:4)
+                return {**record, "value": record["value"].upper()}
+            """
+        )
+    )
+    (root / "filters" / "isEven.py").write_text(
+        textwrap.dedent(
+            """
+            def process(record):
+                # src/filters/isEven.js:2 — null return drops the record
+                return record if record["num"] % 2 == 0 else None
+            """
+        )
+    )
+
+    reg = ProcessorRegistry()
+    added = reg.discover_directory(str(root))
+    assert added == ["add10", "capitalize", "isEven"]
+    assert reg.get("isEven").is_filter
+
+    routed = reg.apply_python_chain(
+        _demo_df(spark),
+        ["add10", "capitalize", "isEven"],
+        [None, "dlq-capitalize", None],
+    )
+    got = {r.key: r.route for r in routed.collect()}
+    assert got == {
+        "k1": "ok",
+        "k2": "dropped",
+        "k3": "dlq_capitalize",
+        "k4": "ok",
+    }
+    ok = {r.key: (r.out_value, r.out_num) for r in routed.collect() if r.route == "ok"}
+    assert ok == {"k1": ("HELLO", 12), "k4": ("SPARK", 18)}
+
+
+def test_python_chain_error_route_without_dlq(spark):
+    """Step failure with no DLQ topic → error route (consumer.js:142-145)."""
+    reg = ProcessorRegistry()
+    from stream_processor_spark.pipeline.processors import Processor
+
+    reg.register(Processor(name="boom", record_fn=lambda r: 1 / 0))
+    routed = reg.apply_python_chain(_demo_df(spark), ["boom"], [None])
+    assert {r.route for r in routed.collect()} == {"error_boom"}
+
+
+def test_json_codec_roundtrip(spark, catalog):
+    schemas = SchemaRegistry()
+    schemas.register(
+        SubjectSchema(subject="schema_a", fmt=JSON, spark_schema=demo_message_schema())
+    )
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS, schemas)
+    resolved = catalog.resolve(1)
+
+    wire = spark.createDataFrame(
+        [("k1", '{"key":"k1","value":"hi","num":4}')], ["key", "value"]
+    )
+    decoded = runner.decode_source(resolved, wire)
+    assert decoded.columns == ["_key", "key", "value", "num"]
+    routed = runner.routed_frame(resolved, decoded)
+    encoded = runner.encode_output(resolved, routed.filter(F.col("route") == "ok"))
+    rows = encoded.collect()
+    assert len(rows) == 1 and rows[0]["key"] == "k1"
+    import json
+
+    payload = json.loads(rows[0]["value"])
+    assert payload == {"key": "k1", "value": "HI_appended", "num": 14}
+
+
+def test_deploy_all_starts_only_active(spark, catalog, tmp_path):
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    from stream_processor_spark.streaming.file_stream import FileBroker
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = demo_message_schema()
+    broker.topic("topic-in", schema).produce(_demo_df(spark))
+
+    queries = runner.deploy_all(
+        spark,
+        source_for=lambda r: broker.topic(r.source_topic, schema).read_stream(spark),
+        sinks_for=lambda r: (
+            Sink("parquet", str(tmp_path / f"out-{r.id}")),
+            {d: Sink("parquet", str(tmp_path / f"dlq-{r.id}-{d}")) for d in r.dlq_topics if d},
+        ),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    assert sorted(queries) == [1]
+    for q in queries.values():
+        q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out-1"))
+    assert out.count() == 2

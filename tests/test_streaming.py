@@ -1,0 +1,259 @@
+"""Streaming semantics the oracle can't see (SURVEY.md §5.3).
+
+Uses the broker-free file-stream harness: parquet drop-dirs as topics,
+availableNow triggers, shared checkpoints across runs to prove state/offset
+persistence — the same guarantees the reference gets from Kafka offset
+commits (consumer.js:243,254) and we get from Structured Streaming
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from stream_processor_spark.pipeline.catalog import PipelineCatalog
+from stream_processor_spark.pipeline.codecs import demo_message_schema
+from stream_processor_spark.pipeline.processors import BUILTIN_PROCESSORS
+from stream_processor_spark.pipeline.runner import PipelineRunner, Sink
+from stream_processor_spark.streaming.file_stream import FileBroker
+from tests.test_pipeline import CATALOG_DOC, RECORDS
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(minutes=minute)
+
+
+def _run_available_now(stream_df, checkpoint, sink_fn, output_mode: str = "append"):
+    q = stream_df.writeStream.outputMode(output_mode).foreachBatch(sink_fn).option(
+        "checkpointLocation", checkpoint
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+
+# --------------------------------------------------------------- pipeline ----
+
+
+def test_streaming_pipeline_resumes_from_checkpoint(spark, tmp_path):
+    """Offsets persist: a second run with the same checkpoint processes only
+    new files (the reference's resolveOffset-after-produce guarantee)."""
+    catalog = PipelineCatalog.from_dict(CATALOG_DOC)
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("topic-in", demo_message_schema())
+    ckpt = broker.checkpoint_dir()
+    target = Sink("parquet", str(tmp_path / "target"))
+    dlq = Sink("parquet", str(tmp_path / "dlq"))
+
+    topic.produce(spark.createDataFrame(RECORDS, schema=demo_message_schema()))
+    q = runner.run_streaming(
+        1, topic.read_stream(spark), target, {"dlq-capitalize": dlq}, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(target.path_or_topic).count()
+    assert first == 2  # k1, k4
+
+    # new batch: one ok record; re-run with SAME checkpoint
+    topic.produce_rows(spark, [{"key": "k5", "value": "more", "num": 20}])
+    q = runner.run_streaming(
+        1, topic.read_stream(spark), target, {"dlq-capitalize": dlq}, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(target.path_or_topic).collect()
+    # exactly one new output row — earlier files were NOT reprocessed
+    assert len(rows) == 3
+    assert sorted(r.out_value for r in rows) == [
+        "HELLO_appended",
+        "MORE_appended",
+        "SPARK_appended",
+    ]
+
+
+# -------------------------------------------------------------- watermarks ----
+
+
+def test_watermark_drops_late_data_across_runs(spark, tmp_path):
+    """Append-mode windowed agg with watermark: data older than the
+    persisted watermark is dropped on the next run."""
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("events", EVENT_SCHEMA)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def agg_stream():
+        return (
+            topic.read_stream(spark)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("start"), "n")
+        )
+
+    def collect(batch_df, _):
+        out.extend((r.start, r.n) for r in batch_df.collect())
+
+    # run 1: events at 10:00-10:09 and 11:00 — watermark advances to 10:50
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 1, "ts": _ts(0), "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": _ts(5), "user_id": 1, "value": 1.0},
+            {"event_id": 3, "ts": _ts(60), "user_id": 2, "value": 1.0},
+        ],
+    )
+    _run_available_now(agg_stream(), ckpt, collect)
+    emitted_after_run1 = dict(out)
+    assert emitted_after_run1.get(_ts(0)) == 2  # 10:00 window closed & emitted
+
+    # run 2: a late event at 10:02 — far below watermark (10:50) → dropped
+    topic.produce_rows(
+        spark, [{"event_id": 4, "ts": _ts(2), "user_id": 3, "value": 1.0}]
+    )
+    out.clear()
+    _run_available_now(agg_stream(), ckpt, collect)
+    late_emissions = [s for s, _ in out if s == _ts(0)]
+    assert late_emissions == []  # late row did not reopen the closed window
+
+
+def test_stateful_dedup_across_runs(spark, tmp_path):
+    """dropDuplicates state persists in the checkpoint: a duplicate id
+    arriving in a later micro-batch run is suppressed."""
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("events", EVENT_SCHEMA)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def dedup_stream():
+        return (
+            topic.read_stream(spark)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+        )
+
+    def collect(batch_df, _):
+        out.extend(r.event_id for r in batch_df.collect())
+
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 1, "ts": _ts(0), "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": _ts(1), "user_id": 1, "value": 1.0},
+        ],
+    )
+    _run_available_now(dedup_stream(), ckpt, collect)
+    assert sorted(out) == [1, 2]
+
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 2, "ts": _ts(2), "user_id": 9, "value": 9.0},  # dup
+            {"event_id": 3, "ts": _ts(3), "user_id": 2, "value": 1.0},
+        ],
+    )
+    out.clear()
+    _run_available_now(dedup_stream(), ckpt, collect)
+    assert sorted(out) == [3]  # duplicate event_id=2 suppressed by state
+
+
+# ------------------------------------------------------- arbitrary state ----
+
+
+def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
+    from stream_processor_spark.streaming.stateful import running_counts
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = StructType(
+        [StructField("key", StringType()), StructField("v", LongType())]
+    )
+    topic = broker.topic("kv", schema)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def collect(batch_df, _):
+        out.extend((r.key, r.running_count) for r in batch_df.collect())
+
+    topic.produce_rows(spark, [{"key": "a", "v": 1}, {"key": "a", "v": 2}, {"key": "b", "v": 3}])
+    _run_available_now(running_counts(topic.read_stream(spark), "key"), ckpt, collect, "update")
+    assert dict(out) == {"a": 2, "b": 1}
+
+    # state survives the restart: counts continue, not reset
+    topic.produce_rows(spark, [{"key": "a", "v": 4}, {"key": "c", "v": 5}])
+    out.clear()
+    _run_available_now(running_counts(topic.read_stream(spark), "key"), ckpt, collect, "update")
+    assert dict(out) == {"a": 3, "c": 1}
+
+
+# ------------------------------------------------------------ output modes ----
+
+
+@pytest.mark.parametrize("mode,expect_cumulative", [("update", False), ("complete", True)])
+def test_output_modes(spark, tmp_path, mode, expect_cumulative):
+    """update emits changed groups only; complete re-emits all groups."""
+    broker = FileBroker(str(tmp_path / f"broker-{mode}"))
+    topic = broker.topic("events", EVENT_SCHEMA)
+    ckpt = broker.checkpoint_dir()
+    batches: list[list] = []
+
+    def collect(batch_df, _):
+        rows = [(r.user_id, r.n) for r in batch_df.collect()]
+        if rows:
+            batches.append(sorted(rows))
+
+    def counts_stream():
+        return topic.read_stream(spark).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 1, "ts": _ts(0), "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": _ts(1), "user_id": 2, "value": 1.0},
+        ],
+    )
+    q = (
+        counts_stream()
+        .writeStream.outputMode(mode)
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    topic.produce_rows(spark, [{"event_id": 3, "ts": _ts(2), "user_id": 1, "value": 1.0}])
+    q = (
+        counts_stream()
+        .writeStream.outputMode(mode)
+        .foreachBatch(collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert batches[0] == [(1, 1), (2, 1)]
+    if expect_cumulative:
+        assert batches[-1] == [(1, 2), (2, 1)]  # complete: every group
+    else:
+        assert batches[-1] == [(1, 2)]  # update: only the changed group
