@@ -69,23 +69,34 @@ def apply_chain(df: DataFrame, steps: list[Step], out_prefix: str = "out_") -> D
     every input and transformed column — the full output record, since the
     reference re-encodes the whole message (consumer.js:139). ``out_*`` is
     non-null only on ``route == 'ok'`` rows.
+
+    Expression-size note: fail flags and transforms are evaluated
+    unconditionally (Spark expressions are pure and non-throwing — failure
+    is *modeled* by the predicates, not raised), the route picks the FIRST
+    failing step via one flat ``when`` chain, and outputs are gated once at
+    the end. This keeps the generated code linear in chain length instead
+    of exponential-in-nesting, which matters for janino compile time on
+    long chains.
     """
     cur: Cols = {c: F.col(c) for c in df.columns}
-    route: Column = F.lit(ROUTE_OK)
-    failed: Column = F.lit(False)
     touched: set[str] = set()
+    fails: list[tuple[Column, str]] = []
 
     for step in steps:
-        fail = step.fail_when(cur) if step.fail_when is not None else F.lit(False)
-        fail = F.coalesce(fail, F.lit(not step.is_filter and step.fail_when is not None))
-        fails_here = (~failed) & fail
-        route = F.when(fails_here, F.lit(step.route_label())).otherwise(route)
-        new_failed = failed | fail
+        if step.fail_when is not None:
+            fail = F.coalesce(step.fail_when(cur), F.lit(not step.is_filter))
+            fails.append((fail, step.route_label()))
         for name, expr in step.transform(cur).items():
             touched.add(name)
-            prev = cur.get(name, F.lit(None))
-            cur[name] = F.when(~new_failed, expr).otherwise(prev)
-        failed = new_failed
+            cur[name] = expr
+
+    route: Column = F.lit(ROUTE_OK)
+    if fails:
+        # chained when = first-match-wins = first failing step's label
+        route = F.when(fails[0][0], F.lit(fails[0][1]))
+        for fail, label in fails[1:]:
+            route = route.when(fail, F.lit(label))
+        route = route.otherwise(F.lit(ROUTE_OK))
 
     out_cols = [F.col(c) for c in df.columns]
     out_cols.append(route.alias("route"))

@@ -22,12 +22,22 @@ from stream_processor_spark.queries.base import register
 
 
 def dsum(col: Column, scale: int = 2) -> Column:
-    """Order-independent sum of a money-like DOUBLE: exact decimal sum → double."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    """Order-independent sum of a money-like DOUBLE.
+
+    Per-row values are fixed-point-scaled to int64 (``floor(x*10^s + 0.5)``
+    — pure codegen arithmetic, ~4× faster than Spark's BigDecimal sums) and
+    summed exactly, so the merge order can never change the result; the
+    final division restores the scale. int64 headroom: 10^18/10^(s+digits)
+    rows — beyond that (extreme 100 TB aggregates) switch ``scale`` down or
+    use DECIMAL sums.
+    """
+    factor = float(10**scale)
+    return F.sum(F.floor(col * F.lit(factor) + F.lit(0.5))).cast("double") / F.lit(factor)
 
 
 def _dsum_sql(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    f = 10**scale
+    return f"(CAST(SUM(CAST(floor(({expr}) * {f}.0 + 0.5) AS BIGINT)) AS DOUBLE) / {f}.0)"
 
 
 # ----------------------------------------------------------------- joins ----

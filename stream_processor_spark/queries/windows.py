@@ -2,9 +2,9 @@
 
 Scale notes: window functions shuffle once on the partition key and sort
 within partitions — the partition key (``o_custkey``/``user_id``) has high
-cardinality so the shuffle is balanced. Running sums use exact DECIMAL
-accumulation so frame-evaluation strategy (sequential vs segment-tree)
-cannot change the result. Top-k compiles to TakeOrderedAndProject — each
+cardinality so the shuffle is balanced. Running sums use exact fixed-point
+int64 accumulation so frame-evaluation strategy (sequential vs
+segment-tree) cannot change the result. Top-k compiles to TakeOrderedAndProject — each
 partition keeps k rows, only k×partitions rows reach the driver-side merge,
 never a global sort.
 """
@@ -78,14 +78,14 @@ def window_lag_lead(t):
     "window_running_sum",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           ) AS DOUBLE) / 100.0 AS running_spend,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) / LEAST(CAST(row_number() OVER (
+           ) AS DOUBLE) / 100.0 / LEAST(CAST(row_number() OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ) AS INT), 3) AS moving_avg3
     FROM orders
@@ -94,20 +94,20 @@ def window_lag_lead(t):
 def window_running_sum(t):
     """Running sum + 3-row moving average per customer (frame aggregates).
 
-    Exact DECIMAL accumulation → result independent of how the engine
-    evaluates frames.
+    Exact fixed-point (int64 cents) accumulation → result independent of
+    how the engine evaluates frames (sequential vs segment tree).
     """
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-2, Window.currentRow)
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
     return t.orders.select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(dec).over(run).cast("double").alias("running_spend"),
+        (F.sum(cents).over(run).cast("double") / F.lit(100.0)).alias("running_spend"),
         (
-            F.sum(dec).over(mov).cast("double")
+            F.sum(cents).over(mov).cast("double") / F.lit(100.0)
             / F.least(F.row_number().over(w), F.lit(3))
         ).alias("moving_avg3"),
     )
