@@ -203,17 +203,24 @@ def _builtin_registry() -> ProcessorRegistry:
 
     reg = ProcessorRegistry()
     # Reference transformations operate on {key, value, num}; the engine's
-    # builtins use the same field names (src/transformations/*.js:1-7).
+    # builtins use the same field names (src/transformations/*.js:1-7) and
+    # reproduce observable JS coercion semantics on nulls: `null + 10` is
+    # 10 and `null + '_appended'` is 'null_appended' in JS (no throw),
+    # while String.prototype methods DO throw on a null receiver
+    # (capitalize/reverseString → DLQ). Found by the chain fuzzer in
+    # tests/test_property_parity.py.
     reg.register(
         Processor(
             name="add10",
-            expr_transform=lambda c: {"num": c["num"] + F.lit(10)},
+            expr_transform=lambda c: {"num": F.coalesce(c["num"], F.lit(0)) + F.lit(10)},
         )
     )
     reg.register(
         Processor(
             name="appendString",
-            expr_transform=lambda c: {"value": F.concat(c["value"], F.lit("_appended"))},
+            expr_transform=lambda c: {
+                "value": F.concat(F.coalesce(c["value"], F.lit("null")), F.lit("_appended"))
+            },
         )
     )
     reg.register(

@@ -123,3 +123,138 @@ def join_star_5way(t):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(t):
+    """Explicit grouping sets (neither rollup nor cube): two parallel
+    groupings in one pass via the Expand operator."""
+    o = t.orders
+    o.createOrReplaceTempView("__gs_orders")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               (CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                     AS DOUBLE) / 100.0) AS sum_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(t):
+    """Right outer join (plans as the mirrored left outer)."""
+    return t.orders.join(
+        t.customer, t.orders.o_custkey == t.customer.c_custkey, "right"
+    ).select("o_orderkey", "c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c FULL JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_full_outer(t):
+    """Full outer join preserving both unmatched sides."""
+    return t.customer.join(
+        t.orders, t.orders.o_custkey == t.customer.c_custkey, "full"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "window_percentiles",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           round(CAST(ntile(10) OVER w AS INT) / 10.0, 1) AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_percentiles(t):
+    """Distribution window functions: percent_rank, cume_dist, deciles."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.round(F.ntile(10).over(w) / F.lit(10.0), 1).alias("decile"),
+    )
+
+
+@register(
+    "scalar_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           md5(c_name || '/' || c_mktsegment) AS compound_md5
+    FROM customer
+    """,
+)
+def scalar_hash(t):
+    """Hash family (md5 / sha-256) — engine-portable fingerprints."""
+    c = t.customer
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.md5(F.concat_ws("/", "c_name", "c_mktsegment")).alias("compound_md5"),
+    )
+
+
+@register(
+    "tpch_q6_shape",
+    oracle=f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount', 6)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(t):
+    """TPC-H Q6 shape: highly selective scan-aggregate, zero joins.
+
+    The canonical pushdown test — every predicate reaches the parquet
+    reader, aggregation is a single global partial+final.
+    """
+    l = t.lineitem
+    return (
+        l.filter(
+            (l.l_shipdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (l.l_shipdate < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & l.l_discount.between(0.02, 0.06)
+            & (l.l_quantity < 24)
+        )
+        .agg(
+            dsum(l.l_extendedprice * l.l_discount, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

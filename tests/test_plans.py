@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the scale claims in docs/SCALE.md, verified.
+
+Each test renders `.explain` output and asserts the plan property that
+makes the operator scale — pushdown reaching the parquet reader, broadcast
+strategy on dimension joins, TakeOrderedAndProject for top-k, partial
+aggregation before the shuffle, column pruning.
+"""
+
+from __future__ import annotations
+
+from stream_processor_spark.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_compound")
+    assert "PushedFilters:" in plan
+    # the BETWEEN bounds and IN list must be pushed, not just IsNotNull
+    assert "GreaterThanOrEqual(o_totalprice,1000" in plan
+    assert "In(o_orderpriority" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dlq_split")
+    # events has 6 columns; the routed chain needs only 3
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,props:string>" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("join_broadcast", "join_star_3way", "join_star_5way", "join_inner"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_groupby_basic", mode="simple")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_transform_chain_collapses_to_one_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "transform_chain", mode="simple")
+    # chain of 3 withColumns → a single Project over the scan
+    assert plan.count("Project") == 1
+
+
+def test_whole_stage_codegen_covers_scalar_families(spark, sf_dir):
+    for name in ("scalar_string", "scalar_math", "transform_chain"):
+        plan = _plan(spark, sf_dir, name, mode="formatted")
+        # formatted mode tags codegen'd operators with [codegen id : N]
+        assert "[codegen id : 1]" in plan, name
+
+
+def test_no_python_in_expression_paths(spark, sf_dir):
+    # Python evaluation nodes may appear ONLY in declared UDF queries
+    for name in ("dlq_split", "agg_groupby_basic", "sim_topk", "text_quality_score"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "Python" not in plan, name
