@@ -43,9 +43,15 @@ HEADLINE = [
     "dedup_exact",
     "sim_topk",
     "sim_ann_bucketed",
+    "sim_centroids",
     "dedup_token_jaccard",
+    "dedup_shingle_jaccard",
     "text_token_counts",
     "text_fingerprint",
+    "join_asof",
+    "agg_pivot",
+    "join_star_5way",
+    "tpch_q6_shape",
     "udf_scalar",
 ]
 

@@ -99,8 +99,9 @@ terms AS (
 ),
 scored AS (
   SELECT vec_id,
-         CAST(SUM(p) AS DOUBLE) / (sqrt(CAST(SUM(aa) AS DOUBLE))
-                                   * sqrt(CAST(SUM(qq) AS DOUBLE))) AS cosine
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
   FROM terms GROUP BY vec_id
 )
 """

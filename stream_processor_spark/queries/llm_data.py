@@ -34,8 +34,8 @@ def _query_vec(t):
 def sim_cosine_pairs(t):
     """Cosine of every embedding vs a fixed query vector (vec_id=0).
 
-    Array-fold dot product with exact decimal accumulation — one scan, no
-    shuffle, bit-deterministic (operators/similarity.py).
+    Array-fold dot product with exact scaled-integer accumulation — one
+    scan, no shuffle, bit-deterministic (operators/similarity.py).
     """
     return sim.cosine_vs_query(t.embeddings, _query_vec(t)).select("vec_id", "cosine")
 
@@ -110,11 +110,13 @@ def sim_ann_bucketed(t):
       FROM pairs CROSS JOIN generate_series(1, 64) AS i(i)
     )
     SELECT vec_a, vec_b, label,
-           CAST(SUM(p) AS DOUBLE) / (sqrt(CAST(SUM(aa) AS DOUBLE))
-                                     * sqrt(CAST(SUM(bb) AS DOUBLE))) AS cosine
+           CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) AS cosine
     FROM terms GROUP BY vec_a, vec_b, label
-    HAVING CAST(SUM(p) AS DOUBLE) / (sqrt(CAST(SUM(aa) AS DOUBLE))
-                                     * sqrt(CAST(SUM(bb) AS DOUBLE))) > 0.5
+    HAVING CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) > 0.5
     """,
 )
 def dedup_embedding_cosine(t):
@@ -323,3 +325,97 @@ def multimodal_features(t):
     """
     with_payload = mm.attach_binary_payload(t.documents)
     return mm.extract_binary_features(with_payload)
+
+
+@register(
+    "dedup_shingle_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]
+             )) AS shingles
+      FROM documents
+    ),
+    q AS (SELECT shingles AS qsh FROM sh WHERE doc_id = 0)
+    SELECT s.doc_id,
+           CAST(len(list_intersect(s.shingles, q.qsh)) AS DOUBLE)
+           / greatest(len(s.shingles) + len(q.qsh)
+                      - len(list_intersect(s.shingles, q.qsh)), 1) AS jaccard
+    FROM sh s CROSS JOIN q
+    """,
+)
+def dedup_shingle_jaccard(t):
+    """Word-3-gram shingle Jaccard vs a query doc — the MinHash input
+    representation, computed exactly (array expressions, no shuffle).
+
+    At corpus scale this exact form runs only within LSH candidate buckets;
+    the shingling expression itself is the shared building block.
+    """
+    # materialize the token array once per row — inlining split() into the
+    # transform lambda would re-split the text per shingle (O(tokens^2))
+    toked = t.documents.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    n_sh = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    d = toked.select("doc_id", shingles.alias("shingles"))
+    q = d.filter(F.col("doc_id") == 0).select(F.col("shingles").alias("qsh"))
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("qsh")))
+    union = F.size(F.col("shingles")) + F.size(F.col("qsh")) - inter
+    return d.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        (inter.cast("double") / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+@register(
+    "sim_centroids",
+    oracle="""
+    WITH terms AS (
+      SELECT label, i.i AS pos,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS v
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS i(i)
+    )
+    SELECT label, pos,
+           CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / (1e16 * COUNT(*)) AS centroid_component
+    FROM terms
+    GROUP BY label, pos
+    """,
+)
+def sim_centroids(t):
+    """Per-label centroid vectors (semantic-dedup / IVF training building
+    block), as (label, pos, component) rows.
+
+    Fixed-point int64 accumulation per dimension → bit-deterministic means
+    under any partitioning. One explode + one shuffle on (label, pos); at
+    100 TB the explode factor (×dim) is traded against exact parallel
+    reduction — the standard centroid shape.
+    """
+    e = t.embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    )
+    scaled = F.round(F.col("v").cast("double") * F.lit(1e16), 0).cast("long")
+    return (
+        e.select("label", (F.col("pos0") + 1).alias("pos"), scaled.alias("sv"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("sv").cast("double")
+                / (F.lit(1e16) * F.count(F.lit(1)))  # single division: one
+                # rounding step from exact operands → engine-identical
+            ).alias("centroid_component")
+        )
+    )

@@ -8,9 +8,9 @@ Scale notes (100 TB stance, see docs/SCALE.md):
   shuffle of the fact side. ``F.broadcast`` hints where the statistics
   alone might not trigger it.
 - Fact-fact joins shuffle on the join key; AQE handles skew splits.
-- All money aggregates sum exact DECIMAL then cast to DOUBLE: the sum is
-  associative/commutative in decimal, so results are bit-identical across
-  any partitioning / merge order — deterministic at 32 partitions or 32k.
+- All money aggregates use exact fixed-point int64 sums (see ``dsum``):
+  associative/commutative, so results are bit-identical across any
+  partitioning / merge order — deterministic at 32 partitions or 32k.
 """
 
 from __future__ import annotations
@@ -37,7 +37,10 @@ def dsum(col: Column, scale: int = 2) -> Column:
 
 def _dsum_sql(expr: str, scale: int = 2) -> str:
     f = 10**scale
-    return f"(CAST(SUM(CAST(floor(({expr}) * {f}.0 + 0.5) AS BIGINT)) AS DOUBLE) / {f}.0)"
+    return (
+        f"(CAST(CAST(SUM(CAST(floor(({expr}) * {f}.0 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / {f}.0)"
+    )
 
 
 # ----------------------------------------------------------------- joins ----

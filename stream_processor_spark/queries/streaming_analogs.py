@@ -26,7 +26,7 @@ from stream_processor_spark.queries.relational import dsum
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,
            COUNT(*) AS n_events,
-           (CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
+           (CAST(CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts)
     """,
@@ -54,7 +54,7 @@ def stream_tumbling_batch_analog(t):
     )
     SELECT window_start,
            COUNT(*) AS n_events,
-           (CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
+           (CAST(CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) AS sum_value
     FROM assigned
     GROUP BY window_start
     """,

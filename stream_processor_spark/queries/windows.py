@@ -78,14 +78,14 @@ def window_lag_lead(t):
     "window_running_sum",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
-           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+           CAST(CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) / 100.0 AS running_spend,
-           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+           ) AS BIGINT) AS DOUBLE) / 100.0 AS running_spend,
+           CAST(CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) / 100.0 / LEAST(CAST(row_number() OVER (
+           ) AS BIGINT) AS DOUBLE) / 100.0 / LEAST(CAST(row_number() OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ) AS INT), 3) AS moving_avg3
     FROM orders
