@@ -1,0 +1,50 @@
+"""Skew mitigation: salted aggregation and salted broadcast-side join.
+
+AQE's skew-join handling splits oversized SHUFFLE partitions, but two
+shapes still need explicit salting at 100 TB:
+
+- ``salted_agg``: a groupBy where one key holds a large fraction of all
+  rows (power-law entity). Two-phase: aggregate on (key, salt) first —
+  spreading the hot key over N reducers — then merge the N partials.
+  Works for any associative aggregate; exactness preserved for the
+  fixed-point sums used across this engine.
+- ``replicate_broadcast_join``: joining a skewed fact key against a small
+  table is already solved by broadcasting (no shuffle at all) — provided
+  the small side IS broadcast. The helper forces it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partials: dict[str, Callable[[], Column]],
+    merges: dict[str, Callable[[str], Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over salted keys.
+
+    ``partials[name]()`` builds the phase-1 aggregate expression;
+    ``merges[name](col)`` merges the per-salt partials (e.g. sum of sums,
+    sum of counts; avg = merged sum / merged count downstream).
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    phase1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[expr().alias(f"__p_{name}") for name, expr in partials.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[merge(f"__p_{name}").alias(name) for name, merge in merges.items()]
+    )
+
+
+def replicate_broadcast_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Skew-immune dimension join: broadcast the dim, never shuffle the fact."""
+    return fact.join(F.broadcast(dim), on, how)

@@ -1,0 +1,158 @@
+"""Engine extras: metrics listener, python processors in streaming,
+salted aggregation exactness, streaming sliding windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.operators.skew import salted_agg
+from stream_processor_spark.pipeline.catalog import PipelineCatalog
+from stream_processor_spark.pipeline.codecs import demo_message_schema
+from stream_processor_spark.pipeline.metrics import MetricsListener, PipelineMetrics
+from stream_processor_spark.pipeline.processors import Processor, ProcessorRegistry
+from stream_processor_spark.pipeline.runner import PipelineRunner, Sink
+from stream_processor_spark.streaming.file_stream import FileBroker
+from tests.test_pipeline import CATALOG_DOC, RECORDS
+from tests.test_streaming import EVENT_SCHEMA, _ts
+
+
+def test_metrics_listener_records_batch_durations(spark, tmp_path):
+    metrics = PipelineMetrics("1")
+    listener = MetricsListener(metrics)
+    spark.streams.addListener(listener)
+    try:
+        broker = FileBroker(str(tmp_path / "broker"))
+        topic = broker.topic("events", EVENT_SCHEMA)
+        topic.produce_rows(
+            spark, [{"event_id": 1, "ts": _ts(0), "user_id": 1, "value": 1.0}]
+        )
+        q = (
+            topic.read_stream(spark)
+            .writeStream.foreachBatch(lambda df, _: df.count())
+            .option("checkpointLocation", broker.checkpoint_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        deadline = time.time() + 30
+        while not metrics._durations and time.time() < deadline:
+            time.sleep(0.5)  # listener events are delivered async
+        assert metrics._durations, "listener saw no progress events"
+        assert all(d >= 0 for d in metrics._durations)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_python_processor_chain_in_streaming(spark, tmp_path):
+    """Arbitrary python processors (the reference's actual contract) run in
+    the streaming pipeline with exception→DLQ capture intact."""
+    catalog = PipelineCatalog.from_dict(CATALOG_DOC)
+    reg = ProcessorRegistry()
+    reg.register(
+        Processor(name="add10", record_fn=lambda r: {**r, "num": (r["num"] or 0) + 10})
+    )
+    reg.register(
+        Processor(
+            name="capitalize", record_fn=lambda r: {**r, "value": r["value"].upper()}
+        )
+    )
+    reg.register(
+        Processor(
+            name="appendString",
+            record_fn=lambda r: {**r, "value": r["value"] + "_appended"},
+        )
+    )
+    reg.register(
+        Processor(
+            name="isEven",
+            is_filter=True,
+            record_fn=lambda r: r if r["num"] % 2 == 0 else None,
+        )
+    )
+    runner = PipelineRunner(catalog, reg)
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("topic-in", demo_message_schema())
+    topic.produce(spark.createDataFrame(RECORDS, schema=demo_message_schema()))
+
+    target = Sink("parquet", str(tmp_path / "target"))
+    dlq = Sink("parquet", str(tmp_path / "dlq"))
+    q = runner.run_streaming(
+        1,
+        topic.read_stream(spark),
+        target,
+        {"dlq-capitalize": dlq},
+        checkpoint_dir=broker.checkpoint_dir(),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(target.path_or_topic).orderBy("key").collect()
+    assert [(r.key, r.out_value, r.out_num) for r in out] == [
+        ("k1", "HELLO_appended", 12),
+        ("k4", "SPARK_appended", 18),
+    ]
+    dlq_rows = spark.read.parquet(dlq.path_or_topic).collect()
+    assert [(r.key, r.value) for r in dlq_rows] == [("k3", None)]
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    """Salting must not change results (associative fixed-point sums)."""
+    from stream_processor_spark.catalog import Tables
+
+    l = Tables(spark, sf_dir).lineitem
+    cents = F.floor(F.col("l_quantity") * 100.0 + 0.5)
+    salted = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        partials={
+            "qty_cents": lambda: F.sum(cents),
+            "n": lambda: F.count(F.lit(1)),
+        },
+        merges={
+            "qty_cents": lambda c: F.sum(c),
+            "n": lambda c: F.sum(c),
+        },
+    )
+    plain = l.groupBy("l_returnflag").agg(
+        F.sum(cents).alias("qty_cents"), F.count(F.lit(1)).alias("n")
+    )
+    got = {r.l_returnflag: (r.qty_cents, r.n) for r in salted.collect()}
+    want = {r.l_returnflag: (r.qty_cents, r.n) for r in plain.collect()}
+    assert got == want
+
+
+def test_streaming_sliding_window(spark, tmp_path):
+    """True streaming sliding window (1h/15m): event lands in 4 windows."""
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("events", EVENT_SCHEMA)
+    out: list = []
+
+    topic.produce_rows(
+        spark, [{"event_id": 1, "ts": _ts(0), "user_id": 1, "value": 2.0}]
+    )
+    agg = (
+        topic.read_stream(spark)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _: out.extend((r.start, r.n) for r in df.collect()))
+        .option("checkpointLocation", broker.checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    starts = sorted(s for s, _ in out)
+    base = _ts(0)
+    assert starts == [
+        base - dt.timedelta(minutes=45),
+        base - dt.timedelta(minutes=30),
+        base - dt.timedelta(minutes=15),
+        base,
+    ]
+    assert all(n == 1 for _, n in out)
