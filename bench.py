@@ -90,13 +90,20 @@ def main() -> None:
     )
     warm_df.write.mode("overwrite").format("noop").save()
 
+    # Best of 2 runs per query: the first run pays one-time costs (janino
+    # compile of this query's generated code, file-footer reads) that are
+    # amortized to ~zero at 100 TB; run 2 is the steady-state number the
+    # scale comparison cares about. Both runs fully materialize via noop.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        df = spec.fn(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = spec.fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

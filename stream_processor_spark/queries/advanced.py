@@ -258,3 +258,154 @@ def tpch_q6_shape(t):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, o.top_orderkey, o.top_price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey AS top_orderkey, o_totalprice AS top_price
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 1
+    ) o
+    """,
+)
+def join_lateral(t):
+    """Lateral (correlated) subquery: top-1 order per customer.
+
+    Catalyst decorrelates to a ranked window join — same plan you'd write
+    by hand with row_number, but expressed as the user would in SQL.
+    """
+    o = t.orders
+    c = t.customer
+    c.createOrReplaceTempView("__lat_customer")
+    o.createOrReplaceTempView("__lat_orders")
+    return c.sparkSession.sql(
+        """
+        SELECT c.c_custkey, o.top_orderkey, o.top_price
+        FROM __lat_customer c, LATERAL (
+          SELECT o_orderkey AS top_orderkey, o_totalprice AS top_price
+          FROM __lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 1
+        ) o
+        """
+    )
+
+
+@register(
+    "filter_null_safe_eq",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, nullif(event_type, 'error') AS et FROM events
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM x a JOIN x b
+      ON a.et IS NOT DISTINCT FROM b.et AND a.event_id + 1 = b.event_id
+    """,
+)
+def filter_null_safe_eq(t):
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) in a join: adjacent
+    events with the same (possibly NULL) type — NULL matches NULL."""
+    x = t.events.select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("error")).alias("et")
+    )
+    a = x.select(F.col("event_id").alias("id_a"), F.col("et").alias("et_a"))
+    b = x.select(F.col("event_id").alias("id_b"), F.col("et").alias("et_b"))
+    return a.join(
+        b, a.et_a.eqNullSafe(b.et_b) & (a.id_a + 1 == b.id_b)
+    ).select("id_a", "id_b")
+
+
+@register(
+    "scalar_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS INT)
+             AS n_pos,
+           CASE WHEN len(list_filter(embedding,
+                  x -> abs(CAST(x AS DOUBLE)) >= 1.0)) = 0
+                THEN 1 ELSE 0 END AS all_lt_one,
+           CASE WHEN len(list_filter(embedding,
+                  x -> CAST(x AS DOUBLE) > 0.3)) > 0
+                THEN 1 ELSE 0 END AS any_gt_03
+    FROM embeddings
+    """,
+)
+def scalar_array_hof(t):
+    """Array higher-order functions: filter / forall / exists — all
+    JVM-side lambdas, no explode, no shuffle."""
+    e = F.col("embedding")
+    as_d = lambda x: x.cast("double")  # noqa: E731
+    return t.embeddings.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: as_d(x) > 0)).alias("n_pos"),
+        F.when(F.forall(e, lambda x: F.abs(as_d(x)) < 1.0), 1).otherwise(0).alias(
+            "all_lt_one"
+        ),
+        F.when(F.exists(e, lambda x: as_d(x) > 0.3), 1).otherwise(0).alias(
+            "any_gt_03"
+        ),
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('day', MIN(ts)) AS d0,
+             date_trunc('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL '1 day')) AS day
+      FROM bounds
+    ),
+    actual AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT g.user_id, g.day, COALESCE(a.n, 0) AS n_events
+    FROM grid g LEFT JOIN actual a
+      ON g.user_id = a.user_id AND g.day = a.day
+    """,
+)
+def timeseries_gapfill(t):
+    """Gap-filled daily series per user: sequence + explode builds the
+    dense grid, left join fills zeros — the resample/gap-fill shape for
+    training-data time features. Grid generation is per-key expression
+    work (no cross join against a calendar table)."""
+    e = t.events
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    actual = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(actual, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+    )
+
+
+@register("agg_approx_percentile")  # sketch estimate → rows-only
+def agg_approx_percentile(t):
+    """Approximate percentiles (KLL-style sketch) — the 100 TB quantile
+    path: constant-space mergeable sketches instead of a global sort."""
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.95, 1000).alias("p95_approx"),
+    )
