@@ -1,0 +1,124 @@
+"""CLI front door: ``python -m stream_processor_spark <command>``.
+
+The reference deploys with ``make deploy`` + per-pipeline pods; the engine
+equivalent is a single process running one StreamingQuery per active
+pipeline from a JSON catalog. Commands:
+
+- ``list-queries``            — print the registered analytics inventory
+- ``run-query NAME [--sf-dir DIR]``   — run one query, print rows (capped)
+- ``run-pipelines --catalog FILE --broker DIR [--checkpoint DIR]``
+                              — start every active pipeline against a
+                                file-topic broker (parquet drop dirs)
+- ``bench``                   — run the headline benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def cmd_list_queries(_args) -> int:
+    from stream_processor_spark.queries import REGISTRY
+
+    for name, spec in sorted(REGISTRY.items()):
+        kind = "hash-checked" if spec.oracle else "rows-only"
+        doc = (spec.doc or "").strip().splitlines()
+        head = doc[0] if doc else ""
+        print(f"{name:32s} [{kind}] {head}")
+    return 0
+
+
+def cmd_run_query(args) -> int:
+    from stream_processor_spark.queries import REGISTRY
+    from stream_processor_spark.session import get_spark
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
+        return 2
+    spark = get_spark(f"query-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_run_pipelines(args) -> int:
+    from stream_processor_spark.pipeline import (
+        BUILTIN_PROCESSORS,
+        PipelineCatalog,
+        PipelineRunner,
+    )
+    from stream_processor_spark.pipeline.codecs import demo_message_schema
+    from stream_processor_spark.pipeline.runner import Sink
+    from stream_processor_spark.session import get_spark
+    from stream_processor_spark.streaming.file_stream import FileBroker
+
+    spark = get_spark("pipelines")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = PipelineCatalog.from_json(args.catalog)
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    broker = FileBroker(args.broker)
+    schema = demo_message_schema()
+    out_root = args.output or os.path.join(args.broker, "_out")
+
+    queries = runner.deploy_all(
+        spark,
+        source_for=lambda r: broker.topic(r.source_topic, schema).read_stream(spark),
+        sinks_for=lambda r: (
+            Sink("parquet", os.path.join(out_root, r.target_topic)),
+            {
+                d: Sink("parquet", os.path.join(out_root, d))
+                for d in r.dlq_topics
+                if d
+            },
+        ),
+        checkpoint_root=args.checkpoint or os.path.join(args.broker, "_checkpoints"),
+    )
+    print(f"started {len(queries)} pipeline(s): {sorted(queries)}")
+    for q in queries.values():
+        q.awaitTermination(args.timeout)
+    print(json.dumps({"pipelines": sorted(queries), "output_root": out_root}))
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="stream_processor_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-queries")
+
+    q = sub.add_parser("run-query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    q.add_argument("--limit", type=int, default=20)
+
+    r = sub.add_parser("run-pipelines")
+    r.add_argument("--catalog", required=True, help="pipeline catalog JSON")
+    r.add_argument("--broker", required=True, help="file-topic broker root dir")
+    r.add_argument("--checkpoint", default=None)
+    r.add_argument("--output", default=None)
+    r.add_argument("--timeout", type=int, default=300, help="seconds per pipeline")
+
+    sub.add_parser("bench")
+
+    args = p.parse_args(argv)
+    return {
+        "list-queries": cmd_list_queries,
+        "run-query": cmd_run_query,
+        "run-pipelines": cmd_run_pipelines,
+        "bench": cmd_bench,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -92,6 +92,36 @@ class SchemaRegistry:
         raise ValueError(f"unknown format {s.fmt!r}")
 
 
+def format_available(spark, fmt: str) -> bool:
+    """Cheap runtime probe: can this session actually execute the codec?
+
+    The python wrappers for avro/protobuf import fine even without their
+    Spark packages; failure only surfaces at analysis time
+    (AVRO_NOT_LOADED...). This probes with a 1-row plan so callers can
+    fail fast at pipeline-build time instead of mid-stream.
+    """
+    from pyspark.sql import functions as F
+
+    if fmt == JSON:
+        return True
+    try:
+        df = spark.range(1).select(F.struct(F.col("id")).alias("r"))
+        if fmt == AVRO:
+            from_avro_fn, to_avro_fn = _avro()
+            schema = (
+                '{"type":"record","name":"p","fields":'
+                '[{"name":"id","type":"long"}]}'
+            )
+            df.select(to_avro_fn(F.col("r"), schema)).collect()
+            return True
+        if fmt == PROTOBUF:
+            _protobuf()  # descriptor needed for a real probe; import-only
+            return False  # no descriptor available → treat as unavailable
+    except Exception:
+        return False
+    return False
+
+
 def _avro():
     try:
         from pyspark.sql.avro.functions import from_avro, to_avro

@@ -1,0 +1,85 @@
+"""CLI + remaining operator utilities: exact_dedup, split_routes,
+codec availability probe, CLI list/run-pipelines."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.__main__ import main as cli_main
+from stream_processor_spark.catalog import Tables
+from stream_processor_spark.operators.dedup import exact_dedup
+from stream_processor_spark.operators.dlq import split_routes
+from stream_processor_spark.pipeline.codecs import AVRO, JSON, format_available
+from stream_processor_spark.pipeline.processors import BUILTIN_PROCESSORS
+from stream_processor_spark.queries import REGISTRY
+
+
+def test_exact_dedup_survivor_matches_group_min(spark, sf_dir):
+    e = Tables(spark, sf_dir).events
+    via_window = exact_dedup(e, ["user_id", "event_type"], "event_id")
+    via_group = e.groupBy("user_id", "event_type").agg(F.min("event_id").alias("event_id"))
+    got = {(r.user_id, r.event_type): r.event_id for r in via_window.collect()}
+    want = {(r.user_id, r.event_type): r.event_id for r in via_group.collect()}
+    assert got == want
+    # survivor keeps its full row, not just the key
+    assert set(via_window.columns) == set(e.columns)
+
+
+def test_split_routes(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+            StructField("num", IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("a", "x", 2), ("b", None, 2), ("c", "y", 3)], schema=schema
+    )
+    routed = BUILTIN_PROCESSORS.apply_expression_chain(
+        df, ["capitalize", "isEven"], ["dlq-1", None]
+    )
+    parts = split_routes(routed)
+    assert set(parts) == {"ok", "dlq_capitalize", "dropped"}
+    assert [r.key for r in parts["ok"].collect()] == ["a"]
+    assert [r.key for r in parts["dlq_capitalize"].collect()] == ["b"]
+
+
+def test_codec_availability_probe(spark):
+    assert format_available(spark, JSON) is True
+    # no spark-avro jar in this container — probe must say so, not blow up
+    assert format_available(spark, AVRO) is False
+
+
+def test_cli_list_queries(capsys):
+    assert cli_main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_groupby_basic" in out and "hash-checked" in out
+    assert len(out.strip().splitlines()) == len(REGISTRY)
+
+
+def test_cli_run_pipelines(spark, tmp_path, capsys):
+    from stream_processor_spark.pipeline.codecs import demo_message_schema
+    from stream_processor_spark.streaming.file_stream import FileBroker
+    from tests.test_pipeline import CATALOG_DOC, RECORDS
+
+    catalog_path = tmp_path / "catalog.json"
+    catalog_path.write_text(json.dumps(CATALOG_DOC))
+    broker_dir = str(tmp_path / "broker")
+    broker = FileBroker(broker_dir)
+    broker.topic("topic-in", demo_message_schema()).produce(
+        spark.createDataFrame(RECORDS, schema=demo_message_schema())
+    )
+
+    rc = cli_main(
+        ["run-pipelines", "--catalog", str(catalog_path), "--broker", broker_dir]
+    )
+    assert rc == 0
+    out_dir = os.path.join(broker_dir, "_out", "topic-out")
+    rows = spark.read.parquet(out_dir).collect()
+    assert sorted(r.out_value for r in rows) == ["HELLO_appended", "SPARK_appended"]
