@@ -100,18 +100,19 @@ def agg_pivot(t):
     """,
 )
 def join_star_5way(t):
-    """TPC-H Q5-shaped 5-way star: fact ⋈ 4 broadcast dims + filter + agg.
+    """TPC-H Q5-shaped 5-way star: fact ⋈ orders ⋈ 3 broadcast dims.
 
-    Every dimension broadcasts → the only shuffle is the final tiny
-    aggregation; the orderdate filter pushes into the orders scan.
+    Dimension hints only on the true dims (customer/nation/region); the
+    lineitem⋈orders edge is fact-fact at real scale — its strategy is left
+    to Catalyst/AQE (broadcast locally under the threshold, sort-merge with
+    skew splitting at 100 TB). The orderdate filter pushes into the orders
+    scan either way.
     """
     l, o, c, n, r = t.lineitem, t.orders, t.customer, t.nation, t.region
     revenue = l.l_extendedprice * (1 - l.l_discount)
     return (
         l.join(
-            F.broadcast(
-                o.filter(o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            ),
+            o.filter(o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp")),
             l.l_orderkey == o.o_orderkey,
         )
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -408,4 +409,79 @@ def agg_approx_percentile(t):
     return t.orders.groupBy("o_orderstatus").agg(
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
         F.percentile_approx("o_totalprice", 0.95, 1000).alias("p95_approx"),
+    )
+
+
+@register(
+    "tpch_q3_shape",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shape(t):
+    """TPC-H Q3 shape: segment filter → star join → grouped revenue →
+    top-10. Selective dim filter broadcasts; top-k avoids a global sort."""
+    l, o, c = t.lineitem, t.orders, t.customer
+    revenue = l.l_extendedprice * (1 - l.l_discount)
+    return (
+        c.filter(c.c_mktsegment == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(o.o_orderdate < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .filter(l.l_shipdate > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_shape",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_shape(t):
+    """TPC-H Q10 shape: returned-item revenue by customer, top-20."""
+    l, o, c, n = t.lineitem, t.orders, t.customer, t.nation
+    revenue = l.l_extendedprice * (1 - l.l_discount)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (o.o_orderdate < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .filter(l.l_returnflag == "R")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
     )

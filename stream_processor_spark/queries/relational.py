@@ -168,14 +168,17 @@ def join_range(t):
     """,
 )
 def join_star_3way(t):
-    """Star join: fact ⋈ two dims, then aggregate (TPC-H Q3 shape).
+    """Star join: fact ⋈ orders ⋈ customer dim, then aggregate.
 
-    Both dims broadcast; the only shuffle is the final (tiny) aggregation.
+    Only the true dimension (customer) carries a broadcast hint. orders is
+    fact-sized at real scale — Catalyst/AQE picks its strategy from stats
+    (broadcast locally, sort-merge + skew-split at 100 TB); hard-coding a
+    broadcast there would OOM a real cluster.
     """
     l, o, c = t.lineitem, t.orders, t.customer
     revenue = l.l_extendedprice * (1 - l.l_discount)
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
