@@ -485,3 +485,32 @@ def tpch_q10_shape(t):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, kind, n
+    FROM wide
+    UNPIVOT (n FOR kind IN (click, view))
+    """,
+)
+def reshape_unpivot(t):
+    """Unpivot/melt: wide per-user counts back to long form (the inverse
+    of agg_pivot). Expression-level Expand — no shuffle beyond the agg."""
+    wide = (
+        t.events.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ids=["user_id"], values=["click", "view"], variableColumnName="kind",
+        valueColumnName="n",
+    )

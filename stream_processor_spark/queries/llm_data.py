@@ -419,3 +419,32 @@ def sim_centroids(t):
             ).alias("centroid_component")
         )
     )
+
+
+@register(
+    "text_levenshtein",
+    oracle="""
+    WITH q AS (SELECT text AS qtext FROM documents WHERE doc_id = 0)
+    SELECT d.doc_id,
+           CAST(levenshtein(substring(d.text, 1, 60), substring(q.qtext, 1, 60))
+                AS INT) AS edit_distance
+    FROM documents d CROSS JOIN q
+    """,
+)
+def text_levenshtein(t):
+    """Edit distance vs a query doc (prefix-bounded) — the third near-dup
+    metric family (exact char-level) alongside token/shingle Jaccard.
+
+    Distance is O(len²) per pair, so production use is always
+    prefix/length-bounded and LSH-blocked; the 60-char bound here models
+    that."""
+    d = t.documents
+    q = d.filter(F.col("doc_id") == 0).select(
+        F.substring("text", 1, 60).alias("qhead")
+    )
+    return d.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 60), F.col("qhead")).alias(
+            "edit_distance"
+        ),
+    )
