@@ -11,7 +11,11 @@ from stream_processor_spark.operators.skew import salted_agg
 from stream_processor_spark.pipeline.catalog import PipelineCatalog
 from stream_processor_spark.pipeline.codecs import demo_message_schema
 from stream_processor_spark.pipeline.metrics import MetricsListener, PipelineMetrics
-from stream_processor_spark.pipeline.processors import Processor, ProcessorRegistry
+from stream_processor_spark.pipeline.processors import (
+    BUILTIN_PROCESSORS,
+    Processor,
+    ProcessorRegistry,
+)
 from stream_processor_spark.pipeline.runner import PipelineRunner, Sink
 from stream_processor_spark.streaming.file_stream import FileBroker
 from tests.test_pipeline import CATALOG_DOC, RECORDS
@@ -156,3 +160,112 @@ def test_streaming_sliding_window(spark, tmp_path):
         base,
     ]
     assert all(n == 1 for _, n in out)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """True streaming session window (30-min gap), append mode: a session
+    emits only once the watermark passes its end (closed sessions only)."""
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("events", EVENT_SCHEMA)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def agg_stream():
+        return (
+            topic.read_stream(spark)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("session_window.start").alias("start"),
+                F.col("session_window.end").alias("end"),
+                "user_id",
+                "n",
+            )
+        )
+
+    def run():
+        q = (
+            agg_stream()
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _: out.extend(
+                    (r.start, r.end, r.user_id, r.n) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 1, "ts": _ts(0), "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": _ts(10), "user_id": 1, "value": 1.0},  # same session
+            {"event_id": 3, "ts": _ts(120), "user_id": 1, "value": 1.0},  # new session
+        ],
+    )
+    run()
+    # watermark reached +110: session [0, 40) is closed and emitted; the
+    # session ending +150 is still open → NOT emitted yet
+    assert out == [(_ts(0), _ts(40), 1, 2)]
+
+    out.clear()
+    topic.produce_rows(
+        spark, [{"event_id": 4, "ts": _ts(240), "user_id": 1, "value": 1.0}]
+    )
+    run()
+    # watermark now +230 → the [120, 150) session closes and emits
+    assert out == [(_ts(120), _ts(150), 1, 1)]
+
+
+def test_deploy_all_multiple_pipelines(spark, tmp_path):
+    """One Spark app runs one StreamingQuery per active pipeline — the
+    engine's replacement for one-pod-per-pipeline."""
+    import copy
+
+    doc = copy.deepcopy(CATALOG_DOC)
+    doc["topics"].append({"id": 3, "topic_name": "topic-in-2"})
+    doc["topics"].append({"id": 4, "topic_name": "topic-out-2"})
+    doc["pipelines"].append(
+        {
+            "id": 3,
+            "name": "second",
+            "source_topic_id": 3,
+            "target_topic_id": 4,
+            "incoming_schema_id": 1,
+            "outgoing_schema_id": 1,
+            "steps": {"processors": [10]},  # add10 only
+        }
+    )
+    catalog = PipelineCatalog.from_dict(doc)
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = demo_message_schema()
+    from tests.test_pipeline import RECORDS
+
+    broker.topic("topic-in", schema).produce(
+        spark.createDataFrame(RECORDS, schema=schema)
+    )
+    broker.topic("topic-in-2", schema).produce_rows(
+        spark, [{"key": "z1", "value": "v", "num": 5}]
+    )
+
+    queries = runner.deploy_all(
+        spark,
+        source_for=lambda r: broker.topic(r.source_topic, schema).read_stream(spark),
+        sinks_for=lambda r: (
+            Sink("parquet", str(tmp_path / f"out-{r.id}")),
+            {d: Sink("parquet", str(tmp_path / f"dlq-{r.id}-{d}")) for d in r.dlq_topics if d},
+        ),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    assert sorted(queries) == [1, 3]
+    for q in queries.values():
+        q.awaitTermination(120)
+    out1 = spark.read.parquet(str(tmp_path / "out-1"))
+    out3 = spark.read.parquet(str(tmp_path / "out-3")).collect()
+    assert out1.count() == 2
+    assert [(r.key, r.out_num) for r in out3] == [("z1", 15)]
