@@ -448,3 +448,51 @@ def text_levenshtein(t):
             "edit_distance"
         ),
     )
+
+
+@register(
+    "corpus_prep",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             round(
+               (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+                     THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                         x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+                       AS DOUBLE) / len(string_split(text, ' ')) > 0.0
+                   AND CAST(len(list_filter(string_split(text, ' '),
+                         x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+                       AS DOUBLE) / len(string_split(text, ' ')) < 0.6
+                     THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                            AS DOUBLE) / length(text) > 0.8
+                     THEN 0.2 ELSE 0.0 END), 2) AS quality
+      FROM documents
+    ),
+    kept AS (
+      SELECT *, md5(lower(trim(text))) AS fingerprint
+      FROM scored WHERE quality >= 0.5
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+                 AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, quality, fingerprint,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+    FROM deduped
+    """,
+)
+def corpus_prep(t):
+    """End-to-end corpus preparation (operators/prep.py): quality filter →
+    exact dedup on content fingerprint → per-doc features. The composite
+    query the engine exists to run; one plan, two shuffles (dedup window +
+    none for scoring)."""
+    from stream_processor_spark.operators.prep import prepare_corpus
+
+    return prepare_corpus(t.documents).select(
+        "doc_id", "lang", "quality", "fingerprint", "n_tokens"
+    )
