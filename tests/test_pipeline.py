@@ -7,7 +7,6 @@ drop-convention, python-processor exception capture, catalog resolution.
 
 from __future__ import annotations
 
-import os
 import textwrap
 
 import pytest

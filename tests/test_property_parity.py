@@ -18,10 +18,7 @@ import string
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from pyspark.sql import functions as F
-
 from stream_processor_spark.operators.dlq import ROUTE_DROPPED, ROUTE_OK
-from stream_processor_spark.pipeline.codecs import demo_message_schema
 from stream_processor_spark.pipeline.processors import BUILTIN_PROCESSORS
 
 ascii_text = st.text(alphabet=string.ascii_letters + string.digits + " _-", max_size=24)
