@@ -1,0 +1,63 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+Near-duplicate detection yields PAIRS; canonicalization needs CLUSTERS
+(pick one survivor per connected component of the similarity graph). This
+is the one place the engine runs an iterative DataFrame algorithm:
+min-label propagation to a fixpoint.
+
+Scale design:
+- Each iteration is one shuffle (join on vertex) + one aggregation —
+  the standard BSP step; iterations = graph diameter (near-dup clusters
+  are shallow, typically < 10).
+- ``localCheckpoint`` after every iteration truncates lineage so plan size
+  stays constant (without it, iteration N replays all N-1 prior joins).
+- The convergence probe aggregates to ONE scalar per iteration — the only
+  driver-side value in the loop (monotone non-increasing label sum;
+  fixpoint when unchanged).
+- Deterministic: min-label fixpoint is unique regardless of execution
+  order, so the result is oracle-checkable (DuckDB recursive CTE computes
+  the same fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Label every vertex with the MIN vertex id of its component.
+
+    ``vertices``: one column ``id_col``; ``edges``: undirected pairs
+    (``src_col``, ``dst_col``). Returns (``id_col``, ``component``).
+    """
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    bidir = (
+        edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("u"))
+        .union(edges.select(F.col(dst_col).alias("v"), F.col(src_col).alias("u")))
+        .localCheckpoint(eager=True)
+    )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = bidir.join(labels, "v").select(F.col("u").alias("v"), "comp")
+        labels = (
+            labels.union(msgs)
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("v").alias(id_col), F.col("comp").alias("component"))

@@ -496,3 +496,68 @@ def corpus_prep(t):
     return prepare_corpus(t.documents).select(
         "doc_id", "lang", "quality", "fingerprint", "n_tokens"
     )
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle="""
+    WITH RECURSIVE
+    terms AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                        * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS p,
+             CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                        * CAST(a.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+             CAST(round(CAST(b.embedding[i.i] AS DOUBLE)
+                        * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS bb
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      CROSS JOIN generate_series(1, 64) AS i(i)
+    ),
+    pairs AS (
+      SELECT va, vb FROM terms GROUP BY va, vb
+      HAVING CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) > 0.2
+    ),
+    bidir AS (
+      SELECT va AS v, vb AS u FROM pairs
+      UNION ALL SELECT vb, va FROM pairs
+    ),
+    cc(v, comp) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT b.u, cc.comp FROM cc JOIN bidir b ON b.v = cc.v
+    )
+    SELECT v AS vec_id, MIN(comp) AS component
+    FROM cc GROUP BY v
+    """,
+)
+def dedup_cc_clusters(t):
+    """Dedup clusters: connected components of the similarity graph
+    (label-blocked pairs with cosine > 0.2), component = min vec_id.
+
+    Pairs→clusters is the canonicalization step after near-dup detection;
+    iterative min-label propagation (operators/graph.py) vs DuckDB's
+    recursive-CTE fixpoint — both converge to the identical unique
+    fixpoint, so this iterative algorithm is hash-checked.
+    """
+    from stream_processor_spark.operators.graph import connected_components
+
+    e = t.embeddings
+    a = e.select(F.col("vec_id").alias("va"), "label", F.col("embedding").alias("ea"))
+    b = e.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (a.label == b.lb) & (a.va < b.vb))
+        .withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") > 0.2)
+        .select("va", "vb")
+    )
+    vertices = e.select(F.col("vec_id").alias("id"))
+    return connected_components(
+        vertices, pairs, id_col="id", src_col="va", dst_col="vb"
+    ).withColumnRenamed("id", "vec_id")

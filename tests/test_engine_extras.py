@@ -269,3 +269,18 @@ def test_deploy_all_multiple_pipelines(spark, tmp_path):
     out3 = spark.read.parquet(str(tmp_path / "out-3")).collect()
     assert out1.count() == 2
     assert [(r.key, r.out_num) for r in out3] == [("z1", 15)]
+
+
+def test_connected_components_hand_built(spark):
+    from stream_processor_spark.operators.graph import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    # components: {0,1,2,3} (chain), {4,5} , {6}, {7}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], ["src", "dst"]
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
