@@ -91,3 +91,38 @@ def udtf_flatmap(t):
     return t.documents.select("doc_id", "text").mapInPandas(
         explode_tokens, schema="doc_id long, token string"
     )
+
+
+@register(
+    "udf_grouped_map_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+                ELSE (value - MIN(value) OVER w)
+                     / (MAX(value) OVER w - MIN(value) OVER w) END AS value_norm
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def udf_grouped_map_normalize(t):
+    """Grouped-map applyInPandas: per-group min-max normalization.
+
+    The fourth UDF shape (after scalar / grouped-agg / mapInPandas):
+    a whole pandas frame per group in, a frame out. Min/max are exact, so
+    the normalization is deterministic and hash-checks against the window
+    formulation in SQL — also demonstrating that a grouped-map UDF and a
+    window expression are interchangeable plans for this class of feature
+    engineering (the window form is preferred at scale: no Python).
+    """
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["value"].min(), pdf["value"].max()
+        out = pdf[["event_id", "event_type"]].copy()
+        out["value_norm"] = 0.0 if hi == lo else (pdf["value"] - lo) / (hi - lo)
+        return out
+
+    return (
+        t.events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(normalize, schema="event_id long, event_type string, value_norm double")
+    )
