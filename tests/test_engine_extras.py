@@ -284,3 +284,42 @@ def test_connected_components_hand_built(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """operators.asof vs pandas merge_asof on random keyed time series."""
+    import random
+
+    import pandas as pd
+
+    from stream_processor_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    left_rows = [
+        {"lid": i, "k": rng.randint(1, 5), "lts": rng.randint(0, 1000)}
+        for i in range(120)
+    ]
+    right_rows = [
+        {"k": rng.randint(1, 5), "rts": rng.randint(0, 1000), "rv": float(i)}
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows)
+    right = spark.createDataFrame(right_rows)
+
+    got_df = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts", value_cols=["rv"]
+    )
+    got = {r.lid: r.rv_asof for r in got_df.collect()}
+
+    lpd = pd.DataFrame(left_rows).sort_values("lts")
+    rpd = (
+        pd.DataFrame(right_rows)
+        .sort_values(["rts", "rv"])
+        # merge_asof takes the LAST right row on ties of (k, rts); our
+        # window formulation does the same (later rows win in last())
+    )
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+    want = {row.lid: (None if pd.isna(row.rv) else row.rv) for row in merged.itertuples()}
+    assert got == want

@@ -257,3 +257,60 @@ def test_output_modes(spark, tmp_path, mode, expect_cumulative):
         assert batches[-1] == [(1, 2), (2, 1)]  # complete: every group
     else:
         assert batches[-1] == [(1, 2)]  # update: only the changed group
+
+
+def test_streaming_json_wire_roundtrip(spark, tmp_path):
+    """Full wire-format loop in streaming: JSON-encoded source values →
+    decode(incoming) → chain → encode(outgoing) → sink of (key, value).
+
+    This is the reference's actual data path (registry-decode →
+    transform → registry-encode, consumer.js:114-141) on the engine.
+    """
+    import json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from stream_processor_spark.pipeline.codecs import (
+        JSON,
+        SchemaRegistry,
+        SubjectSchema,
+    )
+
+    catalog = PipelineCatalog.from_dict(CATALOG_DOC)
+    schemas = SchemaRegistry()
+    schemas.register(
+        SubjectSchema(subject="schema_a", fmt=JSON, spark_schema=demo_message_schema())
+    )
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS, schemas)
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    wire_schema = StructType(
+        [StructField("key", StringType()), StructField("value", StringType())]
+    )
+    topic = broker.topic("topic-in", wire_schema)
+    topic.produce_rows(
+        spark,
+        [
+            {"key": "a", "value": json.dumps({"key": "a", "value": "hi", "num": 4})},
+            {"key": "b", "value": json.dumps({"key": "b", "value": None, "num": 2})},
+        ],
+    )
+    target = Sink("parquet", str(tmp_path / "target"))
+    dlq = Sink("parquet", str(tmp_path / "dlq"))
+    q = runner.run_streaming(
+        1,
+        topic.read_stream(spark),
+        target,
+        {"dlq-capitalize": dlq},
+        checkpoint_dir=broker.checkpoint_dir(),
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(target.path_or_topic).collect()
+    assert len(out) == 1
+    payload = json.loads(out[0]["value"])
+    assert out[0]["key"] == "a"
+    assert payload == {"key": "a", "value": "HI_appended", "num": 14}
+    # null-value record → capitalize DLQ with the ORIGINAL decoded record
+    dlq_rows = spark.read.parquet(dlq.path_or_topic).collect()
+    assert [(r.key, r.value, r.num) for r in dlq_rows] == [("b", None, 2)]
