@@ -43,7 +43,9 @@ class Tables:
         self._cache: dict[str, DataFrame] = {}
 
     def __getattr__(self, name: str) -> DataFrame:
-        if name.startswith("_"):
+        # unknown attributes must raise AttributeError (not KeyError) so
+        # hasattr()/getattr(default)/introspection behave normally
+        if name.startswith("_") or name not in TABLE_NAMES:
             raise AttributeError(name)
         return self.table(name)
 

@@ -36,12 +36,22 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: latest ``right`` row with ``right_ts <= left_ts``
     per ``key``. Appends ``<value_col><suffix>`` columns to ``left``."""
+    # The right row's values are carried as ONE struct so the match is
+    # row-atomic: a legitimately-NULL value inside the latest right row
+    # stays NULL (carrying columns independently with last(ignorenulls)
+    # would backfill it from an older row and could mix rows).
+    null_rv = F.when(
+        F.lit(False),
+        F.struct(
+            *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in value_cols]
+        ),
+    )
     lt = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}") for c in value_cols],
+        null_rv.alias("__rv"),
     )
     null_left = F.when(
         F.lit(False),
@@ -54,24 +64,23 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         null_left.alias("__left"),
-        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
     )
     unioned = lt.unionByName(rt)
+    # __rv in the sort gives a deterministic winner among right rows tied
+    # on (key, ts): the greatest struct (field-wise) wins via last().
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "__side",
         "__left",
-        *[
-            F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"__carried_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__carried"),
     )
     out = carried.filter(F.col("__side") == 1).select(
         "__left.*",
-        *[F.col(f"__carried_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"__carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out

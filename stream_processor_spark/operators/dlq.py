@@ -5,9 +5,17 @@ inflect-framework/stream-processor): each record runs an ordered chain of
 steps; if step *i* raises and the step has a DLQ topic, the **original
 pre-chain record** is routed to that step's DLQ (``src/consumer.js:100``
 returns ``{dlqMessage: message}`` — the chain *input*, not the partial
-result); if it raises with no DLQ the record errors out; a *filter* step
-returning null drops the record silently (``src/filters/isEven.js:2``,
-counted at ``src/consumer.js:134-137``).
+result); if it raises with no DLQ the record errors out.
+
+Filter-null semantics, traced precisely: the reference's fold
+(``consumer.js:88-109``) does NOT special-case a null return — the null
+message simply becomes the next step's input, and since every reference
+processor dereferences the message (``message.num``/``message.value``),
+the NEXT step throws on it and routes to that step's DLQ/error. Only when
+the CHAIN ENDS with a null message is the record counted as dropped
+(``consumer.js:134-137``). This engine reproduces that exactly: a filter
+drop mid-chain routes to the following step's failure label; a filter
+drop at the end of the chain routes ``dropped``.
 
 Spark-first formulation: instead of catching per-record exceptions (which in
 Spark would fail the task), known failure modes are declared as
@@ -18,9 +26,10 @@ No shuffle is introduced: routing is embarrassingly parallel, so at 100 TB
 this costs one map pass regardless of chain length.
 
 For *unanticipated* failures (arbitrary Python processors), see
-``stream_processor_spark.pipeline.processors.wrap_udf_chain`` which captures
-exceptions inside an Arrow-vectorized UDF and emits the same route column —
-failures become data, not task aborts.
+``stream_processor_spark.pipeline.processors.ProcessorRegistry.
+apply_python_chain`` which captures exceptions inside an Arrow-vectorized
+``mapInPandas`` pass and emits the same route column — failures become
+data, not task aborts.
 """
 
 from __future__ import annotations
@@ -42,10 +51,9 @@ class Step:
     """One chain step: optional failure predicate + column transforms.
 
     ``fail_when(cols)`` — predicate over the *current* (post-previous-steps)
-    column values; true means the reference processor would have thrown.
-    ``transform(cols)`` — replacement expressions applied when the step
-    succeeds. ``is_filter`` steps use ``fail_when`` as the *drop* predicate
-    (reference convention: filter returns null → silent drop). ``dlq`` names
+    column values; true means the reference processor would have thrown
+    (for ``is_filter`` steps: would have returned null). ``transform(cols)``
+    — replacement expressions applied when the step succeeds. ``dlq`` names
     the step's DLQ sink (None → hard error route ``error_<name>``).
     """
 
@@ -55,9 +63,8 @@ class Step:
     is_filter: bool = False
     dlq: str | None = None
 
-    def route_label(self) -> str:
-        if self.is_filter:
-            return ROUTE_DROPPED
+    def failure_label(self) -> str:
+        """Route when this step THROWS (incl. throwing on a null record)."""
         return f"dlq_{self.name}" if self.dlq else f"error_{self.name}"
 
 
@@ -69,6 +76,10 @@ def apply_chain(df: DataFrame, steps: list[Step], out_prefix: str = "out_") -> D
     every input and transformed column — the full output record, since the
     reference re-encodes the whole message (consumer.js:139). ``out_*`` is
     non-null only on ``route == 'ok'`` rows.
+
+    Filter drops follow the reference's null-propagation (module docstring):
+    mid-chain → the NEXT step's failure label (every reference processor
+    throws on a null record); end-of-chain → ``dropped``.
 
     Expression-size note: fail flags and transforms are evaluated
     unconditionally (Spark expressions are pure and non-throwing — failure
@@ -82,10 +93,21 @@ def apply_chain(df: DataFrame, steps: list[Step], out_prefix: str = "out_") -> D
     touched: set[str] = set()
     fails: list[tuple[Column, str]] = []
 
-    for step in steps:
+    for i, step in enumerate(steps):
         if step.fail_when is not None:
-            fail = F.coalesce(step.fail_when(cur), F.lit(not step.is_filter))
-            fails.append((fail, step.route_label()))
+            if step.is_filter:
+                # null return: next step throws on the null record
+                # (consumer.js:88-109); chain end → dropped (:134-137)
+                fail = F.coalesce(step.fail_when(cur), F.lit(False))
+                label = (
+                    ROUTE_DROPPED
+                    if i == len(steps) - 1
+                    else steps[i + 1].failure_label()
+                )
+            else:
+                fail = F.coalesce(step.fail_when(cur), F.lit(True))
+                label = step.failure_label()
+            fails.append((fail, label))
         for name, expr in step.transform(cur).items():
             touched.add(name)
             cur[name] = expr
@@ -113,9 +135,10 @@ def split_routes(routed: DataFrame) -> dict[str, DataFrame]:
 
     Distinct route labels are read from the chain, not the data, by callers
     that know their steps; this generic helper enumerates from data and is
-    intended for tests / small control flows. In streaming, use
-    ``pipeline.runner.ForeachBatchRouter`` which filters a cached micro-batch
-    per route label without re-scanning the source.
+    intended for tests / small control flows. In streaming,
+    ``pipeline.runner.PipelineRunner.run_streaming`` filters a cached
+    micro-batch per route label inside ``foreachBatch`` without re-scanning
+    the source.
     """
     labels = [r["route"] for r in routed.select("route").distinct().collect()]
     return {label: routed.filter(F.col("route") == label) for label in labels}

@@ -28,18 +28,13 @@ from stream_processor_spark.operators import text as tx
 def prepare_corpus(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", min_quality: float = 0.5) -> DataFrame:
     """Quality-filter + exact-dedup + featurize a document corpus."""
+    from stream_processor_spark.operators.dedup import exact_dedup
+
     scored = docs.withColumn("quality", tx.quality_score(F.col(text_col)))
     kept = scored.filter(F.col("quality") >= min_quality)
     fingerprinted = kept.withColumn("fingerprint", tx.fingerprint(F.col(text_col)))
     # exact dedup on content fingerprint: 16-byte shuffle key, min-id survivor
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
-    deduped = (
-        fingerprinted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    deduped = exact_dedup(fingerprinted, ["fingerprint"], id_col)
     return deduped.withColumn("n_tokens", tx.token_count(F.col(text_col)))
 
 

@@ -142,8 +142,14 @@ class ProcessorRegistry:
           kept (out_* nulled);
         - step raises, no DLQ → route ``error_<step>`` (counted, dropped
           downstream);
-        - filter step returns None → route ``dropped``;
+        - a step returning None does NOT short-circuit: the null record
+          becomes the next step's input (which throws on it, since every
+          reference processor dereferences the message) — only a chain
+          ENDING in None routes ``dropped`` (consumer.js:88-109,134-137);
         - all steps pass → route ``ok`` with transformed out_* columns.
+
+        Records are delivered to processors with real ``None`` for SQL
+        NULLs (never pandas NaN), matching the JS contract.
         """
         procs = [self.get(n) for n in names]
         for p in procs:
@@ -151,8 +157,7 @@ class ProcessorRegistry:
                 raise ValueError(f"processor {p.name!r} has no record_fn")
         dlq_topics = dlq_topics or [None] * len(names)
         chain = [
-            (p.name, p.record_fn, p.is_filter, dlq)
-            for p, dlq in zip(procs, dlq_topics)
+            (p.name, p.record_fn, dlq) for p, dlq in zip(procs, dlq_topics)
         ]
         in_cols = df.columns
         out_schema_fields = ", ".join(
@@ -167,21 +172,27 @@ class ProcessorRegistry:
         def run_chain(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 routes, outs = [], []
-                for rec in pdf.to_dict("records"):
+                # NaN/NaT → None so processors see the JS null contract
+                clean = pdf.astype(object).where(pdf.notna(), None)
+                for rec in clean.to_dict("records"):
                     route, cur = ROUTE_OK, dict(rec)
-                    for step_name, fn, is_filter, dlq in chain:
+                    for step_name, fn, dlq in chain:
+                        if cur is None:
+                            # reference: processor derefs the null message
+                            # and throws → this step's DLQ/error
+                            route = (
+                                f"dlq_{step_name}" if dlq else f"error_{step_name}"
+                            )
+                            break
                         try:
-                            res = fn(cur)
+                            cur = fn(cur)
                         except Exception:
-                            route = f"dlq_{step_name}" if dlq else f"error_{step_name}"
+                            route = (
+                                f"dlq_{step_name}" if dlq else f"error_{step_name}"
+                            )
                             break
-                        if res is None:
-                            if is_filter:
-                                route = ROUTE_DROPPED
-                                break
-                            route = f"error_{step_name}"
-                            break
-                        cur = res
+                    if route == ROUTE_OK and cur is None:
+                        route = ROUTE_DROPPED  # chain ended null → dropped
                     routes.append(route)
                     outs.append(cur if route == ROUTE_OK else None)
                 out = pdf.copy()
@@ -204,15 +215,38 @@ def _builtin_registry() -> ProcessorRegistry:
     reg = ProcessorRegistry()
     # Reference transformations operate on {key, value, num}; the engine's
     # builtins use the same field names (src/transformations/*.js:1-7) and
-    # reproduce observable JS coercion semantics on nulls: `null + 10` is
-    # 10 and `null + '_appended'` is 'null_appended' in JS (no throw),
+    # reproduce observable JS coercion semantics on null FIELDS: `null + 10`
+    # is 10 and `null + '_appended'` is 'null_appended' in JS (no throw),
     # while String.prototype methods DO throw on a null receiver
     # (capitalize/reverseString → DLQ). Found by the chain fuzzer in
-    # tests/test_property_parity.py.
+    # tests/test_property_parity.py. Each builtin also carries a
+    # record_fn with identical semantics so chains freely mix builtins with
+    # user python processors (routed through apply_python_chain).
+
+    def _py_add10(r: dict) -> dict:
+        return {**r, "num": (0 if r["num"] is None else r["num"]) + 10}
+
+    def _py_append(r: dict) -> dict:
+        v = "null" if r["value"] is None else r["value"]
+        return {**r, "value": v + "_appended"}
+
+    def _py_capitalize(r: dict) -> dict:
+        return {**r, "value": r["value"].upper()}  # raises on None (JS parity)
+
+    def _py_reverse(r: dict) -> dict:
+        if r["value"] is None:
+            raise TypeError("reverse of null value")  # JS .split on null throws
+        return {**r, "value": r["value"][::-1]}
+
+    def _py_is_even(r: dict):
+        # JS: null % 2 → 0 → kept (null coerces to 0)
+        return r if (0 if r["num"] is None else r["num"]) % 2 == 0 else None
+
     reg.register(
         Processor(
             name="add10",
             expr_transform=lambda c: {"num": F.coalesce(c["num"], F.lit(0)) + F.lit(10)},
+            record_fn=_py_add10,
         )
     )
     reg.register(
@@ -221,6 +255,7 @@ def _builtin_registry() -> ProcessorRegistry:
             expr_transform=lambda c: {
                 "value": F.concat(F.coalesce(c["value"], F.lit("null")), F.lit("_appended"))
             },
+            record_fn=_py_append,
         )
     )
     reg.register(
@@ -229,6 +264,7 @@ def _builtin_registry() -> ProcessorRegistry:
             # JS String.toUpperCase throws on null receiver → fail_when null
             expr_transform=lambda c: {"value": F.upper(c["value"])},
             expr_fail_when=lambda c: c["value"].isNull(),
+            record_fn=_py_capitalize,
         )
     )
     reg.register(
@@ -236,14 +272,17 @@ def _builtin_registry() -> ProcessorRegistry:
             name="reverseString",
             expr_transform=lambda c: {"value": F.reverse(c["value"])},
             expr_fail_when=lambda c: c["value"].isNull(),
+            record_fn=_py_reverse,
         )
     )
     reg.register(
         Processor(
             name="isEven",
             is_filter=True,
-            # filter convention: fail_when == drop predicate (keep evens)
-            expr_fail_when=lambda c: c["num"] % 2 != 0,
+            # filter convention: fail_when == drop predicate (keep evens);
+            # null num → JS coerces to 0 → even → kept
+            expr_fail_when=lambda c: F.coalesce(c["num"], F.lit(0)) % 2 != 0,
+            record_fn=_py_is_even,
         )
     )
     return reg

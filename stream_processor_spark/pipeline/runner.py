@@ -106,6 +106,24 @@ class PipelineRunner:
             "_key", "_r.*"
         )
 
+    def encode_dlq(self, resolved: ResolvedPipeline, originals: DataFrame) -> DataFrame:
+        """DLQ branch → (key, value) wire frame with the ORIGINAL record
+        encoded using the outgoing schema (consumer.js:128-132 encodes the
+        dlqMessage with the same encoder as the main output)."""
+        if self.schemas is None:
+            return originals
+        rec_cols = [c for c in originals.columns if c != "_key"]
+        rec = F.struct(*[F.col(c) for c in rec_cols])
+        key = (
+            F.col("_key")
+            if "_key" in originals.columns
+            else F.lit(None).cast("string")
+        )
+        return originals.select(
+            key.alias("key"),
+            self.schemas.encode(resolved.outgoing_schema, rec).alias("value"),
+        )
+
     def encode_output(self, resolved: ResolvedPipeline, routed_ok: DataFrame,
                       out_prefix: str = "out_") -> DataFrame:
         """ok branch → (key, value) wire frame using the OUTGOING schema."""
@@ -159,12 +177,14 @@ class PipelineRunner:
                 sink = dlq_sinks.get(dlq_topic)
                 if sink is None:
                     raise KeyError(f"no sink bound for DLQ topic {dlq_topic!r}")
-                # ORIGINAL record payload: input columns only (consumer.js:100)
+                # ORIGINAL record payload: input columns only (consumer.js:100),
+                # wire-encoded with the outgoing schema (consumer.js:128-132)
                 original_cols = [
                     c for c in routed.columns
                     if c != "route" and not c.startswith("out_")
                 ]
-                sink.write_batch(routed.filter(F.col("route") == label).select(*original_cols))
+                originals = routed.filter(F.col("route") == label).select(*original_cols)
+                sink.write_batch(self.encode_dlq(resolved, originals))
             if metrics is not None:
                 metrics.record_batch(counts, n_steps=len(resolved.processor_names))
             return counts

@@ -183,13 +183,19 @@ def dedup_near(t):
 
 @register("dedup_simhash")  # python-hash signature → rows-only
 def dedup_simhash(t):
-    """64-bit SimHash signature per document + band keys for blocking."""
+    """64-bit SimHash signature per document + band keys for blocking.
+
+    Bands extracted with exact bit ops (shiftright + mask) — float
+    division would round away low bits for |signature| ≥ 2^53 and
+    mis-bucket candidates.
+    """
     d = t.documents.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
+    mask = F.lit(0xFFFF)
     return d.select(
         "doc_id",
         "simhash",
-        (F.col("simhash") % F.lit(1 << 16)).alias("band0"),
-        ((F.col("simhash") / F.lit(1 << 16)).cast("long") % F.lit(1 << 16)).alias("band1"),
+        F.col("simhash").bitwiseAND(mask).alias("band0"),
+        F.shiftright(F.col("simhash"), 16).bitwiseAND(mask).alias("band1"),
     )
 
 

@@ -323,3 +323,87 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     )
     want = {row.lid: (None if pd.isna(row.rv) else row.rv) for row in merged.itertuples()}
     assert got == want
+
+
+def test_mixed_builtin_and_custom_processor_chain(spark):
+    """Chains mixing builtin and user python processors run via the python
+    path (builtins carry record_fn equivalents) — previously crashed."""
+    from stream_processor_spark.pipeline.codecs import demo_message_schema as dms
+
+    reg = ProcessorRegistry(dict(BUILTIN_PROCESSORS._procs))
+    reg.register(
+        Processor(name="exclaim", record_fn=lambda r: {**r, "value": r["value"] + "!"})
+    )
+    df = spark.createDataFrame(
+        [("a", "hi", 4), ("b", None, 2)], schema=dms()
+    )
+    routed = reg.apply_python_chain(
+        df, ["add10", "capitalize", "exclaim"], [None, "dlq-cap", None]
+    )
+    got = {r.key: (r.route, r.out_value, r.out_num) for r in routed.collect()}
+    assert got == {
+        "a": ("ok", "HI!", 14),
+        "b": ("dlq_capitalize", None, None),  # JS throw on null receiver
+    }
+
+
+def test_filter_drop_mid_chain_routes_to_next_step(spark):
+    """Reference null-propagation: a mid-chain filter drop reaches the NEXT
+    step, which throws on the null record → that step's DLQ; end-of-chain
+    drop → 'dropped' (consumer.js:88-109,134-137)."""
+    from stream_processor_spark.pipeline.codecs import demo_message_schema as dms
+
+    df = spark.createDataFrame([("a", "x", 3), ("b", "y", 4)], schema=dms())
+
+    # expression path
+    routed = BUILTIN_PROCESSORS.apply_expression_chain(
+        df, ["isEven", "add10"], [None, "dlq-add10"]
+    )
+    got = {r.key: r.route for r in routed.collect()}
+    assert got == {"a": "dlq_add10", "b": "ok"}
+
+    # python path agrees
+    routed_py = BUILTIN_PROCESSORS.apply_python_chain(
+        df, ["isEven", "add10"], [None, "dlq-add10"]
+    )
+    got_py = {r.key: r.route for r in routed_py.collect()}
+    assert got_py == got
+
+    # filter LAST → dropped, both paths
+    for apply in (
+        BUILTIN_PROCESSORS.apply_expression_chain,
+        BUILTIN_PROCESSORS.apply_python_chain,
+    ):
+        routed_last = apply(df, ["add10", "isEven"], [None, None])
+        got_last = {r.key: r.route for r in routed_last.collect()}
+        assert got_last == {"a": "dropped", "b": "ok"}, apply.__name__
+
+
+def test_asof_join_null_value_in_latest_row_stays_null(spark):
+    """Row-atomic as-of carry: a NULL value in the latest matching right
+    row must NOT be backfilled from an older row."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stream_processor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1, 3)], ["lid", "k", "lts"])
+    right_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("rts", LongType()),
+            StructField("rv", DoubleType()),
+        ]
+    )
+    right = spark.createDataFrame([(1, 1, 5.0), (1, 2, None)], schema=right_schema)
+    out = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts", value_cols=["rts", "rv"]
+    ).collect()
+    assert len(out) == 1
+    # latest right row is (rts=2, rv=NULL): rv stays NULL, rts_asof=2 —
+    # both from the SAME row
+    assert out[0]["rts_asof"] == 2 and out[0]["rv_asof"] is None

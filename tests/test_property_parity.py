@@ -56,16 +56,24 @@ FILTERS = {"isEven": lambda r: r["num"] % 2 == 0}
 
 
 def run_python_chain(rec: dict, chain: list[str]) -> tuple[str, dict | None]:
-    cur = dict(rec)
+    """Faithful port of the reference fold (consumer.js:88-109): a filter's
+    null return does NOT short-circuit — the null message reaches the next
+    step, which throws on the deref (every reference processor derefs the
+    message) → that step's DLQ; only a chain ENDING null is dropped
+    (consumer.js:134-137)."""
+    cur: dict | None = dict(rec)
     for name in chain:
+        if cur is None:
+            return f"dlq_{name}", None  # JS deref throw on null message
         if name in FILTERS:
-            if not FILTERS[name](cur):
-                return ROUTE_DROPPED, None
+            cur = cur if FILTERS[name](cur) else None
             continue
         try:
             cur = PY_REFERENCE[name](cur)
         except (AttributeError, TypeError):
             return f"dlq_{name}", None  # JS throw → DLQ (dlq bound per step)
+    if cur is None:
+        return ROUTE_DROPPED, None
     return ROUTE_OK, cur
 
 

@@ -311,6 +311,9 @@ def test_streaming_json_wire_roundtrip(spark, tmp_path):
     payload = json.loads(out[0]["value"])
     assert out[0]["key"] == "a"
     assert payload == {"key": "a", "value": "HI_appended", "num": 14}
-    # null-value record → capitalize DLQ with the ORIGINAL decoded record
+    # null-value record → capitalize DLQ; payload is the ORIGINAL decoded
+    # record wire-encoded with the outgoing schema (consumer.js:128-132)
     dlq_rows = spark.read.parquet(dlq.path_or_topic).collect()
-    assert [(r.key, r.value, r.num) for r in dlq_rows] == [("b", None, 2)]
+    assert len(dlq_rows) == 1 and dlq_rows[0]["key"] == "b"
+    dlq_payload = json.loads(dlq_rows[0]["value"])
+    assert dlq_payload == {"key": "b", "num": 2}  # null value omitted by to_json
