@@ -76,7 +76,7 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hash_tables: int = 8,
-    jaccard_distance_threshold: float = 0.6,
+    jaccard_distance_threshold: float = 0.4,
     num_features: int = 1 << 18,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (ids a < b + distance).
