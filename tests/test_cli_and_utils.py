@@ -83,3 +83,46 @@ def test_cli_run_pipelines(spark, tmp_path, capsys):
     out_dir = os.path.join(broker_dir, "_out", "topic-out")
     rows = spark.read.parquet(out_dir).collect()
     assert sorted(r.out_value for r in rows) == ["HELLO_appended", "SPARK_appended"]
+
+
+def test_lang_id_heuristic_behavior(spark):
+    """Charset + marker-word scoring on known-language samples."""
+    from stream_processor_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "el perro y la casa de que"),
+            (3, "der hund und die katze das haus"),
+            (4, "这是一个中文句子"),
+            (5, ""),
+        ],
+        ["id", "text"],
+    )
+    got = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "unk"}
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL estimate within the configured 1% relative error (5% slack)."""
+    from pyspark.sql import functions as F2
+
+    l = Tables(spark, sf_dir).lineitem
+    exact = l.agg(F2.countDistinct("l_partkey")).collect()[0][0]
+    approx = l.agg(F2.approx_count_distinct("l_partkey", 0.01)).collect()[0][0]
+    assert abs(approx - exact) <= max(1, exact * 0.05)
+
+
+def test_multimodal_decode_stub_is_honest(spark, sf_dir):
+    """decode_image must raise NotImplementedError (no codecs shipped),
+    while the binary plumbing path works end-to-end."""
+    import pytest as _pytest
+
+    from stream_processor_spark.operators import multimodal as mm
+
+    docs = Tables(spark, sf_dir).documents.limit(5)
+    with_payload = mm.attach_binary_payload(docs)
+    feats = mm.extract_binary_features(with_payload).collect()
+    assert len(feats) == 5 and all(f.n_bytes > 0 for f in feats)
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(with_payload)
