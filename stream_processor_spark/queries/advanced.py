@@ -514,3 +514,186 @@ def reshape_unpivot(t):
         ids=["user_id"], values=["click", "view"], variableColumnName="kind",
         valueColumnName="n",
     )
+
+
+@register(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS fulfilled,
+           COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS pending
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q12_shape(t):
+    """TPC-H Q12 shape: conditional counting per category (CASE-in-agg)."""
+    o = t.orders
+    return (
+        o.filter(o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(o.o_orderstatus == "F", 1)).alias("fulfilled"),
+            F.count(F.when(o.o_orderstatus != "F", 1)).alias("pending"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_shape",
+    oracle=f"""
+    SELECT
+      100.0 * {_dsum_sql("CASE WHEN p.p_type = 'ECONOMY' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 6)}
+            / {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS economy_revenue_pct,
+      COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14_shape(t):
+    """TPC-H Q14 shape: conditional revenue share (promo%) over a month."""
+    l, p = t.lineitem, t.part
+    rev = l.l_extendedprice * (1 - l.l_discount)
+    economy = F.when(p.p_type == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        l.filter(
+            (l.l_shipdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (l.l_shipdate < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(economy, 6) / dsum(rev, 6)).alias(
+                "economy_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING
+           ) AS BIGINT) AS n_similar_price,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_cheapest_key
+    FROM orders
+    """,
+)
+def window_range_frame(t):
+    """RANGE frame (value-based window: ±5000 of current price) and
+    nth_value — the frame kinds not covered by the rowsBetween queries."""
+    from pyspark.sql import Window
+
+    wr = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+    )
+    wn = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(wr).alias("n_similar_price"),
+        F.nth_value("o_orderkey", 2).over(wn).alias("second_cheapest_key"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_sorted(t):
+    """Deterministic list aggregation: collect_list is order-nondeterministic
+    under parallelism, so ALWAYS sort_array before exposing — emitted as a
+    joined string for cross-engine comparison."""
+    return t.orders.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+            "order_keys"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sx,
+             CAST(CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sy,
+             CAST(CAST(SUM(CAST(floor(l_quantity * l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sxy,
+             CAST(CAST(SUM(CAST(floor(l_quantity * l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS sxx,
+             CAST(CAST(SUM(CAST(floor(l_extendedprice * l_extendedprice * 0.01 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) * 100.0 AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+           round((n * sxy - sx * sy) / n / n, 4) AS covar_pop,
+           round(sqrt((n * sxx - sx * sx) / n / n), 6) AS stddev_pop_qty
+    FROM m
+    """,
+)
+def agg_stats_moments(t):
+    """Deterministic statistics via explicit fixed-point moment sums.
+
+    Built-in corr/stddev use order-dependent merge formulas (results vary
+    across partitionings and engines); computing the raw moments with
+    exact int64 sums and applying the closed-form formulas afterwards
+    gives bit-stable correlation / covariance / stddev at any scale.
+    (syy is scaled down 100x before rounding: price^2 ~ 2.5e11 keeps int64
+    headroom at large SFs.)
+    """
+    l = t.lineitem
+
+    def fsum(col, factor):
+        return F.sum(F.floor(col * F.lit(factor) + F.lit(0.5))).cast("double") / F.lit(
+            factor
+        )
+
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        fsum(l.l_quantity, 100.0).alias("sx"),
+        fsum(l.l_extendedprice, 100.0).alias("sy"),
+        fsum(l.l_quantity * l.l_extendedprice, 100.0).alias("sxy"),
+        fsum(l.l_quantity * l.l_quantity, 100.0).alias("sxx"),
+        (
+            F.sum(
+                F.floor(l.l_extendedprice * l.l_extendedprice * F.lit(0.01) + F.lit(0.5))
+            ).cast("double")
+            * F.lit(100.0)
+        ).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / n / n, 4).alias("covar_pop"),
+        F.round(F.sqrt((n * sxx - sx * sx) / n / n), 6).alias("stddev_pop_qty"),
+    )
