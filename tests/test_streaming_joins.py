@@ -118,3 +118,61 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert out == [(1, 100, 9.5)]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows emit with NULL
+    right side only after the watermark passes the join window."""
+    broker = FileBroker(str(tmp_path / "broker"))
+    clicks = broker.topic("clicks", CLICK_SCHEMA)
+    buys = broker.topic("buys", BUY_SCHEMA)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def joined_stream():
+        cs = clicks.read_stream(spark).withWatermark("ts", "5 minutes")
+        bs = buys.read_stream(spark).withWatermark("bts", "5 minutes")
+        return cs.join(
+            bs,
+            (cs.user_id == bs.buyer_id)
+            & (bs.bts >= cs.ts)
+            & (bs.bts <= cs.ts + F.expr("INTERVAL 10 MINUTES")),
+            "leftOuter",
+        ).select("click_id", "buy_id", "amount")
+
+    def run():
+        q = (
+            joined_stream()
+            .writeStream.foreachBatch(
+                lambda df, _: out.extend(
+                    (r.click_id, r.buy_id, r.amount) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # click 1 matches; click 2 has no buy within its window
+    clicks.produce_rows(
+        spark,
+        [
+            {"click_id": 1, "ts": _t(0), "user_id": 7},
+            {"click_id": 2, "ts": _t(1), "user_id": 8},
+        ],
+    )
+    buys.produce_rows(
+        spark, [{"buy_id": 100, "bts": _t(2), "buyer_id": 7, "amount": 3.0}]
+    )
+    run()
+    assert (1, 100, 3.0) in out  # match emits immediately
+
+    # advance both watermarks far past click 2's join window
+    clicks.produce_rows(spark, [{"click_id": 99, "ts": _t(120), "user_id": 1}])
+    buys.produce_rows(
+        spark, [{"buy_id": 999, "bts": _t(120), "buyer_id": 1, "amount": 0.0}]
+    )
+    run()
+    # state for click 2 expired with no match → NULL-padded row emitted
+    assert (2, None, None) in out
