@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -49,26 +50,40 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (md5-derived token hashes).
 
-    md5 keeps the signature engine-independent and deterministic. Vectorized
-    per Arrow batch; at 100 TB this is a pure map pass.
+    md5 keeps the signature engine-independent and deterministic (the
+    dedup_simhash oracle reimplements it in pure SQL and matches
+    bit-for-bit). The per-bit accumulation is numpy-vectorized: token
+    digests are packed into one big-endian uint64 buffer, unpacked to an
+    (n_tokens, 64) bit matrix, and column-summed — no per-bit Python
+    loop. md5 per token stays in C (hashlib); at 100 TB this is a pure
+    map pass.
     """
+    _shifts = np.arange(64, dtype=np.uint64)
+    _powers = np.uint64(1) << _shifts
+    # Token → uint64 digest memo, scoped per Arrow batch: natural corpora
+    # repeat tokens heavily, so most md5 calls are dict hits.
+    cache: dict[str, int] = {}
 
-    def sig(text: str | None) -> int:
+    def hv(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            cache[tok] = v
+        return v
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
         if not text:
-            return 0
-        acc = [0] * 64
-        for tok in text.split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for i in range(64):
-                acc[i] += 1 if (h >> i) & 1 else -1
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        # two's-complement into signed 64-bit for Spark LongType
-        return out - (1 << 64) if out >= (1 << 63) else out
-
-    return texts.map(sig)
+            continue
+        toks = text.split()
+        if not toks:
+            continue
+        hs = np.fromiter((hv(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = (hs[:, None] >> _shifts[None, :]) & np.uint64(1)
+        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        # two's-complement reinterpret into signed 64-bit for Spark LongType
+        out[i] = _powers[acc > 0].sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
 
 
 def minhash_near_dup_pairs(

@@ -402,13 +402,36 @@ def timeseries_gapfill(t):
     )
 
 
-@register("agg_approx_percentile")  # sketch estimate → rows-only
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           true AS p50_ok,
+           true AS p95_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_percentile(t):
     """Approximate percentiles (KLL-style sketch) — the 100 TB quantile
-    path: constant-space mergeable sketches instead of a global sort."""
+    path: constant-space mergeable sketches instead of a global sort.
+
+    Estimates are engine-specific, so the oracle contract is banded:
+    Spark brackets each sketch estimate between exact percentiles at
+    ±5% rank (deterministic for fixed data) and emits the booleans; the
+    oracle emits ``true`` plus the exact group counts as the anchor.
+    """
+
+    def ok(p: float, acc: int) -> "F.Column":
+        approx = F.percentile_approx("o_totalprice", p, acc)
+        lo = F.percentile("o_totalprice", max(p - 0.05, 0.0))
+        hi = F.percentile("o_totalprice", min(p + 0.05, 1.0))
+        return (approx >= lo) & (approx <= hi)
+
     return t.orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("o_totalprice", 0.95, 1000).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+        ok(0.5, 1000).alias("p50_ok"),
+        ok(0.95, 1000).alias("p95_ok"),
     )
 
 

@@ -181,7 +181,39 @@ def dedup_near(t):
     return dd.minhash_near_dup_pairs(t.documents)
 
 
-@register("dedup_simhash")  # python-hash signature → rows-only
+@register(
+    "dedup_simhash",
+    # Full SQL reimplementation of the md5-based SimHash (engine-portable
+    # by construction): token → first-8-bytes-of-md5 as uint64 → per-bit
+    # ±1 sums → signed 64-bit signature (bit 63 contributes -2^63).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.i,
+             SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(generate_series(0, 63)) AS i) b
+      GROUP BY doc_id, b.i
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN
+                 CASE WHEN i = 63 THEN -9223372036854775808
+                      ELSE (1::BIGINT << CAST(i AS INT)) END
+               ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash,
+           COALESCE(sig.simhash, 0) & 65535 AS band0,
+           (COALESCE(sig.simhash, 0) >> 16) & 65535 AS band1
+    FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+    """,
+)
 def dedup_simhash(t):
     """64-bit SimHash signature per document + band keys for blocking.
 

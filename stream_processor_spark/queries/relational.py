@@ -272,15 +272,34 @@ def agg_count_distinct(t):
     )
 
 
-@register("agg_approx_count_distinct")  # approximate → rows-only check
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           true AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(t):
     """HyperLogLog++ approximate distinct — the 100 TB-scale path.
 
     At scale exact countDistinct explodes the shuffle; HLL sketches merge
-    in constant space. No oracle (engine-specific estimates differ).
+    in constant space. Estimates are engine-specific, so the oracle
+    contract is banded: Spark emits the exact count plus a boolean
+    asserting the HLL estimate landed within 5% of it (HLL is
+    deterministic for fixed data, so the boolean is stable), and the
+    oracle emits the exact count plus ``true``.
     """
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.01)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("approx_ok"),
     )
 
 
