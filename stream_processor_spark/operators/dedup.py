@@ -86,6 +86,129 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# Fixed universal-hash coefficients for the deterministic MinHash
+# ((a*x + b) mod p, p = 2^31-1). Pinned so signatures are reproducible
+# across engines — the dedup_near oracle uses the same table in SQL.
+MINHASH_P = 2_147_483_647
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1103515245, 12345),
+    (1229782938, 2463534242),
+    (1790989885, 777777777),
+    (1537228672, 1013904223),
+    (1664525, 1013904242),
+    (22695477, 1),
+    (1103527590, 394837629),
+    (214013, 2531011),
+)
+
+
+def shingle_hash_set(text: Column, n: int = 3) -> Column:
+    """Distinct 60-bit md5 hashes of word ``n``-shingles (engine-portable).
+
+    60 bits (15 hex chars) so the value fits a signed long in every
+    engine without two's-complement games. Token arrays are materialized
+    once before the transform (a lambda-inlined split would re-split per
+    element — O(n²)).
+    """
+    tk = F.split(text, " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]),
+        )
+    )
+    return F.array_distinct(
+        F.transform(
+            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        )
+    )
+
+
+def minhash_signature(hset: Column, coeffs=MINHASH_COEFFS) -> list[Column]:
+    """k MinHash values over a distinct-hash array, all-expression.
+
+    ``min((a*(h mod p) + b) mod p)`` per pinned (a, b); products stay
+    below 2^62 so 64-bit arithmetic never overflows (portable to any
+    engine with int64).
+    """
+    def perm(a: int, b: int):
+        # closure factory: pyspark counts lambda default-args as lambda
+        # parameters, so (a, b) must be captured, not defaulted
+        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+    return [
+        F.array_min(F.transform(hset, perm(a, b))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+
+
+def minhash_det_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Deterministic MinHash-LSH near-duplicate pairs (a < b + jaccard).
+
+    shingle-hash sets → 8 pinned MinHashes → 4 bands of 2 → band-bucket
+    equi-join for candidates → exact shingle-set Jaccard filter. Fully
+    reproducible (no RNG seeds), so the result is oracle-checkable in any
+    SQL engine. Sub-quadratic at scale: pairs are generated only within
+    equal (band_idx, band_key) buckets, and the verify join re-fetches
+    hash sets by id (shuffle on doc id, not a cross product).
+
+    Reference parity: this is the engine's scale path for corpus dedup,
+    beyond the reference's per-record operators (SURVEY §2.12).
+    """
+    hs = docs.filter(
+        (F.col(text_col).isNotNull())
+        & (F.size(F.split(F.col(text_col), " ")) >= min_tokens)
+    ).select(F.col(id_col).alias("doc_id"), shingle_hash_set(F.col(text_col)).alias("hset"))
+    sig = hs.select("doc_id", *minhash_signature(F.col("hset")))
+    p = F.lit(MINHASH_P).cast("long")
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (F.col(f"mh{2 * i}") * p + F.col(f"mh{2 * i + 1}")).alias("band_key"),
+                    )
+                    for i in range(len(MINHASH_COEFFS) // 2)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    left = bands.alias("x")
+    right = bands.alias("y")
+    cand = (
+        left.join(
+            right,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hset_a"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hset_b"))
+    inter = F.size(F.array_intersect("hset_a", "hset_b"))
+    union = F.size("hset_a") + F.size("hset_b") - inter
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

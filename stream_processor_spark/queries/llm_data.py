@@ -174,11 +174,73 @@ def dedup_token_jaccard(t):
     )
 
 
-@register("dedup_near")  # LSH: candidate set depends on hash seeds → rows-only
+@register(
+    "dedup_near",
+    # Deterministic MinHash-LSH, reimplemented in SQL: same pinned
+    # universal-hash coefficients, same 60-bit md5 shingle hashes, same
+    # 4×2 banding — candidate sets and jaccard values match exactly.
+    oracle="""
+    WITH params AS (
+      SELECT * FROM (VALUES
+        (0, 1103515245, 12345), (1, 1229782938, 2463534242),
+        (2, 1790989885, 777777777), (3, 1537228672, 1013904223),
+        (4, 1664525, 1013904242), (5, 22695477, 1),
+        (6, 1103527590, 394837629), (7, 214013, 2531011)) AS t(j, a, b)
+    ),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(tk) - 2),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))) AS shingles
+      FROM toks
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> (('0x' || substr(md5(s), 1, 15))::UBIGINT)::BIGINT)) AS hset
+      FROM sh
+    ),
+    mh AS (
+      SELECT h.doc_id, p.j,
+             MIN((p.a * (u.h % 2147483647) + p.b) % 2147483647) AS mh
+      FROM hs h, unnest(h.hset) AS u(h), params p
+      GROUP BY h.doc_id, p.j
+    ),
+    bands AS (
+      SELECT a.doc_id, a.j // 2 AS band_idx,
+             MIN(CASE WHEN a.j % 2 = 0 THEN a.mh END) * 2147483647
+               + MIN(CASE WHEN a.j % 2 = 1 THEN a.mh END) AS band_key
+      FROM mh a GROUP BY a.doc_id, a.j // 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
+               / (len(ha.hset) + len(hb.hset)
+                  - len(list_intersect(ha.hset, hb.hset))) AS jaccard
+      FROM cand c
+      JOIN hs ha ON c.doc_a = ha.doc_id
+      JOIN hs hb ON c.doc_b = hb.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
 def dedup_near(t):
-    """MinHash-LSH near-duplicate pairs (operators/dedup.py). Sub-quadratic
-    band-bucket join; rows-only check (LSH candidates are seed-dependent)."""
-    return dd.minhash_near_dup_pairs(t.documents)
+    """Deterministic MinHash-LSH near-duplicate pairs (operators/dedup.py).
+
+    Sub-quadratic band-bucket join with pinned hash coefficients — no RNG
+    seeds, so the candidate set is reproducible and hash-verified against
+    the SQL oracle. (The pyspark.ml MinHashLSH variant remains available
+    as ``operators.dedup.minhash_near_dup_pairs`` for vector workflows.)
+    """
+    return dd.minhash_det_near_dup_pairs(t.documents)
 
 
 @register(
@@ -333,7 +395,43 @@ def text_fingerprint(t):
     )
 
 
-@register("text_lang_id")  # heuristic model scoring → rows-only
+@register(
+    "text_lang_id",
+    # Full SQL reimplementation of the marker-voting heuristic
+    # (operators/text.py:lang_id), including its first-wins tie-break
+    # order (en > es > fr > de) and the CJK charset pre-check.
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             list_slice(string_split(lower(text), ' '), 1, 200) AS s,
+             regexp_matches(substr(text, 1, 200), '[一-鿿]') AS zh
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, lang, text, zh,
+             list_contains(s,'the')::INT + list_contains(s,'and')::INT
+               + list_contains(s,'of')::INT + list_contains(s,'is')::INT AS h_en,
+             list_contains(s,'el')::INT + list_contains(s,'la')::INT
+               + list_contains(s,'de')::INT + list_contains(s,'que')::INT AS h_es,
+             list_contains(s,'le')::INT + list_contains(s,'la')::INT
+               + list_contains(s,'et')::INT + list_contains(s,'les')::INT AS h_fr,
+             list_contains(s,'der')::INT + list_contains(s,'die')::INT
+               + list_contains(s,'und')::INT + list_contains(s,'das')::INT AS h_de
+      FROM scored
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN text IS NULL OR text = '' THEN 'unk'
+             WHEN zh THEN 'zh'
+             WHEN h_en >= 1 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+             WHEN h_es >= 1 AND h_es >  h_en AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+             WHEN h_fr >= 1 AND h_fr >  h_en AND h_fr >  h_es AND h_fr >= h_de THEN 'fr'
+             WHEN h_de >= 1 AND h_de >  h_en AND h_de >  h_es AND h_de >  h_fr THEN 'de'
+             ELSE 'unk'
+           END AS lang_pred
+    FROM hits
+    """,
+)
 def text_lang_id(t):
     """Language-ID via vectorized n-gram/marker scoring (pandas_udf)."""
     return t.documents.select(
