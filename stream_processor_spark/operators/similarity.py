@@ -63,6 +63,58 @@ def sign_bucket(a: Column, bits: int = 8) -> Column:
     return b.cast("int")
 
 
+def sign_bands(a: Column, n_bands: int = 4, bits: int = 4) -> Column:
+    """Banded hyperplane-LSH keys: array of (band_idx, band_key) structs.
+
+    Band ``b`` reads the sign pattern of dims ``b*bits+1 .. (b+1)*bits``.
+    Two vectors are candidates if ANY band matches (OR-amplification) —
+    much higher recall than one wide bucket at the same sub-quadratic
+    cost profile. Deterministic, so SQL oracles reproduce it exactly.
+    """
+    bands = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for i in range(bits):
+            key = key + F.when(
+                F.element_at(a, b * bits + i + 1).cast("double") > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), key.cast("int").alias("band_key"))
+        )
+    return F.array(*bands)
+
+
+def banded_candidate_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    bits: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    Explode bands (n_bands rows per vector, narrow ints) → band-bucket
+    self-equi-join → distinct. The join key is hash-derived, so bucket
+    cardinality scales with the data — no O(n²/L) blow-up on a
+    low-cardinality metadata label.
+    """
+    bands = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.explode(sign_bands(F.col(vec_col), n_bands, bits)).alias("b"),
+    ).select("__id", "b.band_idx", "b.band_key")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+
+
 def cosine_vs_query(embeddings: DataFrame, query: DataFrame,
                     vec_col: str = "embedding", qvec_col: str = "qv") -> DataFrame:
     """Score every row against a single query vector (broadcast, no shuffle)."""

@@ -26,6 +26,46 @@ def _query_vec(t):
     )
 
 
+def _bucket_sql(bits: int) -> str:
+    """DuckDB expression mirroring operators.similarity.sign_bucket."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def _band_cand_sql(n_bands: int = 4, bits: int = 4) -> str:
+    """DuckDB CTEs mirroring operators.similarity.banded_candidate_pairs.
+
+    Emits ``bands(vec_id, band_idx, band_key)`` and ``cand(va, vb)``.
+    """
+
+    def key(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN CAST(embedding[{b * bits + i + 1}] AS DOUBLE) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+
+    keys = ", ".join(f"({key(b)}) AS k{b}" for b in range(n_bands))
+    case = " ".join(f"WHEN {b} THEN k{b}" for b in range(n_bands))
+    idxs = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+    keyed AS (SELECT vec_id, {keys} FROM embeddings),
+    bands AS (
+      SELECT vec_id, u.band_idx,
+             CASE u.band_idx {case} END AS band_key
+      FROM keyed, (SELECT unnest([{idxs}]) AS band_idx) u
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       AND x.vec_id < y.vec_id
+    )"""
+
+
 @register(
     "sim_cosine_pairs",
     oracle=sim.ORACLE_COSINE_CTE.format(query_filter="vec_id = 0", dim=64)
@@ -92,53 +132,53 @@ def sim_ann_bucketed(t):
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
-    WITH pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-             a.embedding AS ea, b.embedding AS eb
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-    ),
+    oracle=f"""
+    WITH {_band_cand_sql(4, 4)},
     terms AS (
-      SELECT vec_a, vec_b, label,
-             CAST(round(CAST(ea[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE) * 1e16)
-                  AS BIGINT) AS p,
-             CAST(round(CAST(ea[i.i] AS DOUBLE) * CAST(ea[i.i] AS DOUBLE) * 1e16)
-                  AS BIGINT) AS aa,
-             CAST(round(CAST(eb[i.i] AS DOUBLE) * CAST(eb[i.i] AS DOUBLE) * 1e16)
-                  AS BIGINT) AS bb
-      FROM pairs CROSS JOIN generate_series(1, 64) AS i(i)
+      SELECT c.va AS vec_a, c.vb AS vec_b,
+             CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                        * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS p,
+             CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                        * CAST(a.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+             CAST(round(CAST(b.embedding[i.i] AS DOUBLE)
+                        * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS bb
+      FROM cand c
+      JOIN embeddings a ON c.va = a.vec_id
+      JOIN embeddings b ON c.vb = b.vec_id
+      CROSS JOIN generate_series(1, 64) AS i(i)
     )
-    SELECT vec_a, vec_b, label,
+    SELECT vec_a, vec_b,
            CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
              / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
                 * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) AS cosine
-    FROM terms GROUP BY vec_a, vec_b, label
+    FROM terms GROUP BY vec_a, vec_b
     HAVING CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
              / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
-                * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) > 0.5
+                * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) > 0.35
     """,
 )
 def dedup_embedding_cosine(t):
-    """Embedding near-dup pairs: blocked self-join (same label) + cosine > τ.
+    """Embedding near-dup pairs: banded hyperplane-LSH + cosine > τ.
 
-    Blocking key (label ≙ cluster/bucket id) keeps the self-join
-    sub-quadratic — the standard semantic-dedup shape at corpus scale.
+    Candidates come from ``banded_candidate_pairs`` (4 bands × 4 sign
+    bits, operators/similarity.py) — OR-amplified LSH whose bucket
+    cardinality is hash-derived and scales with the data, unlike a
+    low-cardinality metadata label whose blocks grow O(n²/L) at 100 TB.
+    The residual exact cosine (scaled-integer fold, bit-deterministic)
+    then filters candidates to true near-dups.
     """
     e = t.embeddings
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("eb"),
-    )
-    pairs = a.join(b, (a.label == b.label_b) & (a.vec_a < b.vec_b)).drop("label_b")
+    cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
-        pairs.withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cosine") > 0.5)
-        .select("vec_a", "vec_b", "label", "cosine")
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") > 0.35)
+        .select(
+            F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
+        )
     )
 
 
@@ -636,18 +676,20 @@ def corpus_prep(t):
 
 @register(
     "dedup_cc_clusters",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
+    {_band_cand_sql(4, 4).lstrip()},
     terms AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb,
+      SELECT c.va, c.vb,
              CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
                         * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS p,
              CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
                         * CAST(a.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
              CAST(round(CAST(b.embedding[i.i] AS DOUBLE)
                         * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS bb
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN embeddings a ON c.va = a.vec_id
+      JOIN embeddings b ON c.vb = b.vec_id
       CROSS JOIN generate_series(1, 64) AS i(i)
     ),
     pairs AS (
@@ -671,8 +713,11 @@ def corpus_prep(t):
 )
 def dedup_cc_clusters(t):
     """Dedup clusters: connected components of the similarity graph
-    (label-blocked pairs with cosine > 0.2), component = min vec_id.
+    (banded-LSH candidate pairs with cosine > 0.2), component = min vec_id.
 
+    Pair generation uses ``banded_candidate_pairs`` (4 bands × 4 sign
+    bits) — hash-derived bucket cardinality that scales with the data,
+    unlike a metadata label (O(n²/L) within blocks at 100 TB).
     Pairs→clusters is the canonicalization step after near-dup detection;
     iterative min-label propagation (operators/graph.py) vs DuckDB's
     recursive-CTE fixpoint — both converge to the identical unique
@@ -681,17 +726,15 @@ def dedup_cc_clusters(t):
     from stream_processor_spark.operators.graph import connected_components
 
     e = t.embeddings
-    a = e.select(F.col("vec_id").alias("va"), "label", F.col("embedding").alias("ea"))
-    b = e.select(
-        F.col("vec_id").alias("vb"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-    )
+    cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = (
-        a.join(b, (a.label == b.lb) & (a.va < b.vb))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") > 0.2)
-        .select("va", "vb")
+        .select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
     )
     vertices = e.select(F.col("vec_id").alias("id"))
     return connected_components(
