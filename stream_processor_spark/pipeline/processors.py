@@ -33,12 +33,48 @@ import importlib.util
 import os
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
+from numbers import Integral, Real
 
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 
 from stream_processor_spark.operators.dlq import ROUTE_DROPPED, ROUTE_OK, Step, apply_chain
+
+_INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+
+def _coerce_out(v, dtype: str) -> tuple[bool, object]:
+    """Validate/coerce one processor output value against a Spark type.
+
+    User record_fns are JS-untyped (the reference's processors return
+    whatever they like, consumer.js:142-145 catches per message) — a
+    wrong-typed out value must become a routed error, never an Arrow
+    conversion crash that aborts the task (a poison-pill restart loop in
+    streaming). Returns ``(ok, coerced)``; numpy scalars count as their
+    abstract numeric type (Integral/Real), bools never count as numbers.
+    """
+    if v is None:
+        return True, None
+    if dtype in _INT_TYPES:
+        if isinstance(v, bool):
+            return False, None
+        if isinstance(v, Integral):
+            return True, int(v)
+        if isinstance(v, Real) and float(v).is_integer():
+            return True, int(v)
+        return False, None
+    if dtype in ("float", "double"):
+        if isinstance(v, bool) or not isinstance(v, Real):
+            return False, None
+        return True, float(v)
+    if dtype == "string":
+        return (True, str(v)) if isinstance(v, str) else (False, None)
+    if dtype == "boolean":
+        return (True, bool(v)) if isinstance(v, bool) else (False, None)
+    # exotic types (timestamp, array, struct): pass through unchanged —
+    # same behavior as before this guard
+    return True, v
 
 RecordFn = Callable[[dict], dict | None]
 
@@ -160,6 +196,7 @@ class ProcessorRegistry:
             (p.name, p.record_fn, dlq) for p, dlq in zip(procs, dlq_topics)
         ]
         in_cols = df.columns
+        out_dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         out_schema_fields = ", ".join(
             [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
             + ["route string"]
@@ -193,6 +230,22 @@ class ProcessorRegistry:
                             break
                     if route == ROUTE_OK and cur is None:
                         route = ROUTE_DROPPED  # chain ended null → dropped
+                    if route == ROUTE_OK:
+                        # contract guard: wrong-typed out values become a
+                        # routed error on the last step, not an Arrow crash
+                        coerced = {}
+                        for c in in_cols:
+                            ok, cv = _coerce_out(cur.get(c), out_dtypes[c])
+                            if not ok:
+                                last_name, _, last_dlq = chain[-1]
+                                route = (
+                                    f"dlq_{last_name}" if last_dlq
+                                    else f"error_{last_name}"
+                                )
+                                break
+                            coerced[c] = cv
+                        else:
+                            cur = coerced
                     routes.append(route)
                     outs.append(cur if route == ROUTE_OK else None)
                 out = pdf.copy()

@@ -183,6 +183,36 @@ def test_python_chain_error_route_without_dlq(spark):
     assert {r.route for r in routed.collect()} == {"error_boom"}
 
 
+def test_python_chain_wrong_typed_output_routes_not_crashes(spark):
+    """A record_fn returning a contract-violating value (string in an int
+    column — legal in the reference's untyped JS world) must become a
+    routed error/DLQ row, never an Arrow conversion crash that aborts the
+    task (poison-pill restart loop in streaming)."""
+    from stream_processor_spark.pipeline.processors import Processor
+
+    reg = ProcessorRegistry()
+    reg.register(
+        Processor(
+            name="badnum",
+            record_fn=lambda r: {**r, "num": "NaN-ish" if r["key"] == "k2" else r["num"] + 1},
+        )
+    )
+    # no DLQ → error route
+    routed = reg.apply_python_chain(_demo_df(spark), ["badnum"], [None])
+    got = {r.key: r.route for r in routed.collect()}
+    assert got["k2"] == "error_badnum"
+    assert all(v == "ok" for k, v in got.items() if k != "k2")
+    # with DLQ → dlq route, original record preserved, out_* nulled
+    routed_dlq = reg.apply_python_chain(_demo_df(spark), ["badnum"], ["dlq-badnum"])
+    bad = [r for r in routed_dlq.collect() if r.key == "k2"][0]
+    assert bad.route == "dlq_badnum" and bad.out_num is None and bad.num is not None
+    # safe numeric widening still coerces (float 2.0 into int column is ok)
+    reg.register(Processor(name="floaty", record_fn=lambda r: {**r, "num": float(r["num"] + 1)}))
+    ok = reg.apply_python_chain(_demo_df(spark), ["floaty"], [None])
+    rows = {r.key: (r.route, r.out_num) for r in ok.collect()}
+    assert all(v[0] == "ok" and isinstance(v[1], int) for v in rows.values())
+
+
 def test_json_codec_roundtrip(spark, catalog):
     schemas = SchemaRegistry()
     schemas.register(
