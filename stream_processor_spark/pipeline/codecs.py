@@ -29,10 +29,26 @@ JSON = "json"
 AVRO = "avro"
 PROTOBUF = "protobuf"
 
+# Confluent wire format (used by the reference's registry client on every
+# payload, src/consumer.js:117-124,139): 1 magic byte 0x00 + 4-byte
+# big-endian schema id + encoded payload.
+WIRE_MAGIC = b"\x00"
+WIRE_HEADER_LEN = 5
+
+
+def wire_header(schema_id: int) -> bytes:
+    """The 5-byte Confluent framing header for a schema id."""
+    return WIRE_MAGIC + int(schema_id).to_bytes(4, "big")
+
 
 @dataclass(frozen=True)
 class SubjectSchema:
-    """One registry subject: wire format + record schema (+ codec options)."""
+    """One registry subject: wire format + record schema (+ codec options).
+
+    ``schema_id`` set → payloads for this subject are Confluent
+    registry-framed (5-byte header); decode strips/validates the header,
+    encode prepends it. ``None`` → raw payloads (the file-harness default).
+    """
 
     subject: str
     fmt: str  # json | avro | protobuf
@@ -42,6 +58,7 @@ class SubjectSchema:
     avro_json: str | None = None
     proto_descriptor: str | None = None
     proto_message: str | None = None
+    schema_id: int | None = None
 
 
 class SchemaRegistry:
@@ -58,6 +75,24 @@ class SchemaRegistry:
             raise KeyError(f"unknown schema subject {subject!r}")
         return self._subjects[subject]
 
+    def is_framed(self, subject: str) -> bool:
+        return self.get(subject).schema_id is not None
+
+    # -- Confluent wire framing (JVM-side expressions) ---------------------
+
+    @staticmethod
+    def wire_schema_id(value: Column) -> Column:
+        """Bytes 2-5 of the frame as the big-endian schema id (int)."""
+        return F.conv(F.hex(F.substring(value.cast("binary"), 2, 4)), 16, 10).cast("int")
+
+    @staticmethod
+    def wire_magic_ok(value: Column) -> Column:
+        return F.substring(value.cast("binary"), 1, 1) == F.lit(WIRE_MAGIC)
+
+    @staticmethod
+    def strip_frame(value: Column) -> Column:
+        return F.substring(value.cast("binary"), WIRE_HEADER_LEN + 1, 2147483647)
+
     # -- codec expressions -------------------------------------------------
 
     def decode(self, subject: str, value: Column) -> Column:
@@ -66,8 +101,33 @@ class SchemaRegistry:
         Decodes with the INCOMING subject — the intended reference
         semantics; the reference itself decodes with the outgoing id
         (consumer.js:241, bug documented in SURVEY.md §1.2).
+
+        For a registry-framed subject (schema_id set), the 5-byte Confluent
+        header is stripped first and the magic byte validated — a payload
+        with a bad magic decodes to NULL, which the chain routes to the
+        first step's error/DLQ (the reference's per-message decode failure,
+        consumer.js:142-145), never a task abort.
         """
         s = self.get(subject)
+        if s.schema_id is None:
+            return self._decode_payload(s, value)
+        decoded = self._decode_payload(s, self.strip_frame(value))
+        return F.when(self.wire_magic_ok(value), decoded)
+
+    def encode(self, subject: str, record: Column) -> Column:
+        """struct column → wire bytes/string per the subject's format.
+
+        For a registry-framed subject, prepends the 5-byte header keyed by
+        the subject's resolved schema id (the reference encodes every
+        outgoing payload through the registry client, consumer.js:130,139).
+        """
+        s = self.get(subject)
+        enc = self._encode_payload(s, record)
+        if s.schema_id is None:
+            return enc
+        return F.concat(F.lit(wire_header(s.schema_id)), enc.cast("binary"))
+
+    def _decode_payload(self, s: SubjectSchema, value: Column) -> Column:
         if s.fmt == JSON:
             return F.from_json(value.cast("string"), s.spark_schema, s.options)
         if s.fmt == AVRO:
@@ -78,9 +138,7 @@ class SchemaRegistry:
             return from_protobuf(value, s.proto_message, s.proto_descriptor, s.options)
         raise ValueError(f"unknown format {s.fmt!r}")
 
-    def encode(self, subject: str, record: Column) -> Column:
-        """struct column → wire bytes/string per the subject's format."""
-        s = self.get(subject)
+    def _encode_payload(self, s: SubjectSchema, record: Column) -> Column:
         if s.fmt == JSON:
             return F.to_json(record, s.options)
         if s.fmt == AVRO:

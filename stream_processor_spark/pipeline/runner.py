@@ -102,9 +102,17 @@ class PipelineRunner:
         if self.schemas is None:
             return raw
         rec = self.schemas.decode(resolved.incoming_schema, F.col("value"))
-        return raw.select(F.col("key").cast("string").alias("_key"), rec.alias("_r")).select(
-            "_key", "_r.*"
-        )
+        meta = [F.col("key").cast("string").alias("_key")]
+        meta_names = ["_key"]
+        if self.schemas.is_framed(resolved.incoming_schema):
+            # schema id surfaced per record — the engine analog of the
+            # reference's id-keyed schemaCache (consumer.js:117-124): the
+            # id rides the frame, resolution is a plan-time constant here.
+            meta.append(
+                self.schemas.wire_schema_id(F.col("value")).alias("_schema_id")
+            )
+            meta_names.append("_schema_id")
+        return raw.select(*meta, rec.alias("_r")).select(*meta_names, "_r.*")
 
     def encode_dlq(self, resolved: ResolvedPipeline, originals: DataFrame) -> DataFrame:
         """DLQ branch → (key, value) wire frame with the ORIGINAL record
@@ -112,17 +120,25 @@ class PipelineRunner:
         dlqMessage with the same encoder as the main output)."""
         if self.schemas is None:
             return originals
-        rec_cols = [c for c in originals.columns if c != "_key"]
+        rec_cols = [c for c in originals.columns if not c.startswith("_")]
         rec = F.struct(*[F.col(c) for c in rec_cols])
-        key = (
-            F.col("_key")
-            if "_key" in originals.columns
-            else F.lit(None).cast("string")
-        )
         return originals.select(
-            key.alias("key"),
+            self._wire_key(rec_cols, originals.columns).alias("key"),
             self.schemas.encode(resolved.outgoing_schema, rec).alias("value"),
         )
+
+    @staticmethod
+    def _wire_key(rec_cols: list[str], all_cols: list[str]) -> F.Column:
+        """Outgoing Kafka key = the DECODED RECORD's 'key' field
+        (consumer.js:131,141 uses decodedMessage.key for both ok and DLQ
+        paths), falling back to the transport key only when the record has
+        no 'key' field (JS undefined → null key; the transport key is the
+        closer observable analog)."""
+        if "key" in rec_cols:
+            return F.col("key").cast("string")
+        if "_key" in all_cols:
+            return F.col("_key")
+        return F.lit(None).cast("string")
 
     def encode_output(self, resolved: ResolvedPipeline, routed_ok: DataFrame,
                       out_prefix: str = "out_") -> DataFrame:
@@ -132,13 +148,21 @@ class PipelineRunner:
         out_cols = [
             c
             for c in routed_ok.columns
-            if c.startswith(out_prefix) and c != f"{out_prefix}_key"
+            if c.startswith(out_prefix) and not c.startswith(f"{out_prefix}_")
         ]
         rec = F.struct(
             *[F.col(c).alias(c[len(out_prefix):]) for c in out_cols]
         )
+        # key parity (consumer.js:131): decodedMessage.key — the INPUT
+        # record's 'key' field, not the transformed value, not the
+        # transport key.
+        in_cols = [
+            c for c in routed_ok.columns
+            if not c.startswith("_") and not c.startswith(out_prefix)
+            and c != "route"
+        ]
         return routed_ok.select(
-            F.col("_key").alias("key"),
+            self._wire_key(in_cols, routed_ok.columns).alias("key"),
             self.schemas.encode(resolved.outgoing_schema, rec).alias("value"),
         )
 

@@ -236,6 +236,64 @@ def test_json_codec_roundtrip(spark, catalog):
     assert payload == {"key": "k1", "value": "HI_appended", "num": 14}
 
 
+def test_confluent_framed_roundtrip(spark, catalog):
+    """Confluent wire framing (the reference's registry client frames every
+    payload: magic 0x00 + 4-byte BE schema id + payload, consumer.js:
+    117-124,139): decode strips+validates the header and surfaces the
+    schema id; encode prepends the resolved id's header. A bad-magic
+    payload routes to the first step's error, never a crash."""
+    import json
+    import struct
+
+    from stream_processor_spark.pipeline.codecs import wire_header
+
+    schemas = SchemaRegistry()
+    schemas.register(
+        SubjectSchema(
+            subject="schema_a",
+            fmt=JSON,
+            spark_schema=demo_message_schema(),
+            schema_id=42,
+        )
+    )
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS, schemas)
+    resolved = catalog.resolve(1)
+
+    def frame(payload: dict, header: bytes = wire_header(42)) -> bytes:
+        return header + json.dumps(payload).encode()
+
+    wire = spark.createDataFrame(
+        [
+            ("k1", frame({"key": "k1", "value": "hi", "num": 4})),
+            ("kX", b"\x01garbage-no-magic"),  # bad magic → decode null
+        ],
+        "key string, value binary",
+    )
+    decoded = runner.decode_source(resolved, wire)
+    assert decoded.columns == ["_key", "_schema_id", "key", "value", "num"]
+    by_key = {r["_key"]: r for r in decoded.collect()}
+    assert by_key["k1"]["_schema_id"] == 42
+    assert by_key["k1"]["num"] == 4
+    assert by_key["kX"]["key"] is None  # null record, not a crash
+
+    routed = runner.routed_frame(resolved, decoded)
+    routes = {r["_key"]: r["route"] for r in routed.collect()}
+    assert routes["k1"] == "ok"
+    # undecodable payload → all-null record into the chain; add10 survives
+    # (JS null+10 == 10) and capitalize's null deref throws → its DLQ —
+    # the same per-message containment the reference gets from its
+    # catch (consumer.js:142-145), as a routed row instead of a crash
+    assert routes["kX"] == "dlq_capitalize"
+
+    encoded = runner.encode_output(resolved, routed.filter(F.col("route") == "ok"))
+    row = encoded.collect()[0]
+    assert row["key"] == "k1"
+    raw = bytes(row["value"])
+    magic, schema_id = raw[0], struct.unpack(">I", raw[1:5])[0]
+    assert magic == 0 and schema_id == 42
+    assert json.loads(raw[5:]) == {"key": "k1", "value": "HI_appended", "num": 14}
+
+
 def test_deploy_all_starts_only_active(spark, catalog, tmp_path):
     runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
     from stream_processor_spark.streaming.file_stream import FileBroker
