@@ -12,11 +12,18 @@ src/consumer.js:95,107,129,135,140,143,149:
     message_processing_duration_seconds{pipeline_id, pod_name, step}
 
 Engine mapping: per-record counters become per-micro-batch route counts
-(one aggregation over the routed batch — counts, not per-row Python), and
-the duration histogram maps to micro-batch durations from
-StreamingQueryListener progress events. Dashboards/SLOs keyed on these
-names port over unchanged; export to Prometheus by scraping
-``PipelineMetrics.snapshot()``.
+(one aggregation over the routed batch — counts, not per-row Python).
+``processors_applied_total`` is exact per processor: the reference
+increments per SUCCESSFUL application (consumer.js:95, inside the try),
+and drop detection runs after the whole chain (consumer.js:134) — so a
+record routed to step j's dlq/error applied steps 0..j-1, while ok and
+dropped records applied every step; the route label carries j. The
+duration histogram maps to micro-batch durations (step="total") from
+StreamingQueryListener progress events — per-record timing does not
+exist in a vectorized engine, documented in SURVEY §8.
+
+Serve over HTTP with :class:`exporter.MetricsServer` (the reference's
+/metrics + /health endpoints, src/listen.js:9-29).
 """
 
 from __future__ import annotations
@@ -31,9 +38,23 @@ try:  # StreamingQueryListener import location is stable in pyspark>=3.4
 except ImportError:  # pragma: no cover
     StreamingQueryListener = object
 
+# prom-client's default histogram buckets (the reference registers its
+# histogram without custom buckets, src/metrics.js:47-51)
+DURATION_BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+
+HELP = {
+    "messages_received_total": "Total number of messages received",
+    "processors_applied_total": "Total number of times processors were applied to messages",
+    "messages_completed_total": "Total number of messages that completed processing",
+    "messages_error_total": "Total number of messages that resulted in an error",
+    "messages_dlq_total": "Total number of messages sent to DLQ",
+    "messages_dropped_total": "Total number of messages dropped",
+    "message_processing_duration_seconds": "Duration of message processing in seconds",
+}
+
 
 class PipelineMetrics:
-    """Thread-safe counters using the reference metric names."""
+    """Thread-safe label-aware counters using the reference metric names."""
 
     COUNTERS = (
         "messages_received_total",
@@ -47,19 +68,28 @@ class PipelineMetrics:
     def __init__(self, pipeline_id: str, pod_name: str = "spark"):
         self.labels = {"pipeline_id": str(pipeline_id), "pod_name": pod_name}
         self._lock = threading.Lock()
-        self._counts: dict[str, float] = defaultdict(float)
-        self._durations: list[float] = []
+        # (name, extra-label items tuple) -> value
+        self._counts: dict[tuple, float] = defaultdict(float)
+        # step label -> list of observed durations
+        self._durations: dict[str, list[float]] = defaultdict(list)
 
-    def inc(self, name: str, n: float = 1.0) -> None:
+    def inc(self, name: str, n: float = 1.0, **extra_labels: str) -> None:
         with self._lock:
-            self._counts[name] += n
+            self._counts[(name, tuple(sorted(extra_labels.items())))] += n
 
-    def observe_duration(self, seconds: float) -> None:
+    def observe_duration(self, seconds: float, step: str = "total") -> None:
         with self._lock:
-            self._durations.append(seconds)
+            self._durations[step].append(seconds)
 
-    def record_batch(self, route_counts: dict[str, int], n_steps: int) -> None:
-        """Update all counters from one routed micro-batch's route counts."""
+    def record_batch(
+        self, route_counts: dict[str, int], step_names: list[str] | int
+    ) -> None:
+        """Update all counters from one routed micro-batch's route counts.
+
+        ``step_names`` is the ordered processor-name list; an int is
+        accepted for backward compatibility (loses the per-processor
+        split of processors_applied_total).
+        """
         received = sum(route_counts.values())
         ok = route_counts.get("ok", 0)
         dropped = route_counts.get("dropped", 0)
@@ -70,14 +100,67 @@ class PipelineMetrics:
         self.inc("messages_dropped_total", dropped)
         self.inc("messages_dlq_total", dlq)
         self.inc("messages_error_total", errors)
-        # each surviving record passed every step; routed records passed a
-        # prefix — approximation: ok rows × n_steps (reference increments
-        # per successful application, consumer.js:95)
-        self.inc("processors_applied_total", ok * n_steps)
+        if isinstance(step_names, int):
+            self.inc("processors_applied_total", ok * step_names)
+            return
+        # exact per-processor counts (consumer.js:95 semantics): a record
+        # failing at step j applied steps < j; ok/dropped applied all
+        failed_at = {
+            name: route_counts.get(f"dlq_{name}", 0) + route_counts.get(f"error_{name}", 0)
+            for name in step_names
+        }
+        reached = received
+        for name in step_names:
+            applied = reached - failed_at[name]
+            if applied:
+                self.inc("processors_applied_total", applied, processor_name=name)
+            reached = applied
 
     def snapshot(self) -> dict[str, float]:
+        """Aggregate counter values by metric name (back-compat view)."""
         with self._lock:
-            return dict(self._counts)
+            agg: dict[str, float] = defaultdict(float)
+            for (name, _extra), v in self._counts.items():
+                agg[name] += v
+            return dict(agg)
+
+    def samples(self):
+        """Prometheus-ready samples: (name, full labels dict, value)."""
+        with self._lock:
+            out = []
+            for (name, extra), v in sorted(self._counts.items()):
+                out.append((name, {**self.labels, **dict(extra)}, v))
+            durations = {k: list(v) for k, v in self._durations.items()}
+        for step, obs in sorted(durations.items()):
+            labels = {**self.labels, "step": step}
+            acc = 0
+            for le in DURATION_BUCKETS:
+                acc = sum(1 for d in obs if d <= le)
+                out.append(
+                    (
+                        "message_processing_duration_seconds_bucket",
+                        {**labels, "le": _fmt(le)},
+                        float(acc),
+                    )
+                )
+            out.append(
+                (
+                    "message_processing_duration_seconds_bucket",
+                    {**labels, "le": "+Inf"},
+                    float(len(obs)),
+                )
+            )
+            out.append(
+                ("message_processing_duration_seconds_sum", labels, float(sum(obs)))
+            )
+            out.append(
+                ("message_processing_duration_seconds_count", labels, float(len(obs)))
+            )
+        return out
+
+
+def _fmt(x: float) -> str:
+    return str(int(x)) if float(x).is_integer() else repr(x)
 
 
 def route_counts(routed_df) -> dict[str, int]:
@@ -101,7 +184,7 @@ class MetricsListener(StreamingQueryListener):
             duration_ms = p.durationMs.get("triggerExecution", 0)
         except AttributeError:
             duration_ms = 0
-        self.metrics.observe_duration(duration_ms / 1000.0)
+        self.metrics.observe_duration(duration_ms / 1000.0, step="total")
 
     def onQueryIdle(self, event):  # pragma: no cover - trivial
         pass

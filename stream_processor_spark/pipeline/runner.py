@@ -210,7 +210,7 @@ class PipelineRunner:
                 originals = routed.filter(F.col("route") == label).select(*original_cols)
                 sink.write_batch(self.encode_dlq(resolved, originals))
             if metrics is not None:
-                metrics.record_batch(counts, n_steps=len(resolved.processor_names))
+                metrics.record_batch(counts, resolved.processor_names)
             return counts
         finally:
             routed.unpersist()
