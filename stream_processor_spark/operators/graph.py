@@ -32,11 +32,19 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 30,
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """Label every vertex with the MIN vertex id of its component.
 
     ``vertices``: one column ``id_col``; ``edges``: undirected pairs
     (``src_col``, ``dst_col``). Returns (``id_col``, ``component``).
+
+    Min-label propagation converges in at most ``diameter`` iterations,
+    so ``max_iter`` bounds the component diameter this call can resolve
+    (near-dup clusters are shallow; a 30-hop chain is pathological). If
+    the fixpoint is NOT reached within ``max_iter``, labels would be
+    silently partial — instead the exit is checked: ``on_unconverged``
+    is ``"raise"`` (default) or ``"warn"``.
     """
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("comp")
@@ -48,6 +56,7 @@ def connected_components(
     )
 
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = bidir.join(labels, "v").select(F.col("u").alias("v"), "comp")
         labels = (
@@ -58,6 +67,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        msg = (
+            f"connected_components did not reach its fixpoint within "
+            f"max_iter={max_iter} iterations (component diameter exceeds "
+            f"the bound); labels are partial — raise max_iter"
+        )
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("v").alias(id_col), F.col("comp").alias("component"))

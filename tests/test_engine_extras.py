@@ -46,7 +46,7 @@ def test_metrics_listener_records_batch_durations(spark, tmp_path):
         while not metrics._durations and time.time() < deadline:
             time.sleep(0.5)  # listener events are delivered async
         assert metrics._durations, "listener saw no progress events"
-        assert all(d >= 0 for d in metrics._durations)
+        assert all(d >= 0 for d in metrics._durations["total"])
     finally:
         spark.streams.removeListener(listener)
 
@@ -284,6 +284,38 @@ def test_connected_components_hand_built(spark):
         for r in connected_components(vertices, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_connected_components_unconverged_raises(spark):
+    """A component whose diameter exceeds max_iter must not silently
+    return partial labels (ADVICE r1): default raises, warn mode warns."""
+    import warnings
+
+    import pytest
+
+    from stream_processor_spark.operators.graph import connected_components
+
+    n = 8  # a chain 0-1-2-...-7: diameter 7, needs ~log-diameter+ iters > 2
+    vertices = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(vertices, edges, max_iter=2)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = connected_components(
+            vertices, edges, max_iter=2, on_unconverged="warn"
+        ).collect()
+    assert any("fixpoint" in str(x.message) for x in w)
+    assert len(partial) == n  # labels returned, flagged as partial
+
+    # and with enough iterations the same graph converges cleanly
+    got = {
+        r.id: r.component
+        for r in connected_components(vertices, edges, max_iter=30).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
