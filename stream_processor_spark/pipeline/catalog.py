@@ -125,6 +125,44 @@ class PipelineCatalog:
         with open(path) as f:
             return cls.from_dict(json.load(f))
 
+    @classmethod
+    def from_jdbc(
+        cls,
+        spark,
+        url: str,
+        properties: dict[str, str] | None = None,
+        table_prefix: str = "",
+    ) -> "PipelineCatalog":
+        """Load the control plane from the reference's Postgres relations
+        over JDBC — the engine's ``listen.js`` resolution path
+        (listen.js:46-87 SELECTs pipelines → topics/schemas by id).
+
+        Works against any JDBC database exposing the four tables
+        (``pipelines topics schemas processors``); production is Postgres
+        (the reference's db.js pool), tests use Spark's bundled embedded
+        Derby. Control-plane tables are tiny (dozens of rows) — they are
+        collected to the driver ONCE at catalog-build time, exactly like
+        the reference resolves names once at startup; nothing JDBC
+        remains in the per-batch path.
+        """
+        props = dict(properties or {})
+
+        def rows(table: str) -> list[dict]:
+            df = spark.read.jdbc(url, table_prefix + table, properties=props)
+            # Derby/Oracle uppercase unquoted identifiers; normalize
+            return [
+                {k.lower(): v for k, v in r.asDict().items()} for r in df.collect()
+            ]
+
+        return cls.from_dict(
+            {
+                "topics": rows("topics"),
+                "schemas": rows("schemas"),
+                "processors": rows("processors"),
+                "pipelines": rows("pipelines"),
+            }
+        )
+
     # -- resolution (listen.js:46-87) -------------------------------------
 
     def active_pipeline_ids(self) -> list[int]:

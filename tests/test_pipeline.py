@@ -213,6 +213,49 @@ def test_python_chain_wrong_typed_output_routes_not_crashes(spark):
     assert all(v[0] == "ok" and isinstance(v[1], int) for v in rows.values())
 
 
+def test_catalog_from_jdbc_roundtrip(spark, catalog, tmp_path):
+    """PipelineCatalog.from_jdbc mirrors listen.js:46-87's Postgres
+    resolution. Exercised against Spark's bundled embedded Derby (a real
+    JDBC database) — a Postgres URL + driver behaves identically."""
+    url = f"jdbc:derby:{tmp_path}/ctlplane;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    import json as _json
+
+    def write(table, rows, schema):
+        spark.createDataFrame(rows, schema).write.jdbc(
+            url, table, mode="overwrite", properties=props
+        )
+
+    write("topics", [(i, n) for i, n in
+                     [(1, "topic-in"), (2, "topic-out"), (17, "dlq-capitalize")]],
+          "id int, topic_name string")
+    write("schemas", [(1, "schema_a")], "id int, schema_name string")
+    write(
+        "processors",
+        [(10, "add10", False), (11, "capitalize", False),
+         (12, "appendString", False), (13, "isEven", True)],
+        "id int, processor_name string, is_filter boolean",
+    )
+    write(
+        "pipelines",
+        [
+            (1, "demo", 1, 2, 1, 1,
+             _json.dumps({"processors": [10, 11, 12, 13], "dlq": [None, 17, None, None]}),
+             True),
+            (2, "inactive", 1, 2, 1, 1, _json.dumps({"processors": [10]}), False),
+        ],
+        "id int, name string, source_topic_id int, target_topic_id int, "
+        "incoming_schema_id int, outgoing_schema_id int, steps string, "
+        "is_active boolean",
+    )
+
+    loaded = PipelineCatalog.from_jdbc(spark, url, props)
+    assert loaded.active_pipeline_ids() == [1]
+    got, want = loaded.resolve(1), catalog.resolve(1)
+    assert got == want  # identical resolution to the dict-built catalog
+
+
 def test_json_codec_roundtrip(spark, catalog):
     schemas = SchemaRegistry()
     schemas.register(
