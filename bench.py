@@ -90,6 +90,18 @@ def main() -> None:
     )
     warm_df.write.mode("overwrite").format("noop").save()
 
+    # Measured no-op floor: the fixed per-query cost of job scheduling +
+    # noop materialization on this machine (best of 3 on a 32-partition
+    # 1-row-per-partition frame). Reported as floor_sec so real
+    # regressions aren't hidden under the JVM constant; at 100 TB this
+    # floor is amortized to ~zero.
+    floor = float("inf")
+    floor_df = spark.range(32).repartition(32)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        floor_df.write.mode("overwrite").format("noop").save()
+        floor = min(floor, time.perf_counter() - t0)
+
     # Best of 2 runs per query: the first run pays one-time costs (janino
     # compile of this query's generated code, file-footer reads) that are
     # amortized to ~zero at 100 TB; run 2 is the steady-state number the
@@ -116,6 +128,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "floor_sec": round(floor, 3),
+        "value_minus_floor": round(
+            max(0.0, sum(timings.values()) - floor * len(timings)), 3
+        ),
     }
     print(json.dumps(result))
     sys.stdout.flush()

@@ -43,9 +43,47 @@ def dot_scaled(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity, deterministic to the bit (scales cancel)."""
-    return dot_scaled(a, b).cast("double") / (
-        F.sqrt(dot_scaled(a, a).cast("double")) * F.sqrt(dot_scaled(b, b).cast("double"))
+    """Cosine similarity, deterministic to the bit (scales cancel).
+
+    Fused single-pass fold: ONE ``zip_with`` emits all three scaled
+    terms (x·y, x·x, y·y) per element and ONE ``aggregate`` sums them in
+    a struct accumulator, with the cosine computed in the fold's
+    ``finish`` lambda — the arrays are traversed once instead of three
+    times, and the accumulator is consumed exactly once (no repeated
+    fold subexpressions in the plan). Per-term arithmetic and int64
+    accumulation are identical to the unfused form, so results are
+    bit-identical (the DuckDB oracle reproduces them unchanged).
+    """
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            F.round(x.cast("double") * y.cast("double") * F.lit(_SCALE), 0)
+            .cast("long")
+            .alias("xy"),
+            F.round(x.cast("double") * x.cast("double") * F.lit(_SCALE), 0)
+            .cast("long")
+            .alias("xx"),
+            F.round(y.cast("double") * y.cast("double") * F.lit(_SCALE), 0)
+            .cast("long")
+            .alias("yy"),
+        ),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("xy"),
+        F.lit(0).cast("long").alias("xx"),
+        F.lit(0).cast("long").alias("yy"),
+    )
+    return F.aggregate(
+        terms,
+        zero,
+        lambda acc, v: F.struct(
+            (acc["xy"] + v["xy"]).alias("xy"),
+            (acc["xx"] + v["xx"]).alias("xx"),
+            (acc["yy"] + v["yy"]).alias("yy"),
+        ),
+        lambda acc: acc["xy"].cast("double")
+        / (F.sqrt(acc["xx"].cast("double")) * F.sqrt(acc["yy"].cast("double"))),
     )
 
 
