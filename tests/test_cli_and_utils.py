@@ -52,8 +52,11 @@ def test_split_routes(spark, sf_dir):
 
 def test_codec_availability_probe(spark):
     assert format_available(spark, JSON) is True
-    # no spark-avro jar in this container — probe must say so, not blow up
-    assert format_available(spark, AVRO) is False
+    # no spark-avro jar in this container — the JVM probe must say so,
+    # not blow up; the engine is still avro-capable via the vendored
+    # pure-Python wire codec (round 2), so the effective answer is True
+    assert format_available(spark, AVRO, impl="jvm") is False
+    assert format_available(spark, AVRO) is True
 
 
 def test_cli_list_queries(capsys):
