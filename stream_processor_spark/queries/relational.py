@@ -363,3 +363,84 @@ def agg_having(t):
         )
         .filter(F.col("order_count") >= 3)
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+    SELECT event_type,
+           {_dsum_sql('value')} AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(t):
+    """Two-phase salted aggregation over a hot low-cardinality key.
+
+    ``event_type`` has a handful of values over millions of events — the
+    power-law shape where one reducer would receive a whole key's rows.
+    Phase 1 aggregates on (key, salt) spreading each hot key over 16
+    reducers; phase 2 merges the per-salt partials (operators/skew.py).
+    Exactness: the partials are order-independent scaled-int64 sums and
+    counts, so the merged result is bit-identical to the unsalted plan
+    regardless of how the salt scattered the rows — which is why a plain
+    GROUP BY is a valid oracle. At 100 TB this is the fallback when
+    AQE's skew splitting can't help (single-key hot spots in the MAP
+    output, not just oversized shuffle partitions).
+    """
+    from stream_processor_spark.operators.skew import salted_agg
+
+    e = t.events
+    out = salted_agg(
+        e.select("event_type", "value"),
+        keys=["event_type"],
+        partials={
+            "sum_value": lambda: F.sum(
+                F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            ),
+            "n_events": lambda: F.count(F.lit(1)),
+        },
+        merges={
+            "sum_value": lambda c: F.sum(c),
+            "n_events": lambda c: F.sum(c),
+        },
+    )
+    return out.select(
+        "event_type",
+        (F.col("sum_value").cast("double") / F.lit(100.0)).alias("sum_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(t):
+    """Exact grouped percentiles (continuous interpolation).
+
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    definition q·(n-1) rank + linear interpolation. Cross-engine float
+    parity holds because the chosen quantiles are dyadic (.25/.5/.75):
+    q·(n-1) is exactly representable, and x + f·(y−x) over the
+    integral-valued l_quantity is exact in binary floating point.
+    Scale note: exact percentile keeps per-group value buffers — at
+    100 TB prefer approx_percentile (registered separately) unless the
+    group count is high enough to bound per-group cardinality.
+    """
+    l = t.lineitem
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("median_qty"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
