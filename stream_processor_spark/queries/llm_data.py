@@ -597,6 +597,151 @@ def sim_centroids(t):
     )
 
 
+_IVF_ORACLE = """
+WITH cent AS (
+  SELECT label AS clabel, i.i AS pos,
+         CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT))
+              AS BIGINT) AS DOUBLE) / (1e16 * COUNT(*)) AS c
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS i(i)
+  GROUP BY label, i.i
+),
+asn_terms AS (
+  SELECT e.vec_id, c.clabel,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE) * c.c * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE)
+                    * CAST(e.embedding[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+asn_sims AS (
+  SELECT vec_id, clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))) AS cos
+  FROM asn_terms GROUP BY vec_id, clabel
+),
+assign AS (
+  SELECT vec_id, clabel AS list_id FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel DESC) AS rn
+    FROM asn_sims) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+q_terms AS (
+  SELECT c.clabel,
+         CAST(round(c.c * CAST(q.qv[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS p,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc,
+         CAST(round(CAST(q.qv[c.pos] AS DOUBLE) * CAST(q.qv[c.pos] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM cent c CROSS JOIN q
+),
+q_sims AS (
+  SELECT clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cos
+  FROM q_terms GROUP BY clabel
+),
+qprobe AS (
+  SELECT clabel AS list_id FROM (
+    SELECT clabel, row_number() OVER (ORDER BY cos DESC, clabel DESC) AS rn
+    FROM q_sims) WHERE rn <= 2
+),
+cand AS (SELECT a.vec_id FROM assign a JOIN qprobe USING (list_id)),
+cand_terms AS (
+  SELECT e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN cand USING (vec_id)
+  CROSS JOIN q CROSS JOIN generate_series(1, 64) AS i(i)
+)
+SELECT vec_id,
+       CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+FROM cand_terms GROUP BY vec_id
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_ann_ivf", oracle=_IVF_ORACLE)
+def sim_ann_ivf(t):
+    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact
+    rerank. Deterministic end-to-end, so fully oracle-checkable.
+
+    The coarse quantizer is the per-label mean centroid (the exact
+    deterministic computation `sim_centroids` verifies) standing in for
+    trained k-means — the *plumbing* is the production IVF shape:
+    (1) every vector is assigned to its nearest centroid's inverted
+    list (argmax cosine, ties to the higher label — one broadcast of L
+    centroids, one shuffle-free pass); (2) the query probes its
+    nprobe=2 nearest lists; (3) exact fused-fold cosine reranks only
+    the probed lists' members (TakeOrderedAndProject top-10).
+
+    Scale: assignment is O(n·L·dim) map-side with L centroids
+    broadcast; the probe prunes the rerank to ~nprobe/L of the corpus.
+    At 100 TB, lists become partition keys (partition pruning serves
+    the probe) and the quantizer is swapped for trained k-means —
+    identical dataflow. Complements `sim_ann_bucketed` (LSH): IVF gives
+    data-adaptive lists, LSH gives data-independent hashing.
+    """
+    e = t.embeddings
+    # centroids as arrays (exact per-dim fixed-point means, sorted by pos)
+    cent_rows = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("v").cast("double") * F.lit(1e16), 0)
+            .cast("long")
+            .alias("sv"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("sv").cast("double") / (F.lit(1e16) * F.count(F.lit(1)))).alias("c")
+        )
+    )
+    cent = cent_rows.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    )
+
+    # (1) inverted-list assignment: nearest centroid per vector
+    asn_sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "clabel", sim.cosine(F.col("embedding"), F.col("carr")).alias("cos")
+    )
+    assign = asn_sims.groupBy("vec_id").agg(
+        F.max(F.struct("cos", "clabel")).alias("m")
+    ).select("vec_id", F.col("m.clabel").alias("list_id"))
+
+    # (2) query probes its nprobe=2 nearest lists
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qprobe = (
+        cent.crossJoin(F.broadcast(qv))
+        .select("clabel", sim.cosine(F.col("carr"), F.col("qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("clabel").desc())
+        .limit(2)
+        .select(F.col("clabel").alias("list_id"))
+    )
+
+    # (3) exact rerank over probed lists only
+    return (
+        assign.join(F.broadcast(qprobe), "list_id")
+        .join(e, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "text_levenshtein",
     oracle="""
