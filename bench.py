@@ -41,8 +41,10 @@ HEADLINE = [
     "stream_tumbling_batch_analog",
     "stream_session_batch_analog",
     "dedup_exact",
+    "agg_salted_skew",
     "sim_topk",
     "sim_ann_bucketed",
+    "sim_ann_ivf",
     "sim_centroids",
     "dedup_token_jaccard",
     "dedup_shingle_jaccard",

@@ -689,8 +689,41 @@ def sim_ann_ivf(t):
     identical dataflow. Complements `sim_ann_bucketed` (LSH): IVF gives
     data-adaptive lists, LSH gives data-independent hashing.
     """
-    e = t.embeddings
-    # centroids as arrays (exact per-dim fixed-point means, sorted by pos)
+    # Spread the corpus across the cluster BEFORE the ×dim explode: the
+    # local fixture is one parquet split, which would serialize the
+    # n·L·dim join+agg onto one core; hashing 1 narrow row per vector is
+    # ~free, and on a real multi-split corpus this is a no-op-sized
+    # shuffle that also evens out skewed splits. The partition count is
+    # EXPLICIT — an expression-only repartition is AQE-coalescible, and
+    # with kilobyte-scale input AQE's size heuristic would collapse it
+    # back to one partition, re-serializing the explode.
+    spark = t.embeddings.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = t.embeddings.repartition(n_part, "vec_id")
+    # One explode of the corpus feeds everything: (vec_id, pos, x) rows.
+    # All arithmetic is plain codegen (no interpreted array-lambda folds —
+    # at n×L pair counts those dominate; join + hash-agg is the same math
+    # at whole-stage-codegen speed, bit-identical rounding). Norms are
+    # summed INSIDE each dot-product group (every group holds all dims,
+    # so in-group Σround(x²·S) equals the per-vector norm exactly) —
+    # mirroring the oracle's shape and avoiding separate norm shuffles.
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("x"),
+    )
+
+    def s(col):  # scaled-int term
+        return F.sum(F.round(col * F.lit(1e16), 0).cast("long"))
+
+    def cos(sxy, sxx, syy):
+        return sxy.cast("double") / (
+            F.sqrt(sxx.cast("double")) * F.sqrt(syy.cast("double"))
+        )
+
+    # centroids as (clabel, pos, c) — exact per-dim fixed-point means
     cent_rows = (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .select(
@@ -704,35 +737,57 @@ def sim_ann_ivf(t):
         .agg(
             (F.sum("sv").cast("double") / (F.lit(1e16) * F.count(F.lit(1)))).alias("c")
         )
-    )
-    cent = cent_rows.groupBy(F.col("label").alias("clabel")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("carr")
+        .select(F.col("label").alias("clabel"), "pos", "c")
     )
 
-    # (1) inverted-list assignment: nearest centroid per vector
-    asn_sims = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "clabel", sim.cosine(F.col("embedding"), F.col("carr")).alias("cos")
+    # (1) inverted-list assignment: nearest centroid per vector — one
+    # broadcast join on pos (L·dim rows) + one hash agg per (vec, label)
+    asn_sims = (
+        ex.join(F.broadcast(cent_rows), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            cos(
+                s(F.col("x") * F.col("c")),
+                s(F.col("x") * F.col("x")),
+                s(F.col("c") * F.col("c")),
+            ).alias("cos")
+        )
     )
-    assign = asn_sims.groupBy("vec_id").agg(
-        F.max(F.struct("cos", "clabel")).alias("m")
-    ).select("vec_id", F.col("m.clabel").alias("list_id"))
+    assign = (
+        asn_sims.groupBy("vec_id")
+        .agg(F.max(F.struct("cos", "clabel")).alias("m"))
+        .select("vec_id", F.col("m.clabel").alias("list_id"))
+    )
 
-    # (2) query probes its nprobe=2 nearest lists
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # (2) query probes its nprobe=2 nearest lists — a 64-row branch
+    # (cosine(c, q) ≡ cosine(q, c): IEEE multiplication commutes)
+    qx = ex.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("qx"))
     qprobe = (
-        cent.crossJoin(F.broadcast(qv))
-        .select("clabel", sim.cosine(F.col("carr"), F.col("qv")).alias("cos"))
+        cent_rows.join(F.broadcast(qx), "pos")
+        .groupBy("clabel")
+        .agg(
+            cos(
+                s(F.col("c") * F.col("qx")),
+                s(F.col("c") * F.col("c")),
+                s(F.col("qx") * F.col("qx")),
+            ).alias("cos")
+        )
         .orderBy(F.col("cos").desc(), F.col("clabel").desc())
         .limit(2)
         .select(F.col("clabel").alias("list_id"))
     )
 
-    # (3) exact rerank over probed lists only
+    # (3) exact rerank over probed lists only: back on the ARRAY form
+    # with the fused single-pass fold — the candidate set is ~nprobe/L of
+    # the corpus, small enough that the interpreted fold is cheaper than
+    # another explode+shuffle pass. Fold and explode-agg compute the
+    # identical scaled-int arithmetic, so results stay hash-equal.
+    cand = assign.join(F.broadcast(qprobe), "list_id").select("vec_id")
+    qv = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
     return (
-        assign.join(F.broadcast(qprobe), "list_id")
-        .join(e, "vec_id")
+        t.embeddings.join(cand, "vec_id")
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
