@@ -109,6 +109,13 @@ def _read_varint(buf: io.BytesIO) -> int:
         shift += 7
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    raw = buf.read(n)
+    if len(raw) != n:
+        raise EOFError(f"truncated field: wanted {n} bytes, got {len(raw)}")
+    return raw
+
+
 def _zigzag(n: int) -> int:
     return (n << 1) ^ (n >> 63)
 
@@ -162,11 +169,11 @@ def _skip(buf: io.BytesIO, wire_type: int) -> None:
     if wire_type == _WT_VARINT:
         _read_varint(buf)
     elif wire_type == _WT_I64:
-        buf.read(8)
+        _read_exact(buf, 8)
     elif wire_type == _WT_LEN:
-        buf.read(_read_varint(buf))
+        _read_exact(buf, _read_varint(buf))
     elif wire_type == _WT_I32:
-        buf.read(4)
+        _read_exact(buf, 4)
     else:
         raise ValueError(f"unknown wire type {wire_type}")
 
@@ -188,11 +195,11 @@ def decode(payload: bytes, spec: ProtoMessageSpec) -> dict:
             _skip(buf, wire_type)
             continue
         if f.type == "string":
-            rec[f.name] = buf.read(_read_varint(buf)).decode("utf-8")
+            rec[f.name] = _read_exact(buf, _read_varint(buf)).decode("utf-8")
         elif f.type == "bytes":
-            rec[f.name] = buf.read(_read_varint(buf))
+            rec[f.name] = _read_exact(buf, _read_varint(buf))
         elif f.type == "message":
-            rec[f.name] = decode(buf.read(_read_varint(buf)), f.message_spec)
+            rec[f.name] = decode(_read_exact(buf, _read_varint(buf)), f.message_spec)
         elif f.type in ("int32", "int64"):
             n = _read_varint(buf)
             bits = 32 if f.type == "int32" else 64
@@ -206,7 +213,7 @@ def decode(payload: bytes, spec: ProtoMessageSpec) -> dict:
         elif f.type == "bool":
             rec[f.name] = _read_varint(buf) != 0
         elif f.type == "double":
-            rec[f.name] = struct.unpack("<d", buf.read(8))[0]
+            rec[f.name] = struct.unpack("<d", _read_exact(buf, 8))[0]
         elif f.type == "float":
-            rec[f.name] = struct.unpack("<f", buf.read(4))[0]
+            rec[f.name] = struct.unpack("<f", _read_exact(buf, 4))[0]
     return rec
