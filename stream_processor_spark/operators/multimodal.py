@@ -63,6 +63,54 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, payload_col).mapInPandas(gen, schema=BINARY_FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_fp string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 32,
+    every: int = 4,
+) -> DataFrame:
+    """Frame-sampling plumbing: slice a binary payload into fixed-size
+    frames and keep every ``every``-th one, fingerprinted.
+
+    This is the video/audio frame-sample dataflow with the codec swapped
+    for byte-slicing (no media libraries in this container): a real
+    implementation replaces the slice with container demux + keyframe
+    select inside the SAME Arrow-batched ``mapInPandas`` generator — the
+    engine-visible contract (one input row → 0..k frame rows, schema,
+    batch shape, partition parallelism) is identical. Output cardinality
+    is data-dependent (flatMap), which is exactly what ``mapInPandas``
+    exists for.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                n_frames = -(-len(raw) // frame_size)  # ceil
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append(
+                        hashlib.md5(
+                            raw[i * frame_size:(i + 1) * frame_size]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.array(ids, dtype="int64"),
+                 "frame_idx": pd.array(idxs, dtype="int64"),
+                 "frame_fp": pd.array(fps, dtype=object)}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """STUB: real image decode (e.g. Pillow → height/width/channels).
 

@@ -504,6 +504,32 @@ def multimodal_features(t):
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               0, CAST(ceil(length(text) / 32.0) AS BIGINT) - 1)) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           md5(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_fp
+    FROM frames WHERE frame_idx % 4 = 0
+    """,
+)
+def multimodal_frame_sample(t):
+    """Frame-sampling over binary payloads: every 4th 32-byte frame,
+    fingerprinted — the video keyframe-sample dataflow with byte-slicing
+    standing in for the codec (operators/multimodal.py:sample_frames).
+
+    Verifies the flatMap contract (one row → 0..k frame rows) through
+    the Arrow batch boundary; the oracle recomputes the frames from the
+    source text (ASCII corpus ⇒ char slices ≡ byte slices).
+    """
+    return mm.sample_frames(mm.attach_binary_payload(t.documents))
+
+
+@register(
     "dedup_shingle_jaccard",
     oracle="""
     WITH sh AS (
