@@ -68,3 +68,28 @@ def test_no_python_in_expression_paths(spark, sf_dir):
     for name in ("dlq_split", "agg_groupby_basic", "sim_topk", "text_quality_score"):
         plan = _plan(spark, sf_dir, name, mode="simple")
         assert "Python" not in plan, name
+
+
+def test_salted_agg_two_phase_with_partial_combine(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_salted_skew", mode="simple")
+    # phase 1 groups on (key, salt), phase 2 merges per key — both with
+    # map-side partial combine; exactly two exchanges
+    assert "__salt" in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_ivf_plan_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sim_ann_ivf", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert "BroadcastHashJoin" in plan  # centroid/candidate joins broadcast
+    # the interpreted fold appears exactly once (final rerank projection)
+    assert plan.count("zip_with") == 1
+
+
+def test_frame_sample_single_python_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "multimodal_frame_sample", mode="simple")
+    # one mapInPandas (flatMap) over a pruned 2-column scan, no shuffle
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
