@@ -596,6 +596,131 @@ def tpch_q14_shape(t):
 
 
 @register(
+    "tpch_q18_shape",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_dsum_sql('l_quantity')} > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           {_dsum_sql('l.l_quantity')} AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def tpch_q18_shape(t):
+    """TPC-H Q18 shape (large-volume customer): HAVING-filtered aggregate
+    feeding a semi-restricted multi-way join, re-aggregated.
+
+    Scale notes: the `big` order-key set is aggregated BEFORE joining
+    (shuffle carries order-level partials, not line items), then drives a
+    key-restricted join; the customer dim is broadcast."""
+    l, o, c = t.lineitem, t.orders, t.customer
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(l.l_quantity).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    li = l.select(
+        F.col("l_orderkey").alias("li_orderkey"), F.col("l_quantity").alias("li_qty")
+    )
+    return (
+        o.join(big, o.o_orderkey == F.col("big_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("li_orderkey") == o.o_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum(F.col("li_qty")).alias("total_qty"))
+    )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize(t):
+    """Batch sessionization via window functions: a gap > 30 min starts a
+    new session (lag + running sum of session markers), then per-session
+    rollup — the classic log-sessionize pattern, complementing the
+    streaming `session_window` analog.
+
+    Scale: one shuffle on user_id serves both window passes and the final
+    aggregation (same partitioning reused across stages)."""
+    from pyspark.sql.window import Window
+
+    e = t.events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = e.select(
+        "user_id", "ts", new_session.alias("new_session")
+    ).withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT event_type, user_id AS top_user, n
+    FROM (
+      SELECT event_type, user_id, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY COUNT(*) DESC, user_id) AS rn
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(t):
+    """Deterministic per-group mode (most frequent value, ties to the
+    smallest): count + ranked pick. Built-in `mode()` has unspecified tie
+    order in both engines, so the deterministic argmax pattern is the
+    oracle-checkable form — and the one a pipeline should use anyway.
+
+    Scale: counting aggregates first (map-side combine), then a per-group
+    top-1 window over the already-aggregated (group × value) frame."""
+    from pyspark.sql.window import Window
+
+    counts = t.events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("top_user"), "n")
+    )
+
+
+@register(
     "window_range_frame",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice,
