@@ -41,15 +41,29 @@ from stream_processor_spark.pipeline.processors import ProcessorRegistry
 
 @dataclass
 class Sink:
-    """Where a route branch goes. kind: parquet | kafka | memory(noop)."""
+    """Where a route branch goes.
+
+    kind: ``parquet`` (append — at-least-once on foreachBatch retry,
+    matching the reference's contract, consumer.js:224,254) |
+    ``parquet_idempotent`` (per-batch-id subdirectory overwritten
+    atomically — a retried micro-batch replaces its own previous output,
+    upgrading the file sink to effectively-once; read the sink root
+    recursively) | ``kafka`` | ``noop``.
+    """
 
     kind: str
     path_or_topic: str
     options: dict[str, str] = field(default_factory=dict)
 
-    def write_batch(self, df: DataFrame) -> None:
+    def write_batch(self, df: DataFrame, batch_id: int | None = None) -> None:
         if self.kind == "parquet":
             df.write.mode("append").parquet(self.path_or_topic)
+        elif self.kind == "parquet_idempotent":
+            # deterministic per-batch target + overwrite ⇒ replaying
+            # batch N cannot duplicate rows; batch_id comes from the
+            # checkpoint so it is stable across restarts
+            sub = os.path.join(self.path_or_topic, f"batch_id={batch_id or 0}")
+            df.write.mode("overwrite").parquet(sub)
         elif self.kind == "kafka":  # pragma: no cover - needs a broker
             (
                 df.write.format("kafka")
@@ -179,7 +193,9 @@ class PipelineRunner:
         """One micro-batch worth of the pipeline; returns route counts."""
         resolved = self.catalog.resolve(pipeline_id)
         routed = self.routed_frame(resolved, self.decode_source(resolved, source_df))
-        return self._write_routed(resolved, routed, target_sink, dlq_sinks or {}, metrics)
+        return self._write_routed(
+            resolved, routed, target_sink, dlq_sinks or {}, metrics
+        )
 
     def _write_routed(
         self,
@@ -188,12 +204,13 @@ class PipelineRunner:
         target_sink: Sink,
         dlq_sinks: dict[str, Sink],
         metrics: PipelineMetrics | None,
+        batch_id: int | None = None,
     ) -> dict[str, int]:
         routed = routed.persist()
         try:
             counts = route_counts(routed)
             ok = routed.filter(F.col("route") == ROUTE_OK)
-            target_sink.write_batch(self.encode_output(resolved, ok))
+            target_sink.write_batch(self.encode_output(resolved, ok), batch_id)
             for step_name, dlq_topic in zip(resolved.processor_names, resolved.dlq_topics):
                 label = f"dlq_{step_name}"
                 if dlq_topic is None or counts.get(label, 0) == 0:
@@ -208,7 +225,7 @@ class PipelineRunner:
                     if c != "route" and not c.startswith("out_")
                 ]
                 originals = routed.filter(F.col("route") == label).select(*original_cols)
-                sink.write_batch(self.encode_dlq(resolved, originals))
+                sink.write_batch(self.encode_dlq(resolved, originals), batch_id)
             if metrics is not None:
                 metrics.record_batch(counts, resolved.processor_names)
             return counts
@@ -236,7 +253,9 @@ class PipelineRunner:
 
         def process_batch(batch_df: DataFrame, batch_id: int) -> None:
             routed = self.routed_frame(resolved, self.decode_source(resolved, batch_df))
-            self._write_routed(resolved, routed, target_sink, dlq_sinks, metrics)
+            self._write_routed(
+                resolved, routed, target_sink, dlq_sinks, metrics, batch_id=batch_id
+            )
 
         writer = stream_df.writeStream.foreachBatch(process_batch)
         if checkpoint_dir:

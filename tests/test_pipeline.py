@@ -433,6 +433,29 @@ def test_format_available_reports_fallbacks(spark):
     assert format_available(spark, "protobuf", impl="python")
 
 
+def test_idempotent_sink_replay_does_not_duplicate(spark, catalog, tmp_path):
+    """parquet_idempotent: replaying a micro-batch (same batch_id, the
+    foreachBatch retry case) overwrites its own output instead of
+    appending — effectively-once on top of the at-least-once contract."""
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    target = Sink("parquet_idempotent", str(tmp_path / "target"))
+    dlq = Sink("parquet_idempotent", str(tmp_path / "dlq"))
+    resolved = catalog.resolve(1)
+    routed = runner.routed_frame(resolved, _demo_df(spark))
+
+    for _ in range(2):  # same batch written twice == retry
+        runner._write_routed(resolved, routed, target, {"dlq-capitalize": dlq},
+                             None, batch_id=7)
+    out = spark.read.parquet(target.path_or_topic)
+    assert out.count() == 2  # k1, k4 — once, not twice
+    assert spark.read.parquet(dlq.path_or_topic).count() == 1  # k3 once
+
+    # a DIFFERENT batch id appends alongside (normal progress)
+    runner._write_routed(resolved, routed, target, {"dlq-capitalize": dlq},
+                         None, batch_id=8)
+    assert spark.read.parquet(target.path_or_topic).count() == 4
+
+
 def test_deploy_all_starts_only_active(spark, catalog, tmp_path):
     runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
     from stream_processor_spark.streaming.file_stream import FileBroker
