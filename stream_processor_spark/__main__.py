@@ -56,14 +56,20 @@ def cmd_run_pipelines(args) -> int:
     from stream_processor_spark.session import get_spark
     from stream_processor_spark.streaming.file_stream import FileBroker
 
+    if not args.catalog and not args.jdbc:
+        raise SystemExit("run-pipelines needs --catalog or --jdbc")
     spark = get_spark("pipelines")
     spark.sparkContext.setLogLevel("ERROR")
-    catalog = PipelineCatalog.from_json(args.catalog)
+    if args.jdbc:
+        catalog = PipelineCatalog.from_jdbc(spark, args.jdbc)
+    else:
+        catalog = PipelineCatalog.from_json(args.catalog)
     runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
     broker = FileBroker(args.broker)
     schema = demo_message_schema()
     out_root = args.output or os.path.join(args.broker, "_out")
 
+    metrics: dict = {}
     queries = runner.deploy_all(
         spark,
         source_for=lambda r: broker.topic(r.source_topic, schema).read_stream(spark),
@@ -76,11 +82,24 @@ def cmd_run_pipelines(args) -> int:
             },
         ),
         checkpoint_root=args.checkpoint or os.path.join(args.broker, "_checkpoints"),
+        metrics_out=metrics,
     )
+    server = None
+    if args.metrics_port is not None:
+        # the reference pod serves /metrics next to the consumer
+        # (src/listen.js:9-29, PORT default 3000)
+        from stream_processor_spark.pipeline.exporter import MetricsServer
+
+        server = MetricsServer(list(metrics.values()), port=args.metrics_port).start()
+        print(f"metrics on http://127.0.0.1:{server.port}/metrics")
     print(f"started {len(queries)} pipeline(s): {sorted(queries)}")
     for q in queries.values():
         q.awaitTermination(args.timeout)
-    print(json.dumps({"pipelines": sorted(queries), "output_root": out_root}))
+    snapshot = {pid: m.snapshot() for pid, m in metrics.items()}
+    if server is not None:
+        server.stop()
+    print(json.dumps({"pipelines": sorted(queries), "output_root": out_root,
+                      "metrics": snapshot}))
     return 0
 
 
@@ -103,11 +122,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
 
     r = sub.add_parser("run-pipelines")
-    r.add_argument("--catalog", required=True, help="pipeline catalog JSON")
+    r.add_argument("--catalog", default=None, help="pipeline catalog JSON")
+    r.add_argument("--jdbc", default=None,
+                   help="load the catalog over JDBC (the reference's Postgres "
+                        "control plane) instead of --catalog")
     r.add_argument("--broker", required=True, help="file-topic broker root dir")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--output", default=None)
     r.add_argument("--timeout", type=int, default=300, help="seconds per pipeline")
+    r.add_argument("--metrics-port", type=int, default=None,
+                   help="serve /metrics + /health on this port (0 = ephemeral)")
 
     sub.add_parser("bench")
 

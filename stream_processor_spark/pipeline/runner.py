@@ -269,20 +269,29 @@ class PipelineRunner:
         source_for: Callable[[ResolvedPipeline], DataFrame],
         sinks_for: Callable[[ResolvedPipeline], tuple[Sink, dict[str, Sink]]],
         checkpoint_root: str,
+        metrics_out: dict[int, PipelineMetrics] | None = None,
     ) -> dict[int, object]:
         """Start a StreamingQuery per active pipeline — the engine's
         ``make deploy`` (deploy-pipelines.sh:365-397: one pod per active
-        pipeline becomes one query per active pipeline)."""
+        pipeline becomes one query per active pipeline).
+
+        Pass ``metrics_out`` to receive each pipeline's
+        :class:`PipelineMetrics` (e.g. to serve them via
+        ``exporter.MetricsServer``, the reference's /metrics pairing)."""
         queries = {}
         for pid in self.catalog.active_pipeline_ids():
             resolved = self.catalog.resolve(pid)
             target, dlqs = sinks_for(resolved)
+            metrics = PipelineMetrics(str(pid), self.pod_name)
+            if metrics_out is not None:
+                metrics_out[pid] = metrics
             queries[pid] = self.run_streaming(
                 pid,
                 source_for(resolved),
                 target,
                 dlqs,
                 checkpoint_dir=os.path.join(checkpoint_root, f"pipeline-{pid}"),
+                metrics=metrics,
             )
         return queries
 

@@ -80,12 +80,19 @@ def test_cli_run_pipelines(spark, tmp_path, capsys):
     )
 
     rc = cli_main(
-        ["run-pipelines", "--catalog", str(catalog_path), "--broker", broker_dir]
+        ["run-pipelines", "--catalog", str(catalog_path), "--broker", broker_dir,
+         "--metrics-port", "0"]
     )
     assert rc == 0
     out_dir = os.path.join(broker_dir, "_out", "topic-out")
     rows = spark.read.parquet(out_dir).collect()
     assert sorted(r.out_value for r in rows) == ["HELLO_appended", "SPARK_appended"]
+    # final JSON line carries the reference metric names per pipeline
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    snap = json.loads(last)["metrics"]["1"]
+    assert snap["messages_received_total"] == 4.0
+    assert snap["messages_completed_total"] == 2.0
+    assert snap["messages_dlq_total"] == 1.0
 
 
 def test_lang_id_heuristic_behavior(spark):
