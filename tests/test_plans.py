@@ -93,3 +93,9 @@ def test_frame_sample_single_python_pass(spark, sf_dir):
     # one mapInPandas (flatMap) over a pruned 2-column scan, no shuffle
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_sessionize_reuses_one_user_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_sessionize", mode="simple")
+    # both window passes and the rollup share the user_id partitioning
+    assert plan.count("Exchange") == 1
