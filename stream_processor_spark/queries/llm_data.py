@@ -479,6 +479,46 @@ def text_lang_id(t):
     )
 
 
+@register(
+    "text_char_ngrams",
+    oracle="""
+    WITH grams AS (
+      SELECT substring(text, i.i, 3) AS ngram
+      FROM documents
+      CROSS JOIN LATERAL unnest(generate_series(
+        1, greatest(length(text) - 2, 0))) AS i(i)
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM grams GROUP BY ngram
+    ORDER BY n DESC, ngram LIMIT 20
+    """,
+)
+def text_char_ngrams(t):
+    """Corpus-level character-trigram profile (top-20): the statistical
+    building block of n-gram language ID and gibberish detection,
+    standalone and exact (the shipped `text_lang_id` uses marker words;
+    a production profile model consumes exactly this frequency table).
+
+    Scale: the ×(len−2) explode is map-side; the shuffle carries only
+    (ngram, partial count) pairs, and top-20 is TakeOrderedAndProject.
+    """
+    d = t.documents
+    grams = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------- multimodal ----
 
 
