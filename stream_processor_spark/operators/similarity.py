@@ -153,10 +153,25 @@ def banded_candidate_pairs(
     )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy map work parallelizes: repartition ONLY when the
+    input has fewer partitions than the cluster's parallelism (the local
+    fixture is one parquet split, which would serialize per-row folds
+    onto one core; the explicit count also stops AQE's size heuristic
+    from coalescing a kilobyte-scale shuffle back to one partition). On
+    a real multi-split corpus this is a no-op — no blanket shuffle."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def cosine_vs_query(embeddings: DataFrame, query: DataFrame,
                     vec_col: str = "embedding", qvec_col: str = "qv") -> DataFrame:
-    """Score every row against a single query vector (broadcast, no shuffle)."""
-    return embeddings.crossJoin(F.broadcast(query)).withColumn(
+    """Score every row against a single query vector (broadcast; the
+    only possible shuffle is the local-fixture fan-out)."""
+    return fan_out(embeddings).crossJoin(F.broadcast(query)).withColumn(
         "cosine", cosine(F.col(vec_col), F.col(qvec_col))
     )
 

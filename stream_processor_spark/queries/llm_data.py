@@ -206,7 +206,9 @@ def dedup_token_jaccard(t):
 
     All-expression set ops (array_intersect/array_union) — no shuffle.
     """
-    d = t.documents.select("doc_id", dd.token_set(F.col("text")).alias("tok"))
+    d = sim.fan_out(t.documents).select(
+        "doc_id", dd.token_set(F.col("text")).alias("tok")
+    )
     q = d.filter(F.col("doc_id") == 0).select(F.col("tok").alias("qtok"))
     return (
         d.crossJoin(F.broadcast(q))
@@ -598,8 +600,12 @@ def dedup_shingle_jaccard(t):
     the shingling expression itself is the shared building block.
     """
     # materialize the token array once per row — inlining split() into the
-    # transform lambda would re-split the text per shingle (O(tokens^2))
-    toked = t.documents.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    # transform lambda would re-split the text per shingle (O(tokens^2));
+    # fan_out: per-row shingling is CPU-heavy and the local fixture is one
+    # parquet split (no-op on a multi-split corpus)
+    toked = sim.fan_out(t.documents).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
     toks = F.col("toks")
     n_sh = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
     shingles = F.array_distinct(
