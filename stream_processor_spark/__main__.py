@@ -41,7 +41,11 @@ def cmd_run_query(args) -> int:
     spark = get_spark(f"query-{args.name}")
     spark.sparkContext.setLogLevel("ERROR")
     df = REGISTRY[args.name].fn(spark, args.sf_dir)
-    df.show(args.limit, truncate=False)
+    if args.save:
+        df.write.mode("overwrite").parquet(args.save)
+        print(f"wrote {args.save}")
+    else:
+        df.show(args.limit, truncate=False)
     return 0
 
 
@@ -120,6 +124,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("name")
     q.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--save", default=None, help="write result parquet here instead of showing")
 
     r = sub.add_parser("run-pipelines")
     r.add_argument("--catalog", default=None, help="pipeline catalog JSON")
