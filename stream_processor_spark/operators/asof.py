@@ -33,9 +33,16 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest ``right`` row with ``right_ts <= left_ts``
-    per ``key``. Appends ``<value_col><suffix>`` columns to ``left``."""
+    """Left as-of join. ``direction="backward"`` (default): latest
+    ``right`` row with ``right_ts <= left_ts`` per ``key``;
+    ``"forward"``: earliest right row with ``right_ts >= left_ts`` (the
+    same single window pass over the reverse time order — equal
+    timestamps remain visible). Appends ``<value_col><suffix>`` columns
+    to ``left``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # The right row's values are carried as ONE struct so the match is
     # row-atomic: a legitimately-NULL value inside the latest right row
     # stays NULL (carrying columns independently with last(ignorenulls)
@@ -69,9 +76,13 @@ def asof_join(
     unioned = lt.unionByName(rt)
     # __rv in the sort gives a deterministic winner among right rows tied
     # on (key, ts): the greatest struct (field-wise) wins via last().
+    # forward = the identical carry pass over DESCENDING time; __side
+    # ascends either way so an equal-timestamp right row sorts before the
+    # left row and stays visible (at-or-before / at-or-after).
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side", "__rv")
+        .orderBy(ts_order, "__side", "__rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

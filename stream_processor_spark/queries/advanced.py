@@ -58,6 +58,49 @@ def join_asof(t):
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_asof, p.value AS value_asof
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_forward(t):
+    """Forward as-of join: for each click, the user's EARLIEST purchase
+    at-or-after — the attribution-window direction. Same union-tag +
+    single window pass as the backward form, over descending time
+    (operators/asof.py, direction="forward"); oracle is DuckDB's native
+    forward ASOF (p.ts >= c.ts)."""
+    e = t.events
+    clicks = e.filter(e.event_type == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(e.event_type == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        value_cols=["pts", "value"],
+        direction="forward",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("pts_asof").alias("ts_asof"),
+        F.col("value_asof"),
+    )
+
+
+@register(
     "agg_pivot",
     oracle="""
     SELECT user_id,

@@ -356,6 +356,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     want = {row.lid: (None if pd.isna(row.rv) else row.rv) for row in merged.itertuples()}
     assert got == want
 
+    # forward direction: earliest right at-or-after, same random data.
+    # pandas takes the FIRST right row on (k, rts) ties while the window
+    # formulation deterministically takes the greatest __rv struct, so
+    # sort right DESC by rv — merge_asof's first-match then equals ours.
+    got_fwd_df = asof_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        value_cols=["rv"], direction="forward",
+    )
+    got_fwd = {r.lid: r.rv_asof for r in got_fwd_df.collect()}
+    rpd_fwd = pd.DataFrame(right_rows).sort_values(
+        ["rts", "rv"], ascending=[True, False]
+    ).reset_index(drop=True)
+    merged_fwd = pd.merge_asof(
+        lpd, rpd_fwd, left_on="lts", right_on="rts", by="k", direction="forward"
+    )
+    want_fwd = {
+        row.lid: (None if pd.isna(row.rv) else row.rv)
+        for row in merged_fwd.itertuples()
+    }
+    assert got_fwd == want_fwd
+
 
 def test_mixed_builtin_and_custom_processor_chain(spark):
     """Chains mixing builtin and user python processors run via the python
