@@ -482,6 +482,129 @@ def text_lang_id(t):
 
 
 @register(
+    "sample_stratified",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    rated AS (
+      SELECT e.event_id, e.event_type,
+             least(1.0, 500.0 / c.n) AS rate
+      FROM events e JOIN counts c USING (event_type)
+    )
+    SELECT event_id, event_type
+    FROM rated
+    WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < CAST(rate * 4294967296.0 AS BIGINT)
+    """,
+)
+def sample_stratified(t):
+    """Stratified rebalancing sample: cap every event_type at ~500 rows
+    by per-group rates, selected via a deterministic md5 hash threshold —
+    the class-rebalance step of a training-data pipeline (downsample
+    dominant classes, keep rare ones whole), reproducible across engines,
+    runs, AND partitionings (unlike TABLESAMPLE / rand()).
+
+    Scale: group counts are one tiny aggregate broadcast back onto the
+    stream; selection is a pure map filter — no shuffle of the corpus.
+    """
+    e = t.events
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    rate = F.least(F.lit(1.0), F.lit(500.0) / F.col("n"))
+    rated = e.join(F.broadcast(counts), "event_type").select(
+        "event_id", "event_type", rate.alias("rate")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return rated.filter(
+        bucket < (F.col("rate") * F.lit(4294967296.0)).cast("long")
+    ).select("event_id", "event_type")
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS scrubbed,
+           CAST(length(text) - length(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+                AS INT) AS email_chars_removed
+    FROM documents
+    """,
+)
+def text_pii_scrub(t):
+    """PII scrubbing: replace email / phone / SSN-shaped spans with typed
+    placeholder tokens — the safety-filter map pass of a training-data
+    pipeline. Pure regexp_replace expressions (JVM codegen, no Python);
+    the removed-chars count gives a per-doc audit signal.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    ssn = r"\b\d{3}-\d{2}-\d{4}\b"
+    txt = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        ssn,
+        "<SSN>",
+    )
+    return t.documents.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length(txt) - F.length(F.regexp_replace(txt, email, ""))).alias(
+            "email_chars_removed"
+        ),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freqs AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(max(c) AS INT) AS top_token_count,
+           CAST(SUM(c) AS INT) AS n_tokens,
+           CAST(max(c) AS DOUBLE) / SUM(c) AS repetition_ratio
+    FROM freqs GROUP BY doc_id
+    """,
+)
+def text_repetition(t):
+    """Repetition ratio: the most frequent token's share per document —
+    the classic degenerate-text signal (keyword stuffing, decode loops)
+    used alongside length/stopword quality scores.
+
+    Explode + two hash aggregations, all codegen (an in-row
+    map-accumulator fold would be interpreter-bound and O(tokens ×
+    distinct) on long documents); the shuffles carry (doc_id, token)
+    partials then per-doc pairs — both shrink with map-side combine.
+    """
+    toks = sim.fan_out(t.documents).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freqs = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        freqs.groupBy("doc_id")
+        .agg(
+            F.max("c").cast("int").alias("top_token_count"),
+            F.sum("c").cast("int").alias("n_tokens"),
+            (F.max("c").cast("double") / F.sum("c")).alias("repetition_ratio"),
+        )
+    )
+
+
+@register(
     "text_char_ngrams",
     oracle="""
     WITH grams AS (
