@@ -175,6 +175,58 @@ def test_stateful_dedup_across_runs(spark, tmp_path):
     assert sorted(out) == [3]  # duplicate event_id=2 suppressed by state
 
 
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates are suppressed only
+    within the watermark horizon, so state is BOUNDED (keys expire) —
+    the 100 TB-safe dedup for streams where ids can't repeat outside a
+    lateness window, unlike dropDuplicates whose key state grows
+    forever."""
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("events", EVENT_SCHEMA)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def stream():
+        return (
+            topic.read_stream(spark)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+
+    def collect(batch_df, _):
+        out.extend(r.event_id for r in batch_df.collect())
+
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 1, "ts": _ts(0), "user_id": 1, "value": 1.0},
+            {"event_id": 1, "ts": _ts(1), "user_id": 1, "value": 2.0},  # dup in window
+            {"event_id": 2, "ts": _ts(1), "user_id": 1, "value": 1.0},
+        ],
+    )
+    _run_available_now(stream(), ckpt, collect)
+    assert sorted(out) == [1, 2]  # in-window duplicate suppressed
+
+    # advance event time far past the watermark horizon: id 1's state has
+    # expired, so a re-arrival is treated as NEW (the bounded-state trade)
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 3, "ts": _ts(60), "user_id": 2, "value": 1.0},
+        ],
+    )
+    out.clear()
+    _run_available_now(stream(), ckpt, collect)
+    topic.produce_rows(
+        spark,
+        [
+            {"event_id": 1, "ts": _ts(61), "user_id": 9, "value": 9.0},
+        ],
+    )
+    _run_available_now(stream(), ckpt, collect)
+    assert sorted(out) == [1, 3]  # expired key re-admitted, state bounded
+
+
 # ------------------------------------------------------- arbitrary state ----
 
 
