@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Regenerate docs/COVERAGE.md from the query registry.
+
+Keeps the inventory doc mechanically in sync with
+``stream_processor_spark/queries`` — one row per registered query,
+sectioned by SURVEY area, check column derived from whether an oracle
+is registered. Run after adding queries:
+
+    python scripts/gen_coverage.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SECTIONS = [
+    (
+        "§2.1-2.4 reference-faithful (scans, transforms, filters, DLQ)",
+        r"^(scan_|transform_|filter_|project_|dlq_)",
+    ),
+    (
+        "§2.6-2.7 joins & aggregations",
+        r"^(join_|agg_|tpch_)",
+    ),
+    (
+        "§2.8 window functions, sort, top-k, set ops",
+        r"^(window_|sort_|topk_|set_)",
+    ),
+    (
+        "§2.9 scalar function families",
+        r"^scalar_",
+    ),
+    (
+        "§2.10 UDF / UDAF / UDTF",
+        r"^(udf_|udaf_|udtf_)",
+    ),
+    (
+        "§2.11 streaming batch analogs",
+        r"^(stream_|dedup_exact$)",
+    ),
+    (
+        "§2.12 LLM-data operators",
+        r"^(dedup_|sim_|text_|multimodal_|corpus_|sample_|reshape_)",
+    ),
+    (
+        "SQL surface extensions (subqueries, CTEs, sampling, gap-fill)",
+        r".",  # everything else
+    ),
+]
+
+HEADER = """# COVERAGE — query inventory by SURVEY section
+
+Auto-generated from the registry (`python scripts/gen_coverage.py`).
+Every row runs via `__spark_entry__.queries()` and (hash rows) is
+value-hash-compared against its DuckDB oracle by the driver at sf0.01;
+the local replica (`tests/test_oracle_parity.py` +
+`scripts/parity_sweep.py`) additionally validated all hash rows at
+sf0.001 and sf0.1.
+
+{n_total} queries registered; {n_hash} hash-checked, {n_rows} rows-only.
+"""
+
+
+def main() -> None:
+    from stream_processor_spark.queries import REGISTRY
+
+    assigned: set[str] = set()
+    blocks: list[str] = []
+    n_hash = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    for title, pattern in SECTIONS:
+        names = sorted(
+            n for n in REGISTRY if n not in assigned and re.match(pattern, n)
+        )
+        assigned.update(names)
+        if not names:
+            continue
+        rows = []
+        for n in names:
+            spec = REGISTRY[n]
+            check = "hash" if spec.oracle is not None else "rows"
+            summary = (spec.doc or "").strip().splitlines()[0][:92] if spec.doc else ""
+            rows.append(f"| `{n}` | {check} | {summary} |")
+        blocks.append(
+            f"## {title}\n\n| query | check | summary |\n|---|---|---|\n"
+            + "\n".join(rows)
+        )
+
+    out = (
+        HEADER.format(
+            n_total=len(REGISTRY), n_hash=n_hash, n_rows=len(REGISTRY) - n_hash
+        )
+        + "\n"
+        + "\n\n".join(blocks)
+        + "\n"
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "COVERAGE.md",
+    )
+    with open(path, "w") as f:
+        f.write(out)
+    print(f"wrote {path}: {len(REGISTRY)} queries, {n_hash} hash-checked")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,8 +72,18 @@ def _coerce_out(v, dtype: str) -> tuple[bool, object]:
         return (True, str(v)) if isinstance(v, str) else (False, None)
     if dtype == "boolean":
         return (True, bool(v)) if isinstance(v, bool) else (False, None)
-    # exotic types (timestamp, array, struct): pass through unchanged —
-    # same behavior as before this guard
+    if dtype == "timestamp":
+        import datetime
+
+        return (True, v) if isinstance(v, datetime.datetime) else (False, None)
+    if dtype == "date":
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return False, None  # date column: datetime would silently truncate
+        return (True, v) if isinstance(v, datetime.date) else (False, None)
+    # remaining nested types (array, struct, map, binary): pass through —
+    # Arrow's conversion accepts lists/dicts/bytes or raises per batch
     return True, v
 
 RecordFn = Callable[[dict], dict | None]
