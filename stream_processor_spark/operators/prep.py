@@ -39,10 +39,22 @@ def prepare_corpus(docs: DataFrame, text_col: str = "text",
 
 
 def corpus_stats(prepared: DataFrame, raw_count) -> DataFrame:
-    """Acceptance-funnel stats for a prepared corpus."""
-    return prepared.agg(
-        F.lit(raw_count).alias("n_raw"),
+    """Acceptance-funnel stats for a prepared corpus: raw → kept →
+    unique, plus total token volume.
+
+    ``raw_count`` is an int (caller already knows it) or a 1-row
+    DataFrame with column ``n_raw`` — the lazy path: the raw count rides
+    as a broadcast cross join so no eager driver-side count happens.
+    """
+    agg = prepared.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.countDistinct("fingerprint").alias("n_unique"),
+    )
+    if isinstance(raw_count, DataFrame):
+        return agg.crossJoin(F.broadcast(raw_count)).select(
+            "n_raw", "n_kept", "total_tokens", "n_unique"
+        )
+    return agg.select(
+        F.lit(raw_count).alias("n_raw"), "n_kept", "total_tokens", "n_unique"
     )

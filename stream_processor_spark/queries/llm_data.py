@@ -1021,9 +1021,7 @@ def text_levenshtein(t):
     )
 
 
-@register(
-    "corpus_prep",
-    oracle="""
+_PREP_CTE = """
     WITH scored AS (
       SELECT doc_id, text, lang,
              round(
@@ -1052,6 +1050,12 @@ def text_levenshtein(t):
         FROM kept
       ) WHERE rn = 1
     )
+"""
+
+
+@register(
+    "corpus_prep",
+    oracle=_PREP_CTE + """
     SELECT doc_id, lang, quality, fingerprint,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
     FROM deduped
@@ -1067,6 +1071,28 @@ def corpus_prep(t):
     return prepare_corpus(t.documents).select(
         "doc_id", "lang", "quality", "fingerprint", "n_tokens"
     )
+
+
+@register(
+    "corpus_prep_stats",
+    oracle=_PREP_CTE + """
+    SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
+           COUNT(*) AS n_kept,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT fingerprint) AS n_unique
+    FROM deduped
+    """,
+)
+def corpus_prep_stats(t):
+    """Acceptance-funnel stats over the prepared corpus
+    (operators/prep.py:corpus_stats): raw → kept → unique, with total
+    token volume — the per-run audit record a corpus pipeline emits.
+    Fully lazy: the raw count rides as a 1-row cross join, no eager
+    driver-side count."""
+    from stream_processor_spark.operators.prep import corpus_stats, prepare_corpus
+
+    raw_n = t.documents.agg(F.count(F.lit(1)).alias("n_raw"))
+    return corpus_stats(prepare_corpus(t.documents), raw_n)
 
 
 @register(
