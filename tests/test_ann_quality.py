@@ -1,0 +1,53 @@
+"""ANN quality contracts: recall vs the exact brute-force ranking.
+
+The approximate paths trade recall for pruning; both are deterministic
+end-to-end, so their recall on the fixture corpus is a stable, testable
+number rather than a distribution. These tests pin the floor (a
+regression in bucketing/probing logic shows up as a recall drop) and the
+ordering IVF ≥ LSH expected from data-adaptive lists at these parameters
+(nprobe=2 of L=10 lists vs one 16-bucket sign probe).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from stream_processor_spark.queries import REGISTRY
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def rankings(spark):
+    exact = [r.vec_id for r in REGISTRY["sim_topk"].fn(spark, SF).collect()]
+    ivf = {r.vec_id for r in REGISTRY["sim_ann_ivf"].fn(spark, SF).collect()}
+    lsh = {r.vec_id for r in REGISTRY["sim_ann_bucketed"].fn(spark, SF).collect()}
+    return set(exact[:10]), ivf, lsh
+
+
+def test_ann_results_subset_of_corpus_and_sized(rankings):
+    top10, ivf, lsh = rankings
+    assert len(ivf) == 10 and len(lsh) == 10
+
+
+def test_query_vector_always_found(rankings):
+    # vec_id 0 IS the query: cosine 1.0 must survive both approximations
+    top10, ivf, lsh = rankings
+    assert 0 in top10 and 0 in ivf and 0 in lsh
+
+
+def test_ivf_recall_floor(rankings):
+    top10, ivf, _ = rankings
+    assert len(ivf & top10) / 10 >= 0.3
+
+
+def test_lsh_recall_floor(rankings):
+    top10, _, lsh = rankings
+    assert len(lsh & top10) / 10 >= 0.1
+
+
+def test_ivf_not_worse_than_lsh(rankings):
+    top10, ivf, lsh = rankings
+    assert len(ivf & top10) >= len(lsh & top10)
