@@ -1074,6 +1074,53 @@ def corpus_prep(t):
 
 
 @register(
+    "dedup_cross_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS f
+      FROM documents
+    ),
+    shared AS (
+      SELECT DISTINCT a.f, a.source AS source_a, b.source AS source_b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_shared
+    FROM shared GROUP BY source_a, source_b
+    """,
+)
+def dedup_cross_source(t):
+    """Cross-source overlap audit: counts of content fingerprints (5-token
+    prefix) shared between source pairs — the contamination check every
+    training pipeline runs before carving train/eval splits from multiple
+    sources (did source A leak into source B?).
+
+    Scale: one shuffle on the 16-byte fingerprint; the self-join runs
+    within fingerprint groups only (collision-bounded), never all-pairs
+    of documents, and the output is per source-PAIR — tiny.
+    """
+    d = t.documents
+    fp = d.select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))).alias("f"),
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    shared = (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.source") < F.col("b.source")))
+        .select(
+            F.col("a.f").alias("f"),
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .distinct()
+    )
+    return shared.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+
+
+@register(
     "corpus_prep_stats",
     oracle=_PREP_CTE + """
     SELECT (SELECT COUNT(*) FROM documents) AS n_raw,
