@@ -111,9 +111,15 @@ def shingle_hash_set(text: Column, n: int = 3) -> Column:
     element — O(n²)).
     """
     tk = F.split(text, " ")
+    # guard: sequence(0, stop) DESCENDS when stop < 0 — a text with fewer
+    # than n tokens must yield an EMPTY shingle set, not an
+    # ArrayIndexOutOfBounds from element_at past the array
+    idx = F.when(
+        F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
+    ).otherwise(F.array().cast("array<int>"))
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
+            idx,
             lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j + 1) for j in range(n)]),
         )
     )

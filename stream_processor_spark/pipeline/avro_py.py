@@ -107,6 +107,11 @@ def _union_branch_for(value, branches):
 
 def _encode(out: io.BytesIO, node, value) -> None:
     t = _type_name(node)
+    if value is None and t not in ("union", "null", "record"):
+        # a null against a non-nullable field must FAIL, not silently
+        # stringify (str(None) → 'None' corruption) or TypeError deep in
+        # struct packing; callers contain this per record
+        raise ValueError(f"null value for non-nullable avro type {t!r}")
     if t == "union":
         i, branch = _union_branch_for(value, node)
         _write_long(out, i)

@@ -139,12 +139,19 @@ class SchemaRegistry:
             return F.from_json(value.cast("string"), s.spark_schema, s.options)
         if s.fmt == AVRO:
             if jvm_codec_available(AVRO):
-                return _avro()[0](value, s.avro_json, s.options)
+                # PERMISSIVE unless the subject overrides: a corrupt body
+                # must become a NULL record routed per message, matching
+                # the fallback path and the reference's per-message catch
+                # (consumer.js:142-145) — FAILFAST would poison-pill the
+                # streaming query on every restart.
+                opts = {"mode": "PERMISSIVE", **s.options}
+                return _avro()[0](value, s.avro_json, opts)
             return _py_avro_decode(s, value)
         if s.fmt == PROTOBUF:
             if s.proto_descriptor is not None and jvm_codec_available(PROTOBUF):
                 from_protobuf = _protobuf()[0]
-                return from_protobuf(value, s.proto_message, s.proto_descriptor, s.options)
+                opts = {"mode": "PERMISSIVE", **s.options}
+                return from_protobuf(value, s.proto_message, s.proto_descriptor, opts)
             if s.proto_spec is not None:
                 return _py_proto_decode(s, value)
             _protobuf()  # raises the actionable --packages error
@@ -167,23 +174,26 @@ class SchemaRegistry:
         raise ValueError(f"unknown format {s.fmt!r}")
 
 
-_JVM_CODEC_OK: dict[str, bool] = {}
+_JVM_CODEC_OK: dict[tuple, bool] = {}
 
 
 def jvm_codec_available(fmt: str) -> bool:
     """Is the JVM codec package (spark-avro / spark-protobuf) usable in
-    the active session? Probed once per process via analysis (schema
-    resolution — no job): the python wrappers import fine and even the
-    function classes exist without the jars; only analysis raises
-    ``AVRO_NOT_LOADED`` / ``PROTOBUF_NOT_LOADED``."""
+    the active session? Probed once per (session, format) via analysis
+    (schema resolution — no job): the python wrappers import fine and
+    even the function classes exist without the jars; only analysis
+    raises ``AVRO_NOT_LOADED`` / ``PROTOBUF_NOT_LOADED``. Keyed by the
+    session's applicationId so a later session with different packages
+    gets a fresh probe."""
     if fmt == JSON:
         return True
-    if fmt not in _JVM_CODEC_OK:
-        from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession
 
-        spark = SparkSession.getActiveSession()
-        if spark is None:
-            return False  # no session yet — don't cache the answer
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False  # no session yet — don't cache the answer
+    cache_key = (spark.sparkContext.applicationId, fmt)
+    if cache_key not in _JVM_CODEC_OK:
         probe = spark.range(1).select(F.struct(F.col("id")).alias("r"))
         try:
             if fmt == AVRO:
@@ -193,23 +203,23 @@ def jvm_codec_available(fmt: str) -> bool:
                     '[{"name":"id","type":"long"}]}'
                 )
                 probe.select(to_avro(F.col("r"), schema)).schema
-                _JVM_CODEC_OK[fmt] = True
+                _JVM_CODEC_OK[cache_key] = True
             elif fmt == PROTOBUF:
                 to_protobuf = _protobuf()[1]
                 try:
                     probe.select(
                         to_protobuf(F.col("r"), "P", "/nonexistent.desc")
                     ).schema
-                    _JVM_CODEC_OK[fmt] = True
+                    _JVM_CODEC_OK[cache_key] = True
                 except Exception as e:
                     # loaded-but-bad-descriptor errors mean the package IS
                     # usable; only NOT_LOADED means absent
-                    _JVM_CODEC_OK[fmt] = "NOT_LOADED" not in str(e)
+                    _JVM_CODEC_OK[cache_key] = "NOT_LOADED" not in str(e)
             else:
-                _JVM_CODEC_OK[fmt] = False
+                _JVM_CODEC_OK[cache_key] = False
         except Exception:
-            _JVM_CODEC_OK[fmt] = False
-    return _JVM_CODEC_OK[fmt]
+            _JVM_CODEC_OK[cache_key] = False
+    return _JVM_CODEC_OK[cache_key]
 
 
 def format_available(spark, fmt: str, impl: str = "any") -> bool:
@@ -296,9 +306,16 @@ def _py_avro_encode(s: SubjectSchema, record: Column) -> Column:
     @pandas_udf(BinaryType())
     def enc(df: pd.DataFrame) -> pd.Series:
         clean = df.astype(object).where(df.notna(), None)
-        return pd.Series(
-            [avro_py.encode(row, avro_schema) for row in clean.to_dict("records")]
-        )
+        out = []
+        for row in clean.to_dict("records"):
+            # per-record containment, mirroring the decode side: a record
+            # the schema cannot encode (e.g. null in a non-nullable
+            # field) becomes a NULL wire value, never a task abort
+            try:
+                out.append(avro_py.encode(row, avro_schema))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
 
     return enc(record)
 
@@ -339,9 +356,13 @@ def _py_proto_encode(s: SubjectSchema, record: Column) -> Column:
         from stream_processor_spark.pipeline import proto_py
 
         clean = df.astype(object).where(df.notna(), None)
-        return pd.Series(
-            [proto_py.encode(row, spec) for row in clean.to_dict("records")]
-        )
+        out = []
+        for row in clean.to_dict("records"):
+            try:
+                out.append(proto_py.encode(row, spec))
+            except Exception:
+                out.append(None)  # per-record containment (see avro enc)
+        return pd.Series(out)
 
     return enc(record)
 

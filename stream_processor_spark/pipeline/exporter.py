@@ -62,9 +62,18 @@ class MetricsServer:
     reference's ``PORT`` (default 3000, src/listen.js:7).
     """
 
-    def __init__(self, metrics: PipelineMetrics | list[PipelineMetrics], port: int = 0):
+    def __init__(
+        self,
+        metrics: PipelineMetrics | list[PipelineMetrics],
+        port: int = 0,
+        host: str = "0.0.0.0",
+    ):
+        # 0.0.0.0 by default: the ServiceMonitor scrapes pod_ip:port from
+        # outside the pod (servicemonitor-template.yaml:13-15) — a
+        # loopback-only bind would be unreachable for Prometheus
         self._metrics = [metrics] if isinstance(metrics, PipelineMetrics) else list(metrics)
         self._requested_port = port
+        self._host = host
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -106,7 +115,7 @@ class MetricsServer:
             def log_message(self, *args):  # quiet scrapes
                 pass
 
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", self._requested_port), Handler)
+        self._httpd = ThreadingHTTPServer((self._host, self._requested_port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self

@@ -104,14 +104,18 @@ class PipelineMetrics:
             self.inc("processors_applied_total", ok * step_names)
             return
         # exact per-processor counts (consumer.js:95 semantics): a record
-        # failing at step j applied steps < j; ok/dropped applied all
+        # failing at step j applied steps < j; ok/dropped applied all.
+        # Route labels carry the processor NAME, not the step index, so a
+        # chain repeating a processor attributes all of that name's
+        # failures to its FIRST occurrence (pop-once) — exact for unique
+        # names, conservative (never double-subtracting) for repeats.
         failed_at = {
             name: route_counts.get(f"dlq_{name}", 0) + route_counts.get(f"error_{name}", 0)
             for name in step_names
         }
         reached = received
         for name in step_names:
-            applied = reached - failed_at[name]
+            applied = reached - failed_at.pop(name, 0)
             if applied:
                 self.inc("processors_applied_total", applied, processor_name=name)
             reached = applied

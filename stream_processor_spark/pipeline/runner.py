@@ -61,9 +61,20 @@ class Sink:
         elif self.kind == "parquet_idempotent":
             # deterministic per-batch target + overwrite ⇒ replaying
             # batch N cannot duplicate rows; batch_id comes from the
-            # checkpoint so it is stable across restarts
-            sub = os.path.join(self.path_or_topic, f"batch_id={batch_id or 0}")
-            df.write.mode("overwrite").parquet(sub)
+            # checkpoint so it is stable across restarts. A batch WITHOUT
+            # an identity (ad-hoc run_batch) gets a unique directory —
+            # appending behavior — rather than colliding with (and
+            # silently deleting) streaming batch 0's committed output.
+            import uuid
+
+            part = (
+                f"batch_id={batch_id}"
+                if batch_id is not None
+                else f"batch_id=adhoc-{uuid.uuid4().hex[:12]}"
+            )
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.path_or_topic, part)
+            )
         elif self.kind == "kafka":  # pragma: no cover - needs a broker
             (
                 df.write.format("kafka")

@@ -495,7 +495,7 @@ def text_lang_id(t):
     SELECT event_id, event_type
     FROM rated
     WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
-               AS BIGINT) < CAST(rate * 4294967296.0 AS BIGINT)
+               AS BIGINT) < CAST(floor(rate * 4294967296.0) AS BIGINT)
     """,
 )
 def sample_stratified(t):
@@ -517,8 +517,11 @@ def sample_stratified(t):
     bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     )
+    # explicit floor(): Spark's double→long cast truncates while DuckDB's
+    # rounds half-to-even — without it the two engines disagree by one on
+    # fractional thresholds and a hash landing exactly there flips
     return rated.filter(
-        bucket < (F.col("rate") * F.lit(4294967296.0)).cast("long")
+        bucket < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")
     ).select("event_id", "event_type")
 
 
@@ -628,12 +631,15 @@ def text_char_ngrams(t):
     (ngram, partial count) pairs, and top-20 is TakeOrderedAndProject.
     """
     d = t.documents
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (a doc
+    # shorter than 3 chars would emit bogus [1,0] positions; DuckDB's
+    # generate_series is empty there) — emit no ngrams instead
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = d.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))),
-                lambda i: F.col("text").substr(i, F.lit(3)),
-            )
+            F.transform(positions, lambda i: F.col("text").substr(i, F.lit(3)))
         ).alias("ngram")
     )
     return (

@@ -460,3 +460,71 @@ def test_asof_join_null_value_in_latest_row_stays_null(spark):
     # latest right row is (rts=2, rv=NULL): rv stays NULL, rts_asof=2 —
     # both from the SAME row
     assert out[0]["rts_asof"] == 2 and out[0]["rv_asof"] is None
+
+
+def test_short_text_ngrams_and_shingles_safe(spark):
+    """Round-2 review regressions: Spark's sequence(a, b) DESCENDS when
+    b < a, so sub-3-char docs produced bogus ngrams and sub-n-token texts
+    crashed element_at. Both must yield empty results instead."""
+    from stream_processor_spark.operators.dedup import shingle_hash_set
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None), (4, "one two"), (5, "a proper three")],
+        "doc_id int, text string",
+    )
+    # shingle sets: < n tokens → empty array, never a crash
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", shingle_hash_set(F.col("text")).alias("s")).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[4] == []
+    assert got[3] in ([], None)
+    assert len(got[5]) == 1  # exactly one 3-shingle
+
+    # char trigram positions: short/empty/null text contributes nothing
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.explode(
+            F.transform(positions, lambda i: F.col("text").substr(i, F.lit(3)))
+        ).alias("g")
+    ).collect()
+    assert all(len(r.g) == 3 for r in grams)
+
+
+def test_avro_encode_null_non_nullable_contained(spark):
+    """A null in a non-nullable avro field must neither stringify to
+    'None' nor abort the task: avro_py raises, and the encode pandas_udf
+    contains it per record as a NULL wire value."""
+    import pytest as _pytest
+
+    from stream_processor_spark.pipeline import avro_py
+    from stream_processor_spark.pipeline.codecs import SchemaRegistry, SubjectSchema
+
+    flat = (
+        '{"type":"record","name":"t","fields":['
+        '{"name":"key","type":"string"},{"name":"num","type":"long"}]}'
+    )
+    with _pytest.raises(ValueError, match="non-nullable"):
+        avro_py.encode({"key": None, "num": 1}, flat)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schemas = SchemaRegistry()
+    schemas.register(
+        SubjectSchema(
+            subject="s",
+            fmt="avro",
+            spark_schema=StructType(
+                [StructField("key", StringType()), StructField("num", LongType())]
+            ),
+            avro_json=flat,
+        )
+    )
+    df = spark.createDataFrame([("a", 1), (None, 2)], "key string, num long")
+    rec = F.struct(F.col("key"), F.col("num"))
+    out = df.select(schemas.encode("s", rec).alias("v")).collect()
+    ok = [bytes(r.v) if r.v is not None else None for r in out]
+    assert ok[0] is not None and avro_py.decode(ok[0], flat) == {"key": "a", "num": 1}
+    assert ok[1] is None  # contained, not 'None'-corrupted, not a crash
