@@ -111,6 +111,52 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(gen, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, n_bytes_in long, n_bytes_out long, resized_fp string"
+
+
+def resize_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    byte_budget: int = 128,
+) -> DataFrame:
+    """Resize plumbing: shrink each binary payload to a byte budget and
+    fingerprint the result.
+
+    Models the media-resize contract (payload in → smaller payload out →
+    downstream fingerprint/features) with budget-truncation standing in
+    for the codec — a real implementation swaps PIL resize / audio
+    downsampling into the SAME Arrow-batched generator; the
+    engine-visible schema, batching, and determinism are identical. Kept
+    1-row-per-input (unlike frame sampling's flatMap).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(
+                lambda b: None if b is None else bytes(b)
+            )
+            resized = payloads.map(
+                lambda b: None if b is None else b[:byte_budget]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes_in": payloads.map(
+                        lambda b: -1 if b is None else len(b)
+                    ).astype("int64"),
+                    "n_bytes_out": resized.map(
+                        lambda b: -1 if b is None else len(b)
+                    ).astype("int64"),
+                    "resized_fp": resized.map(
+                        lambda b: None if b is None else hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """STUB: real image decode (e.g. Pillow → height/width/channels).
 

@@ -654,6 +654,25 @@ def text_char_ngrams(t):
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes_in,
+           CAST(least(length(text), 128) AS BIGINT) AS n_bytes_out,
+           md5(substring(text, 1, 128)) AS resized_fp
+    FROM documents
+    """,
+)
+def multimodal_resize(t):
+    """Payload resize plumbing: shrink every binary payload to a 128-byte
+    budget and fingerprint the result (operators/multimodal.py:
+    resize_payloads) — the media-resize dataflow with budget truncation
+    standing in for the codec. The oracle recomputes from the source
+    text (ASCII corpus ⇒ byte ≡ char truncation)."""
+    return mm.resize_payloads(mm.attach_binary_payload(t.documents))
+
+
+@register(
     "multimodal_features",
     oracle="""
     SELECT doc_id,
