@@ -69,6 +69,58 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.lower(F.trim(col)))
 
 
+# Content-defined chunking (Rabin-style rolling hash). Window 4, base 263,
+# hash space 2^20, boundary when h ≡ 0 (mod 64) → expected chunk ~64 chars.
+_CDC_W = 4
+_CDC_POWS = (1, 263, 263**2, 263**3)
+_CDC_MOD = 1 << 20
+_CDC_MASK = 64
+
+
+def rolling_chunks(col: Column) -> Column:
+    """Content-defined chunk array: ``array<struct<chunk_idx, chunk>>``.
+
+    A position i ends a chunk when the rolling hash of the ``_CDC_W``-char
+    window ending at i hits the boundary condition — so chunk boundaries
+    move WITH the content: an insertion near the start of a document only
+    perturbs the chunks it touches, while fixed-size chunking would shift
+    every subsequent boundary (the rsync/LBFS content-defined-chunking
+    property that makes chunk-level dedup robust to edits).
+
+    All per-row array expressions (positions → hash → cuts → bounds →
+    slices); products go through longs (255·263³ overflows int32).
+    Deterministic, so an external engine reproduces the exact chunking.
+    """
+    length = F.length(col)
+    # sequence() DESCENDS when stop < start — short docs get no cuts
+    positions = F.when(
+        length >= _CDC_W, F.sequence(F.lit(_CDC_W), length)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def h(i):
+        acc = F.lit(0).cast("long")
+        for j, p in enumerate(_CDC_POWS):
+            acc = acc + F.ascii(col.substr(i - j, F.lit(1))).cast("long") * F.lit(p)
+        return acc % _CDC_MOD
+
+    cuts = F.filter(
+        positions, lambda i: (h(i) % _CDC_MASK == 0) & (i < length)
+    )
+    bounds = F.concat(
+        F.array(F.lit(0)), cuts, F.array(length.cast("int"))
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_idx"),
+            col.substr(
+                F.element_at(bounds, k) + 1,
+                F.element_at(bounds, k + 1) - F.element_at(bounds, k),
+            ).alias("chunk"),
+        ),
+    )
+
+
 # Tiny per-language marker sets for the heuristic language-ID scorer.
 # A real deployment would ship trained character-n-gram tables; the operator
 # shape (vectorized scoring UDF over a string column) is identical.

@@ -608,6 +608,68 @@ def text_repetition(t):
 
 
 @register(
+    "text_rolling_chunks",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cutl AS (
+      SELECT doc_id, text, L,
+        list_filter(
+          list_transform(generate_series(4, L),
+            i -> CASE WHEN i < L AND (
+                   CAST(ascii(substring(text, i,   1)) AS BIGINT)
+                 + CAST(ascii(substring(text, i-1, 1)) AS BIGINT) * 263
+                 + CAST(ascii(substring(text, i-2, 1)) AS BIGINT) * 69169
+                 + CAST(ascii(substring(text, i-3, 1)) AS BIGINT) * 18191447
+               ) % 1048576 % 64 = 0 THEN i END),
+          x -> x IS NOT NULL) AS cuts
+      FROM base
+    ),
+    bounds AS (
+      SELECT doc_id, text,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+                         list_transform(cuts, x -> CAST(x AS BIGINT))),
+                         [CAST(L AS BIGINT)]) AS b
+      FROM cutl
+    ),
+    ks AS (
+      SELECT doc_id, text, b,
+             unnest(generate_series(1, len(b) - 1)) AS k
+      FROM bounds
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           CAST(b[k+1] - b[k] AS INT) AS chunk_len,
+           md5(substring(text, CAST(b[k] + 1 AS BIGINT),
+                         CAST(b[k+1] - b[k] AS BIGINT))) AS chunk_fp
+    FROM ks
+    """,
+)
+def text_rolling_chunks(t):
+    """Content-defined chunking (Rabin-style rolling hash,
+    operators/text.py:rolling_chunks): chunk boundaries follow the
+    CONTENT (window-hash boundary condition), so edits only perturb the
+    chunks they touch — the rsync/LBFS property that makes chunk-level
+    dedup robust to insertions, and the 'rolling hash' form of document
+    fingerprinting. Emits one row per chunk with its fingerprint.
+
+    Scale: per-row expression work then explode; the shuffle-free map
+    pass emits (doc, chunk) rows whose fingerprints feed the same
+    exact-dedup shuffle as whole-doc fingerprints.
+    """
+    d = sim.fan_out(t.documents.filter(F.col("text").isNotNull()))
+    return d.select(
+        "doc_id", F.explode(tx.rolling_chunks(F.col("text"))).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.length("c.chunk").alias("chunk_len"),
+        F.md5("c.chunk").alias("chunk_fp"),
+    )
+
+
+@register(
     "text_char_ngrams",
     oracle="""
     WITH grams AS (
