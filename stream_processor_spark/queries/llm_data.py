@@ -670,6 +670,80 @@ def text_rolling_chunks(t):
 
 
 @register(
+    "dedup_chunk_overlap",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cutl AS (
+      SELECT doc_id, text, L,
+        list_filter(
+          list_transform(generate_series(4, L),
+            i -> CASE WHEN i < L AND (
+                   CAST(ascii(substring(text, i,   1)) AS BIGINT)
+                 + CAST(ascii(substring(text, i-1, 1)) AS BIGINT) * 263
+                 + CAST(ascii(substring(text, i-2, 1)) AS BIGINT) * 69169
+                 + CAST(ascii(substring(text, i-3, 1)) AS BIGINT) * 18191447
+               ) % 1048576 % 64 = 0 THEN i END),
+          x -> x IS NOT NULL) AS cuts
+      FROM base
+    ),
+    bounds AS (
+      SELECT doc_id, text,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+                         list_transform(cuts, x -> CAST(x AS BIGINT))),
+                         [CAST(L AS BIGINT)]) AS b
+      FROM cutl
+    ),
+    ks AS (
+      SELECT doc_id, text, b, unnest(generate_series(1, len(b) - 1)) AS k
+      FROM bounds
+    ),
+    chunk_fps AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(text, CAST(b[k] + 1 AS BIGINT),
+                           CAST(b[k+1] - b[k] AS BIGINT))) AS fp
+      FROM ks WHERE b[k+1] - b[k] >= 8
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_chunks
+    FROM chunk_fps a JOIN chunk_fps b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_chunk_overlap(t):
+    """Chunk-overlap near-dup pairs: documents sharing ≥2 content-defined
+    chunks (length ≥8 — sub-window slivers collide trivially). The
+    edit-robust near-dup family the rolling-hash chunker exists to feed:
+    because boundaries are content-defined, a doc with an insertion still
+    shares every untouched chunk with its original, where fixed-size
+    chunking would desynchronize after the edit.
+
+    Scale: one shuffle on the 16-byte chunk fingerprint; the self-join
+    is collision-bounded within fingerprint groups (never all-pairs of
+    documents), then a tiny per-pair aggregate.
+    """
+    d = sim.fan_out(t.documents.filter(F.col("text").isNotNull()))
+    chunks = d.select(
+        "doc_id", F.explode(tx.rolling_chunks(F.col("text"))).alias("c")
+    ).filter(F.length("c.chunk") >= 8)
+    fps = chunks.select("doc_id", F.md5("c.chunk").alias("fp")).distinct()
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .filter(F.col("n_shared_chunks") >= 2)
+    )
+
+
+@register(
     "text_char_ngrams",
     oracle="""
     WITH grams AS (
