@@ -77,7 +77,15 @@ _CDC_MOD = 1 << 20
 _CDC_MASK = 64
 
 
-def rolling_chunks(col: Column) -> Column:
+def char_codes(col: Column) -> Column:
+    """Per-char ascii-code array, to be MATERIALIZED in its own projection
+    before :func:`rolling_chunks` — an array expression referenced inside
+    a higher-order lambda is re-evaluated per element (the inlined-split
+    trap), turning the O(L) hash pass back into O(L²)."""
+    return F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long"))
+
+
+def rolling_chunks(col: Column, codes: Column) -> Column:
     """Content-defined chunk array: ``array<struct<chunk_idx, chunk>>``.
 
     A position i ends a chunk when the rolling hash of the ``_CDC_W``-char
@@ -87,9 +95,12 @@ def rolling_chunks(col: Column) -> Column:
     every subsequent boundary (the rsync/LBFS content-defined-chunking
     property that makes chunk-level dedup robust to edits).
 
-    All per-row array expressions (positions → hash → cuts → bounds →
-    slices); products go through longs (255·263³ overflows int32).
-    Deterministic, so an external engine reproduces the exact chunking.
+    ``codes`` must be :func:`char_codes` pre-materialized in a prior
+    select (pass ``F.col(...)``, not the expression) — element_at over
+    the array is O(1) where per-position ``substr`` would be an O(i)
+    UTF-8 scan (O(L²) per document). Hash products go through longs
+    (255·263³ overflows int32). Deterministic, so an external engine
+    reproduces the exact chunking.
     """
     length = F.length(col)
     # sequence() DESCENDS when stop < start — short docs get no cuts
@@ -100,7 +111,7 @@ def rolling_chunks(col: Column) -> Column:
     def h(i):
         acc = F.lit(0).cast("long")
         for j, p in enumerate(_CDC_POWS):
-            acc = acc + F.ascii(col.substr(i - j, F.lit(1))).cast("long") * F.lit(p)
+            acc = acc + F.element_at(codes, i - j) * F.lit(p)
         return acc % _CDC_MOD
 
     cuts = F.filter(

@@ -658,9 +658,12 @@ def text_rolling_chunks(t):
     pass emits (doc, chunk) rows whose fingerprints feed the same
     exact-dedup shuffle as whole-doc fingerprints.
     """
-    d = sim.fan_out(t.documents.filter(F.col("text").isNotNull()))
+    d = sim.fan_out(t.documents.filter(F.col("text").isNotNull())).select(
+        "doc_id", "text", tx.char_codes(F.col("text")).alias("__codes")
+    )
     return d.select(
-        "doc_id", F.explode(tx.rolling_chunks(F.col("text"))).alias("c")
+        "doc_id",
+        F.explode(tx.rolling_chunks(F.col("text"), F.col("__codes"))).alias("c"),
     ).select(
         "doc_id",
         F.col("c.chunk_idx").alias("chunk_idx"),
@@ -726,9 +729,12 @@ def dedup_chunk_overlap(t):
     is collision-bounded within fingerprint groups (never all-pairs of
     documents), then a tiny per-pair aggregate.
     """
-    d = sim.fan_out(t.documents.filter(F.col("text").isNotNull()))
+    d = sim.fan_out(t.documents.filter(F.col("text").isNotNull())).select(
+        "doc_id", "text", tx.char_codes(F.col("text")).alias("__codes")
+    )
     chunks = d.select(
-        "doc_id", F.explode(tx.rolling_chunks(F.col("text"))).alias("c")
+        "doc_id",
+        F.explode(tx.rolling_chunks(F.col("text"), F.col("__codes"))).alias("c"),
     ).filter(F.length("c.chunk") >= 8)
     fps = chunks.select("doc_id", F.md5("c.chunk").alias("fp")).distinct()
     a = fps.alias("a")
