@@ -685,7 +685,7 @@ def tpch_q18_shape(t):
     "window_sessionize",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -693,7 +693,7 @@ def tpch_q18_shape(t):
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     )
@@ -710,18 +710,28 @@ def window_sessionize(t):
     streaming `session_window` analog.
 
     Scale: one shuffle on user_id serves both window passes and the final
-    aggregation (same partitioning reused across stages)."""
+    aggregation (same partitioning reused across stages).
+
+    The gap test is pure timestamp-difference vs an interval literal —
+    wall-clock semantics that hold for TIMESTAMP and TIMESTAMP_NTZ alike
+    (no epoch cast, so no session-timezone/DST dependence) and match the
+    DuckDB oracle's `ts - lag(ts) > INTERVAL 30 MINUTE` exactly. Both
+    window passes tie-break on event_id so equal-timestamp rows order
+    deterministically in both engines."""
     from pyspark.sql.window import Window
 
     e = t.events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = e.select(
-        "user_id", "ts", new_session.alias("new_session")
+        "user_id", "ts", "event_id", new_session.alias("new_session")
     ).withColumn("session_id", F.sum("new_session").over(run))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
