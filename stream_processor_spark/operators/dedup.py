@@ -48,7 +48,13 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
 
 @pandas_udf(LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes).
+    """64-bit SimHash over single-space tokens (md5-derived token hashes).
+
+    Tokenization is split-on-single-space with empty tokens dropped —
+    NOT Python's ``str.split()`` (which collapses whitespace runs and
+    splits on tabs/newlines) — so a run of spaces yields the same token
+    stream as the oracle's ``string_split(text, ' ')`` with empties
+    filtered, and the signature matches bit-for-bit on any input.
 
     md5 keeps the signature engine-independent and deterministic (the
     dedup_simhash oracle reimplements it in pure SQL and matches
@@ -75,7 +81,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
     for i, text in enumerate(texts):
         if not text:
             continue
-        toks = text.split()
+        toks = [t for t in text.split(" ") if t]
         if not toks:
             continue
         hs = np.fromiter((hv(t) for t in toks), dtype=np.uint64, count=len(toks))
@@ -102,15 +108,20 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
 )
 
 
-def shingle_hash_set(text: Column, n: int = 3) -> Column:
+def shingle_hash_set(tokens: Column, n: int = 3) -> Column:
     """Distinct 60-bit md5 hashes of word ``n``-shingles (engine-portable).
 
     60 bits (15 hex chars) so the value fits a signed long in every
-    engine without two's-complement games. Token arrays are materialized
-    once before the transform (a lambda-inlined split would re-split per
-    element — O(n²)).
+    engine without two's-complement games.
+
+    ``tokens`` must be the single-space token array MATERIALIZED in its
+    own prior projection (pass ``F.col(...)``, never an inline
+    ``F.split(text, " ")`` expression) — an expression referenced inside
+    a higher-order lambda is re-evaluated per element, so an inlined
+    split turns the O(tokens) shingle pass into O(tokens²) per document
+    (the inlined-split trap; same fix as text.char_codes/rolling_chunks).
     """
-    tk = F.split(text, " ")
+    tk = tokens
     # guard: sequence(0, stop) DESCENDS when stop < 0 — a text with fewer
     # than n tokens must yield an EMPTY shingle set, not an
     # ArrayIndexOutOfBounds from element_at past the array
@@ -167,10 +178,15 @@ def minhash_det_near_dup_pairs(
     Reference parity: this is the engine's scale path for corpus dedup,
     beyond the reference's per-record operators (SURVEY §2.12).
     """
-    hs = docs.filter(
-        (F.col(text_col).isNotNull())
-        & (F.size(F.split(F.col(text_col), " ")) >= min_tokens)
-    ).select(F.col(id_col).alias("doc_id"), shingle_hash_set(F.col(text_col)).alias("hset"))
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__tk"),
+        )
+        .filter(F.size("__tk") >= min_tokens)
+    )
+    hs = toks.select("doc_id", shingle_hash_set(F.col("__tk")).alias("hset"))
     sig = hs.select("doc_id", *minhash_signature(F.col("hset")))
     p = F.lit(MINHASH_P).cast("long")
     bands = sig.select(

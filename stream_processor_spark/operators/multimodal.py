@@ -48,15 +48,22 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
+            payloads = pdf[payload_col].map(lambda b: None if b is None else bytes(b))
+            # NULL payload → NULL features (SQL length/md5/substring-of-NULL
+            # semantics), never a crash or a sentinel
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "fingerprint": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in payloads],
+                        dtype="Int64",
                     ),
-                    "head": payloads.map(lambda b: bytes(b)[:8].decode("utf-8", "replace")),
+                    "fingerprint": payloads.map(
+                        lambda b: None if b is None else hashlib.md5(b).hexdigest()
+                    ),
+                    "head": payloads.map(
+                        lambda b: None if b is None else b[:8].decode("utf-8", "replace")
+                    ),
                 }
             )
 
@@ -139,15 +146,20 @@ def resize_payloads(
             resized = payloads.map(
                 lambda b: None if b is None else b[:byte_budget]
             )
+            # NULL payload → NULL sizes/fingerprint (nullable Int64, not a
+            # -1 sentinel) — matches SQL `length(NULL) IS NULL` semantics
+            # so oracle parity holds on NULL rows too
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes_in": payloads.map(
-                        lambda b: -1 if b is None else len(b)
-                    ).astype("int64"),
-                    "n_bytes_out": resized.map(
-                        lambda b: -1 if b is None else len(b)
-                    ).astype("int64"),
+                    "n_bytes_in": pd.array(
+                        [None if b is None else len(b) for b in payloads],
+                        dtype="Int64",
+                    ),
+                    "n_bytes_out": pd.array(
+                        [None if b is None else len(b) for b in resized],
+                        dtype="Int64",
+                    ),
                     "resized_fp": resized.map(
                         lambda b: None if b is None else hashlib.md5(b).hexdigest()
                     ),

@@ -292,8 +292,10 @@ def dedup_near(t):
     # ±1 sums → signed 64-bit signature (bit 63 contributes -2^63).
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      FROM documents WHERE text IS NOT NULL AND text <> ''
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+      ) WHERE tok <> ''
     ),
     th AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
@@ -800,7 +802,10 @@ def text_char_ngrams(t):
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes_in,
-           CAST(least(length(text), 128) AS BIGINT) AS n_bytes_out,
+           -- least() ignores NULLs in DuckDB, so guard explicitly:
+           -- NULL payload must yield NULL size, not 128
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     ELSE least(length(text), 128) END AS BIGINT) AS n_bytes_out,
            md5(substring(text, 1, 128)) AS resized_fp
     FROM documents
     """,

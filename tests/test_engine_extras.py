@@ -473,9 +473,11 @@ def test_short_text_ngrams_and_shingles_safe(spark):
         "doc_id int, text string",
     )
     # shingle sets: < n tokens → empty array, never a crash
+    # (tokens materialized in a prior select per the operator contract)
+    tk = df.select("doc_id", F.split("text", " ").alias("tk"))
     got = {
         r.doc_id: r.s
-        for r in df.select("doc_id", shingle_hash_set(F.col("text")).alias("s")).collect()
+        for r in tk.select("doc_id", shingle_hash_set(F.col("tk")).alias("s")).collect()
     }
     assert got[1] == [] and got[2] == [] and got[4] == []
     assert got[3] in ([], None)

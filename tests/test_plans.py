@@ -99,3 +99,18 @@ def test_sessionize_reuses_one_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_sessionize", mode="simple")
     # both window passes and the rollup share the user_id partitioning
     assert plan.count("Exchange") == 1
+
+
+def test_shingle_split_materialized_not_inlined(spark, sf_dir):
+    """The inlined-split trap (round-3 ADVICE): an F.split referenced
+    inside a higher-order-function lambda is re-evaluated per element,
+    turning the O(tokens) shingle pass into O(tokens^2) per document.
+    The fix materializes the token array in its own Project; this pins
+    it — no split() may appear inside any lambdafunction in the
+    optimized plan, and each subtree carries the split in a Project."""
+    df = REGISTRY["dedup_near"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" in plan  # sanity: tokenization is present
+    for line in plan.splitlines():
+        if "lambdafunction(" in line:
+            assert "split(" not in line, f"split inlined into lambda: {line[:200]}"
