@@ -1037,60 +1037,53 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 @register("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(t):
-    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact
+    """IVF-style ANN: coarse quantizer \u2192 inverted lists \u2192 probe \u2192 exact
     rerank. Deterministic end-to-end, so fully oracle-checkable.
 
     The coarse quantizer is the per-label mean centroid (the exact
     deterministic computation `sim_centroids` verifies) standing in for
-    trained k-means — the *plumbing* is the production IVF shape:
-    (1) every vector is assigned to its nearest centroid's inverted
-    list (argmax cosine, ties to the higher label — one broadcast of L
-    centroids, one shuffle-free pass); (2) the query probes its
-    nprobe=2 nearest lists; (3) exact fused-fold cosine reranks only
-    the probed lists' members (TakeOrderedAndProject top-10).
+    trained k-means. Like any IVF/k-means deployment the quantizer is a
+    MODEL, not data: its L\u00b7dim scalars are fitted by one distributed
+    fixed-point aggregation and PACKED INTO A SINGLE BROADCAST ROW
+    (label \u2192 centroid array + scaled-int norm) \u2014 the Spark analogue of
+    pyspark.ml KMeansModel.clusterCenters, sized by (L, dim) and
+    independent of corpus size. Everything stays lazy: no driver
+    collect, one Spark job end-to-end, and the broadcast exchange is
+    planned once and REUSED by every consumer (ReuseExchange).
 
-    Scale: assignment is O(n·L·dim) map-side with L centroids
-    broadcast; the probe prunes the rerank to ~nprobe/L of the corpus.
-    At 100 TB, lists become partition keys (partition pruning serves
-    the probe) and the quantizer is swapped for trained k-means —
-    identical dataflow. Complements `sim_ann_bucketed` (LSH): IVF gives
-    data-adaptive lists, LSH gives data-independent hashing.
+    Dataflow \u2014 the production IVF shape:
+    (1) assignment: one map-only pass over the embeddings scan; each
+        vector computes argmax-cosine against the L broadcast centroids
+        via a transform/array_max fold (zip_with dot products; the
+        vector's own norm is materialized once in a prior projection).
+        No explode, no shuffle, no join on the corpus side.
+    (2) probe: the query row scores the same broadcast centroids and
+        keeps its nprobe=2 nearest lists (cos DESC, label DESC \u2014 the
+        oracle's exact tie order).
+    (3) rerank: a broadcast semi-join on list_id prunes the corpus to
+        ~nprobe/L, then the exact fused-fold cosine + top-10
+        (TakeOrderedAndProject).
+
+    Scale: the only shuffle is the model fit\u2019s (label, pos) aggregation
+    over scaled-int partials; the corpus path is scan \u2192 map \u2192
+    broadcast-filter \u2192 top-k. At 100 TB, lists become partition keys
+    (partition pruning replaces the probe filter) and the quantizer is
+    swapped for trained k-means \u2014 identical dataflow. Complements
+    `sim_ann_bucketed` (LSH): IVF gives data-adaptive lists, LSH gives
+    data-independent hashing.
+
+    All scalar terms round as ``round((a\u00b7b)\u00b71e16)`` \u2192 int64 sums \u2014
+    bit-identical across Spark and the DuckDB oracle regardless of
+    evaluation order.
     """
-    # Spread the corpus across the cluster BEFORE the ×dim explode: the
-    # local fixture is one parquet split, which would serialize the
-    # n·L·dim join+agg onto one core; hashing 1 narrow row per vector is
-    # ~free, and on a real multi-split corpus this is a no-op-sized
-    # shuffle that also evens out skewed splits. The partition count is
-    # EXPLICIT — an expression-only repartition is AQE-coalescible, and
-    # with kilobyte-scale input AQE's size heuristic would collapse it
-    # back to one partition, re-serializing the explode.
-    spark = t.embeddings.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = t.embeddings.repartition(n_part, "vec_id")
-    # One explode of the corpus feeds everything: (vec_id, pos, x) rows.
-    # All arithmetic is plain codegen (no interpreted array-lambda folds —
-    # at n×L pair counts those dominate; join + hash-agg is the same math
-    # at whole-stage-codegen speed, bit-identical rounding). Norms are
-    # summed INSIDE each dot-product group (every group holds all dims,
-    # so in-group Σround(x²·S) equals the per-vector norm exactly) —
-    # mirroring the oracle's shape and avoiding separate norm shuffles.
-    ex = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "v")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("v").cast("double").alias("x"),
-    )
+    e = t.embeddings
 
-    def s(col):  # scaled-int term
+    def s(col):  # scaled-int aggregate term
         return F.sum(F.round(col * F.lit(1e16), 0).cast("long"))
 
-    def cos(sxy, sxx, syy):
-        return sxy.cast("double") / (
-            F.sqrt(sxx.cast("double")) * F.sqrt(syy.cast("double"))
-        )
-
-    # centroids as (clabel, pos, c) — exact per-dim fixed-point means
+    # ---- fit: exact per-label fixed-point centroid means (one explode +
+    # one tiny shuffle), packed to ONE broadcast row:
+    #   cents: array<struct<clabel, carr: array<double>, scc: long>>
     cent_rows = (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .select(
@@ -1104,61 +1097,109 @@ def sim_ann_ivf(t):
         .agg(
             (F.sum("sv").cast("double") / (F.lit(1e16) * F.count(F.lit(1)))).alias("c")
         )
-        .select(F.col("label").alias("clabel"), "pos", "c")
+    )
+    # One global aggregation packs all L·dim (label, pos, c) rows into the
+    # single model row, with the per-label restructure (position-sorted
+    # centroid arrays + scaled-int norms) done expression-side — L·dim is
+    # model-sized, so the collect_list is bounded regardless of corpus
+    # size, and the fit costs exactly two exchanges: the (label, pos)
+    # partial-agg shuffle and the 640-row global gather.
+    rows = F.col("rows")
+    packed = cent_rows.agg(
+        F.collect_list(F.struct("label", "pos", "c")).alias("rows")
+    ).select(
+        F.transform(
+            F.array_sort(
+                F.array_distinct(F.transform(rows, lambda r: r["label"]))
+            ),
+            lambda l: F.struct(
+                l.alias("clabel"),
+                F.transform(
+                    # struct sort orders by (label, pos, c) — within one
+                    # label that is pos order, giving the dim-ordered array
+                    F.array_sort(F.filter(rows, lambda r: r["label"] == l)),
+                    lambda x: x["c"],
+                ).alias("carr"),
+                F.aggregate(
+                    F.filter(rows, lambda r: r["label"] == l),
+                    F.lit(0).cast("long"),
+                    lambda acc, r: acc
+                    + F.round(r["c"] * r["c"] * F.lit(1e16), 0).cast("long"),
+                ).alias("scc"),
+            ),
+        ).alias("cents")
     )
 
-    # (1) inverted-list assignment: nearest centroid per vector — one
-    # broadcast join on pos (L·dim rows) + one hash agg per (vec, label)
-    asn_sims = (
-        ex.join(F.broadcast(cent_rows), "pos")
-        .groupBy("vec_id", "clabel")
-        .agg(
-            cos(
-                s(F.col("x") * F.col("c")),
-                s(F.col("x") * F.col("x")),
-                s(F.col("c") * F.col("c")),
-            ).alias("cos")
+    # ---- (1) assignment: argmax cosine per vector, map-only against the
+    # broadcast model. The self-norm fold is materialized ONCE in its own
+    # projection (referencing it inside the per-centroid lambda would
+    # re-fold it L times \u2014 the inlined-expression trap).
+    def cos_vs(cent, sxx):
+        return sim.dot_scaled(F.col("embedding"), cent["carr"]).cast("double") / (
+            F.sqrt(sxx.cast("double")) * F.sqrt(cent["scc"].cast("double"))
         )
-    )
-    assign = (
-        asn_sims.groupBy("vec_id")
-        .agg(F.max(F.struct("cos", "clabel")).alias("m"))
-        .select("vec_id", F.col("m.clabel").alias("list_id"))
-    )
 
-    # (2) query probes its nprobe=2 nearest lists — a 64-row branch
-    # (cosine(c, q) ≡ cosine(q, c): IEEE multiplication commutes)
-    qx = ex.filter(F.col("vec_id") == 0).select("pos", F.col("x").alias("qx"))
-    qprobe = (
-        cent_rows.join(F.broadcast(qx), "pos")
-        .groupBy("clabel")
-        .agg(
-            cos(
-                s(F.col("c") * F.col("qx")),
-                s(F.col("c") * F.col("c")),
-                s(F.col("qx") * F.col("qx")),
-            ).alias("cos")
-        )
-        .orderBy(F.col("cos").desc(), F.col("clabel").desc())
-        .limit(2)
-        .select(F.col("clabel").alias("list_id"))
-    )
-
-    # (3) exact rerank over probed lists only: back on the ARRAY form
-    # with the fused single-pass fold — the candidate set is ~nprobe/L of
-    # the corpus, small enough that the interpreted fold is cheaper than
-    # another explode+shuffle pass. Fold and explode-agg compute the
-    # identical scaled-int arithmetic, so results stay hash-equal.
-    cand = assign.join(F.broadcast(qprobe), "list_id").select("vec_id")
-    qv = t.embeddings.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
-    )
-    return (
-        t.embeddings.join(cand, "vec_id")
-        .crossJoin(F.broadcast(qv))
+    assigned = (
+        sim.fan_out(e)
         .select(
-            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+            "vec_id",
+            "embedding",
+            sim.dot_scaled(F.col("embedding"), F.col("embedding")).alias("__sxx"),
         )
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_max(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        cos_vs(c, F.col("__sxx")).alias("cos"),
+                        c["clabel"].alias("clabel"),
+                    ),
+                )
+            )["clabel"].alias("list_id"),
+        )
+    )
+
+    # ---- (2) probe: the query row scores the same broadcast centroids
+    # (cosine(c, q) \u2261 cosine(q, c): IEEE multiplication commutes);
+    # nprobe=2 lists by (cos DESC, clabel DESC). The query vector rides
+    # along on the probe rows, so the rerank needs no second query scan.
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        sim.dot_scaled(F.col("embedding"), F.col("embedding")).alias("__sqq"),
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(packed))
+        .select(
+            "qv",
+            F.explode(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (
+                            sim.dot_scaled(F.col("qv"), c["carr"]).cast("double")
+                            / (
+                                F.sqrt(F.col("__sqq").cast("double"))
+                                * F.sqrt(c["scc"].cast("double"))
+                            )
+                        ).alias("cos"),
+                        c["clabel"].alias("clabel"),
+                    ),
+                )
+            ).alias("sc"),
+        )
+        .orderBy(F.col("sc.cos").desc(), F.col("sc.clabel").desc())
+        .limit(2)
+        .select(F.col("sc.clabel").alias("list_id"), "qv")
+    )
+
+    # ---- (3) broadcast probe join (each vector's list_id matches at most
+    # one probe row, which carries qv) + exact fused-fold rerank
+    return (
+        assigned.join(F.broadcast(qprobe), "list_id")
+        .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
