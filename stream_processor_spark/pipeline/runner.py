@@ -222,20 +222,37 @@ class PipelineRunner:
             counts = route_counts(routed)
             ok = routed.filter(F.col("route") == ROUTE_OK)
             target_sink.write_batch(self.encode_output(resolved, ok), batch_id)
-            for step_name, dlq_topic in zip(resolved.processor_names, resolved.dlq_topics):
+            # Steps are grouped by DLQ topic so a topic shared by several
+            # chain steps gets exactly ONE write per micro-batch (their
+            # branches unioned via route.isin). Writing per step would aim
+            # every step at the same batch_id=N directory, and an
+            # idempotent sink's overwrite would silently clobber the
+            # earlier steps' rows for that batch.
+            by_topic: dict[str, list[str]] = {}
+            for step_name, dlq_topic in zip(
+                resolved.processor_names, resolved.dlq_topics
+            ):
+                if dlq_topic is None:
+                    continue
+                labels = by_topic.setdefault(dlq_topic, [])
                 label = f"dlq_{step_name}"
-                if dlq_topic is None or counts.get(label, 0) == 0:
+                if label not in labels:
+                    labels.append(label)
+            # ORIGINAL record payload: input columns only (consumer.js:100),
+            # wire-encoded with the outgoing schema (consumer.js:128-132)
+            original_cols = [
+                c for c in routed.columns
+                if c != "route" and not c.startswith("out_")
+            ]
+            for dlq_topic, labels in by_topic.items():
+                if sum(counts.get(label, 0) for label in labels) == 0:
                     continue
                 sink = dlq_sinks.get(dlq_topic)
                 if sink is None:
                     raise KeyError(f"no sink bound for DLQ topic {dlq_topic!r}")
-                # ORIGINAL record payload: input columns only (consumer.js:100),
-                # wire-encoded with the outgoing schema (consumer.js:128-132)
-                original_cols = [
-                    c for c in routed.columns
-                    if c != "route" and not c.startswith("out_")
-                ]
-                originals = routed.filter(F.col("route") == label).select(*original_cols)
+                originals = routed.filter(
+                    F.col("route").isin(labels)
+                ).select(*original_cols)
                 sink.write_batch(self.encode_dlq(resolved, originals), batch_id)
             if metrics is not None:
                 metrics.record_batch(counts, resolved.processor_names)

@@ -456,6 +456,63 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, catalog, tmp_path):
     assert spark.read.parquet(target.path_or_topic).count() == 4
 
 
+def test_shared_dlq_topic_no_clobber_on_idempotent_replay(spark, tmp_path):
+    """Two chain steps sharing ONE DLQ topic must both land their rows in
+    an idempotent sink's per-batch directory: the runner unions the
+    steps' branches and writes the topic once per micro-batch. (The
+    per-step write it replaces aimed both steps at the same batch_id=N
+    directory, where overwrite silently deleted the first step's rows.)"""
+    doc = {
+        "topics": [
+            {"id": 1, "topic_name": "topic-in"},
+            {"id": 2, "topic_name": "topic-out"},
+            {"id": 17, "topic_name": "dlq-shared"},
+        ],
+        "schemas": [{"id": 1, "schema_name": "schema_a"}],
+        "processors": [
+            {"id": 11, "processor_name": "capitalize", "is_filter": False},
+            {"id": 14, "processor_name": "reverseString", "is_filter": False},
+        ],
+        "pipelines": [
+            {
+                "id": 1,
+                "name": "shared-dlq",
+                "source_topic_id": 1,
+                "target_topic_id": 2,
+                "incoming_schema_id": 1,
+                "outgoing_schema_id": 1,
+                # BOTH steps route failures to the same topic
+                "steps": {"processors": [11, 14], "dlq": [17, 17]},
+            }
+        ],
+    }
+    catalog = PipelineCatalog.from_dict(doc)
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    target = Sink("parquet_idempotent", str(tmp_path / "target"))
+    dlq = Sink("parquet_idempotent", str(tmp_path / "dlq"))
+    resolved = catalog.resolve(1)
+    # Both builtin string steps only fail on a null value, which always
+    # routes at step 1 — so build the routed frame directly with one row
+    # per step's DLQ route to exercise the shared-topic union.
+    from stream_processor_spark.operators.dlq import ROUTE_OK
+
+    routed = spark.createDataFrame(
+        [
+            ("k1", "hello", 2, ROUTE_OK, "HELLO", 2),
+            ("k2", None, 3, "dlq_capitalize", None, 3),
+            ("k3", "abc", 4, "dlq_reverseString", None, 4),
+        ],
+        "key string, value string, num int, route string, out_value string, out_num int",
+    )
+    for _ in range(2):  # replay the same micro-batch (retry case)
+        runner._write_routed(
+            resolved, routed, target, {"dlq-shared": dlq}, None, batch_id=3
+        )
+    rows = spark.read.parquet(dlq.path_or_topic).collect()
+    # both steps' originals present exactly once each
+    assert sorted((r.key, r.num) for r in rows) == [("k2", 3), ("k3", 4)]
+
+
 def test_deploy_all_starts_only_active(spark, catalog, tmp_path):
     runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
     from stream_processor_spark.streaming.file_stream import FileBroker
