@@ -69,13 +69,40 @@ class SubjectSchema:
 
 
 class SchemaRegistry:
-    """subject name → SubjectSchema (the engine's Confluent registry)."""
+    """subject name → SubjectSchema (the engine's Confluent registry).
+
+    A subject may carry several REGISTERED VERSIONS (distinct schema
+    ids): ``register`` sets/replaces the subject's latest and records the
+    version; ``register_version`` records an additional (typically older)
+    version without touching the latest. Framed decode dispatches on the
+    id each message carries in its wire frame — see :meth:`decode`.
+    """
 
     def __init__(self, subjects: dict[str, SubjectSchema] | None = None):
-        self._subjects = dict(subjects or {})
+        self._subjects: dict[str, SubjectSchema] = {}
+        self._versions: dict[str, dict[int, SubjectSchema]] = {}
+        for s in (subjects or {}).values():
+            self.register(s)
 
     def register(self, s: SubjectSchema) -> None:
         self._subjects[s.subject] = s
+        if s.schema_id is not None:
+            self._versions.setdefault(s.subject, {})[s.schema_id] = s
+
+    def register_version(self, s: SubjectSchema) -> None:
+        """Record an additional version (id-keyed) for the subject without
+        replacing its latest — the engine analog of the reference's
+        id-keyed schemaCache filling in as ids are seen
+        (consumer.js:117-124), resolved at plan time instead."""
+        if s.schema_id is None:
+            raise ValueError("register_version needs a schema_id")
+        if s.subject not in self._subjects:
+            self._subjects[s.subject] = s
+        self._versions.setdefault(s.subject, {})[s.schema_id] = s
+
+    def versions(self, subject: str) -> dict[int, SubjectSchema]:
+        self.get(subject)  # raise on unknown subject
+        return dict(self._versions.get(subject, {}))
 
     def get(self, subject: str) -> SubjectSchema:
         if subject not in self._subjects:
@@ -114,12 +141,54 @@ class SchemaRegistry:
         with a bad magic decodes to NULL, which the chain routes to the
         first step's error/DLQ (the reference's per-message decode failure,
         consumer.js:142-145), never a task abort.
+
+        PER-MESSAGE SCHEMA-ID DISPATCH (consumer.js:46,117-124): each
+        record decodes with the version named by the id in ITS OWN wire
+        frame, via a when-chain over the subject's registered versions —
+        the reference's id-keyed schemaCache compiled into the plan. A
+        topic interleaving two schema versions decodes both correctly;
+        older versions are projected into the latest version's field set
+        (missing fields → NULL — the standard evolution read path). A
+        frame carrying an UNREGISTERED id decodes to NULL and routes to
+        the error/DLQ path, exactly like a bad magic byte; ids arriving
+        after plan compilation are picked up on the next (re)start's
+        resolution, mirroring the reference's cache-miss registry fetch.
         """
         s = self.get(subject)
         if s.schema_id is None:
             return self._decode_payload(s, value)
-        decoded = self._decode_payload(s, self.strip_frame(value))
-        return F.when(self.wire_magic_ok(value), decoded)
+        versions = self._versions.get(subject) or {s.schema_id: s}
+        stripped = self.strip_frame(value)
+        frame_id = self.wire_schema_id(value)
+        target = s.spark_schema
+        target_names = {f.name for f in target.fields}
+
+        def as_latest(v: SubjectSchema) -> Column:
+            dec = self._decode_payload(v, stripped)
+            have = {f.name for f in v.spark_schema.fields}
+            if have == target_names and v.spark_schema == target:
+                return dec
+            proj = F.struct(
+                *[
+                    (
+                        dec[f.name]
+                        if f.name in have
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            # preserve record-level NULL (undecodable body) so DLQ
+            # routing sees a null record, not a record of nulls
+            return F.when(dec.isNotNull(), proj)
+
+        chain: Column | None = None
+        for sid in sorted(versions):
+            branch = as_latest(versions[sid])
+            cond = frame_id == F.lit(int(sid))
+            chain = F.when(cond, branch) if chain is None else chain.when(cond, branch)
+        # no otherwise(): unknown id → NULL record → routed error
+        return F.when(self.wire_magic_ok(value), chain)
 
     def encode(self, subject: str, record: Column) -> Column:
         """struct column → wire bytes/string per the subject's format.

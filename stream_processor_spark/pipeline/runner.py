@@ -103,6 +103,34 @@ class PipelineRunner:
         self.schemas = schemas
         self.pod_name = pod_name
 
+    @classmethod
+    def from_registry(
+        cls,
+        catalog: PipelineCatalog,
+        processors: ProcessorRegistry,
+        client,
+        fallback: SchemaRegistry | None = None,
+        pod_name: str = "spark",
+    ) -> "PipelineRunner":
+        """Build a runner whose subjects are resolved ONCE, at
+        construction, through a Confluent Schema Registry HTTP client
+        (the reference's startup resolution, consumer.js:212-219): every
+        subject referenced by an active pipeline is fetched at its latest
+        version, with ``fallback`` (e.g. a catalog-backed
+        :class:`SchemaRegistry`) covering subjects the registry lacks or
+        an unreachable registry."""
+        from stream_processor_spark.pipeline.registry_http import resolve_subjects
+
+        subjects: list[str] = []
+        for pid in catalog.active_pipeline_ids():
+            resolved = catalog.resolve(pid)
+            for s in (resolved.incoming_schema, resolved.outgoing_schema):
+                if s is not None and s not in subjects:
+                    subjects.append(s)
+        return cls(
+            catalog, processors, resolve_subjects(client, subjects, fallback), pod_name
+        )
+
     # -- plan building -----------------------------------------------------
 
     def routed_frame(self, resolved: ResolvedPipeline, decoded: DataFrame) -> DataFrame:
