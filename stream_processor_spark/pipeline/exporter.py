@@ -21,7 +21,7 @@ from __future__ import annotations
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from stream_processor_spark.pipeline.metrics import HELP, PipelineMetrics
+from stream_processor_spark.pipeline.metrics import GAUGES, HELP, PipelineMetrics
 
 CONTENT_TYPE = "text/plain; version=0.0.4; charset=utf-8"
 
@@ -43,7 +43,12 @@ def render(metrics_list: list[PipelineMetrics]) -> str:
 
     lines: list[str] = []
     for family in sorted(by_family):
-        kind = "histogram" if family.endswith("_seconds") else "counter"
+        if family in GAUGES:
+            kind = "gauge"
+        elif family.endswith("_seconds"):
+            kind = "histogram"
+        else:
+            kind = "counter"
         lines.append(f"# HELP {family} {HELP.get(family, family)}")
         lines.append(f"# TYPE {family} {kind}")
         for name, labels, value in by_family[family]:

@@ -50,7 +50,15 @@ HELP = {
     "messages_dlq_total": "Total number of messages sent to DLQ",
     "messages_dropped_total": "Total number of messages dropped",
     "message_processing_duration_seconds": "Duration of message processing in seconds",
+    "consumer_lag": "Source offsets not yet processed by the pipeline",
 }
+
+# Gauge-typed metric names (everything else renders as counter/histogram).
+# consumer_lag is the autoscaling signal the reference's KEDA ScaledObject
+# triggers on (configs/templates/scaledobject-template.yaml:14-21,
+# lagThreshold 10): exporting it makes the same lag-based scaling contract
+# available to a KEDA prometheus trigger against this engine.
+GAUGES = {"consumer_lag"}
 
 
 class PipelineMetrics:
@@ -70,12 +78,18 @@ class PipelineMetrics:
         self._lock = threading.Lock()
         # (name, extra-label items tuple) -> value
         self._counts: dict[tuple, float] = defaultdict(float)
+        self._gauges: dict[tuple, float] = {}
         # step label -> list of observed durations
         self._durations: dict[str, list[float]] = defaultdict(list)
 
     def inc(self, name: str, n: float = 1.0, **extra_labels: str) -> None:
         with self._lock:
             self._counts[(name, tuple(sorted(extra_labels.items())))] += n
+
+    def set_gauge(self, name: str, value: float, **extra_labels: str) -> None:
+        """Set (not add) a gauge sample, e.g. ``consumer_lag``."""
+        with self._lock:
+            self._gauges[(name, tuple(sorted(extra_labels.items())))] = float(value)
 
     def observe_duration(self, seconds: float, step: str = "total") -> None:
         with self._lock:
@@ -126,6 +140,8 @@ class PipelineMetrics:
             agg: dict[str, float] = defaultdict(float)
             for (name, _extra), v in self._counts.items():
                 agg[name] += v
+            for (name, _extra), v in self._gauges.items():
+                agg[name] = v
             return dict(agg)
 
     def samples(self):
@@ -133,6 +149,8 @@ class PipelineMetrics:
         with self._lock:
             out = []
             for (name, extra), v in sorted(self._counts.items()):
+                out.append((name, {**self.labels, **dict(extra)}, v))
+            for (name, extra), v in sorted(self._gauges.items()):
                 out.append((name, {**self.labels, **dict(extra)}, v))
             durations = {k: list(v) for k, v in self._durations.items()}
         for step, obs in sorted(durations.items()):
@@ -173,8 +191,45 @@ def route_counts(routed_df) -> dict[str, int]:
     return {r["route"]: r["n"] for r in rows}
 
 
+def lag_from_progress(progress: dict) -> float | None:
+    """Source lag from one StreamingQueryProgress document, or None when
+    the source type reports none.
+
+    Kafka sources publish ``metrics.maxOffsetsBehindLatest`` per source
+    (the exact offsets-behind signal KEDA's kafka trigger scales on);
+    other sources are covered generically when both ``latestOffset`` and
+    ``endOffset`` carry comparable numeric offsets. File-stream sources
+    report ``latestOffset: null`` — use
+    :func:`streaming.file_stream.file_topic_lag` as the harness probe.
+    """
+
+    def _num(o):
+        if isinstance(o, dict) and "logOffset" in o:
+            return float(o["logOffset"])
+        if isinstance(o, (int, float)):
+            return float(o)
+        return None
+
+    total, found = 0.0, False
+    for src in progress.get("sources", []):
+        m = src.get("metrics") or {}
+        if "maxOffsetsBehindLatest" in m:
+            try:
+                total += float(m["maxOffsetsBehindLatest"])
+                found = True
+                continue
+            except (TypeError, ValueError):
+                pass
+        latest, end = _num(src.get("latestOffset")), _num(src.get("endOffset"))
+        if latest is not None and end is not None:
+            total += max(0.0, latest - end)
+            found = True
+    return total if found else None
+
+
 class MetricsListener(StreamingQueryListener):
-    """Maps StreamingQuery progress onto message_processing_duration_seconds."""
+    """Maps StreamingQuery progress onto message_processing_duration_seconds
+    and the consumer_lag gauge."""
 
     def __init__(self, metrics: PipelineMetrics):
         self.metrics = metrics
@@ -189,6 +244,15 @@ class MetricsListener(StreamingQueryListener):
         except AttributeError:
             duration_ms = 0
         self.metrics.observe_duration(duration_ms / 1000.0, step="total")
+        try:
+            import json as _json
+
+            doc = _json.loads(p.json)
+        except Exception:
+            doc = {}
+        lag = lag_from_progress(doc)
+        if lag is not None:
+            self.metrics.set_gauge("consumer_lag", lag)
 
     def onQueryIdle(self, event):  # pragma: no cover - trivial
         pass

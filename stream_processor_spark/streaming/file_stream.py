@@ -46,6 +46,24 @@ class FileTopic:
         return not any(f.endswith(".parquet") for f in os.listdir(self.dir))
 
 
+def file_topic_lag(topic: FileTopic, metrics, spark: SparkSession) -> int:
+    """Harness consumer-lag probe for file topics.
+
+    File-stream sources report ``latestOffset: null`` in query progress,
+    so the generic :func:`pipeline.metrics.lag_from_progress` path has no
+    signal; this probe computes the same quantity directly — records
+    present in the topic minus records the pipeline has received — and
+    publishes it as the ``consumer_lag`` gauge (the KEDA lagThreshold
+    signal, scaledobject-template.yaml:14-21). One tiny count job per
+    probe; harness/ops cadence, never per record.
+    """
+    total = topic.read_batch(spark).count()
+    received = metrics.snapshot().get("messages_received_total", 0)
+    lag = max(0, int(total - received))
+    metrics.set_gauge("consumer_lag", float(lag))
+    return lag
+
+
 class FileBroker:
     """A set of FileTopics under one root (≙ a Kafka cluster for tests)."""
 

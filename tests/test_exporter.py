@@ -152,3 +152,75 @@ def test_http_scrape_after_spark_routed_batch(spark, tmp_path):
         }
     finally:
         server.stop()
+
+
+def test_lag_from_progress_shapes():
+    from stream_processor_spark.pipeline.metrics import lag_from_progress
+
+    # Kafka source: offsets-behind metric (the KEDA lag signal)
+    kafka_doc = {
+        "sources": [
+            {"metrics": {"maxOffsetsBehindLatest": "42", "avgOffsetsBehindLatest": "40.0"}},
+            {"metrics": {"maxOffsetsBehindLatest": "8"}},
+        ]
+    }
+    assert lag_from_progress(kafka_doc) == 50.0
+    # generic numeric offsets (latest vs end)
+    generic_doc = {"sources": [{"latestOffset": {"logOffset": 9}, "endOffset": {"logOffset": 6}}]}
+    assert lag_from_progress(generic_doc) == 3.0
+    # file source reports null latestOffset -> no signal
+    assert lag_from_progress({"sources": [{"latestOffset": None, "endOffset": {"logOffset": 2}}]}) is None
+
+
+def test_consumer_lag_gauge_scrape_after_file_stream_backlog(spark, tmp_path):
+    """End-to-end lag gauge: a file-stream pipeline drains its topic, new
+    records arrive unprocessed (known backlog), the harness lag probe
+    publishes consumer_lag, and /metrics serves it as a gauge — the
+    engine-side signal matching the reference's KEDA lag trigger
+    (scaledobject-template.yaml:14-21)."""
+    from stream_processor_spark.pipeline.catalog import PipelineCatalog
+    from stream_processor_spark.pipeline.codecs import demo_message_schema
+    from stream_processor_spark.pipeline.processors import BUILTIN_PROCESSORS
+    from stream_processor_spark.pipeline.runner import PipelineRunner, Sink
+    from stream_processor_spark.streaming.file_stream import FileBroker, file_topic_lag
+    from tests.test_pipeline import CATALOG_DOC, RECORDS
+
+    metrics = PipelineMetrics("1", pod_name="pod-spark")
+    runner = PipelineRunner(PipelineCatalog.from_dict(CATALOG_DOC), BUILTIN_PROCESSORS)
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = demo_message_schema()
+    topic = broker.topic("topic-in", schema)
+    topic.produce(spark.createDataFrame(RECORDS, schema=schema))
+
+    q = runner.run_streaming(
+        1,
+        topic.read_stream(spark),
+        Sink("parquet", str(tmp_path / "t")),
+        {"dlq-capitalize": Sink("parquet", str(tmp_path / "d"))},
+        checkpoint_dir=broker.checkpoint_dir(),
+        metrics=metrics,
+    )
+    q.awaitTermination(60)
+    assert metrics.snapshot()["messages_received_total"] == 4.0
+    # drained: lag 0
+    assert file_topic_lag(topic, metrics, spark) == 0
+
+    # three new records arrive with no query running -> known backlog of 3
+    topic.produce_rows(
+        spark, [{"key": f"n{i}", "value": "x", "num": i} for i in range(3)]
+    )
+    assert file_topic_lag(topic, metrics, spark) == 3
+
+    server = MetricsServer(metrics).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics"
+        ) as resp:
+            body = resp.read().decode()
+    finally:
+        server.stop()
+    assert "# TYPE consumer_lag gauge" in body
+    parsed = _parse(body)
+    assert parsed["consumer_lag"][0] == (
+        {"pipeline_id": "1", "pod_name": "pod-spark"}, 3.0
+    )
