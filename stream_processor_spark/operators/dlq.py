@@ -139,6 +139,17 @@ def split_routes(routed: DataFrame) -> dict[str, DataFrame]:
     ``pipeline.runner.PipelineRunner.run_streaming`` filters a cached
     micro-batch per route label inside ``foreachBatch`` without re-scanning
     the source.
+
+    Guarded against streaming misuse: ``collect()`` on an unbounded
+    DataFrame is illegal anyway, but failing here with a pointed message
+    beats Spark's generic AnalysisException at action time.
     """
+    if routed.isStreaming:
+        raise TypeError(
+            "split_routes enumerates route labels by collecting data and "
+            "cannot run on a streaming DataFrame — use "
+            "PipelineRunner.run_streaming, which filters the cached "
+            "micro-batch per KNOWN chain label inside foreachBatch"
+        )
     labels = [r["route"] for r in routed.select("route").distinct().collect()]
     return {label: routed.filter(F.col("route") == label) for label in labels}

@@ -1037,42 +1037,42 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 
 @register("sim_ann_ivf", oracle=_IVF_ORACLE)
 def sim_ann_ivf(t):
-    """IVF-style ANN: coarse quantizer \u2192 inverted lists \u2192 probe \u2192 exact
+    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact
     rerank. Deterministic end-to-end, so fully oracle-checkable.
 
     The coarse quantizer is the per-label mean centroid (the exact
     deterministic computation `sim_centroids` verifies) standing in for
     trained k-means. Like any IVF/k-means deployment the quantizer is a
-    MODEL, not data: its L\u00b7dim scalars are fitted by one distributed
+    MODEL, not data: its L·dim scalars are fitted by one distributed
     fixed-point aggregation and PACKED INTO A SINGLE BROADCAST ROW
-    (label \u2192 centroid array + scaled-int norm) \u2014 the Spark analogue of
+    (label → centroid array + scaled-int norm) — the Spark analogue of
     pyspark.ml KMeansModel.clusterCenters, sized by (L, dim) and
     independent of corpus size. Everything stays lazy: no driver
     collect, one Spark job end-to-end, and the broadcast exchange is
     planned once and REUSED by every consumer (ReuseExchange).
 
-    Dataflow \u2014 the production IVF shape:
+    Dataflow — the production IVF shape:
     (1) assignment: one map-only pass over the embeddings scan; each
         vector computes argmax-cosine against the L broadcast centroids
         via a transform/array_max fold (zip_with dot products; the
         vector's own norm is materialized once in a prior projection).
         No explode, no shuffle, no join on the corpus side.
     (2) probe: the query row scores the same broadcast centroids and
-        keeps its nprobe=2 nearest lists (cos DESC, label DESC \u2014 the
+        keeps its nprobe=2 nearest lists (cos DESC, label DESC — the
         oracle's exact tie order).
     (3) rerank: a broadcast semi-join on list_id prunes the corpus to
         ~nprobe/L, then the exact fused-fold cosine + top-10
         (TakeOrderedAndProject).
 
-    Scale: the only shuffle is the model fit\u2019s (label, pos) aggregation
-    over scaled-int partials; the corpus path is scan \u2192 map \u2192
-    broadcast-filter \u2192 top-k. At 100 TB, lists become partition keys
+    Scale: the only shuffle is the model fit's (label, pos) aggregation
+    over scaled-int partials; the corpus path is scan → map →
+    broadcast-filter → top-k. At 100 TB, lists become partition keys
     (partition pruning replaces the probe filter) and the quantizer is
-    swapped for trained k-means \u2014 identical dataflow. Complements
+    swapped for trained k-means — identical dataflow. Complements
     `sim_ann_bucketed` (LSH): IVF gives data-adaptive lists, LSH gives
     data-independent hashing.
 
-    All scalar terms round as ``round((a\u00b7b)\u00b71e16)`` \u2192 int64 sums \u2014
+    All scalar terms round as ``round((a·b)·1e16)`` → int64 sums —
     bit-identical across Spark and the DuckDB oracle regardless of
     evaluation order.
     """
@@ -1133,7 +1133,7 @@ def sim_ann_ivf(t):
     # ---- (1) assignment: argmax cosine per vector, map-only against the
     # broadcast model. The self-norm fold is materialized ONCE in its own
     # projection (referencing it inside the per-centroid lambda would
-    # re-fold it L times \u2014 the inlined-expression trap).
+    # re-fold it L times — the inlined-expression trap).
     def cos_vs(cent, sxx):
         return sim.dot_scaled(F.col("embedding"), cent["carr"]).cast("double") / (
             F.sqrt(sxx.cast("double")) * F.sqrt(cent["scc"].cast("double"))
@@ -1163,7 +1163,7 @@ def sim_ann_ivf(t):
     )
 
     # ---- (2) probe: the query row scores the same broadcast centroids
-    # (cosine(c, q) \u2261 cosine(q, c): IEEE multiplication commutes);
+    # (cosine(c, q) ≡ cosine(q, c): IEEE multiplication commutes);
     # nprobe=2 lists by (cos DESC, clabel DESC). The query vector rides
     # along on the probe rows, so the rerank needs no second query scan.
     q = e.filter(F.col("vec_id") == 0).select(
@@ -1199,6 +1199,83 @@ def sim_ann_ivf(t):
     # one probe row, which carries qv) + exact fused-fold rerank
     return (
         assigned.join(F.broadcast(qprobe), "list_id")
+        .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register("sim_ann_ivf_trained")  # trained quantizer → not SQL-expressible;
+# driver records the rows-only check, recall is pinned in test_ann_quality
+def sim_ann_ivf_trained(t):
+    """Production IVF: a TRAINED coarse quantizer (seeded pyspark.ml
+    KMeans over L2-normalized vectors, so Euclidean clustering tracks
+    cosine neighborhoods) swapped into the exact `sim_ann_ivf` dataflow —
+    the north-star swap docs/LIMITS.md promised.
+
+    fit: KMeans(k=10, seed) on unit vectors — distributed Lloyd
+    iterations; the model (k·dim scalars) is driver-held exactly like
+    KMeansModel.clusterCenters. serve: (1) assignment = model.transform
+    (map-only, broadcast centroids, no corpus shuffle); (2) the query's
+    nprobe=2 lists chosen against the model's centers (model-sized
+    driver math); (3) exact fused-fold cosine rerank over the probed
+    lists only, top-10 (TakeOrderedAndProject).
+
+    Not oracle-checkable: k-means training is implementation-defined
+    (DuckDB cannot reproduce Spark's seeded initialization), so the
+    driver records rows-only; recall@10 vs the exact brute-force ranking
+    is pinned in tests/test_ann_quality.py instead. At 100 TB: fit on a
+    sample, persist the model, partition the corpus by list_id — probe
+    becomes partition pruning; identical serving plan.
+    """
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t.embeddings
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    feats = sim.fan_out(e).select(
+        "vec_id",
+        "embedding",
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double") / nrm)
+        ).alias("features"),
+    )
+    model = KMeans(
+        k=10, seed=42, featuresCol="features", predictionCol="list_id"
+    ).fit(feats)
+
+    # nprobe=2 lists nearest the query, scored against the driver-held
+    # model centers (k·dim scalars — model-sized, not data-sized)
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
+    qunit = [x / qn for x in qv]
+
+    def center_cos(c):
+        dot = sum(a * b for a, b in zip(c, qunit))
+        cn = math.sqrt(sum(a * a for a in c)) or 1.0
+        return dot / cn
+
+    centers = [(center_cos(c), i) for i, c in enumerate(model.clusterCenters())]
+    probe = [i for _, i in sorted(centers, reverse=True)[:2]]
+
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        model.transform(feats)
+        .filter(F.col("list_id").isin(probe))
+        .crossJoin(F.broadcast(qrow))
         .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)

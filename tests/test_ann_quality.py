@@ -27,6 +27,21 @@ def rankings(spark):
     return set(exact[:10]), ivf, lsh
 
 
+@pytest.fixture(scope="module")
+def trained(spark):
+    return {r.vec_id for r in REGISTRY["sim_ann_ivf_trained"].fn(spark, SF).collect()}
+
+
+def test_trained_ivf_sized_query_found_and_recall(rankings, trained):
+    """The k-means quantizer must at least match the per-label heuristic
+    quantizer's contract: 10 results, the query itself found (cosine
+    1.0), and a recall floor vs the exact ranking."""
+    top10, _, _ = rankings
+    assert len(trained) == 10
+    assert 0 in trained
+    assert len(trained & top10) / 10 >= 0.3
+
+
 def test_ann_results_subset_of_corpus_and_sized(rankings):
     top10, ivf, lsh = rankings
     assert len(ivf) == 10 and len(lsh) == 10
