@@ -104,20 +104,27 @@ def main() -> None:
         floor_df.write.mode("overwrite").format("noop").save()
         floor = min(floor, time.perf_counter() - t0)
 
-    # Best of 2 runs per query: the first run pays one-time costs (janino
-    # compile of this query's generated code, file-footer reads) that are
-    # amortized to ~zero at 100 TB; run 2 is the steady-state number the
-    # scale comparison cares about. Both runs fully materialize via noop.
+    # Best of N runs per query (N = $SPARK_GRAFT_BENCH_RUNS, default 2):
+    # the first run pays one-time costs (janino compile of this query's
+    # generated code, file-footer reads) that are amortized to ~zero at
+    # 100 TB; later runs are the steady-state number the scale comparison
+    # cares about. All runs fully materialize via noop. Per-query spread
+    # (max/min of the post-warmup runs) is reported so a noisy machine
+    # shows up as variance, not as a phantom regression.
+    n_runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(n_runs):
             df = spec.fn(spark, SF_DIR)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        steady = runs[1:]  # drop the compile-paying first run
+        timings[name] = round(min(steady), 3)
+        spreads[name] = round(max(steady) / max(min(steady), 1e-9), 2)
 
     # Reference-pipeline throughput envelope (BASELINE.md): full wire
     # path — JSON wire frame → decode(incoming) → 3-step chain with DLQ
@@ -173,6 +180,11 @@ def main() -> None:
         "value_minus_floor": round(
             max(0.0, sum(timings.values()) - floor * len(timings)), 3
         ),
+        "queries_minus_floor": {
+            k: round(max(0.0, v - floor), 3) for k, v in timings.items()
+        },
+        "run_spread": spreads,
+        "bench_runs": n_runs,
         "pipeline_msgs_per_sec": pipeline_msgs_per_sec,
     }
     print(json.dumps(result))
