@@ -1498,3 +1498,292 @@ def dedup_cc_clusters(t):
     return connected_components(
         vertices, pairs, id_col="id", src_col="va", dst_col="vb"
     ).withColumnRenamed("id", "vec_id")
+
+
+# ---------------------------------------------- round-4 corpus operators ----
+
+
+@register(
+    "text_bm25",
+    # Same expression shapes on both sides; score rounded to 6 dp so a
+    # sub-ulp libm difference in ln() cannot flip the hash.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dlen AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dlen
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    qtok AS (SELECT DISTINCT tok FROM tf WHERE doc_id = 0)
+    SELECT t.doc_id,
+           round(SUM(
+             ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(d.len AS DOUBLE) / c.avgdl)))
+           ), 6) AS bm25
+    FROM tf t
+    JOIN qtok q ON t.tok = q.tok
+    JOIN dfreq f ON t.tok = f.tok
+    JOIN dlen d ON t.doc_id = d.doc_id
+    CROSS JOIN corpus c
+    GROUP BY t.doc_id
+    """,
+)
+def text_bm25(t):
+    """BM25 relevance of every document against the query doc's (doc_id=0)
+    token set — the classic corpus-ranking operator (k1=1.2, b=0.75),
+    used in training-data pipelines for query-targeted subset selection.
+
+    Scale: term frequencies aggregate map-side; the query's token set and
+    the df rows for those tokens are BROADCAST (query-sized, not
+    corpus-sized), so scoring is one shuffle on doc_id for the tf/len
+    join plus a per-doc sum. idf uses the +1 (Lucene) form, always
+    positive. Score rounded to 6 dp: natural log is the one sub-ulp
+    engine-divergence risk, and the rounding absorbs it.
+    """
+    d = sim.fan_out(
+        t.documents.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    ).select("doc_id", F.split("text", " ").alias("__tk"))
+    toks = d.select(
+        "doc_id", F.explode(F.filter(F.col("__tk"), lambda x: x != "")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    corpus = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("len").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qtok = tf.filter(F.col("doc_id") == 0).select("tok").distinct()
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(2.2))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("len").cast("double") / F.col("avgdl")))
+        )
+    )
+    return (
+        tf.join(F.broadcast(qtok), "tok")
+        .join(F.broadcast(dfreq.join(F.broadcast(qtok), "tok")), "tok")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("bm25"))
+    )
+
+
+_SQ8_ORACLE = """
+WITH dims AS (
+  SELECT i.i AS pos,
+         MIN(CAST(embedding[i.i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i.i] AS DOUBLE)) AS mx
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS i(i)
+  GROUP BY i.i
+),
+q8 AS (
+  SELECT e.vec_id, d.pos,
+         CASE WHEN d.mx > d.mn THEN
+           CAST(round(((CAST(e.embedding[d.pos] AS DOUBLE) - d.mn) * 255.0)
+                      / (d.mx - d.mn)) AS BIGINT)
+         ELSE 0 END AS q
+  FROM embeddings e CROSS JOIN dims d
+),
+qq AS (SELECT pos, q FROM q8 WHERE vec_id = 0),
+scores AS (
+  SELECT a.vec_id, SUM(a.q * b.q) AS s
+  FROM q8 a JOIN qq b USING (pos) GROUP BY a.vec_id
+),
+cand AS (SELECT vec_id FROM scores ORDER BY s DESC, vec_id LIMIT 50),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+terms AS (
+  SELECT e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN cand USING (vec_id)
+  CROSS JOIN q CROSS JOIN generate_series(1, 64) AS i(i)
+)
+SELECT vec_id,
+       CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+FROM terms GROUP BY vec_id
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_ann_sq8", oracle=_SQ8_ORACLE)
+def sim_ann_sq8(t):
+    """Scalar-quantized ANN (SQ8): per-dimension min/max over the corpus
+    → each vector quantized to 8-bit codes → integer-dot-product
+    shortlist (top-50) → exact fused-fold cosine rerank (top-10).
+
+    This is the deterministic member of the product-quantization family
+    (per-dim scalar codebooks instead of trained sub-space centroids), so
+    unlike PQ it is fully oracle-checkable: quantization uses half-away
+    rounding on identical expression shapes, and the shortlist scores are
+    exact int64 sums.
+
+    Scale: the (min, max) codebook is one global aggregate packed into a
+    single broadcast row (2·dim doubles — model-sized); quantization +
+    scoring is a map-only pass (TakeOrderedAndProject shortlist, no
+    corpus shuffle); the rerank touches 50 rows. At 100 TB the codes
+    would be written once as a byte column (4-8× scan shrinkage for any
+    downstream similarity pass) — this query is that pipeline inline.
+    """
+    e = t.embeddings
+    dim = 64
+    ex = e.select("vec_id", F.posexplode("embedding").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("x")
+    )
+    packed = (
+        ex.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+                lambda s: F.struct(s["mn"].alias("mn"), s["mx"].alias("mx")),
+            ).alias("dims")
+        )
+    )
+
+    def quantize(vec):
+        # positions 1..dim against the broadcast codebook
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.when(
+                F.element_at(F.col("dims"), i)["mx"]
+                > F.element_at(F.col("dims"), i)["mn"],
+                F.round(
+                    (
+                        (
+                            F.element_at(vec, i).cast("double")
+                            - F.element_at(F.col("dims"), i)["mn"]
+                        )
+                        * F.lit(255.0)
+                    )
+                    / (
+                        F.element_at(F.col("dims"), i)["mx"]
+                        - F.element_at(F.col("dims"), i)["mn"]
+                    ),
+                    0,
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    codes = (
+        sim.fan_out(e)
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", "embedding", quantize(F.col("embedding")).alias("code"))
+    )
+    qcode = (
+        e.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            quantize(F.col("embedding")).alias("qcode"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    shortlist = (
+        codes.crossJoin(F.broadcast(qcode))
+        .select(
+            "vec_id",
+            "embedding",
+            "qv",
+            F.aggregate(
+                F.zip_with(F.col("code"), F.col("qcode"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(50)
+    )
+    return (
+        shortlist.select(
+            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sample_weighted",
+    # All-integer selection arithmetic -> no float boundary can flip the
+    # selected set between engines.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, GREATEST(n_chars, 1) AS w
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, w,
+             SUM(w) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY source) AS total
+      FROM w
+    )
+    SELECT doc_id, source, CAST(w AS BIGINT) AS weight
+    FROM cum
+    WHERE (cw * 20) // total > ((cw - w) * 20) // total
+    """,
+)
+def sample_weighted(t):
+    """Weighted systematic sampling, stratified by source: within each
+    stratum, documents are selected where their cumulative-weight span
+    crosses one of k=20 evenly spaced weight thresholds — longer docs
+    (weight = n_chars) are proportionally more likely, short docs still
+    reachable, and the whole selection is pure int64 arithmetic: exactly
+    reproducible across engines and partitionings (no RNG, no float
+    thresholds), the property that matters for auditable training-data
+    subsets.
+
+    Scale: one shuffle on source for the per-stratum running sum (the
+    same partitioning serves both window passes), then a map-side filter.
+    Strata are bounded (sources), so per-partition sequential cumsum is
+    the intended shape — the unpartitioned global variant would
+    single-thread and is deliberately not offered.
+    """
+    from pyspark.sql.window import Window
+
+    w = t.documents.select(
+        "doc_id", "source", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    run = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("source")
+    cum = w.select(
+        "doc_id",
+        "source",
+        "w",
+        F.sum("w").over(run).alias("cw"),
+        F.sum("w").over(tot).alias("total"),
+    )
+    # SQL `div` = exact int64 division on both engines (a float floor
+    # could misround once cw·k passes 2^53 — reachable in a 100 TB
+    # stratum), matching the oracle's `//` on BIGINT
+    sel = F.expr("(cw * 20) div total") > F.expr("((cw - w) * 20) div total")
+    return cum.filter(sel).select(
+        "doc_id", "source", F.col("w").cast("long").alias("weight")
+    )

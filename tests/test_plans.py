@@ -122,3 +122,18 @@ def test_shingle_split_materialized_not_inlined(spark, sf_dir):
     for line in plan.splitlines():
         if "lambdafunction(" in line:
             assert "split(" not in line, f"split inlined into lambda: {line[:200]}"
+
+
+def test_rollup_expands_then_partial_aggregates(spark, sf_dir):
+    """agg_rollup: the Expand operator doubles rows BEFORE the exchange,
+    so the partial aggregate must sit between Expand and the shuffle —
+    map-side combine keeps the shuffled volume at (groups × levels), not
+    (rows × levels), which is what makes rollup safe at 100 TB."""
+    plan = _plan(spark, sf_dir, "agg_rollup", mode="simple")
+    assert "Expand" in plan
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    # order in the rendered tree: final agg <- Exchange <- partial agg <- Expand
+    assert plan.index("partial_sum") < plan.index("Expand") or plan.index(
+        "Exchange"
+    ) < plan.index("partial_sum")
