@@ -39,6 +39,13 @@ QUERIES = [
     "join_broadcast",
     "join_star_3way",
     "join_star_5way",
+    # round 4: corpus operators (documents/embeddings also replicated 10x)
+    "sim_topk",
+    "sim_ann_ivf",
+    "sim_ann_sq8",
+    "dedup_near",
+    "dedup_simhash",
+    "text_bm25",
 ]
 
 
@@ -68,8 +75,29 @@ def generate(spark) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(DST, "lineitem.parquet"))
     )
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "events", "documents", "embeddings"):
+    # corpus tables replicate 10x too (id-shifted so doc_id/vec_id 0 — the
+    # query row — stays unique); dimensions stay fixed
+    documents = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    d_off = documents.agg(F.max("doc_id")).collect()[0][0] + 1
+    (
+        documents.select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(d_off))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(DST, "documents.parquet"))
+    )
+    embeddings = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    v_off = embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
+    (
+        embeddings.select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(v_off))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(DST, "embeddings.parquet"))
+    )
+    for name in ("region", "nation", "customer", "supplier", "part", "events"):
         link = os.path.join(DST, f"{name}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{name}.parquet"), link)

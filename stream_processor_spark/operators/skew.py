@@ -48,3 +48,34 @@ def salted_agg(
 def replicate_broadcast_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
     """Skew-immune dimension join: broadcast the dim, never shuffle the fact."""
     return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_shuffle_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-immune fact-fact equi-join (neither side broadcastable).
+
+    The skewed probe side gets a random salt in [0, N); the other side is
+    replicated N× with every salt value, and the join key becomes
+    (key, salt) — a hot key's rows now land on N reducers instead of one.
+    Join RESULTS are identical to the unsalted join (each skewed row
+    still meets every matching other-side row exactly once, through its
+    single salt replica), so correctness is oracle-checkable while the
+    salt only reshapes the shuffle.
+
+    Cost model: N× replication of the smaller-but-unbroadcastable side
+    vs an N-way split of the hottest reducer — the classic pre-AQE skew
+    fix, still needed when AQE's split granularity (one shuffle block)
+    is coarser than one hot KEY, e.g. a single key holding >1 partition
+    of rows on the BUILD side of a sort-merge join.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    probe = skewed.withColumn("__salt", salt)
+    build = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return probe.join(build, [key, "__salt"], how).drop("__salt")

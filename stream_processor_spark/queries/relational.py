@@ -414,6 +414,43 @@ def agg_salted_skew(t):
 
 
 @register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {_dsum_sql('l.l_extendedprice')} AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(t):
+    """Salted fact-fact equi-join (operators/skew.py:salted_shuffle_join):
+    the probe side carries a random salt, the other side is replicated
+    16× so the join key becomes (key, salt) — a hot order key's line
+    items spread over 16 reducers instead of one.
+
+    Results are provably identical to the unsalted join (each probe row
+    meets each matching row exactly once via its single salt replica),
+    so the plain-join SQL is a valid oracle despite the RNG salt. This
+    is the explicit fallback for the case AQE skew handling cannot fix:
+    ONE key bigger than a shuffle-block split, on a join where neither
+    side fits a broadcast. The demo aggregates to priority level to keep
+    the checked result compact.
+    """
+    from stream_processor_spark.operators.skew import salted_shuffle_join
+
+    l = t.lineitem.select("l_orderkey", "l_extendedprice")
+    o = t.orders.select("o_orderkey", "o_orderpriority").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_shuffle_join(l, o, key="l_orderkey", salt_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "agg_percentile_exact",
     oracle="""
     SELECT l_returnflag,

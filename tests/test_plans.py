@@ -137,3 +137,11 @@ def test_rollup_expands_then_partial_aggregates(spark, sf_dir):
     assert plan.index("partial_sum") < plan.index("Expand") or plan.index(
         "Exchange"
     ) < plan.index("partial_sum")
+
+
+def test_salted_join_carries_salt_through_join_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_salted_skew", mode="simple")
+    # the salt must be part of the join key (locally AQE may still pick a
+    # broadcast — results are identical either way; at scale the salted
+    # (key, salt) pair is what splits a hot key across reducers)
+    assert "__salt" in plan
