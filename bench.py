@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_centroids",
     "dedup_token_jaccard",
     "dedup_shingle_jaccard",
+    "sample_weighted",
     "text_token_counts",
     "text_fingerprint",
     "join_asof",

@@ -1545,29 +1545,45 @@ def text_bm25(t):
     token set — the classic corpus-ranking operator (k1=1.2, b=0.75),
     used in training-data pipelines for query-targeted subset selection.
 
-    Scale: term frequencies aggregate map-side; the query's token set and
-    the df rows for those tokens are BROADCAST (query-sized, not
-    corpus-sized), so scoring is one shuffle on doc_id for the tf/len
-    join plus a per-doc sum. idf uses the +1 (Lucene) form, always
+    Scale: only QUERY-token occurrences ever shuffle — the token stream
+    is semi-joined against the broadcast query-token set before the tf
+    aggregation, so tf/df/score all operate on a query-sized slice of
+    the corpus; document lengths are computed map-side from the token
+    array (no second explode, no length shuffle), and the tf⋈len join
+    co-partitions on doc_id. idf uses the +1 (Lucene) form, always
     positive. Score rounded to 6 dp: natural log is the one sub-ulp
     engine-divergence risk, and the rounding absorbs it.
     """
     d = sim.fan_out(
         t.documents.filter(F.col("text").isNotNull() & (F.col("text") != ""))
     ).select("doc_id", F.split("text", " ").alias("__tk"))
-    toks = d.select(
-        "doc_id", F.explode(F.filter(F.col("__tk"), lambda x: x != "")).alias("tok")
+    # doc length map-side from the materialized array — no explode/shuffle
+    dlen = d.select(
+        "doc_id",
+        F.size(F.filter(F.col("__tk"), lambda x: x != "")).cast("long").alias("len"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
     corpus = dlen.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         (F.sum("len").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avgdl"
         ),
     )
+    qtok = (
+        t.documents.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split("text", " "), lambda x: x != "")
+                )
+            ).alias("tok")
+        )
+    )
+    # only query-token occurrences reach the shuffle
+    toks_q = d.select(
+        "doc_id", F.explode(F.filter(F.col("__tk"), lambda x: x != "")).alias("tok")
+    ).join(F.broadcast(qtok), "tok")
+    tf = toks_q.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    qtok = tf.filter(F.col("doc_id") == 0).select("tok").distinct()
     idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term = (
         idf
@@ -1579,8 +1595,7 @@ def text_bm25(t):
         )
     )
     return (
-        tf.join(F.broadcast(qtok), "tok")
-        .join(F.broadcast(dfreq.join(F.broadcast(qtok), "tok")), "tok")
+        tf.join(F.broadcast(dfreq), "tok")
         .join(dlen, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .groupBy("doc_id")
