@@ -62,3 +62,51 @@ def test_partition_pruning_reads_only_matching_dirs(spark, sf_dir, tmp_path):
     n_click = df.count()
     expected = t.events.filter(F.col("event_type") == "click").count()
     assert n_click == expected
+
+
+def test_ann_probe_is_partition_pruned_read(spark, sf_dir, tmp_path):
+    """The ANN scale story made real: materialize the embedding corpus
+    PARTITIONED BY its list assignment (here the deterministic LSH
+    sign-bucket; trained IVF list_id is the same shape), then run the
+    probe as a filter on the partition column — the scan must prune to
+    the probed lists' directories (PartitionFilters), not read the
+    corpus and filter after. This is the 'lists become partition keys'
+    claim in sim_ann_ivf/sim_ann_bucketed's docstrings, proven."""
+    from stream_processor_spark.operators.similarity import cosine, sign_bucket
+
+    t = Tables(spark, sf_dir)
+    path = str(tmp_path / "embeddings_by_list")
+    listed = t.embeddings.withColumn("list_id", sign_bucket(F.col("embedding"), 3))
+    write_partitioned(listed, path, ["list_id"])
+
+    # the query's own bucket = the probe
+    probe = (
+        listed.filter(F.col("vec_id") == 0).select("list_id").head()[0]
+    )
+    probed = spark.read.parquet(path).filter(F.col("list_id") == probe)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    partition_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "list_id" in partition_filters
+
+    # and the pruned read serves the exact same rerank results
+    qv = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    top = (
+        probed.crossJoin(F.broadcast(qv))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    full_top = (
+        listed.filter(F.col("list_id") == probe)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r.vec_id, r.cosine) for r in top] == [
+        (r.vec_id, r.cosine) for r in full_top
+    ]

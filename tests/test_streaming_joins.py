@@ -176,3 +176,55 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     run()
     # state for click 2 expired with no match → NULL-padded row emitted
     assert (2, None, None) in out
+
+
+def test_streaming_dedup_against_static_corpus(spark, tmp_path):
+    """Incremental corpus ingestion: a stream of documents is deduped
+    against a STATIC historical fingerprint set with a broadcast
+    left-anti join — new fingerprints pass, already-seen ones drop.
+    This is the streaming face of dedup_cross_source: the historical
+    side scans once per micro-batch as a broadcast build, the stream
+    side never shuffles."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stream_processor_spark.operators.text import fingerprint
+    from stream_processor_spark.streaming.file_stream import FileBroker
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    history = spark.createDataFrame(
+        [(100, "seen before"), (101, "also seen")], schema=schema
+    ).select(fingerprint(F.col("text")).alias("fp"))
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("docs", schema)
+    topic.produce_rows(
+        spark,
+        [
+            {"doc_id": 1, "text": "seen before"},       # dup of history
+            {"doc_id": 2, "text": "genuinely new"},
+            {"doc_id": 3, "text": "also seen"},          # dup of history
+            {"doc_id": 4, "text": "another new one"},
+        ],
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        topic.read_stream(spark)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .join(F.broadcast(history), "fp", "left_anti")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", broker.checkpoint_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert kept == [2, 4]
