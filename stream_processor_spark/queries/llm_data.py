@@ -1282,6 +1282,105 @@ def sim_ann_ivf_trained(t):
     )
 
 
+@register("sim_ann_pq_trained")  # trained sub-quantizers → rows-only check;
+# recall pinned in test_ann_quality
+def sim_ann_pq_trained(t):
+    """Product quantization with ADC (asymmetric distance computation):
+    the 64-dim space splits into M=8 subspaces of 8 dims; each subspace
+    gets a k=16 codeword codebook (seeded pyspark.ml KMeans on a
+    per-subspace slice), so a vector compresses to 8 bytes (one code per
+    subspace — 32× smaller than float32). Search scores candidates
+    WITHOUT decompression: the query precomputes an M×k lookup table of
+    partial dot products against every codeword (driver-side — M·k·(dim/M)
+    = one codebook pass), and a candidate's approximate score is just M
+    table lookups summed. Top-50 shortlist by ADC score, then exact
+    fused-fold cosine rerank of the 50 — the standard IVF-PQ serving
+    shape minus the IVF stage (composable with either list filter).
+
+    Spark-first: codes are computed map-only against the M broadcast
+    codebooks (model.transform per subspace on an array slice); the ADC
+    table rides into the scan as ONE literal array (M·k doubles —
+    model-sized), scoring is a small codegen/HOF expression per row, and
+    the shortlist is TakeOrderedAndProject. No corpus shuffle anywhere.
+
+    Not oracle-checkable (k-means sub-quantizers are implementation-
+    defined); the driver records rows-only and recall@10 is pinned in
+    tests/test_ann_quality.py. At 100 TB the codes column is written
+    once (8 bytes/vector) and every downstream similarity pass scans
+    codes instead of floats — the 32× scan shrinkage is the point.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = t.embeddings
+    M, SUB, K = 8, 8, 16
+
+    feats = sim.fan_out(e).select(
+        "vec_id",
+        "embedding",
+        *[
+            array_to_vector(
+                F.slice(F.transform("embedding", lambda x: x.cast("double")),
+                        m * SUB + 1, SUB)
+            ).alias(f"__s{m}")
+            for m in range(M)
+        ],
+    )
+    # fit M sub-quantizers (model-sized: M·k·SUB scalars total)
+    models = [
+        KMeans(
+            k=K, seed=7 + m, featuresCol=f"__s{m}", predictionCol=f"__c{m}"
+        ).fit(feats)
+        for m in range(M)
+    ]
+    coded = feats
+    for m in range(M):
+        coded = models[m].transform(coded)
+    coded = coded.select(
+        "vec_id", "embedding", F.array(*[f"__c{m}" for m in range(M)]).alias("code")
+    )
+
+    # query-side ADC table: table[m][j] = <q_sub_m, codeword_j>
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    table = [
+        [
+            sum(
+                qv[m * SUB + i] * float(c[i]) for i in range(SUB)
+            )
+            for c in models[m].clusterCenters()
+        ]
+        for m in range(M)
+    ]
+    # one flat literal array (M·k doubles); lookup = table[m*K + code[m]]
+    flat = F.array(*[F.lit(v) for row in table for v in row])
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M - 1)),
+            lambda m: F.element_at(
+                flat, (m * K + F.element_at(F.col("code"), m + 1) + 1).cast("int")
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    shortlist = (
+        coded.select("vec_id", "embedding", adc.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(50)
+    )
+    return (
+        shortlist.crossJoin(F.broadcast(qrow))
+        .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "text_levenshtein",
     oracle="""

@@ -42,6 +42,16 @@ def test_trained_ivf_sized_query_found_and_recall(rankings, trained):
     assert len(trained & top10) / 10 >= 0.3
 
 
+def test_pq_adc_sized_query_found_and_recall(spark, rankings):
+    """PQ-ADC (8-byte codes, 32x compression) still finds the query and
+    holds a recall floor over its top-50 shortlist + exact rerank."""
+    top10, _, _ = rankings
+    pq = {r.vec_id for r in REGISTRY["sim_ann_pq_trained"].fn(spark, SF).collect()}
+    assert len(pq) == 10
+    assert 0 in pq
+    assert len(pq & top10) / 10 >= 0.3
+
+
 def test_ann_results_subset_of_corpus_and_sized(rankings):
     top10, ivf, lsh = rankings
     assert len(ivf) == 10 and len(lsh) == 10
