@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Per-query Spark-vs-DuckDB comparison at a given SF dir.
+
+The reference publishes no benchmark numbers (BASELINE.md), so the
+working single-node baseline is DuckDB executing each query's own oracle
+SQL on the same parquet files. This script times every HEADLINE query in
+both engines (best-of-N) and prints a JSON report with floor-adjusted
+ratios — the measurement the round verdicts grade against.
+
+Floor adjustment: Spark pays a fixed per-query job-scheduling +
+noop-materialization cost on local[N] that amortizes to ~zero at
+cluster scale; the measured no-op floor is subtracted once per query
+(same method as bench.py / the round verdicts).
+
+Usage:
+  python scripts/duckdb_compare.py            # sf0.1, 3 runs
+  SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_BENCH_RUNS=5 python scripts/duckdb_compare.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+
+def main() -> None:
+    import duckdb  # noqa: F401 (import check before Spark spin-up)
+
+    from bench import HEADLINE
+    from stream_processor_spark.queries import REGISTRY
+    from stream_processor_spark.session import get_spark
+    from tests.oracle_harness import duck_con
+
+    # -- DuckDB side: best-of-N of each query's own oracle SQL
+    duck: dict[str, float] = {}
+    con = duck_con(SF_DIR)
+    for name in HEADLINE:
+        sql = REGISTRY[name].oracle
+        if not sql:
+            continue
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 4)
+    con.close()
+
+    # -- Spark side: best of the post-warmup runs through the noop sink
+    spark = get_spark("duckdb-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    floor_df = spark.range(32).repartition(32)
+    floor_df.write.mode("overwrite").format("noop").save()  # warm
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        floor_df.write.mode("overwrite").format("noop").save()
+        floor = min(floor, time.perf_counter() - t0)
+
+    rows = []
+    for name in HEADLINE:
+        if name not in duck:
+            continue
+        runs = []
+        for _ in range(N_RUNS):
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        steady = min(runs[1:])
+        adj = max(0.0, steady - floor)
+        rows.append(
+            {
+                "query": name,
+                "spark_sec": round(steady, 4),
+                "spark_adj_sec": round(adj, 4),
+                "duckdb_sec": duck[name],
+                "ratio_adj": round(adj / duck[name], 2) if duck[name] > 0 else None,
+            }
+        )
+    spark.stop()
+
+    over = [r for r in rows if r["ratio_adj"] and r["ratio_adj"] > 2.0]
+    report = {
+        "sf_dir": SF_DIR,
+        "runs": N_RUNS,
+        "floor_sec": round(floor, 4),
+        "spark_adj_total": round(sum(r["spark_adj_sec"] for r in rows), 3),
+        "duckdb_total": round(sum(r["duckdb_sec"] for r in rows), 3),
+        "queries_over_2x_adj": [r["query"] for r in over],
+        "per_query": rows,
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
