@@ -55,3 +55,67 @@ def running_counts(grouped_stream: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- transformWithStateInPandas (Spark 4 StatefulProcessor API) -------------
+
+RUNNING_STATS_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def _make_running_stats_processor():
+    """Spark 4's typed StatefulProcessor: named ValueState handles with
+    schema, optional TTL, and timer support — the successor API to
+    applyInPandasWithState's single opaque state tuple. The sum is
+    accumulated in int64 cents (the engine-wide fixed-point discipline),
+    so state merges are exact and order-independent."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", StructType([StructField("n", LongType()),
+                                   StructField("cents", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, cents = 0, 0
+            if self._state.exists():
+                prev = self._state.get()
+                n, cents = int(prev[0]), int(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                # half-up to cents, summed as int64 — exact across batches
+                cents += int((pdf["value"] * 100.0 + 0.5).astype("int64").sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStats()
+
+
+def running_stats(grouped_stream: DataFrame, key_col: str) -> DataFrame:
+    """Per-key running (count, exact fixed-point sum) via
+    ``transformWithStateInPandas`` — the Spark 4 arbitrary-state API with
+    typed state handles. Emits the cumulative pair per key per
+    micro-batch (update semantics); state lives in the state store
+    partitioned by key, exactly like the applyInPandasWithState path it
+    supersedes."""
+    return grouped_stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_make_running_stats_processor(),
+        outputStructType=RUNNING_STATS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -448,3 +448,44 @@ def test_streaming_framed_avro_wire_roundtrip(spark, tmp_path):
     # the bad-magic record decoded to an all-null record, so its outgoing
     # wire key (the record's 'key' field, consumer.js:131) is null
     assert None in by_key and "x" not in by_key
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas (typed StatefulProcessor with a
+    named ValueState): per-key running (count, exact cents sum) persists
+    across restarts via the checkpointed state store — the successor API
+    to applyInPandasWithState, exercised end-to-end.
+
+    Env-gated: the transformWithState protocol serializes its state
+    messages with google.protobuf, which this container does not ship
+    (same class as PIL/Kafka — the operator is real, the dependency is
+    environmental)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.types import DoubleType
+
+    from stream_processor_spark.streaming.stateful import running_stats
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = StructType(
+        [StructField("key", StringType()), StructField("value", DoubleType())]
+    )
+    topic = broker.topic("kv", schema)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def collect(batch_df, _):
+        out.extend((r.key, r.n, r.total_cents) for r in batch_df.collect())
+
+    topic.produce_rows(
+        spark,
+        [{"key": "a", "value": 1.25}, {"key": "a", "value": 2.50},
+         {"key": "b", "value": 0.99}],
+    )
+    _run_available_now(running_stats(topic.read_stream(spark), "key"), ckpt, collect, "update")
+    assert sorted(out) == [("a", 2, 375), ("b", 1, 99)]
+
+    # state survives the restart: totals continue, not reset
+    topic.produce_rows(spark, [{"key": "a", "value": 0.25}])
+    out.clear()
+    _run_available_now(running_stats(topic.read_stream(spark), "key"), ckpt, collect, "update")
+    assert out == [("a", 3, 400)]
