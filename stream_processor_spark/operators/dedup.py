@@ -165,6 +165,7 @@ def minhash_det_near_dup_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     min_tokens: int = 3,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Deterministic MinHash-LSH near-duplicate pairs (a < b + jaccard).
 
@@ -174,6 +175,16 @@ def minhash_det_near_dup_pairs(
     SQL engine. Sub-quadratic at scale: pairs are generated only within
     equal (band_idx, band_key) buckets, and the verify join re-fetches
     hash sets by id (shuffle on doc id, not a cross product).
+
+    ``max_bucket_size`` is the HOT-BUCKET GUARD every production LSH
+    dedup ships: a band bucket holding B documents contributes O(B²)
+    candidate pairs, and the buckets that blow up are exactly the ones
+    formed by boilerplate shingles (headers, license text, template
+    markup) that carry no near-dup signal. Buckets above the cap are
+    dropped BEFORE the self-join — deterministic (a size threshold, no
+    sampling), mirrored in the SQL oracle, and with 4 OR-amplified bands
+    a true near-dup pair usually still surfaces through its other
+    bands. ``None`` disables the guard.
 
     Reference parity: this is the engine's scale path for corpus dedup,
     beyond the reference's per-record operators (SURVEY §2.12).
@@ -203,6 +214,14 @@ def minhash_det_near_dup_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    if max_bucket_size is not None:
+        sizes = (
+            bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+        bands = bands.join(sizes, ["band_idx", "band_key"])
     left = bands.alias("x")
     right = bands.alias("y")
     cand = (

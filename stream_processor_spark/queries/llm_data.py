@@ -257,9 +257,19 @@ def dedup_token_jaccard(t):
                + MIN(CASE WHEN a.j % 2 = 1 THEN a.mh END) AS band_key
       FROM mh a GROUP BY a.doc_id, a.j // 2
     ),
+    -- hot-bucket guard (mirrors the engine's max_bucket_size=64):
+    -- boilerplate-shingle buckets are dropped before pairing
+    kept AS (
+      SELECT band_idx, band_key FROM bands
+      GROUP BY band_idx, band_key HAVING COUNT(*) <= 64
+    ),
+    bands_kept AS (
+      SELECT b.* FROM bands b JOIN kept k
+        ON b.band_idx = k.band_idx AND b.band_key = k.band_key
+    ),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y
+      FROM bands_kept x JOIN bands_kept y
         ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        AND x.doc_id < y.doc_id
     )
@@ -1900,4 +1910,55 @@ def sample_weighted(t):
     sel = F.expr("(cw * 20) div total") > F.expr("((cw - w) * 20) div total")
     return cum.filter(sel).select(
         "doc_id", "source", F.col("w").cast("long").alias("weight")
+    )
+
+
+@register(
+    "window_time_spine",
+    # DuckDB: generate_series is inclusive of both bounds.
+    oracle="""
+    WITH bounds AS (
+      SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def window_time_spine(t):
+    """Dense daily time spine with zero-filled gaps — the standard
+    preparation for time-series models and windowed joins, where a day
+    with no events must appear as an explicit zero row rather than be
+    silently absent.
+
+    Spark-first: the spine is GENERATED from the data's own [min, max]
+    bounds with `sequence()` + explode (one 2-value global aggregate,
+    broadcast back — never a driver-side date loop), then the daily
+    counts left-join onto it. At 100 TB the daily aggregate is
+    partial+final over date_trunc and the spine side stays
+    calendar-sized (broadcast)."""
+    e = t.events
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"))
     )
