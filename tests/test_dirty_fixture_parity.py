@@ -104,3 +104,69 @@ def test_dirty_multimodal_oracle_parity(spark, dirty_ascii_sf_dir, name):
         name, spec.fn(spark, dirty_ascii_sf_dir), spec.oracle, dirty_ascii_sf_dir
     )
     assert result.ok, f"{name}: {result.detail}"
+
+
+# ---- dirty RELATIONAL fixture: NULL join keys and NULL measures ----------
+
+RELATIONAL_DIRTY_QUERIES = [
+    "join_inner",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "agg_groupby_basic",
+    "agg_having",
+    "sort_orders",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_rel_sf_dir(tmp_path_factory):
+    """sf-dir whose orders/lineitem/customer carry NULL keys and NULL
+    measures — SQL three-valued logic must agree between engines: NULL
+    join keys match nothing (inner/semi) and survive as unmatched rows
+    (left/anti); aggregates skip NULLs; a NULL-only group sums to NULL."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("dirty_rel_sf")
+    for name in TABLE_NAMES:
+        src = os.path.join(SF_SMALL, f"{name}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, d / f"{name}.parquet")
+    con = duckdb.connect()
+    # NULL o_custkey rows + one customer key matching nothing
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SF_SMALL}/orders.parquet'
+          UNION ALL
+          SELECT 900001, NULL, 'X', NULL, TIMESTAMP '2024-01-01', '1-URGENT'
+          UNION ALL
+          SELECT 900002, NULL, 'X', 12.34, NULL, NULL
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{SF_SMALL}/lineitem.parquet'
+          UNION ALL
+          SELECT 900001, 1, 1, 1, NULL, NULL, NULL, NULL, 'N', 'O',
+                 TIMESTAMP '2024-01-02'
+          UNION ALL
+          SELECT NULL, 1, 1, 2, 5.0, 100.0, 0.1, 0.0, 'Z', 'Z',
+                 TIMESTAMP '2024-01-03'
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", RELATIONAL_DIRTY_QUERIES)
+def test_dirty_relational_oracle_parity(spark, dirty_rel_sf_dir, name):
+    spec = REGISTRY[name]
+    assert spec.oracle
+    result = compare(
+        name, spec.fn(spark, dirty_rel_sf_dir), spec.oracle, dirty_rel_sf_dir
+    )
+    assert result.ok, f"{name}: {result.detail}"
