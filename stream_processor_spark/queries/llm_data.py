@@ -1962,3 +1962,65 @@ def window_time_spine(t):
         .join(daily, "day", "left")
         .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"))
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CASE WHEN row_number() OVER (
+               PARTITION BY event_type, user_id ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS is_first
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, day,
+             CAST(SUM(is_first) AS BIGINT) AS new_users,
+             COUNT(*) AS n_events
+      FROM firsts GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users, n_events,
+           CAST(SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+)
+def window_cumulative_distinct(t):
+    """Cumulative distinct-user count per event type by day — the
+    growth-accounting query engines cannot express as
+    ``COUNT(DISTINCT) OVER`` (Spark forbids it; a collect_set window
+    would carry the whole user set per row). The scalable formulation:
+    flag each (type, user)'s FIRST event with a row_number window, roll
+    the flags up daily, then a running sum — distinct-counting becomes
+    exact integer arithmetic that partial-aggregates and never
+    materializes a set.
+
+    Scale: one shuffle on (event_type, user_id) for the first-occurrence
+    window, a daily partial+final aggregate, and a calendar-sized running
+    sum. Deterministic tie-break on event_id, so both engines agree on
+    which event is 'first'."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    firsts = t.events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    daily = firsts.groupBy("event_type", "day").agg(
+        F.sum("is_first").cast("long").alias("new_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        "n_events",
+        F.sum("new_users").over(run).cast("long").alias("cum_distinct_users"),
+    )
