@@ -2024,3 +2024,95 @@ def window_cumulative_distinct(t):
         "n_events",
         F.sum("new_users").over(run).cast("long").alias("cum_distinct_users"),
     )
+
+
+@register(
+    "ts_user_similarity",
+    # Pearson correlation assembled from exact int64 moment sums (values
+    # in cents) — the one float expression is the final ratio, identical
+    # shape in both engines, rounded to 6 dp.
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    q AS (SELECT day, v AS qv FROM daily WHERE user_id = 1),
+    joined AS (
+      SELECT d.user_id, d.v, q.qv FROM daily d JOIN q ON d.day = q.day
+      WHERE d.user_id <> 1
+    ),
+    moments AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS sx, CAST(SUM(qv) AS BIGINT) AS sy,
+             CAST(SUM(v * qv) AS BIGINT) AS sxy,
+             CAST(SUM(v * v) AS BIGINT) AS sxx,
+             CAST(SUM(qv * qv) AS BIGINT) AS syy
+      FROM joined GROUP BY user_id
+    )
+    SELECT user_id,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS corr
+    FROM moments
+    WHERE n >= 3
+      AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY corr DESC, user_id LIMIT 20
+    """,
+)
+def ts_user_similarity(t):
+    """Time-series similarity search (EDBT'19-shaped): which users'
+    daily activity series correlate most with a query user's (user 1)?
+    Daily per-user sums in exact cents → join on shared days → Pearson
+    correlation assembled from five int64 moment sums — everything up to
+    the final ratio is exact integer arithmetic, so the ranking is
+    bit-deterministic and the SQL oracle reproduces it (constant-series
+    users are excluded: zero variance has no defined correlation).
+
+    Scale: one shuffle for the (user, day) aggregate, the query user's
+    series broadcasts, moments partial-aggregate per user, and the top-k
+    is TakeOrderedAndProject. The series never materializes as an array
+    — only 5 running sums per user."""
+    e = t.events
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(cents).cast("long").alias("v"))
+    q = daily.filter(F.col("user_id") == 1).select("day", F.col("v").alias("qv"))
+    joined = daily.filter(F.col("user_id") != 1).join(F.broadcast(q), "day")
+    m = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("long").alias("sx"),
+        F.sum("qv").cast("long").alias("sy"),
+        F.sum(F.col("v") * F.col("qv")).cast("long").alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+        F.sum(F.col("qv") * F.col("qv")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return (
+        m.filter(
+            (F.col("n") >= 3)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "user_id",
+            F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr"),
+        )
+        .orderBy(F.col("corr").desc(), F.col("user_id"))
+        .limit(20)
+    )
