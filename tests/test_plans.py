@@ -145,3 +145,20 @@ def test_salted_join_carries_salt_through_join_key(spark, sf_dir):
     # broadcast — results are identical either way; at scale the salted
     # (key, salt) pair is what splits a hot key across reducers)
     assert "__salt" in plan
+
+
+def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
+    """Global scale-killer net: building the physical plan of EVERY
+    registered query must produce no CartesianProduct — all cross joins
+    in the engine are broadcast-of-one-row (query vectors, packed
+    models, corpus stats), which plan as BroadcastNestedLoopJoin. The
+    single allowed exception is the bounded 5×5 nations demo, which
+    exists precisely to exercise the explicit crossJoin surface."""
+    allowed = {"join_cross_nations"}
+    offenders = []
+    for name, spec in sorted(REGISTRY.items()):
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan and name not in allowed:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct in: {offenders}"
