@@ -148,17 +148,25 @@ def test_salted_join_carries_salt_through_join_key(spark, sf_dir):
 
 
 def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
-    """Global scale-killer net: building the physical plan of EVERY
-    registered query must produce no CartesianProduct — all cross joins
-    in the engine are broadcast-of-one-row (query vectors, packed
-    models, corpus stats), which plan as BroadcastNestedLoopJoin. The
-    single allowed exception is the bounded 5×5 nations demo, which
-    exists precisely to exercise the explicit crossJoin surface."""
-    allowed = {"join_cross_nations"}
-    offenders = []
+    """Global scale-killer net over EVERY registered query's physical
+    plan, one pass:
+
+    - no CartesianProduct — all cross joins in the engine are
+      broadcast-of-one-row (query vectors, packed models, corpus
+      stats), which plan as BroadcastNestedLoopJoin; the single allowed
+      exception is the bounded 5×5 nations demo, which exists precisely
+      to exercise the explicit crossJoin surface;
+    - no BatchEvalPython — row-at-a-time Python UDFs are banned
+      engine-wide; every Python crossing is Arrow-batched
+      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)."""
+    allowed_cartesian = {"join_cross_nations"}
+    cartesian, row_python = [], []
     for name, spec in sorted(REGISTRY.items()):
         df = spec.fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan and name not in allowed:
-            offenders.append(name)
-    assert not offenders, f"CartesianProduct in: {offenders}"
+        if "CartesianProduct" in plan and name not in allowed_cartesian:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_python.append(name)
+    assert not cartesian, f"CartesianProduct in: {cartesian}"
+    assert not row_python, f"row-at-a-time Python UDF in: {row_python}"
