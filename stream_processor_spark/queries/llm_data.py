@@ -2116,3 +2116,152 @@ def ts_user_similarity(t):
         .orderBy(F.col("corr").desc(), F.col("user_id"))
         .limit(20)
     )
+
+
+@register(
+    "agg_histogram",
+    # bin = (price - min) * nbins / (max - min), clamped into [0, nbins-1]
+    # — identical double expression shape in both engines; bin ids and
+    # counts are exact integers.
+    oracle="""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+      SELECT LEAST(CAST(floor((o_totalprice - b.lo) * 16.0 / (b.hi - b.lo))
+                        AS BIGINT), 15) AS bin,
+             b.lo, b.hi
+      FROM orders CROSS JOIN b
+    )
+    SELECT bin,
+           COUNT(*) AS n,
+           -- raw double, NOT rounded: the expression shape is identical
+           -- in both engines so the IEEE result is bit-equal, while a
+           -- decimal round() can disagree at exact .5 boundaries
+           MIN(lo + bin * (hi - lo) / 16.0) AS bin_lo
+    FROM binned GROUP BY bin
+    """,
+)
+def agg_histogram(t):
+    """Equi-width histogram (16 bins) of order prices — the
+    data-profiling primitive behind range statistics and quality
+    dashboards. Bounds come from the data's own global (min, max)
+    aggregate, broadcast back; binning is a map-side expression and the
+    final count is a partial+final aggregate on ≤16 groups.
+
+    Scale: two passes over the column (bounds, then bin) — the standard
+    exact formulation; the sketch alternative (approx percentiles) is
+    `agg_approx_percentile`."""
+    o = t.orders
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * F.lit(16.0)
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(15).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / F.lit(16.0)
+        ).alias("bin_lo"),
+    )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_non_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_table(t):
+    """Column profiling (null counts, exact distincts, ranges) — the
+    data-quality report every ingestion pipeline runs before training.
+    One aggregate per profiled column unioned into a tall frame; at
+    100 TB swap `countDistinct` for `approx_count_distinct` per column
+    and all profiles collapse into a single pass."""
+    o = t.orders
+
+    def prof(col):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    return prof("o_custkey").unionAll(prof("o_totalprice"))
+
+
+@register(
+    "window_funnel",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_click) AS BIGINT) AS step1_click,
+           CAST(SUM(CASE WHEN t_view > t_click THEN 1 ELSE 0 END) AS BIGINT)
+             AS step2_view_after_click,
+           CAST(SUM(CASE WHEN t_purchase > t_view AND t_view > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS step3_purchase_after_view
+    FROM steps
+    """,
+)
+def window_funnel(t):
+    """Event funnel (click → view → purchase, ordered): per user, the
+    FIRST timestamp of each step via conditional MIN, then ordering
+    comparisons — the product-analytics conversion query. NULL
+    three-valued logic does the step gating (a missing step makes the
+    comparison NULL → not counted), identically in both engines.
+
+    Scale: one shuffle on user_id with map-side partial conditional
+    MINs, then a single-row global rollup."""
+    e = t.events
+    steps = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_click").alias("step1_click"),
+        F.sum(
+            F.when(F.col("t_view") > F.col("t_click"), 1).otherwise(0)
+        ).cast("long").alias("step2_view_after_click"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_view"))
+                & (F.col("t_view") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("step3_purchase_after_view"),
+    )
