@@ -73,6 +73,18 @@ def salted_shuffle_join(
     is coarser than one hot KEY, e.g. a single key holding >1 partition
     of rows on the BUILD side of a sort-merge join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        # The build side is replicated salt_buckets times before the join,
+        # so any join that preserves unmatched BUILD rows (right/full)
+        # would emit each of them salt_buckets times. Only probe-side-
+        # preserving joins keep results identical to the unsalted join.
+        raise ValueError(
+            f"salted_shuffle_join supports probe-side-preserving joins "
+            f"{sorted(allowed)}; got how={how!r} (unmatched build rows "
+            f"would be duplicated {salt_buckets}x)"
+        )
     salt = (F.rand(seed=42) * salt_buckets).cast("int")
     probe = skewed.withColumn("__salt", salt)
     build = other.withColumn(

@@ -248,7 +248,15 @@ def resolve_subjects(
         if client is not None:
             try:
                 resolved = subject_schema_from_version(client.get_latest(subject))
-            except (urllib.error.URLError, urllib.error.HTTPError, OSError):
+            except (
+                urllib.error.URLError,
+                urllib.error.HTTPError,
+                OSError,
+                NotImplementedError,
+            ):
+                # NotImplementedError: a PROTOBUF subject whose descriptor
+                # the wire format can't carry — the fallback registry may
+                # hold the proto_descriptor entry, so fall through to it.
                 resolved = None
         if resolved is None and fallback is not None:
             try:

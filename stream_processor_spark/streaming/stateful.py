@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -93,8 +94,14 @@ def _make_running_stats_processor():
                 n, cents = int(prev[0]), int(prev[1])
             for pdf in rows:
                 n += len(pdf)
-                # half-up to cents, summed as int64 — exact across batches
-                cents += int((pdf["value"] * 100.0 + 0.5).astype("int64").sum())
+                # half-up-via-floor to cents (engine-wide fixed-point
+                # convention: floor(v*100+0.5), correct for negatives where
+                # astype(int64) would truncate toward zero), summed as int64
+                cents += int(
+                    np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"key": [key[0]], "n": [n], "total_cents": [cents]}

@@ -127,6 +127,30 @@ def test_salted_agg_matches_plain_agg(spark, sf_dir):
     assert got == want
 
 
+def test_salted_join_rejects_build_preserving_how(spark, sf_dir):
+    """right/full would emit each unmatched build row salt_buckets times
+    (the build side is replicated before the join) — must raise, not
+    silently duplicate."""
+    import pytest as _pytest
+
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators.skew import salted_shuffle_join
+
+    t = Tables(spark, sf_dir)
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="probe-side-preserving"):
+            salted_shuffle_join(t.lineitem, t.orders.withColumnRenamed(
+                "o_orderkey", "l_orderkey"), key="l_orderkey", how=how)
+    # left joins stay allowed and drop the salt column
+    out = salted_shuffle_join(
+        t.lineitem.limit(10),
+        t.orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        key="l_orderkey",
+        how="left",
+    )
+    assert "__salt" not in out.columns
+
+
 def test_streaming_sliding_window(spark, tmp_path):
     """True streaming sliding window (1h/15m): event lands in 4 windows."""
     broker = FileBroker(str(tmp_path / "broker"))

@@ -133,10 +133,14 @@ def test_rollup_expands_then_partial_aggregates(spark, sf_dir):
     assert "Expand" in plan
     assert "partial_sum" in plan
     assert plan.count("Exchange") == 1
-    # order in the rendered tree: final agg <- Exchange <- partial agg <- Expand
-    assert plan.index("partial_sum") < plan.index("Expand") or plan.index(
-        "Exchange"
-    ) < plan.index("partial_sum")
+    # strict order in the rendered tree: final agg <- Exchange <- partial
+    # agg <- Expand.  (A disjunctive check here is satisfiable by the bad
+    # reduce-side-aggregate layout too — assert the exact rendering.)
+    assert (
+        plan.index("Exchange")
+        < plan.index("partial_sum")
+        < plan.index("Expand")
+    ), "partial aggregate must sit between the Exchange and Expand"
 
 
 def test_salted_join_carries_salt_through_join_key(spark, sf_dir):

@@ -150,6 +150,45 @@ def test_resolve_subjects_fallback_when_unreachable():
         resolve_subjects(dead, ["absent"], fallback=local)
 
 
+def test_resolve_subjects_protobuf_falls_through_to_fallback(stub_registry_url):
+    """A live registry carrying a PROTOBUF subject must not abort subject
+    resolution: the wire document has no compiled descriptor, so the
+    resolver falls through to the fallback registry that does carry one
+    (the exact setup the NotImplementedError message tells users to make)."""
+    _StubRegistry.subjects = dict(
+        _StubRegistry.subjects,
+        **{
+            "demo-proto": {
+                "id": 33,
+                "version": 1,
+                "schemaType": "PROTOBUF",
+                "schema": 'syntax = "proto3"; message Demo { string key = 1; }',
+            }
+        },
+    )
+    try:
+        client = ConfluentRegistryClient(stub_registry_url)
+        local = SchemaRegistry()
+        local.register(
+            SubjectSchema(
+                subject="demo-proto",
+                fmt="protobuf",
+                spark_schema=json_schema_to_spark_schema(DEMO_JSONSCHEMA),
+                schema_id=33,
+                proto_descriptor="/fixtures/demo.desc",
+                proto_message="Demo",
+            )
+        )
+        reg = resolve_subjects(client, ["demo-proto", "demo-avro"], fallback=local)
+        assert reg.get("demo-proto").proto_message == "Demo"
+        # non-proto subjects still resolve over HTTP, not the fallback
+        assert reg.get("demo-avro").schema_id == 31
+    finally:
+        _StubRegistry.subjects = {
+            k: v for k, v in _StubRegistry.subjects.items() if k != "demo-proto"
+        }
+
+
 def test_schema_document_conversions():
     st = avro_to_spark_schema(DEMO_AVRO)
     assert [(f.name, f.dataType.simpleString(), f.nullable) for f in st.fields] == [
