@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stream_processor_spark.operators import dedup as dd
+from stream_processor_spark.operators import kmeans
 from stream_processor_spark.operators import multimodal as mm
 from stream_processor_spark.operators import similarity as sim
 from stream_processor_spark.operators import text as tx
@@ -974,15 +975,21 @@ def sim_centroids(t):
     )
 
 
-_IVF_ORACLE = """
-WITH cent AS (
+_IVF_CENT_SQL = """cent AS (
   SELECT label AS clabel, i.i AS pos,
          CAST(CAST(SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT))
               AS BIGINT) AS DOUBLE) / (1e16 * COUNT(*)) AS c
   FROM embeddings CROSS JOIN generate_series(1, 64) AS i(i)
   GROUP BY label, i.i
-),
-asn_terms AS (
+)"""
+
+
+def _ivf_serve_sql(nprobe: int = 2) -> str:
+    """Serving CTEs shared by every IVF-family oracle: corpus assignment
+    to the ``cent(clabel, pos, c)`` quantizer, query probe of the nearest
+    ``nprobe`` lists, exact scaled-int rerank, top 10. Mirrors the Spark
+    ``_ivf_serve`` dataflow term-for-term (1e16-scaled int64 products)."""
+    return f"""asn_terms AS (
   SELECT e.vec_id, c.clabel,
          CAST(round(CAST(e.embedding[c.pos] AS DOUBLE) * c.c * 1e16) AS BIGINT) AS p,
          CAST(round(CAST(e.embedding[c.pos] AS DOUBLE)
@@ -1022,7 +1029,7 @@ q_sims AS (
 qprobe AS (
   SELECT clabel AS list_id FROM (
     SELECT clabel, row_number() OVER (ORDER BY cos DESC, clabel DESC) AS rn
-    FROM q_sims) WHERE rn <= 2
+    FROM q_sims) WHERE rn <= {nprobe}
 ),
 cand AS (SELECT a.vec_id FROM assign a JOIN qprobe USING (list_id)),
 cand_terms AS (
@@ -1045,137 +1052,24 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
-@register("sim_ann_ivf", oracle=_IVF_ORACLE)
-def sim_ann_ivf(t):
-    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact
-    rerank. Deterministic end-to-end, so fully oracle-checkable.
+_IVF_ORACLE = "WITH " + _IVF_CENT_SQL + ",\n" + _ivf_serve_sql(2)
 
-    The coarse quantizer is the per-label mean centroid (the exact
-    deterministic computation `sim_centroids` verifies) standing in for
-    trained k-means. Like any IVF/k-means deployment the quantizer is a
-    MODEL, not data: its L·dim scalars are fitted by one distributed
-    fixed-point aggregation and PACKED INTO A SINGLE BROADCAST ROW
-    (label → centroid array + scaled-int norm) — the Spark analogue of
-    pyspark.ml KMeansModel.clusterCenters, sized by (L, dim) and
-    independent of corpus size. Everything stays lazy: no driver
-    collect, one Spark job end-to-end, and the broadcast exchange is
-    planned once and REUSED by every consumer (ReuseExchange).
 
-    Dataflow — the production IVF shape:
-    (1) assignment: one map-only pass over the embeddings scan; each
-        vector computes argmax-cosine against the L broadcast centroids
-        via a transform/array_max fold (zip_with dot products; the
-        vector's own norm is materialized once in a prior projection).
-        No explode, no shuffle, no join on the corpus side.
-    (2) probe: the query row scores the same broadcast centroids and
-        keeps its nprobe=2 nearest lists (cos DESC, label DESC — the
-        oracle's exact tie order).
-    (3) rerank: a broadcast semi-join on list_id prunes the corpus to
-        ~nprobe/L, then the exact fused-fold cosine + top-10
-        (TakeOrderedAndProject).
+def _ivf_serve(e, packed, nprobe=2, topk=10):
+    """Shared IVF serving plan over a packed quantizer (one broadcast row).
 
-    Scale: the only shuffle is the model fit's (label, pos) aggregation
-    over scaled-int partials; the corpus path is scan → map →
-    broadcast-filter → top-k. At 100 TB, lists become partition keys
-    (partition pruning replaces the probe filter) and the quantizer is
-    swapped for trained k-means — identical dataflow. Complements
-    `sim_ann_bucketed` (LSH): IVF gives data-adaptive lists, LSH gives
-    data-independent hashing.
-
-    All scalar terms round as ``round((a·b)·1e16)`` → int64 sums —
-    bit-identical across Spark and the DuckDB oracle regardless of
-    evaluation order.
+    (1) assignment: map-only argmax cosine per vector against the
+        broadcast centroids (``kmeans.assign_cosine``) — no explode, no
+        shuffle, no join on the corpus side.
+    (2) probe: the query row scores the same broadcast centroids
+        (cosine(c, q) == cosine(q, c): IEEE multiplication commutes);
+        nprobe lists by (cos DESC, clabel DESC). The query vector rides
+        along on the probe rows, so the rerank needs no second query scan.
+    (3) rerank: broadcast probe join (each vector's list_id matches at
+        most one probe row, which carries qv) + exact fused-fold cosine,
+        top-k via TakeOrderedAndProject.
     """
-    e = t.embeddings
-
-    def s(col):  # scaled-int aggregate term
-        return F.sum(F.round(col * F.lit(1e16), 0).cast("long"))
-
-    # ---- fit: exact per-label fixed-point centroid means (one explode +
-    # one tiny shuffle), packed to ONE broadcast row:
-    #   cents: array<struct<clabel, carr: array<double>, scc: long>>
-    cent_rows = (
-        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
-        .select(
-            "label",
-            (F.col("pos0") + 1).alias("pos"),
-            F.round(F.col("v").cast("double") * F.lit(1e16), 0)
-            .cast("long")
-            .alias("sv"),
-        )
-        .groupBy("label", "pos")
-        .agg(
-            (F.sum("sv").cast("double") / (F.lit(1e16) * F.count(F.lit(1)))).alias("c")
-        )
-    )
-    # One global aggregation packs all L·dim (label, pos, c) rows into the
-    # single model row, with the per-label restructure (position-sorted
-    # centroid arrays + scaled-int norms) done expression-side — L·dim is
-    # model-sized, so the collect_list is bounded regardless of corpus
-    # size, and the fit costs exactly two exchanges: the (label, pos)
-    # partial-agg shuffle and the 640-row global gather.
-    rows = F.col("rows")
-    packed = cent_rows.agg(
-        F.collect_list(F.struct("label", "pos", "c")).alias("rows")
-    ).select(
-        F.transform(
-            F.array_sort(
-                F.array_distinct(F.transform(rows, lambda r: r["label"]))
-            ),
-            lambda l: F.struct(
-                l.alias("clabel"),
-                F.transform(
-                    # struct sort orders by (label, pos, c) — within one
-                    # label that is pos order, giving the dim-ordered array
-                    F.array_sort(F.filter(rows, lambda r: r["label"] == l)),
-                    lambda x: x["c"],
-                ).alias("carr"),
-                F.aggregate(
-                    F.filter(rows, lambda r: r["label"] == l),
-                    F.lit(0).cast("long"),
-                    lambda acc, r: acc
-                    + F.round(r["c"] * r["c"] * F.lit(1e16), 0).cast("long"),
-                ).alias("scc"),
-            ),
-        ).alias("cents")
-    )
-
-    # ---- (1) assignment: argmax cosine per vector, map-only against the
-    # broadcast model. The self-norm fold is materialized ONCE in its own
-    # projection (referencing it inside the per-centroid lambda would
-    # re-fold it L times — the inlined-expression trap).
-    def cos_vs(cent, sxx):
-        return sim.dot_scaled(F.col("embedding"), cent["carr"]).cast("double") / (
-            F.sqrt(sxx.cast("double")) * F.sqrt(cent["scc"].cast("double"))
-        )
-
-    assigned = (
-        sim.fan_out(e)
-        .select(
-            "vec_id",
-            "embedding",
-            sim.dot_scaled(F.col("embedding"), F.col("embedding")).alias("__sxx"),
-        )
-        .crossJoin(F.broadcast(packed))
-        .select(
-            "vec_id",
-            "embedding",
-            F.array_max(
-                F.transform(
-                    F.col("cents"),
-                    lambda c: F.struct(
-                        cos_vs(c, F.col("__sxx")).alias("cos"),
-                        c["clabel"].alias("clabel"),
-                    ),
-                )
-            )["clabel"].alias("list_id"),
-        )
-    )
-
-    # ---- (2) probe: the query row scores the same broadcast centroids
-    # (cosine(c, q) ≡ cosine(q, c): IEEE multiplication commutes);
-    # nprobe=2 lists by (cos DESC, clabel DESC). The query vector rides
-    # along on the probe rows, so the rerank needs no second query scan.
+    assigned = kmeans.assign_cosine(sim.fan_out(e), packed)
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
         sim.dot_scaled(F.col("embedding"), F.col("embedding")).alias("__sqq"),
@@ -1201,191 +1095,283 @@ def sim_ann_ivf(t):
             ).alias("sc"),
         )
         .orderBy(F.col("sc.cos").desc(), F.col("sc.clabel").desc())
-        .limit(2)
+        .limit(nprobe)
         .select(F.col("sc.clabel").alias("list_id"), "qv")
     )
-
-    # ---- (3) broadcast probe join (each vector's list_id matches at most
-    # one probe row, which carries qv) + exact fused-fold rerank
     return (
         assigned.join(F.broadcast(qprobe), "list_id")
         .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
+        .limit(topk)
     )
 
 
-@register("sim_ann_ivf_trained")  # trained quantizer → not SQL-expressible;
-# driver records the rows-only check, recall is pinned in test_ann_quality
-def sim_ann_ivf_trained(t):
-    """Production IVF: a TRAINED coarse quantizer (seeded pyspark.ml
-    KMeans over L2-normalized vectors, so Euclidean clustering tracks
-    cosine neighborhoods) swapped into the exact `sim_ann_ivf` dataflow —
-    the north-star swap docs/LIMITS.md promised.
+@register("sim_ann_ivf", oracle=_IVF_ORACLE)
+def sim_ann_ivf(t):
+    """IVF-style ANN: coarse quantizer → inverted lists → probe → exact
+    rerank. Deterministic end-to-end, so fully oracle-checkable.
 
-    fit: KMeans(k=10, seed) on unit vectors — distributed Lloyd
-    iterations; the model (k·dim scalars) is driver-held exactly like
-    KMeansModel.clusterCenters. serve: (1) assignment = model.transform
-    (map-only, broadcast centroids, no corpus shuffle); (2) the query's
-    nprobe=2 lists chosen against the model's centers (model-sized
-    driver math); (3) exact fused-fold cosine rerank over the probed
-    lists only, top-10 (TakeOrderedAndProject).
+    The coarse quantizer is the per-label mean centroid (the exact
+    deterministic computation `sim_centroids` verifies) standing in for
+    trained k-means (see `sim_ann_ivf_trained` for the trained swap).
+    Like any IVF/k-means deployment the quantizer is a MODEL, not data:
+    its L·dim scalars are fitted by one distributed fixed-point
+    aggregation and PACKED INTO A SINGLE BROADCAST ROW (label → centroid
+    array + scaled-int norm) — the Spark analogue of pyspark.ml
+    KMeansModel.clusterCenters, sized by (L, dim) and independent of
+    corpus size. Everything stays lazy: no driver collect, one Spark job
+    end-to-end, and the broadcast exchange is planned once and REUSED by
+    every consumer (ReuseExchange).
 
-    Not oracle-checkable: k-means training is implementation-defined
-    (DuckDB cannot reproduce Spark's seeded initialization), so the
-    driver records rows-only; recall@10 vs the exact brute-force ranking
-    is pinned in tests/test_ann_quality.py instead. At 100 TB: fit on a
-    sample, persist the model, partition the corpus by list_id — probe
-    becomes partition pruning; identical serving plan.
+    Serving is the shared `_ivf_serve` plan: map-only assignment against
+    the broadcast model, query probe of nprobe=2 lists, broadcast
+    semi-join prune to ~nprobe/L of the corpus, exact rerank.
+
+    Scale: the only shuffle is the model fit's (label, pos) aggregation
+    over scaled-int partials; the corpus path is scan → map →
+    broadcast-filter → top-k. At 100 TB, lists become partition keys
+    (partition pruning replaces the probe filter) and the quantizer is
+    swapped for trained k-means — identical dataflow. Complements
+    `sim_ann_bucketed` (LSH): IVF gives data-adaptive lists, LSH gives
+    data-independent hashing.
+
+    All scalar terms round as ``round((a·b)·1e16)`` → int64 sums —
+    bit-identical across Spark and the DuckDB oracle regardless of
+    evaluation order.
     """
-    import math
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     e = t.embeddings
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(
-                "embedding", lambda x: x.cast("double") * x.cast("double")
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+
+    # ---- fit: exact per-label fixed-point centroid means (one explode +
+    # one tiny shuffle), packed to ONE broadcast row.
+    cent_rows = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("v").cast("double") * F.lit(1e16), 0)
+            .cast("long")
+            .alias("sv"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("sv").cast("double") / (F.lit(1e16) * F.count(F.lit(1)))).alias("c")
         )
     )
-    feats = sim.fan_out(e).select(
-        "vec_id",
-        "embedding",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double") / nrm)
-        ).alias("features"),
-    )
-    model = KMeans(
-        k=10, seed=42, featuresCol="features", predictionCol="list_id"
-    ).fit(feats)
-
-    # nprobe=2 lists nearest the query, scored against the driver-held
-    # model centers (k·dim scalars — model-sized, not data-sized)
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
-    qn = math.sqrt(sum(x * x for x in qv)) or 1.0
-    qunit = [x / qn for x in qv]
-
-    def center_cos(c):
-        dot = sum(a * b for a, b in zip(c, qunit))
-        cn = math.sqrt(sum(a * a for a in c)) or 1.0
-        return dot / cn
-
-    centers = [(center_cos(c), i) for i, c in enumerate(model.clusterCenters())]
-    probe = [i for _, i in sorted(centers, reverse=True)[:2]]
-
-    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return (
-        model.transform(feats)
-        .filter(F.col("list_id").isin(probe))
-        .crossJoin(F.broadcast(qrow))
-        .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
-    )
+    return _ivf_serve(e, kmeans.pack_centroids(cent_rows))
 
 
-@register("sim_ann_pq_trained")  # trained sub-quantizers → rows-only check;
-# recall pinned in test_ann_quality
+_IVF_TRAINED_ORACLE = (
+    "WITH " + kmeans.lloyd_oracle_ctes(k=10, iters=2) + ",\n" + _ivf_serve_sql(3)
+)
+
+
+@register("sim_ann_ivf_trained", oracle=_IVF_TRAINED_ORACLE)
+def sim_ann_ivf_trained(t):
+    """Production IVF: a TRAINED coarse quantizer (deterministic
+    fixed-point Lloyd's k-means, k=10, 2 iterations — see
+    ``operators/kmeans.py``) swapped into the exact `sim_ann_ivf`
+    serving dataflow — the north-star swap docs/LIMITS.md promised.
+
+    Through round 4 this used pyspark.ml KMeans and was stuck as a
+    rows-only check (k-means|| init is implementation-defined, so no SQL
+    oracle could reproduce the model). The deterministic Lloyd trainer
+    removes that wall: seeded LCG init, argmax-cosine assignment and
+    fixed-point mean updates are all 1e16-scaled int64 arithmetic, so
+    the DuckDB oracle REPLAYS THE ENTIRE TRAINING TRAJECTORY from
+    unrolled CTEs (``kmeans.lloyd_oracle_ctes``) and hash-checks the
+    result — trained ANN, fully value-verified. Recall vs the exact
+    ranking is additionally pinned in tests/test_ann_quality.py.
+
+    fit: per iteration, one map-only assignment pass against the
+    BROADCAST model (k·dim scalars) + one (label, pos) partial-agg
+    shuffle for the means — the canonical multi-pass Lloyd cost, with
+    no driver collect anywhere. serve: identical `_ivf_serve` plan as
+    `sim_ann_ivf` (map-only assignment, nprobe=3 probe, exact rerank;
+    the extra probed list buys recall@10 0.8 vs 0.6 on the fixture).
+    At 100 TB: fit on a sample (the trainer takes any DataFrame),
+    persist the centroids, partition the corpus by list_id — the probe
+    becomes partition pruning; identical serving plan.
+    """
+    e = t.embeddings
+    cent = kmeans.lloyd_fit(e, k=10, iters=2)
+    return _ivf_serve(e, kmeans.pack_centroids(cent), nprobe=3)
+
+
+_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, _PQ_SHORTLIST = 8, 8, 16, 2, 50
+
+
+def _pq_serve_sql() -> str:
+    """Serving CTEs for PQ-ADC over the fitted ``cent(m, cid, pos, c)``
+    codebooks (+ the ``sub_long`` layout from ``pq_oracle_ctes``):
+    code assignment, query ADC table, integer shortlist scores, exact
+    rerank. Every product is a 1e16-scaled int64; shortlist scores are
+    pure integer sums, so the shortlist boundary is exact on both
+    engines."""
+    return f"""codes AS (
+  SELECT vid, m, cid FROM (
+    SELECT vid, m, cid, row_number() OVER (PARTITION BY vid, m
+             ORDER BY dist ASC, cid ASC) AS rn FROM (
+      SELECT l.vid, l.m, c.cid,
+             CAST(SUM(CAST(round((l.v - c.c) * (l.v - c.c) * 1e16) AS BIGINT))
+                  AS BIGINT) AS dist
+      FROM sub_long l JOIN cent c ON c.m = l.m AND c.pos = l.pos
+      GROUP BY l.vid, l.m, c.cid)) WHERE rn = 1),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+q_adc AS (
+  SELECT c.m, c.cid,
+         CAST(SUM(CAST(round(CAST(q.qv[c.m * {_PQ_SUB} + c.pos] AS DOUBLE) * c.c
+                             * 1e16) AS BIGINT)) AS BIGINT) AS t
+  FROM cent c CROSS JOIN q GROUP BY c.m, c.cid),
+scores AS (
+  SELECT k.vid, CAST(SUM(a.t) AS BIGINT) AS s
+  FROM codes k JOIN q_adc a ON a.m = k.m AND a.cid = k.cid
+  GROUP BY k.vid),
+short AS (
+  SELECT vid AS vec_id FROM (
+    SELECT vid, row_number() OVER (ORDER BY s DESC, vid ASC) AS rn
+    FROM scores) WHERE rn <= {_PQ_SHORTLIST}),
+cand_terms AS (
+  SELECT e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN short USING (vec_id)
+  CROSS JOIN q CROSS JOIN generate_series(1, 64) AS i(i)
+)
+SELECT vec_id,
+       CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+FROM cand_terms GROUP BY vec_id
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+_PQ_TRAINED_ORACLE = (
+    "WITH "
+    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS)
+    + ",\n"
+    + _pq_serve_sql()
+)
+
+
+@register("sim_ann_pq_trained", oracle=_PQ_TRAINED_ORACLE)
 def sim_ann_pq_trained(t):
     """Product quantization with ADC (asymmetric distance computation):
     the 64-dim space splits into M=8 subspaces of 8 dims; each subspace
-    gets a k=16 codeword codebook (seeded pyspark.ml KMeans on a
-    per-subspace slice), so a vector compresses to 8 bytes (one code per
-    subspace — 32× smaller than float32). Search scores candidates
-    WITHOUT decompression: the query precomputes an M×k lookup table of
-    partial dot products against every codeword (driver-side — M·k·(dim/M)
-    = one codebook pass), and a candidate's approximate score is just M
-    table lookups summed. Top-50 shortlist by ADC score, then exact
-    fused-fold cosine rerank of the 50 — the standard IVF-PQ serving
-    shape minus the IVF stage (composable with either list filter).
+    gets a k=16 codeword codebook, so a vector compresses to 8 bytes
+    (one code per subspace — 32× smaller than float32). Search scores
+    candidates WITHOUT decompression: the query precomputes a per-
+    codeword table of partial dot products, and a candidate's
+    approximate score is just M table lookups summed (exact int64 adds).
+    Top-50 shortlist by ADC score, then exact fused-fold cosine rerank
+    of the 50 — the standard IVF-PQ serving shape minus the IVF stage
+    (composable with either list filter).
 
-    Spark-first: codes are computed map-only against the M broadcast
-    codebooks (model.transform per subspace on an array slice); the ADC
-    table rides into the scan as ONE literal array (M·k doubles —
-    model-sized), scoring is a small codegen/HOF expression per row, and
-    the shortlist is TakeOrderedAndProject. No corpus shuffle anywhere.
+    The sub-quantizers are trained by the deterministic fixed-point
+    Lloyd's in ``operators/kmeans.py`` (seeded LCG init, argmin
+    squared-Euclidean assignment, scaled-int means, 2 iterations, all
+    M=8 subspaces fitted in ONE dataflow with the subspace id as a
+    grouping column). Through round 4 this used pyspark.ml KMeans and
+    was rows-only; the DuckDB oracle now replays the full training +
+    coding + ADC pipeline from generated CTEs and hash-checks it.
+    Recall is additionally pinned in tests/test_ann_quality.py.
 
-    Not oracle-checkable (k-means sub-quantizers are implementation-
-    defined); the driver records rows-only and recall@10 is pinned in
-    tests/test_ann_quality.py. At 100 TB the codes column is written
-    once (8 bytes/vector) and every downstream similarity pass scans
-    codes instead of floats — the 32× scan shrinkage is the point.
+    Spark-first serving: codes are computed map-only against the
+    broadcast codebooks (nested HOF argmin per subspace — no corpus
+    shuffle); the query's ADC table is an expression over the same
+    broadcast row; shortlist is TakeOrderedAndProject on exact integer
+    scores. At 100 TB the codes column is written once (8 bytes/vector)
+    and every downstream similarity pass scans codes instead of floats —
+    the 32× scan shrinkage is the point.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import functools
+    import operator as op
 
     e = t.embeddings
-    M, SUB, K = 8, 8, 16
-
-    feats = sim.fan_out(e).select(
-        "vec_id",
-        "embedding",
-        *[
-            array_to_vector(
-                F.slice(F.transform("embedding", lambda x: x.cast("double")),
-                        m * SUB + 1, SUB)
-            ).alias(f"__s{m}")
-            for m in range(M)
-        ],
-    )
-    # fit M sub-quantizers (model-sized: M·k·SUB scalars total)
-    models = [
-        KMeans(
-            k=K, seed=7 + m, featuresCol=f"__s{m}", predictionCol=f"__c{m}"
-        ).fit(feats)
-        for m in range(M)
-    ]
-    coded = feats
-    for m in range(M):
-        coded = models[m].transform(coded)
-    coded = coded.select(
-        "vec_id", "embedding", F.array(*[f"__c{m}" for m in range(M)]).alias("code")
+    M, SUB, K = _PQ_M, _PQ_SUB, _PQ_K
+    books = kmeans.pack_codebooks(
+        kmeans.lloyd_fit_pq(e, n_sub=M, sub_dim=SUB, k=K, iters=_PQ_ITERS)
     )
 
-    # query-side ADC table: table[m][j] = <q_sub_m, codeword_j>
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
-    table = [
-        [
-            sum(
-                qv[m * SUB + i] * float(c[i]) for i in range(SUB)
+    def dsub(col):  # double-cast view of a float array
+        return F.transform(col, lambda x: x.cast("double"))
+
+    def code_for(m):
+        # argmin squared-Euclidean over subspace m's codewords; ties to
+        # the LOWER cid (array_min struct order == oracle's dist,cid ASC)
+        sub = F.slice(dsub(F.col("embedding")), m * SUB + 1, SUB)
+        return F.array_min(
+            F.transform(
+                F.filter(F.col("books"), lambda b: b["m"] == F.lit(m)),
+                lambda b: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            b["carr"],
+                            lambda x, y: F.round(
+                                (x - y) * (x - y) * F.lit(1e16), 0
+                            ).cast("long"),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, v: a + v,
+                    ).alias("dist"),
+                    b["cid"].alias("cid"),
+                ),
             )
-            for c in models[m].clusterCenters()
-        ]
-        for m in range(M)
-    ]
-    # one flat literal array (M·k doubles); lookup = table[m*K + code[m]]
-    flat = F.array(*[F.lit(v) for row in table for v in row])
-    adc = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(M - 1)),
-            lambda m: F.element_at(
-                flat, (m * K + F.element_at(F.col("code"), m + 1) + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        )["cid"]
+
+    coded = (
+        sim.fan_out(e)
+        .crossJoin(F.broadcast(books))
+        .select(
+            "vec_id",
+            "embedding",
+            F.array(*[code_for(m) for m in range(M)]).alias("code"),
+        )
     )
 
-    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # query-side ADC table rides on the single (query × books) row:
+    # t = <q_sub_m, codeword> as a scaled-int dot, one entry per (m, cid)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    adc = F.transform(
+        F.col("books"),
+        lambda b: F.struct(
+            b["m"].alias("m"),
+            b["cid"].alias("cid"),
+            sim.dot_scaled(
+                F.slice(dsub(F.col("qv")), b["m"] * SUB + 1, SUB), b["carr"]
+            ).alias("t"),
+        ),
+    )
+    qb = q.crossJoin(F.broadcast(books)).select("qv", adc.alias("__adc"))
+
+    def adc_term(m):
+        # lookup by (m, code[m]) — gap-safe if a codeword emptied during
+        # training (codes are only ever assigned to surviving codewords)
+        return F.element_at(
+            F.filter(
+                F.col("__adc"),
+                lambda a: (a["m"] == F.lit(m))
+                & (a["cid"] == F.element_at(F.col("code"), m + 1)),
+            ),
+            1,
+        )["t"]
+
+    score = functools.reduce(op.add, [adc_term(m) for m in range(M)])
     shortlist = (
-        coded.select("vec_id", "embedding", adc.alias("s"))
-        .orderBy(F.col("s").desc(), F.col("vec_id"))
-        .limit(50)
+        coded.crossJoin(F.broadcast(qb))
+        .select("vec_id", "embedding", "qv", score.alias("__s"))
+        .orderBy(F.col("__s").desc(), F.col("vec_id"))
+        .limit(_PQ_SHORTLIST)
     )
     return (
-        shortlist.crossJoin(F.broadcast(qrow))
-        .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+        shortlist.select(
+            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+        )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )

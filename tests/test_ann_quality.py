@@ -33,23 +33,26 @@ def trained(spark):
 
 
 def test_trained_ivf_sized_query_found_and_recall(rankings, trained):
-    """The k-means quantizer must at least match the per-label heuristic
-    quantizer's contract: 10 results, the query itself found (cosine
-    1.0), and a recall floor vs the exact ranking."""
+    """The Lloyd-trained quantizer (k=10, 2 iters, nprobe=3) must beat
+    the per-label heuristic quantizer's contract: 10 results, the query
+    itself found (cosine 1.0), and a 0.6 recall floor vs the exact
+    ranking (measured 0.8 on the fixture — a probing/assignment
+    regression shows up well before the floor)."""
     top10, _, _ = rankings
     assert len(trained) == 10
     assert 0 in trained
-    assert len(trained & top10) / 10 >= 0.3
+    assert len(trained & top10) / 10 >= 0.6
 
 
 def test_pq_adc_sized_query_found_and_recall(spark, rankings):
     """PQ-ADC (8-byte codes, 32x compression) still finds the query and
-    holds a recall floor over its top-50 shortlist + exact rerank."""
+    holds a 0.6 recall floor over its top-50 shortlist + exact rerank
+    (measured 0.7 on the fixture)."""
     top10, _, _ = rankings
     pq = {r.vec_id for r in REGISTRY["sim_ann_pq_trained"].fn(spark, SF).collect()}
     assert len(pq) == 10
     assert 0 in pq
-    assert len(pq & top10) / 10 >= 0.3
+    assert len(pq & top10) / 10 >= 0.6
 
 
 def test_ann_results_subset_of_corpus_and_sized(rankings):
