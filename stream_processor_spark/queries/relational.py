@@ -451,6 +451,40 @@ def join_salted_skew(t):
 
 
 @register(
+    "join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_orderstatus, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def join_bucketed(t):
+    """Storage-partitioned (bucketed) fact-fact join — the one 100 TB
+    join shape broadcast can't save: neither lineitem nor orders fits
+    in memory, so the shuffle is paid ONCE at write time instead of on
+    every query. Both tables are persisted bucketed+sorted on the join
+    key with the same bucket count (``operators/storage.py:
+    bucketed_pair``); Catalyst then plans this join with ZERO Exchange
+    on either side — each task zips bucket i with bucket i
+    (tests/test_storage.py pins the no-Exchange plan with broadcast
+    disabled; this entry hash-checks the joined values against the
+    plain-join oracle, which bucketing must not change).
+
+    At 100 TB this is the bread-and-butter layout for fact-fact joins:
+    re-bucketing costs one shuffle amortized over every subsequent
+    join/aggregation on the key, and sorted buckets let the sort-merge
+    join skip its per-task sort.
+    """
+    from stream_processor_spark.operators.storage import bucketed_pair
+
+    li, o = bucketed_pair(t._spark, t._dir)
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "o_orderstatus", "o_orderpriority",
+    )
+
+
+@register(
     "agg_percentile_exact",
     oracle="""
     SELECT l_returnflag,

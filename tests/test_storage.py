@@ -110,3 +110,31 @@ def test_ann_probe_is_partition_pruned_read(spark, sf_dir, tmp_path):
     assert [(r.vec_id, r.cosine) for r in top] == [
         (r.vec_id, r.cosine) for r in full_top
     ]
+
+
+def test_join_bucketed_query_zero_exchange(spark, sf_dir):
+    """The registered join_bucketed query's join shape: with broadcast
+    disabled (the 100 TB premise — neither fact fits memory), the
+    bucketed-by-orderkey lineitem/orders pair must sort-merge-join with
+    zero Exchange on either side."""
+    from stream_processor_spark.operators.storage import bucketed_pair
+
+    li, o = bucketed_pair(spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderstatus"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # bucketing must not change the joined row multiset
+        from stream_processor_spark.catalog import Tables
+
+        t = Tables(spark, sf_dir)
+        expected = t.lineitem.join(
+            t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
