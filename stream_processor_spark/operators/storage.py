@@ -67,18 +67,23 @@ def bucketed_pair(spark: SparkSession, sf_dir: str, num_buckets: int = 8):
     already exist (the amortization that makes write-time bucketing pay).
     """
     import hashlib
+    import shutil
 
     from stream_processor_spark.catalog import Tables
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     li_name, o_name = f"b_lineitem_{tag}", f"b_orders_{tag}"
     t = Tables(spark, sf_dir)
-    if not spark.catalog.tableExists(li_name):
-        write_bucketed(
-            t.lineitem, li_name, "l_orderkey", num_buckets, sort_col="l_orderkey"
-        )
-    if not spark.catalog.tableExists(o_name):
-        write_bucketed(
-            t.orders, o_name, "o_orderkey", num_buckets, sort_col="o_orderkey"
-        )
+    for name, df, key in (
+        (li_name, t.lineitem, "l_orderkey"),
+        (o_name, t.orders, "o_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            # a fresh session's in-memory catalog forgets managed tables,
+            # but their warehouse directories persist — clear any stale
+            # location or saveAsTable aborts with LOCATION_ALREADY_EXISTS
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            loc = warehouse.removeprefix("file:") + "/" + name
+            shutil.rmtree(loc, ignore_errors=True)
+            write_bucketed(df, name, key, num_buckets, sort_col=key)
     return spark.table(li_name), spark.table(o_name)

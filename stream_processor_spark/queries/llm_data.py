@@ -2340,22 +2340,143 @@ def agg_histogram(t):
 def profile_table(t):
     """Column profiling (null counts, exact distincts, ranges) — the
     data-quality report every ingestion pipeline runs before training.
-    One aggregate per profiled column unioned into a tall frame; at
-    100 TB swap `countDistinct` for `approx_count_distinct` per column
-    and all profiles collapse into a single pass."""
+
+    SINGLE PASS over the table (round-5 rewrite; previously one full
+    aggregate per profiled column unioned = N scans): all per-column
+    metrics are computed in ONE global aggregate and unpivoted to the
+    tall report shape expression-side (explode of a 2-struct array on
+    the one-row result — free). The two exact countDistincts plan as
+    the standard multi-distinct Expand over the single scan; at 100 TB
+    swap in `profile_frame_approx` (below) — approx_count_distinct
+    drops the Expand too, leaving scan → partial agg → 1-row reduce
+    (plan pinned in tests/test_plans.py).
+    """
+    o = t.orders
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("double").alias("mn_tp"),
+        F.max("o_totalprice").cast("double").alias("mx_tp"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_ck").alias("n_non_null"),
+                    F.col("nd_ck").alias("n_distinct"),
+                    F.col("mn_ck").alias("min_val"),
+                    F.col("mx_ck").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_tp").alias("n_non_null"),
+                    F.col("nd_tp").alias("n_distinct"),
+                    F.col("mn_tp").alias("min_val"),
+                    F.col("mx_tp").alias("max_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+def profile_frame_approx(df, cols):
+    """The 100 TB profile shape: ONE aggregate with per-column count /
+    approx_count_distinct / min / max — no exact distinct, so the plan
+    has no Expand: scan → partial agg → single-row reduce, one pass
+    regardless of how many columns are profiled. Returns the wide
+    one-row frame (callers unpivot as needed)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.approx_count_distinct(c, 0.01).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    return df.agg(*aggs)
+
+
+@register(
+    "profile_table_approx",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_non_null,
+           COUNT(DISTINCT o_custkey) AS exact_distinct,
+           true AS approx_ok,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice), true,
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_table_approx(t):
+    """`profile_table`'s scale variant made checkable: the profile uses
+    HyperLogLog++ approx_count_distinct (the pass `profile_frame_approx`
+    runs at 100 TB), and the oracle contract is banded like
+    `agg_approx_count_distinct`: Spark emits the exact distinct plus a
+    boolean asserting the HLL estimate landed within 5% (deterministic
+    for fixed data), the oracle emits the exact count plus ``true``.
+    The exact countDistinct here exists only for the correctness band —
+    the production pass (plan pinned in tests/test_plans.py) runs
+    approx-only with no Expand."""
     o = t.orders
 
-    def prof(col):
-        return o.agg(
-            F.lit(col).alias("col"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(col).alias("n_non_null"),
-            F.countDistinct(col).alias("n_distinct"),
-            F.min(col).cast("double").alias("min_val"),
-            F.max(col).cast("double").alias("max_val"),
+    def band(c):
+        return (
+            F.abs(F.approx_count_distinct(c, 0.01) - F.countDistinct(c))
+            <= 0.05 * F.countDistinct(c)
         )
 
-    return prof("o_custkey").unionAll(prof("o_totalprice"))
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        band("o_custkey").alias("ok_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        band("o_totalprice").alias("ok_tp"),
+        F.min("o_totalprice").cast("double").alias("mn_tp"),
+        F.max("o_totalprice").cast("double").alias("mx_tp"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_ck").alias("n_non_null"),
+                    F.col("nd_ck").alias("exact_distinct"),
+                    F.col("ok_ck").alias("approx_ok"),
+                    F.col("mn_ck").alias("min_val"),
+                    F.col("mx_ck").alias("max_val"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_tp").alias("n_non_null"),
+                    F.col("nd_tp").alias("exact_distinct"),
+                    F.col("ok_tp").alias("approx_ok"),
+                    F.col("mn_tp").alias("min_val"),
+                    F.col("mx_tp").alias("max_val"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
 
 
 @register(

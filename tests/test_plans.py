@@ -174,3 +174,29 @@ def test_no_cartesian_product_in_any_registered_query(spark, sf_dir):
             row_python.append(name)
     assert not cartesian, f"CartesianProduct in: {cartesian}"
     assert not row_python, f"row-at-a-time Python UDF in: {row_python}"
+
+
+def test_profile_table_is_single_scan(spark, sf_dir):
+    """Round-5 rewrite: profiling N columns must read the table ONCE
+    (previously one full aggregate per column unioned = N scans). The
+    two exact countDistincts still plan the multi-distinct Expand, but
+    over a single scan."""
+    plan = _plan(spark, sf_dir, "profile_table", mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_profile_approx_pass_has_no_expand_single_scan(spark, sf_dir):
+    """The 100 TB profile pass (approx_count_distinct instead of exact):
+    one scan, NO Expand — scan -> partial agg -> single-row reduce
+    regardless of how many columns are profiled."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.queries.llm_data import profile_frame_approx
+
+    df = profile_frame_approx(
+        Tables(spark, sf_dir).orders, ["o_custkey", "o_totalprice"]
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
