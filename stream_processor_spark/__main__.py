@@ -87,6 +87,11 @@ def cmd_run_pipelines(args) -> int:
         ),
         checkpoint_root=args.checkpoint or os.path.join(args.broker, "_checkpoints"),
         metrics_out=metrics,
+        trigger=(
+            {"processingTime": f"{args.follow_interval} seconds"}
+            if args.follow_interval
+            else None  # default: availableNow (drain the backlog, stop)
+        ),
     )
     server = None
     if args.metrics_port is not None:
@@ -96,14 +101,53 @@ def cmd_run_pipelines(args) -> int:
 
         server = MetricsServer(list(metrics.values()), port=args.metrics_port).start()
         print(f"metrics on http://127.0.0.1:{server.port}/metrics")
-    print(f"started {len(queries)} pipeline(s): {sorted(queries)}")
-    for q in queries.values():
-        q.awaitTermination(args.timeout)
+    print(f"started {len(queries)} pipeline(s): {sorted(queries)}", flush=True)
+
+    # Graceful drain on SIGTERM/SIGINT (reference parity: src/listen.js
+    # 88-108 wires SIGTERM → consumer.disconnect() so k8s rolling
+    # restarts finish the in-flight batch instead of killing it).
+    # StreamingQuery.stop() lets the current micro-batch commit its
+    # checkpoint (spark.sql.streaming.stopTimeout), so a drained pod
+    # resumes exactly after its last committed batch — no partial batch
+    # in an idempotent sink, at-least-once in an append sink.
+    import signal
+    import threading
+    import time
+
+    drain = threading.Event()
+
+    def _on_signal(signum, _frame):
+        print(f"signal {signum}: draining {len(queries)} pipeline(s)", flush=True)
+        drain.set()
+
+    installed = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            installed[sig] = signal.signal(sig, _on_signal)
+        except ValueError:  # non-main thread (embedded/test use) — skip
+            pass
+
+    deadline = time.monotonic() + args.timeout if args.timeout else None
+    try:
+        while not drain.is_set():
+            if all(not q.isActive for q in queries.values()):
+                break
+            if deadline is not None and time.monotonic() >= deadline:
+                break
+            time.sleep(0.2)
+        for q in queries.values():
+            if q.isActive:
+                q.stop()  # graceful: in-flight batch finishes + commits
+        for q in queries.values():
+            q.awaitTermination(30)
+    finally:
+        for sig, prev in installed.items():
+            signal.signal(sig, prev)
     snapshot = {pid: m.snapshot() for pid, m in metrics.items()}
     if server is not None:
         server.stop()
     print(json.dumps({"pipelines": sorted(queries), "output_root": out_root,
-                      "metrics": snapshot}))
+                      "metrics": snapshot, "drained": drain.is_set()}))
     return 0
 
 
@@ -137,6 +181,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--timeout", type=int, default=300, help="seconds per pipeline")
     r.add_argument("--metrics-port", type=int, default=None,
                    help="serve /metrics + /health on this port (0 = ephemeral)")
+    r.add_argument("--follow-interval", type=float, default=None,
+                   help="run continuously with this micro-batch interval "
+                        "(seconds) instead of draining the backlog and "
+                        "stopping; terminate with SIGTERM (graceful drain)")
 
     sub.add_parser("bench")
 

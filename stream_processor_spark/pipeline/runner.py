@@ -49,11 +49,23 @@ class Sink:
     atomically — a retried micro-batch replaces its own previous output,
     upgrading the file sink to effectively-once; read the sink root
     recursively) | ``kafka`` | ``noop``.
+
+    ``options`` pass straight to the writer. For ``kafka``, the
+    ``compression`` shorthand maps to ``kafka.compression.type``
+    (producer-side gzip/snappy/lz4/zstd — the reference's load-test
+    producer ships gzip, loadTest.js:73).
     """
 
     kind: str
     path_or_topic: str
     options: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.kind == "kafka" and "compression" in self.options:
+            self.options = {
+                **{k: v for k, v in self.options.items() if k != "compression"},
+                "kafka.compression.type": self.options["compression"],
+            }
 
     def write_batch(self, df: DataFrame, batch_id: int | None = None) -> None:
         if self.kind == "parquet":
@@ -326,6 +338,7 @@ class PipelineRunner:
         sinks_for: Callable[[ResolvedPipeline], tuple[Sink, dict[str, Sink]]],
         checkpoint_root: str,
         metrics_out: dict[int, PipelineMetrics] | None = None,
+        trigger: dict | None = None,
     ) -> dict[int, object]:
         """Start a StreamingQuery per active pipeline — the engine's
         ``make deploy`` (deploy-pipelines.sh:365-397: one pod per active
@@ -348,6 +361,7 @@ class PipelineRunner:
                 dlqs,
                 checkpoint_dir=os.path.join(checkpoint_root, f"pipeline-{pid}"),
                 metrics=metrics,
+                trigger=trigger,
             )
         return queries
 

@@ -535,3 +535,19 @@ def test_deploy_all_starts_only_active(spark, catalog, tmp_path):
         q.awaitTermination(120)
     out = spark.read.parquet(str(tmp_path / "out-1"))
     assert out.count() == 2
+
+
+def test_kafka_sink_compression_shorthand():
+    """Producer-side compression parity (loadTest.js:73 ships gzip): the
+    `compression` shorthand normalizes to the Spark Kafka writer's
+    `kafka.compression.type`, alongside verbatim option passthrough."""
+    from stream_processor_spark.pipeline.runner import Sink
+
+    s = Sink("kafka", "topic-out", {"compression": "gzip",
+                                    "kafka.batch.size": "65536"})
+    assert s.options["kafka.compression.type"] == "gzip"
+    assert "compression" not in s.options
+    assert s.options["kafka.batch.size"] == "65536"
+    # non-kafka sinks leave options untouched
+    p = Sink("parquet", "/tmp/x", {"compression": "snappy"})
+    assert p.options == {"compression": "snappy"}
