@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Settle the scheduler-floor question empirically: DuckDB vs Spark at sf1.
+
+Round-4 verdict: six sub-second queries exceed 2x the DuckDB baseline at
+sf0.1 floor-adjusted, root-caused (docs/SCALE.md) as fixed-cost
+broadcast/AQE mini-jobs on a ~60-100 ms local scheduler floor — an
+amortization claim with no measured DuckDB-at-sf1 evidence. This script
+produces that evidence: both engines run the SAME queries on the SAME
+sf1 parquet (facts + corpus 10x sf0.1, dims fixed — the
+scripts/sf1_rehearsal.py generator), best-of-N, Spark floor-adjusted
+with the same method as bench.py, and prints per-query adjusted ratios.
+
+Protocol (the r3 "phantom regression" rule): run on an otherwise-idle
+machine, never concurrently with pytest; best-of-N with the first Spark
+run discarded as warmup.
+
+Usage: python scripts/sf1_duckdb_compare.py  [writes JSON to stdout]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.sf1_rehearsal import DST, SRC, generate  # noqa: E402
+
+# the six round-4 perf-weak queries plus the aggregate context
+WEAK = [
+    "sim_ann_ivf",
+    "join_star_3way",
+    "join_star_5way",
+    "agg_rollup",
+    "sim_topk",
+    "dlq_split",
+]
+N_RUNS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+
+def duck_con_dir(sf_dir: str):
+    """duck_con that also handles Spark-written parquet DIRECTORIES."""
+    import duckdb
+
+    from tests.oracle_harness import TABLE_NAMES
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {src}")
+    return con
+
+
+def main() -> None:
+    from stream_processor_spark.queries import REGISTRY
+    from stream_processor_spark.session import get_spark
+
+    spark = get_spark("sf1-duckdb-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        print("generating sf1 from sf0.1 ...", file=sys.stderr)
+        generate(spark)
+
+    # -- DuckDB side: each query's own oracle SQL at sf1, best-of-N
+    duck: dict[str, float] = {}
+    con = duck_con_dir(DST)
+    for name in WEAK:
+        sql = REGISTRY[name].oracle
+        best = float("inf")
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 4)
+        print(f"duckdb {name}: {duck[name]} s", file=sys.stderr)
+    con.close()
+
+    # -- Spark side: best of post-warmup noop materializations
+    floor_df = spark.range(32).repartition(32)
+    floor_df.write.mode("overwrite").format("noop").save()
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        floor_df.write.mode("overwrite").format("noop").save()
+        floor = min(floor, time.perf_counter() - t0)
+
+    rows = []
+    for name in WEAK:
+        runs = []
+        for _ in range(N_RUNS + 1):
+            df = REGISTRY[name].fn(spark, DST)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - t0, 4))
+        steady = min(runs[1:])
+        adj = max(0.0, steady - floor)
+        rows.append(
+            {
+                "query": name,
+                "spark_raw_sec": steady,
+                "spark_adj_sec": round(adj, 4),
+                "duckdb_sec": duck[name],
+                "ratio_adj": round(adj / duck[name], 3) if duck[name] else None,
+                "runs": runs,
+            }
+        )
+        print(f"spark {name}: adj {adj:.3f} s  ratio {adj / duck[name]:.2f}x",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "sf_dir": DST,
+        "floor_sec": round(floor, 4),
+        "n_runs": N_RUNS,
+        "total_spark_adj": round(sum(r["spark_adj_sec"] for r in rows), 3),
+        "total_duckdb": round(sum(r["duckdb_sec"] for r in rows), 3),
+        "queries": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,5 +85,15 @@ def bucketed_pair(spark: SparkSession, sf_dir: str, num_buckets: int = 8):
             warehouse = spark.conf.get("spark.sql.warehouse.dir")
             loc = warehouse.removeprefix("file:") + "/" + name
             shutil.rmtree(loc, ignore_errors=True)
-            write_bucketed(df, name, key, num_buckets, sort_col=key)
+            # repartition on the bucket key first → ONE file per bucket
+            # (otherwise every writer task emits a file into every bucket:
+            # N_partitions × N_buckets small files, and the scattered
+            # buckets cost ~3x on the read side — measured at sf1 in
+            # docs/SCALE.md round-5 section)
+            from pyspark.sql import functions as F
+
+            write_bucketed(
+                df.repartition(num_buckets, F.col(key)),
+                name, key, num_buckets, sort_col=key,
+            )
     return spark.table(li_name), spark.table(o_name)
