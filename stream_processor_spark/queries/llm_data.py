@@ -1872,13 +1872,16 @@ q8 AS (
          ELSE 0 END AS q
   FROM embeddings e CROSS JOIN dims d
 ),
-qq AS (SELECT pos, q FROM q8 WHERE vec_id = 0),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scores AS (
-  SELECT a.vec_id, SUM(a.q * b.q) AS s
-  FROM q8 a JOIN qq b USING (pos) GROUP BY a.vec_id
+  SELECT a.vec_id,
+         CAST(SUM(CAST(round(((CAST(a.q AS DOUBLE) * (d.mx - d.mn)) / 255.0 + d.mn)
+                             * CAST(q.qv[a.pos] AS DOUBLE) * 1e16) AS BIGINT))
+              AS BIGINT) AS s
+  FROM q8 a JOIN dims d USING (pos) CROSS JOIN q
+  GROUP BY a.vec_id
 ),
 cand AS (SELECT vec_id FROM scores ORDER BY s DESC, vec_id LIMIT 50),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 terms AS (
   SELECT e.vec_id,
          CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
@@ -1902,8 +1905,10 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 @register("sim_ann_sq8", oracle=_SQ8_ORACLE)
 def sim_ann_sq8(t):
     """Scalar-quantized ANN (SQ8): per-dimension min/max over the corpus
-    → each vector quantized to 8-bit codes → integer-dot-product
-    shortlist (top-50) → exact fused-fold cosine rerank (top-10).
+    → each vector quantized to 8-bit codes → asymmetric dequantized-dot
+    shortlist (top-50; candidate codes dequantized against the RAW query
+    vector, exact scaled-int sums) → exact fused-fold cosine rerank
+    (top-10).
 
     This is the deterministic member of the product-quantization family
     (per-dim scalar codebooks instead of trained sub-space centroids), so
@@ -1963,24 +1968,36 @@ def sim_ann_sq8(t):
         .crossJoin(F.broadcast(packed))
         .select("vec_id", "embedding", quantize(F.col("embedding")).alias("code"))
     )
-    qcode = (
+    qrow = (
         e.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(packed))
-        .select(
-            quantize(F.col("embedding")).alias("qcode"),
-            F.col("embedding").alias("qv"),
-        )
+        .select(F.col("embedding").alias("qv"), F.col("dims").alias("__dims"))
     )
+
+    def adc_term(i):
+        # asymmetric scoring: DEQUANTIZED candidate component against the
+        # RAW query component — the affine (mn, mx) offsets cancel out of
+        # the ranking instead of poisoning it the way a symmetric
+        # quantized-x-quantized dot does (recall 0.9 vs 0.1 on the
+        # fixture). Scaled-int terms keep the shortlist boundary exact.
+        d = F.element_at(F.col("__dims"), i)
+        dq = (
+            F.element_at(F.col("code"), i).cast("double") * (d["mx"] - d["mn"])
+        ) / F.lit(255.0) + d["mn"]
+        return F.round(
+            dq * F.element_at(F.col("qv"), i).cast("double") * F.lit(1e16), 0
+        ).cast("long")
+
     shortlist = (
-        codes.crossJoin(F.broadcast(qcode))
+        codes.crossJoin(F.broadcast(qrow))
         .select(
             "vec_id",
             "embedding",
             "qv",
             F.aggregate(
-                F.zip_with(F.col("code"), F.col("qcode"), lambda a, b: a * b),
+                F.sequence(F.lit(1), F.lit(dim)),
                 F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
+                lambda acc, i: acc + adc_term(i),
             ).alias("s"),
         )
         .orderBy(F.col("s").desc(), F.col("vec_id"))

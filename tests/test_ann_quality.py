@@ -75,6 +75,19 @@ def test_pq_residual_refinement_gain(spark, rankings):
     assert len(resid30 & top10) >= len(plain30 & top10) + 1
 
 
+def test_sq8_asymmetric_adc_recall(spark, rankings):
+    """SQ8 with asymmetric scoring (candidate codes dequantized against
+    the raw query) must be near-exact: the 8-bit quantization noise is
+    tiny next to real dot-product gaps. Round-5 fix — the old symmetric
+    quantized-x-quantized dot let the per-dim affine offsets poison the
+    ranking (recall 0.1); measured 1.0 after, floor pinned at 0.8."""
+    top10, _, _ = rankings
+    sq8 = {r.vec_id for r in REGISTRY["sim_ann_sq8"].fn(spark, SF).collect()}
+    assert len(sq8) == 10
+    assert 0 in sq8
+    assert len(sq8 & top10) / 10 >= 0.8
+
+
 def test_ann_results_subset_of_corpus_and_sized(rankings):
     top10, ivf, lsh = rankings
     assert len(ivf) == 10 and len(lsh) == 10
