@@ -1685,6 +1685,161 @@ def corpus_prep_stats(t):
     return corpus_stats(prepare_corpus(t.documents), raw_n)
 
 
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()
+    )
+    return f"CASE lang {cases} END"
+
+
+@register(
+    "corpus_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    feasible AS (
+      SELECT MIN(CAST(floor(CAST(n AS DOUBLE) / ({_mix_weight_sql()})) AS BIGINT))
+             AS total FROM counts
+    ),
+    ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.source
+    FROM ranked r CROSS JOIN feasible f
+    WHERE r.rn <= CAST(floor(({_mix_weight_sql().replace("lang", "r.lang")})
+                             * f.total) AS BIGINT)
+    """,
+)
+def corpus_mix(t):
+    """Weighted corpus mixing — the training-data composition step: given
+    target language proportions (en .5 / de .2 / fr .15 / es .1 / zh .05),
+    select the LARGEST corpus achieving exactly that mix: feasible total
+    T = min over groups of floor(n_g / w_g), then keep floor(w_g · T)
+    docs per group, chosen by deterministic LCG-hash rank (stable across
+    partitionings, engines, and runs — the reproducible counterpart of
+    random sub/over-sampling).
+
+    Scale: one tiny group-count aggregate → 1-row broadcast; selection is
+    a per-group row_number over the hash order (one shuffle on the group
+    key) with the cutoff computed expression-side. At 100 TB the same
+    two-pass shape stands; weights/keys are parameters.
+    """
+    d = t.documents
+    w = None
+    for k, v in _MIX_WEIGHTS.items():
+        w = F.when(F.col("lang") == k, F.lit(v)) if w is None else w.when(
+            F.col("lang") == k, F.lit(v)
+        )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    feasible = counts.select(
+        F.min(F.floor(F.col("n").cast("double") / w).cast("long")).alias("total")
+    )
+    from pyspark.sql.window import Window
+
+    rank = Window.partitionBy("lang").orderBy(
+        ((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+         % F.lit(2147483648)).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(rank))
+        .crossJoin(F.broadcast(feasible))
+        .filter(
+            F.col("rn")
+            <= F.floor(w * F.col("total").cast("double")).cast("long")
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "text_rarity_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM freq)
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(CAST(round(1e6 * (CAST(t.n_total AS DOUBLE) / f.cnt))
+                               AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / (1e6 * COUNT(*)) AS rarity
+    FROM tok k JOIN freq f USING (token) CROSS JOIN tot t
+    GROUP BY k.doc_id
+    """,
+)
+def text_rarity_score(t):
+    """Document distinctiveness via inverse unigram frequency: rarity =
+    mean over the doc's tokens of (corpus_tokens / token_count) — high
+    for documents made of rare vocabulary, ~1 for documents of pure
+    boilerplate. The frequency-based cousin of `text_quality_score`
+    (surface heuristics) and the deterministic stand-in for perplexity
+    filtering (swap the unigram table for a real LM's logprobs at
+    production; identical dataflow).
+
+    Per-token ratios are 1e6-scaled int64 (IEEE division + one multiply,
+    bit-identical cross-engine), summed exactly, one final division —
+    so the score hash-checks. Scale: token explode → (token) count
+    shuffle; the vocab table then joins back (broadcast at real vocab
+    sizes ≤ a few GB, hash join beyond); total-token count rides as a
+    1-row broadcast.
+    """
+    d = t.documents
+    tok = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("long").alias("n_total"))
+    term = F.round(
+        F.lit(1e6) * (F.col("n_total").cast("double") / F.col("cnt")), 0
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(term).cast("double")
+                / (F.lit(1e6) * F.count(F.lit(1)))
+            ).alias("rarity"),
+        )
+    )
+
+
+@register(
+    "sample_uniform_k",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+    """,
+)
+def sample_uniform_k(t):
+    """Exact-k uniform sample without replacement: rank every row by a
+    cryptographic hash of its key and keep the k smallest — the
+    deterministic, engine-portable form of reservoir sampling (same
+    result from any partitioning / arrival order, unlike TABLESAMPLE or
+    an actual streaming reservoir). Complements `sample_deterministic`
+    (fixed RATE by hash threshold) with a fixed SIZE.
+
+    Scale: TakeOrderedAndProject — per-partition top-k then a k-sized
+    driver merge; no global sort, no shuffle of the corpus.
+    """
+    d = t.documents
+    return (
+        d.select("doc_id", "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
 @register(
     "dedup_cc_clusters",
     oracle=f"""
