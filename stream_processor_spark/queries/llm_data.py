@@ -1056,50 +1056,82 @@ _IVF_ORACLE = "WITH " + _IVF_CENT_SQL + ",\n" + _ivf_serve_sql(2)
 
 
 def _ivf_serve(e, packed, nprobe=2, topk=10):
-    """Shared IVF serving plan over a packed quantizer (one broadcast row).
+    """Shared IVF serving plan over a packed quantizer — ONE broadcast,
+    ONE corpus pass (round-5 rewrite; previously 3 broadcast exchanges +
+    a probe sort stage, ~5 scheduler mini-jobs of pure fixed overhead).
 
-    (1) assignment: map-only argmax cosine per vector against the
-        broadcast centroids (``kmeans.assign_cosine``) — no explode, no
-        shuffle, no join on the corpus side.
-    (2) probe: the query row scores the same broadcast centroids
-        (cosine(c, q) == cosine(q, c): IEEE multiplication commutes);
-        nprobe lists by (cos DESC, clabel DESC). The query vector rides
-        along on the probe rows, so the rerank needs no second query scan.
-    (3) rerank: broadcast probe join (each vector's list_id matches at
-        most one probe row, which carries qv) + exact fused-fold cosine,
-        top-k via TakeOrderedAndProject.
+    The query row joins the packed model once and computes the probe
+    EXPRESSION-SIDE: centroids scored against qv, ascending array_sort
+    by (cos, clabel), last nprobe entries = the oracle's
+    ``cos DESC, clabel DESC LIMIT nprobe`` exactly (lexicographic struct
+    order, identical tie-breaks). That one row — (qv, cents, probe
+    list) — broadcasts to the corpus pass, which assigns each vector
+    (argmax cosine, ties to the higher label), keeps it iff its list is
+    probed, and computes the exact fused-fold cosine; top-k via
+    TakeOrderedAndProject. No corpus shuffle, no probe join — the probe
+    filter is an array_contains against the broadcast row.
     """
-    assigned = kmeans.assign_cosine(sim.fan_out(e), packed)
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
         sim.dot_scaled(F.col("embedding"), F.col("embedding")).alias("__sqq"),
     )
-    qprobe = (
-        q.crossJoin(F.broadcast(packed))
+    scored = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (
+                    sim.dot_scaled(F.col("qv"), c["carr"]).cast("double")
+                    / (
+                        F.sqrt(F.col("__sqq").cast("double"))
+                        * F.sqrt(c["scc"].cast("double"))
+                    )
+                ).alias("cos"),
+                c["clabel"].alias("clabel"),
+            ),
+        )
+    )
+    model = q.crossJoin(F.broadcast(packed)).select(
+        "qv",
+        "cents",
+        F.transform(
+            F.slice(
+                scored,
+                F.greatest(F.size(scored) - F.lit(nprobe) + 1, F.lit(1)),
+                F.lit(nprobe),
+            ),
+            lambda s: s["clabel"],
+        ).alias("__probe"),
+    )
+
+    def cos_vs(cent, sxx):
+        return sim.dot_scaled(F.col("embedding"), cent["carr"]).cast("double") / (
+            F.sqrt(sxx.cast("double")) * F.sqrt(cent["scc"].cast("double"))
+        )
+
+    return (
+        sim.fan_out(e)
         .select(
+            "vec_id",
+            "embedding",
+            sim.dot_scaled(F.col("embedding"), F.col("embedding")).alias("__sxx"),
+        )
+        .crossJoin(F.broadcast(model))
+        .select(
+            "vec_id",
+            "embedding",
             "qv",
-            F.explode(
+            "__probe",
+            F.array_max(
                 F.transform(
                     F.col("cents"),
                     lambda c: F.struct(
-                        (
-                            sim.dot_scaled(F.col("qv"), c["carr"]).cast("double")
-                            / (
-                                F.sqrt(F.col("__sqq").cast("double"))
-                                * F.sqrt(c["scc"].cast("double"))
-                            )
-                        ).alias("cos"),
+                        cos_vs(c, F.col("__sxx")).alias("cos"),
                         c["clabel"].alias("clabel"),
                     ),
                 )
-            ).alias("sc"),
+            )["clabel"].alias("list_id"),
         )
-        .orderBy(F.col("sc.cos").desc(), F.col("sc.clabel").desc())
-        .limit(nprobe)
-        .select(F.col("sc.clabel").alias("list_id"), "qv")
-    )
-    return (
-        assigned.join(F.broadcast(qprobe), "list_id")
+        .filter(F.array_contains(F.col("__probe"), F.col("list_id")))
         .select("vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(topk)
@@ -1141,21 +1173,11 @@ def sim_ann_ivf(t):
     """
     e = t.embeddings
 
-    # ---- fit: exact per-label fixed-point centroid means (one explode +
-    # one tiny shuffle), packed to ONE broadcast row.
-    cent_rows = (
-        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
-        .select(
-            "label",
-            (F.col("pos0") + 1).alias("pos"),
-            F.round(F.col("v").cast("double") * F.lit(1e16), 0)
-            .cast("long")
-            .alias("sv"),
-        )
-        .groupBy("label", "pos")
-        .agg(
-            (F.sum("sv").cast("double") / (F.lit(1e16) * F.count(F.lit(1)))).alias("c")
-        )
+    # ---- fit: exact per-label fixed-point centroid means (columnar
+    # per-dimension aggregates, one tiny shuffle — kmeans._mean_update),
+    # packed to ONE broadcast row.
+    cent_rows = kmeans._mean_update(
+        e.select("label", "embedding"), "label", "embedding"
     )
     return _ivf_serve(e, kmeans.pack_centroids(cent_rows))
 
