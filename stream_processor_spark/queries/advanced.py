@@ -272,172 +272,6 @@ def scalar_hash(t):
 
 
 @register(
-    "tpch_q3_shape",
-    oracle=f"""
-    SELECT l.l_orderkey,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
-           o.o_orderdate, o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10
-    """,
-)
-def tpch_q3_shape(t):
-    """TPC-H Q3 shape (shipping priority): selective dimension filter →
-    two-hop join → grouped revenue → top-10. The composite everything
-    query: both date predicates push into their scans, customer is a
-    broadcast dim, the group-by shuffles once on orderkey, and the
-    top-10 is TakeOrderedAndProject over exact fixed-point revenue
-    (ties broken on orderdate then orderkey — deterministic both
-    engines)."""
-    l, o, c = t.lineitem, t.orders, t.customer
-    revenue = l.l_extendedprice * (1 - l.l_discount)
-    return (
-        l.filter(l.l_shipdate > F.lit("1998-07-01 00:00:00").cast("timestamp"))
-        .join(
-            o.filter(o.o_orderdate < F.lit("1998-07-01 00:00:00").cast("timestamp")),
-            l.l_orderkey == o.o_orderkey,
-        )
-        .join(
-            F.broadcast(c.filter(c.c_mktsegment == "BUILDING")),
-            o.o_custkey == c.c_custkey,
-        )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue, 6).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-
-
-@register(
-    "tpch_q10_shape",
-    oracle=f"""
-    SELECT c.c_custkey, c.c_name,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
-           COUNT(*) AS n_items
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name
-    ORDER BY revenue DESC, c.c_custkey LIMIT 20
-    """,
-)
-def tpch_q10_shape(t):
-    """TPC-H Q10 shape (returned-item reporting): which customers
-    returned the most revenue. Returnflag filter pushes into the
-    lineitem scan, customer broadcasts, one grouped shuffle on custkey,
-    top-20 via TakeOrderedAndProject on exact fixed-point revenue."""
-    l, o, c = t.lineitem, t.orders, t.customer
-    revenue = l.l_extendedprice * (1 - l.l_discount)
-    return (
-        l.filter(l.l_returnflag == "R")
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(dsum(revenue, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
-        .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
-    )
-
-
-@register(
-    "tpch_q14_shape",
-    oracle=f"""
-    SELECT {_dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 6)}
-             AS promo_revenue,
-           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS total_revenue,
-           100.0 * {_dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 6)}
-             / {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS promo_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-    """,
-)
-def tpch_q14_shape(t):
-    """TPC-H Q14 shape (promotion effect): conditional revenue share in
-    one pass — CASE inside the fixed-point sum, part broadcast, global
-    partial+final aggregate, ratio computed from the two exact sums
-    (single double division, identical both engines)."""
-    l, p = t.lineitem, t.part
-    revenue = l.l_extendedprice * (1 - l.l_discount)
-    promo = F.when(p.p_type == "PROMO", revenue).otherwise(F.lit(0.0))
-    out = (
-        l.filter(
-            (l.l_shipdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (l.l_shipdate < F.lit("1996-04-01 00:00:00").cast("timestamp"))
-        )
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .agg(
-            dsum(promo, 6).alias("promo_revenue"),
-            dsum(revenue, 6).alias("total_revenue"),
-        )
-    )
-    return out.select(
-        "promo_revenue",
-        "total_revenue",
-        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
-            "promo_pct"
-        ),
-    )
-
-
-@register(
-    "tpch_q18_shape",
-    oracle=f"""
-    WITH big AS (
-      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 25000
-    )
-    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           {_dsum_sql('l.l_quantity')} AS total_qty
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    JOIN big b ON b.l_orderkey = o.o_orderkey
-    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
-    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
-    """,
-)
-def tpch_q18_shape(t):
-    """TPC-H Q18 shape (large-volume customers): a grouped HAVING
-    pre-aggregate feeds a semi-filter on the fact join. The HAVING
-    threshold compares exact scaled-int sums (floor(q*100+0.5) > 25000)
-    so the qualifying-order set is bit-identical across engines; the
-    outer aggregate re-sums per (customer, order) and top-20s by order
-    value. Scale: both aggregations shuffle on orderkey — AQE reuses
-    the partitioning; the HAVING side's output is order-keys only
-    (broadcastable at any scale: it's the >threshold tail)."""
-    l, o, c = t.lineitem, t.orders, t.customer
-    big = (
-        l.groupBy("l_orderkey")
-        .agg(
-            F.sum(
-                F.floor(l.l_quantity * F.lit(100.0) + F.lit(0.5))
-            ).alias("__sq")
-        )
-        .filter(F.col("__sq") > 25000)
-        .select("l_orderkey")
-    )
-    return (
-        l.join(F.broadcast(big.withColumnRenamed("l_orderkey", "__bk")),
-               l.l_orderkey == F.col("__bk"))
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum(l.l_quantity).alias("total_qty"))
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .limit(20)
-    )
-
-
-@register(
     "tpch_q6_shape",
     oracle=f"""
     SELECT {_dsum_sql('l_extendedprice * l_discount', 6)} AS revenue,
