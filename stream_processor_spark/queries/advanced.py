@@ -446,6 +446,114 @@ def timeseries_gapfill(t):
 
 
 @register(
+    "timeseries_interpolate",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS d0,
+             date_trunc('day', MAX(ts)) AS d1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             {_dsum_sql('value')} / COUNT(*) AS dv
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    g AS (
+      SELECT gr.user_id, gr.day, d.dv
+      FROM grid gr LEFT JOIN daily d ON d.user_id = gr.user_id AND d.day = gr.day
+    ),
+    fb AS (
+      SELECT user_id, day, dv,
+        last_value(dv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN dv IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(dv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN dv IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM g
+    )
+    SELECT user_id, day,
+           CASE WHEN dv IS NOT NULL THEN dv
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                        / CAST(date_diff('day', pd, nd) AS DOUBLE)) END
+             AS value_interp,
+           dv IS NOT NULL AS observed
+    FROM fb
+    """,
+)
+def timeseries_interpolate(t):
+    """Linear interpolation over a resampled daily series — the feature-
+    engineering companion to `timeseries_gapfill` (which zero-fills
+    counts): per user, days with events carry their exact fixed-point
+    mean value; interior gap days get the straight line between the
+    surrounding anchors. The per-user grid is bounded by that user's own
+    first/last event day, so every gap has both anchors by construction
+    (no edge extrapolation case).
+
+    Determinism: anchor means come from scaled-int sums (one double
+    division); the interpolation is ``pv + (nv - pv) * (gap_pos /
+    gap_len)`` with integer day distances — identical IEEE op order in
+    both engines, so the result value-hashes. Spark shape: one grid
+    explode (expression-side sequence, no calendar cross join), one
+    (user, day) aggregate shuffle, two IGNORE NULLS window passes over
+    the SAME user partitioning (AQE reuses the exchange).
+    """
+    from pyspark.sql.window import Window
+
+    e = t.events
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("dv"))
+    g = grid.join(daily, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchor_day = F.when(F.col("dv").isNotNull(), F.col("day"))
+    pv = F.last("dv", ignorenulls=True).over(w_back)
+    pd_ = F.last(anchor_day, ignorenulls=True).over(w_back)
+    nv = F.first("dv", ignorenulls=True).over(w_fwd)
+    nd = F.first(anchor_day, ignorenulls=True).over(w_fwd)
+    frac = F.datediff(F.col("day"), pd_).cast("double") / F.datediff(
+        nd, pd_
+    ).cast("double")
+    interp = F.when(F.col("dv").isNotNull(), F.col("dv")).otherwise(
+        pv + (nv - pv) * frac
+    )
+    return g.select(
+        "user_id",
+        "day",
+        interp.alias("value_interp"),
+        F.col("dv").isNotNull().alias("observed"),
+    )
+
+
+@register(
     "agg_approx_percentile",
     oracle="""
     SELECT o_orderstatus,
