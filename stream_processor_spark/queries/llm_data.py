@@ -1707,6 +1707,47 @@ def corpus_prep_stats(t):
     return corpus_stats(prepare_corpus(t.documents), raw_n)
 
 
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_band_cand_sql(4, 4).lstrip()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM cand e1
+    JOIN cand e2 ON e2.va = e1.vb
+    JOIN cand e3 ON e3.va = e1.va AND e3.vb = e2.vb
+    """,
+)
+def graph_triangle_count(t):
+    """Triangle count over the LSH candidate graph — the cluster-density
+    diagnostic for near-duplicate graphs: many triangles ⇒ candidate
+    edges form tight clusters (real duplicate groups); few ⇒ scattered
+    pair noise. Edges are the deterministic banded-LSH candidate pairs
+    (va < vb, the same edge set `dedup_cc_clusters` clusters), so the
+    count is exact and hash-checkable.
+
+    The canonical distributed triangle algorithm: with edges oriented
+    low→high id, each triangle a<b<c is counted exactly once as
+    (a,b)+(b,c)+(a,c) — two self-joins, no orientation dedup needed.
+    Scale: the candidate graph is band-bucketed (edges ≪ n²); the two
+    equi-joins shuffle on vertex ids and AQE handles the skew of hub
+    vertices (a hot vertex can also be salted — `operators/skew.py`).
+    """
+    edges = sim.banded_candidate_pairs(t.embeddings).select(
+        F.col("id_a").alias("va"), F.col("id_b").alias("vb")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.vb") == F.col("e2.va"))
+        .join(
+            e3,
+            (F.col("e3.va") == F.col("e1.va")) & (F.col("e3.vb") == F.col("e2.vb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.15, "es": 0.1, "zh": 0.05}
 
 
