@@ -70,8 +70,8 @@ def main() -> None:
             continue
         runs = []
         for _ in range(N_RUNS):
-            df = REGISTRY[name].fn(spark, SF_DIR)
             t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         steady = min(runs[1:])

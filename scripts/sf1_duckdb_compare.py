@@ -91,8 +91,8 @@ def main() -> None:
     for name in WEAK:
         runs = []
         for _ in range(N_RUNS + 1):
-            df = REGISTRY[name].fn(spark, DST)
             t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, DST)
             df.write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 4))
         steady = min(runs[1:])

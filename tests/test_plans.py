@@ -80,20 +80,19 @@ def test_salted_agg_two_phase_with_partial_combine(spark, sf_dir):
 
 
 def test_ivf_plan_shape(spark, sf_dir):
+    """Serving plan after model hydration: scan → ONE Arrow-batched
+    vectorized pass (assignment + probe prune + exact rerank fused in a
+    single MapInPandas) → TakeOrderedAndProject. No join at all, no hash
+    shuffle — the only Exchange is the local-fixture round-robin
+    fan-out, a no-op on a multi-split corpus. (The model fit runs as its
+    own tiny job at hydration time; its (label, pos) partial-agg shuffle
+    is model-sized, not corpus-sized.)"""
     plan = _plan(spark, sf_dir, "sim_ann_ivf", mode="simple")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan  # probe join is broadcast
+    assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
-    # the only hash shuffle is the model fit's (label, pos) partial agg —
-    # the corpus side is scan → map → broadcast-join → top-k with no
-    # corpus-sized shuffle (the round-robin fan-out is the local-fixture
-    # parallelizer, a no-op on a multi-split corpus)
-    # (the model-fit subtree appears once per broadcast consumer before
-    # runtime exchange reuse deduplicates it)
-    assert plan.count("hashpartitioning(label") >= 1
-    for line in plan.splitlines():
-        if "hashpartitioning" in line:
-            assert "label" in line, f"unexpected corpus shuffle: {line[:160]}"
+    assert plan.count("MapInPandas") == 1
+    assert "hashpartitioning" not in plan, "corpus shuffle crept in"
 
 
 def test_frame_sample_single_python_pass(spark, sf_dir):
