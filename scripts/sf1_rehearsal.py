@@ -49,15 +49,16 @@ QUERIES = [
 ]
 
 
-def generate(spark) -> None:
+def generate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
+    DSTDIR, repl = dst, replicas
     from pyspark.sql import functions as F
 
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(DSTDIR, exist_ok=True)
     orders = spark.read.parquet(os.path.join(SRC, "orders.parquet"))
     lineitem = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
     offset = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
 
-    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__rep")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("__rep")
 
     (
         orders.select("*", rep)
@@ -65,7 +66,7 @@ def generate(spark) -> None:
         .drop("__rep")
         .repartition(32)
         .write.mode("overwrite")
-        .parquet(os.path.join(DST, "orders.parquet"))
+        .parquet(os.path.join(DSTDIR, "orders.parquet"))
     )
     (
         lineitem.select("*", rep)
@@ -73,7 +74,7 @@ def generate(spark) -> None:
         .drop("__rep")
         .repartition(32)
         .write.mode("overwrite")
-        .parquet(os.path.join(DST, "lineitem.parquet"))
+        .parquet(os.path.join(DSTDIR, "lineitem.parquet"))
     )
     # corpus tables replicate 10x too (id-shifted so doc_id/vec_id 0 — the
     # query row — stays unique); dimensions stay fixed
@@ -85,7 +86,7 @@ def generate(spark) -> None:
         .drop("__rep")
         .repartition(32)
         .write.mode("overwrite")
-        .parquet(os.path.join(DST, "documents.parquet"))
+        .parquet(os.path.join(DSTDIR, "documents.parquet"))
     )
     embeddings = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     v_off = embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -95,10 +96,10 @@ def generate(spark) -> None:
         .drop("__rep")
         .repartition(32)
         .write.mode("overwrite")
-        .parquet(os.path.join(DST, "embeddings.parquet"))
+        .parquet(os.path.join(DSTDIR, "embeddings.parquet"))
     )
     for name in ("region", "nation", "customer", "supplier", "part", "events"):
-        link = os.path.join(DST, f"{name}.parquet")
+        link = os.path.join(DSTDIR, f"{name}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(SRC, f"{name}.parquet"), link)
 

@@ -790,6 +790,168 @@ def tpch_q18_shape(t):
 
 
 @register(
+    "tpch_q5_shape",
+    oracle=f"""
+    SELECT n.n_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_q5_shape(t):
+    """TPC-H Q5 shape (local supplier volume): 6-table star-plus-snowflake
+    join with the customer-and-supplier-in-same-nation equi-constraint,
+    revenue per nation, sorted.
+
+    Reference parity: composite of the reference's per-record pipeline
+    primitives over the TPC-H-ish fixture (no single reference query —
+    coverage target from SURVEY §2.6/§2.7 composite shapes).
+
+    Scale notes: supplier/nation/region are TRUE dimensions → explicit
+    broadcasts, so the 100 TB fact flow (lineitem⋈orders) shuffles only
+    on the fact-fact key and the same-nation filter rides the broadcast
+    hash join; the final per-nation aggregate is 25 groups — partial
+    aggregation collapses it map-side."""
+    l, o, c = t.lineitem, t.orders, t.customer
+    s, n, r = t.supplier, t.nation, t.region
+    revenue = l.l_extendedprice * (1 - l.l_discount)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (o.o_orderdate < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "tpch_q7_shape",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_shape(t):
+    """TPC-H Q7 shape (volume shipping): nation-pair trade flow with a
+    symmetric OR over two dimension aliases of the SAME table, grouped by
+    shipment year.
+
+    Scale notes: nation joins twice under different aliases — both
+    broadcast, so the OR pair-predicate is evaluated map-side after two
+    broadcast probes; no fact shuffle beyond lineitem⋈orders. Group
+    cardinality (2 pairs × years) is tiny → map-side partial collapse."""
+    l, o, c, s = t.lineitem, t.orders, t.customer, t.supplier
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = l.l_extendedprice * (1 - l.l_discount)
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.filter(
+            (l.l_shipdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (l.l_shipdate < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .filter(pair)
+        .withColumn("l_year", F.year(l.l_shipdate).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q19_shape",
+    oracle=f"""
+    SELECT {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def tpch_q19_shape(t):
+    """TPC-H Q19 shape (discounted revenue): disjunction of three brand ×
+    size × quantity predicate blocks spanning BOTH join sides.
+
+    Scale notes: the part-side conjuncts cannot be pushed below the join
+    as a whole (the OR spans tables), but Catalyst derives the
+    per-table implied filters (brand IN (...), size ranges, quantity
+    envelope) and pushes THOSE into both scans; part broadcasts, so the
+    residual OR evaluates map-side with zero fact shuffle."""
+    l, p = t.lineitem, t.part
+    revenue = l.l_extendedprice * (1 - l.l_discount)
+    block = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (p.p_brand == brand)
+        & p.p_size.between(s_lo, s_hi)
+        & (l.l_quantity >= q_lo)
+        & (l.l_quantity <= q_hi)
+    )
+    cond = (
+        block("Brand#1", 1, 15, 1, 20)
+        | block("Brand#7", 10, 30, 10, 30)
+        | block("Brand#13", 20, 50, 20, 40)
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(cond)
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
     "window_sessionize",
     oracle="""
     WITH gaps AS (

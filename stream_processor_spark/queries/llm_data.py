@@ -2768,3 +2768,143 @@ def window_funnel(t):
             ).otherwise(0)
         ).cast("long").alias("step3_purchase_after_view"),
     )
+
+
+@register(
+    "text_contamination_ngram",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE source = 'src0'
+    ),
+    bgrams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 4),
+                                     i -> array_to_string(toks[i:i+4], ' '))) AS g
+        FROM bench)
+    ),
+    train AS (
+      SELECT string_split(text, ' ') AS toks
+      FROM documents WHERE source <> 'src0'
+    ),
+    tgrams AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+                                     i -> array_to_string(toks[i:i+4], ' '))) AS g
+        FROM train)
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(t.g) AS n_contam,
+           CAST(COUNT(t.g) AS DOUBLE) / COUNT(*) AS contamination
+    FROM bgrams b LEFT JOIN tgrams t USING (g)
+    GROUP BY b.doc_id
+    """,
+)
+def text_contamination_ngram(t):
+    """Benchmark-contamination audit: for each document of the held-out
+    source (`src0` plays the benchmark), the fraction of its distinct
+    5-grams that appear anywhere in the training corpus (all other
+    sources) — the n-gram-overlap decontamination check every LLM data
+    pipeline runs before training.
+
+    Scale (the part that matters at 100 TB of train data): the TRAIN
+    side never shuffles its n-grams globally. Benchmark grams (small by
+    definition) are DISTINCTed and BROADCAST; the train gram stream is
+    semi-joined against them map-side, so the only train-sized work is
+    one scan, and the distinct that follows runs over at most
+    |benchmark grams| matched rows. The final per-doc aggregate joins
+    the matched set back by broadcast. A naive `train_grams.distinct()`
+    formulation would shuffle the full corpus vocabulary — the exact
+    scale-killer this plan avoids.
+    """
+    d = t.documents
+
+    def grams(col):
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(col) - 4),
+            lambda i: F.concat_ws(" ", F.slice(col, i, 5)),
+        )
+        return F.array_distinct(
+            F.when(F.size(col) >= 5, g).otherwise(F.array().cast("array<string>"))
+        )
+
+    bench_grams = (
+        d.filter(F.col("source") == "src0")
+        .select("doc_id", F.explode(grams(tx.tokens(F.col("text")))).alias("g"))
+    )
+    bench_vals = bench_grams.select("g").distinct()
+    train_grams = (
+        d.filter(F.col("source") != "src0")
+        .select(F.explode(grams(tx.tokens(F.col("text")))).alias("g"))
+    )
+    matched = (
+        train_grams.join(F.broadcast(bench_vals), "g", "leftsemi")
+        .distinct()
+        .select(F.col("g").alias("tg"))
+    )
+    return (
+        bench_grams.join(F.broadcast(matched), F.col("g") == F.col("tg"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("tg").alias("n_contam"),
+            (F.count("tg").cast("double") / F.count(F.lit(1))).alias("contamination"),
+        )
+    )
+
+
+@register(
+    "window_retention",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    firsts AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT f.cohort,
+             CAST(date_diff('day', f.cohort, e.d) AS BIGINT) AS day_offset,
+             e.user_id
+      FROM e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort)
+    SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort, a.day_offset,
+           COUNT(*) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / s.n_cohort AS retention
+    FROM act a JOIN sizes s USING (cohort)
+    GROUP BY a.cohort, a.day_offset, s.n_cohort
+    """,
+)
+def window_retention(t):
+    """Cohort retention: users grouped by first-activity date; for each
+    (cohort, day-offset) the distinct users active that day and the
+    retention ratio vs cohort size — the standard product-analytics
+    retention triangle.
+
+    Scale: one shuffle on user_id (first-date aggregate; the activity
+    join reuses the same hash partitioning), then one (cohort, offset)
+    aggregate whose cardinality is days² — tiny. Cohort sizes are a
+    days-sized frame, joined by broadcast. Exactness: counts and one
+    final division — deterministic under any partitioning."""
+    e = t.events.select("user_id", F.to_date("ts").alias("d"))
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.col("d"), F.col("cohort")).cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        act.groupBy("cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("n_cohort")).alias("retention"),
+        )
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from stream_processor_spark.operators import rollup as ru
 from stream_processor_spark.queries.base import register
 
 
@@ -314,11 +315,23 @@ def agg_approx_count_distinct(t):
     """,
 )
 def agg_rollup(t):
-    """Rollup: hierarchical subtotals + grand total (Expand operator)."""
+    """Rollup: hierarchical subtotals + grand total.
+
+    Round-5 rewrite: re-aggregation instead of Spark's Expand plan
+    (`operators/rollup.py`). The fact table aggregates ONCE at the
+    finest level — one scan, one shuffle of base-group partials — and
+    the subtotal levels re-aggregate the dozens-of-rows base frame.
+    Spark's built-in ``rollup()`` would Expand-replicate all 60M rows
+    ×3 levels before the partial aggregate (measured ~5× slower at
+    sf10). Bit-identical to SQL ROLLUP: the fixed-point int64 sums are
+    associative, so sums-of-partial-sums equal the direct sums exactly
+    (the unchanged DuckDB ROLLUP oracle verifies it)."""
     l = t.lineitem
-    return l.rollup("l_returnflag", "l_linestatus").agg(
-        dsum(l.l_quantity).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return ru.rollup_reagg(
+        l,
+        ["l_returnflag", "l_linestatus"],
+        int_sums={"sum_qty": F.floor(l.l_quantity * F.lit(100.0) + F.lit(0.5))},
+        finish={"sum_qty": F.col("__i_sum_qty").cast("double") / F.lit(100.0)},
     )
 
 

@@ -123,23 +123,24 @@ def test_shingle_split_materialized_not_inlined(spark, sf_dir):
             assert "split(" not in line, f"split inlined into lambda: {line[:200]}"
 
 
-def test_rollup_expands_then_partial_aggregates(spark, sf_dir):
-    """agg_rollup: the Expand operator doubles rows BEFORE the exchange,
-    so the partial aggregate must sit between Expand and the shuffle —
-    map-side combine keeps the shuffled volume at (groups × levels), not
-    (rows × levels), which is what makes rollup safe at 100 TB."""
+def test_rollup_expands_base_groups_not_fact_rows(spark, sf_dir):
+    """agg_rollup (round-5 re-aggregation rewrite, operators/rollup.py):
+    the fact table must scan ONCE and aggregate to base groups BEFORE
+    any Expand — the rollup levels are computed by expanding the
+    group-count-sized base frame, never the fact rows. In the rendered
+    tree (top-down, parents first) that means the single parquet scan
+    sits BELOW Expand, with the base partial aggregate between them."""
     plan = _plan(spark, sf_dir, "agg_rollup", mode="simple")
+    assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
     assert "partial_sum" in plan
-    assert plan.count("Exchange") == 1
-    # strict order in the rendered tree: final agg <- Exchange <- partial
-    # agg <- Expand.  (A disjunctive check here is satisfiable by the bad
-    # reduce-side-aggregate layout too — assert the exact rendering.)
-    assert (
-        plan.index("Exchange")
-        < plan.index("partial_sum")
-        < plan.index("Expand")
-    ), "partial aggregate must sit between the Exchange and Expand"
+    # scan is a descendant of Expand: Expand renders above (before) it
+    assert plan.index("Expand") < plan.index("Scan parquet")
+    # the base aggregate's map-side partial sits between Expand and the
+    # scan — the shuffle below Expand carries base-group partials only
+    below_expand = plan[plan.index("Expand"):]
+    assert "partial_sum" in below_expand
+    assert "Exchange" in below_expand
 
 
 def test_salted_join_carries_salt_through_join_key(spark, sf_dir):
