@@ -20,6 +20,7 @@ with AQE bucket coalescing).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
@@ -41,7 +42,17 @@ def write_bucketed(
     Bucketing requires ``saveAsTable`` (bucket metadata lives in the
     catalog). Sorted buckets additionally enable merge-join without an
     in-memory sort.
+
+    INVARIANT — one file per bucket: the input is repartitioned on the
+    bucket column first, so each bucket is written by exactly one task
+    as one sorted file. This is what makes (a) reads cost one split per
+    bucket instead of N_writers × N_buckets scattered files (~3× read
+    cost, measured), and (b) the session's bucketed-scan ordering conf
+    sound — with multiple files per bucket the claimed per-bucket order
+    would be false and sort-merge joins could silently produce wrong
+    results.
     """
+    df = df.repartition(num_buckets, F.col(bucket_col))
     writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
@@ -52,7 +63,8 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
-def bucketed_pair(spark: SparkSession, sf_dir: str, num_buckets: int = 8):
+def bucketed_pair(spark: SparkSession, sf_dir: str,
+                  num_buckets: int | None = None):
     """lineitem + orders persisted bucketed-by-orderkey (once per sf_dir).
 
     The fact-fact join shape broadcast can't save: neither side fits in
@@ -62,16 +74,27 @@ def bucketed_pair(spark: SparkSession, sf_dir: str, num_buckets: int = 8):
     Exchange on either side — each task zips bucket i with bucket i.
     Returns (lineitem, orders) DataFrames reading the bucketed tables.
 
-    Table names carry an sf_dir digest so different scale factors never
-    collide in the session catalog; the write is skipped when the tables
-    already exist (the amortization that makes write-time bucketing pay).
+    ``num_buckets`` defaults to the cluster parallelism: bucket count
+    is the PARALLELISM CEILING of every downstream bucketed join (one
+    task per bucket, no AQE splitting), so undersizing it idles cores —
+    measured at 60M rows on local[32]: 8 buckets 4.7 s, 32 buckets
+    2.3 s, identical zero-Exchange plans. On a real cluster follow the
+    size rule (≈ table size / 256 MiB, a multiple of total cores).
+
+    Table names carry an (sf_dir, num_buckets) digest so different
+    scale factors / layouts never collide in the session catalog; the
+    write is skipped when the tables already exist (the amortization
+    that makes write-time bucketing pay).
     """
     import hashlib
     import shutil
 
     from stream_processor_spark.catalog import Tables
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if num_buckets is None:
+        num_buckets = max(8, spark.sparkContext.defaultParallelism)
+
+    tag = hashlib.md5(f"{sf_dir}|{num_buckets}".encode()).hexdigest()[:8]
     li_name, o_name = f"b_lineitem_{tag}", f"b_orders_{tag}"
     t = Tables(spark, sf_dir)
     for name, df, key in (
@@ -85,15 +108,5 @@ def bucketed_pair(spark: SparkSession, sf_dir: str, num_buckets: int = 8):
             warehouse = spark.conf.get("spark.sql.warehouse.dir")
             loc = warehouse.removeprefix("file:") + "/" + name
             shutil.rmtree(loc, ignore_errors=True)
-            # repartition on the bucket key first → ONE file per bucket
-            # (otherwise every writer task emits a file into every bucket:
-            # N_partitions × N_buckets small files, and the scattered
-            # buckets cost ~3x on the read side — measured at sf1 in
-            # docs/SCALE.md round-5 section)
-            from pyspark.sql import functions as F
-
-            write_bucketed(
-                df.repartition(num_buckets, F.col(key)),
-                name, key, num_buckets, sort_col=key,
-            )
+            write_bucketed(df, name, key, num_buckets, sort_col=key)
     return spark.table(li_name), spark.table(o_name)

@@ -491,9 +491,59 @@ def join_bucketed(t):
     from stream_processor_spark.operators.storage import bucketed_pair
 
     li, o = bucketed_pair(t._spark, t._dir)
-    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+    # MERGE hint: on the bucketed layout sort-merge is exchange-free and
+    # sort-free; without it Catalyst may broadcast a column-pruned fact
+    # side that squeaks under the size threshold — a single-threaded
+    # driver hash build of millions of rows (measured 8 s at sf10) and
+    # an OOM at real scale.
+    return li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_linenumber", "l_quantity",
         "o_orderstatus", "o_orderpriority",
+    )
+
+
+@register(
+    "join_star_3way_bucketed",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_star_3way_bucketed(t):
+    """`join_star_3way` on the write-time-bucketed layout — the fast
+    path for the star's fact-fact edge, hash-checked against the SAME
+    oracle semantics as the shuffle-era plan.
+
+    The lineitem⋈orders edge reads both sides bucketed+sorted on the
+    join key (zero Exchange, one task per bucket); the customer dim
+    broadcasts as usual. This is the layout docs/SCALE.md's sf1/sf10
+    isolation identifies as the only strategy whose cost is flat in
+    cluster size: every shuffle-era alternative (broadcast build,
+    shuffle-hash, sort-merge) pays a per-query data movement this plan
+    paid once at write time. Measured at 60M rows: the bucketed edge
+    alone is ~2× faster than the best shuffle strategy, and the gap is
+    the entire exchange volume at 1000-executor scale.
+    """
+    from stream_processor_spark.operators.storage import bucketed_pair
+
+    li, o = bucketed_pair(t._spark, t._dir)
+    c = t.customer
+    revenue = li.l_extendedprice * (1 - li.l_discount)
+    # merge-hint the fact-fact edge (see join_bucketed): zero-exchange
+    # zero-sort SMJ on the bucketed layout; never broadcast a fact side
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
     )
 
 

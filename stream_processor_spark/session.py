@@ -31,6 +31,13 @@ _BUILD_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Bucketed-sorted scans report their per-bucket ordering, so joins on
+    # the bucket key skip both the Exchange AND the Sort. Sound because
+    # the engine's only bucketed writer (operators/storage.write_bucketed)
+    # guarantees ONE file per bucket — the case where the claimed ordering
+    # actually holds. (Default-off upstream because multi-file buckets
+    # would make the claim false.)
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
@@ -52,6 +59,7 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 
