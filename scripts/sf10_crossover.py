@@ -40,6 +40,7 @@ DST10 = os.path.join(
 CONTESTED = [
     "sim_ann_ivf",
     "join_star_3way",
+    "join_star_3way_bucketed",
     "join_star_5way",
     "join_bucketed",
     "agg_rollup",
@@ -121,7 +122,12 @@ def main() -> None:
         "floor_sec": round(floor, 4),
         "per_query": rows,
     }
-    print(json.dumps(report, indent=2))
+    out_path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else None
+    text = json.dumps(report, indent=2)
+    if out_path:
+        with open(out_path, "w") as f:  # JVM GC warnings pollute stdout
+            f.write(text + "\n")
+    print(text)
 
 
 if __name__ == "__main__":
