@@ -2908,3 +2908,83 @@ def window_retention(t):
             (F.col("n_users").cast("double") / F.col("n_cohort")).alias("retention"),
         )
     )
+
+
+_PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point PageRank mass
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE oracle replaying the integer-PageRank iterations."""
+    ctes = [
+        f"WITH {_band_cand_sql(4, 4).lstrip()}",
+        """nodes AS (SELECT vec_id AS node FROM embeddings),
+    nc AS (SELECT COUNT(*) AS n FROM nodes),
+    edges AS (SELECT va AS src, vb AS dst FROM cand
+              UNION ALL SELECT vb AS src, va AS dst FROM cand),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, {S} // n AS pr FROM nodes CROSS JOIN nc)""".replace(
+            "{S}", str(_PR_SCALE)
+        ),
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""in{t} AS (
+      SELECT e.dst AS node, CAST(SUM((17 * p.pr) // (20 * d.deg)) AS BIGINT) AS inflow
+      FROM edges e JOIN deg d ON d.src = e.src
+      JOIN pr{t - 1} p ON p.node = e.src
+      GROUP BY e.dst),
+    pr{t} AS (
+      SELECT n.node, ({15 * _PR_SCALE // 100} // nc.n) + COALESCE(i.inflow, 0) AS pr
+      FROM nodes n CROSS JOIN nc LEFT JOIN in{t} i ON i.node = n.node)""")
+    return (
+        ",\n    ".join(ctes)
+        + f"\n    SELECT node AS vec_id, pr AS pr_score FROM pr{iters}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(3))
+def graph_pagerank(t):
+    """PageRank over the LSH candidate graph (3 synchronous iterations,
+    damping 0.85) — ranks documents by near-duplicate-graph centrality,
+    the standard importance signal for picking cluster representatives.
+
+    Exactness: all mass arithmetic is integer — scores carry 1e12 units,
+    the damped contribution is ``(17·pr) div (20·deg)`` (positive floor
+    division, identical in Spark's ``div`` and DuckDB's ``//``), and
+    inflows sum as int64 — so the whole trajectory is bit-identical
+    across engines and partitionings, and the oracle replays it from
+    unrolled CTEs. (Simplification vs classical PageRank: dangling-node
+    mass is not redistributed — documented, deterministic.)
+
+    Scale: the canonical BSP shape — per iteration ONE shuffle
+    aggregating edge contributions by destination plus co-partitioned
+    node joins; edges and ranks hash-partition on the vertex id, so
+    iteration cost is O(|E|/cores) with AQE handling hub skew. The node
+    count rides as a broadcast 1-row aggregate (no collect).
+    """
+    e = t.embeddings
+    cand = sim.banded_candidate_pairs(e)
+    edges = cand.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nc = e.agg(F.count(F.lit(1)).alias("n"))
+    base = e.select(F.col("vec_id").alias("node")).crossJoin(F.broadcast(nc))
+    pr = base.select("node", F.expr(f"{_PR_SCALE} div n").alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr, edges.src == F.col("node"))
+            .select("dst", F.expr("(17 * pr) div (20 * deg)").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        pr = (
+            base.join(inflow, base.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"{15 * _PR_SCALE // 100} div n")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(F.col("node").alias("vec_id"), F.col("pr").alias("pr_score"))
