@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from stream_processor_spark.operators import dedup as dd
 from stream_processor_spark.operators import kmeans
 from stream_processor_spark.operators import npkernel as npk
+from stream_processor_spark.operators import rangejoin as rj
 from stream_processor_spark.operators import multimodal as mm
 from stream_processor_spark.operators import similarity as sim
 from stream_processor_spark.operators import text as tx
@@ -2988,3 +2989,40 @@ def graph_pagerank(t):
             )
         )
     return pr.select(F.col("node").alias("vec_id"), F.col("pr").alias("pr_score"))
+
+
+@register(
+    "join_interval_banded",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts - INTERVAL 1 HOUR
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def join_interval_banded(t):
+    """Large×large interval join: every (click, purchase) of the same
+    user within ±1 hour — attribution-window candidate generation.
+
+    This is the query shape `join_range`'s broadcast-nested-loop CANNOT
+    serve at scale (two fact-sized sides). The plan is the banded
+    formulation docs/SCALE.md prescribes (`operators/rangejoin.py`):
+    quantize time into window-width buckets, explode the probe side to
+    bucket ± 1, EQUI-join on (user, bucket), then apply the exact
+    residual predicate — hash-partitionable and skew-splittable, with
+    each true pair produced exactly once. The oracle is the plain
+    inequality join: bucketing must not change the result.
+    """
+    e = t.events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    return rj.banded_interval_join(
+        clicks, purchases, key="user_id", left_ts="cts", right_ts="pts",
+        window_sec=3600,
+    ).select("click_id", "purchase_id")
