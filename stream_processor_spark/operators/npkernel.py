@@ -44,6 +44,11 @@ def round_half_up(x: np.ndarray) -> np.ndarray:
     `ax - floor(ax)` is exact in IEEE double (Sterbenz), so the >= 0.5
     comparison decides on the TRUE binary value — no `floor(x+0.5)`
     boundary bug, no banker's rounding.
+
+    Inputs must be finite (NaN/inf → undefined int64 cast). The engine
+    only feeds it products of embedding components, which the fixtures
+    and any sane corpus keep finite; a NaN embedding would already
+    poison the JVM expression path identically.
     """
     x = np.asarray(x, dtype=np.float64)
     ax = np.abs(x)

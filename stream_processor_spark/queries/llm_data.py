@@ -1107,6 +1107,8 @@ def _ivf_serve(e, cent_rows, nprobe=2, topk=10):
     )
     labels, C, scc = npk.model_from_rows([r for r in rows if r[0] >= 0])
     qmap = {int(r[1]): float(r[2]) for r in rows if r[0] == -1}
+    if not qmap:
+        raise ValueError("IVF serve: query vector (vec_id=0) not found")
     q = np.asarray([qmap[p] for p in sorted(qmap)], dtype=np.float64)
     sqq = npk.self_norms_scaled(q[None, :])[0]
     qp = npk.dot_scaled(q[None, :], C)[0]
