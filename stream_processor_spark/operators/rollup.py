@@ -41,30 +41,32 @@ def rollup_reagg(
     int_sums: dict[str, Column],
     count_alias: str = "n_rows",
     finish: dict[str, Column] | None = None,
+    mode: str = "rollup",
 ) -> DataFrame:
-    """Rollup over ``group_cols`` from one finest-level aggregate.
+    """Rollup/cube over ``group_cols`` from one finest-level aggregate.
 
     ``int_sums``: alias → int64-valued per-row expression (e.g. the
     fixed-point ``floor(x*100 + 0.5)``) summed exactly at every level.
     ``finish``: alias → expression over the summed columns producing the
     output value (default: the raw sum). A row count column is always
-    produced under ``count_alias``.
-
-    Levels are generated like SQL ROLLUP: (a, b), (a), () for
-    [a, b] — rolled-up columns become NULL literals of the source type.
+    produced under ``count_alias``. ``mode``: "rollup" (hierarchical
+    levels) or "cube" (all combinations) — both decompose identically,
+    since every grouping set is a re-aggregation of the finest one.
     """
     base = df.groupBy(*group_cols).agg(
         *[F.sum(expr).alias(f"__i_{a}") for a, expr in int_sums.items()],
         F.count(F.lit(1)).alias("__i_n"),
     )
-    # The rollup levels come from rolling up the BASE frame — Spark's
-    # Expand operator does run here, but over the group-count-sized base
-    # (dozens of rows), not the fact table; the base subtree appears
-    # exactly once in the plan, so the fact table scans and shuffles
-    # once. (A union-of-reaggregations formulation reads cleaner but
-    # references base N+1 times, and Spark/AQE does not reliably reuse
-    # the common exchange — measured as 3 full scans at sf10.)
-    out = base.rollup(*group_cols).agg(
+    # The grouping-set levels come from rolling up / cubing the BASE
+    # frame — Spark's Expand operator does run here, but over the
+    # group-count-sized base (dozens of rows), not the fact table; the
+    # base subtree appears exactly once in the plan, so the fact table
+    # scans and shuffles once. (A union-of-reaggregations formulation
+    # reads cleaner but references base N+1 times, and Spark/AQE does
+    # not reliably reuse the common exchange — measured as 3 full scans
+    # at sf10.)
+    grouped = base.rollup(*group_cols) if mode == "rollup" else base.cube(*group_cols)
+    out = grouped.agg(
         *[F.sum(f"__i_{a}").alias(f"__i_{a}") for a in int_sums],
         F.sum("__i_n").alias("__i_n"),
     )

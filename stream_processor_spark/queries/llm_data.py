@@ -3028,3 +3028,92 @@ def join_interval_banded(t):
         clicks, purchases, key="user_id", left_ts="cts", right_ts="pts",
         window_sec=3600,
     ).select("click_id", "purchase_id")
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    w AS (
+      SELECT user_id, day, v,
+             CAST(SUM(v) OVER win AS BIGINT) AS s,
+             CAST(SUM(v * v) OVER win AS BIGINT) AS sq,
+             COUNT(*) OVER win AS n
+      FROM daily
+      WINDOW win AS (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, v,
+           CAST(s AS DOUBLE) / n AS mean_prev,
+           (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n
+             AS var_prev
+    FROM w
+    WHERE n >= 4
+      AND (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+          * (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        > 4.0 * ((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+    """,
+)
+def ts_anomaly_zscore(t):
+    """Trailing-window z-score anomaly detection: per user, flag days
+    whose activity total deviates from the previous ≤7 days' mean by
+    more than 2 trailing standard deviations — the standard metric-
+    monitoring outlier rule, squared-form ((v-μ)² > 4σ²) so no sqrt.
+
+    Exactness: daily totals are fixed-point int64; the window carries
+    exact Σv and Σv² (int64 — values ≤5e4 scaled, squares ≤2.5e9, ×7
+    well inside range); mean/variance/threshold are then scalar double
+    expressions written IDENTICALLY in both engines, so the comparison
+    is bit-deterministic — no accumulation-order hazard anywhere.
+
+    Scale: one shuffle on user_id shared by the daily aggregate and the
+    window pass (same partitioning); frames are bounded (8 rows), so
+    state is O(1) per series — the streaming analog is a sliding
+    aggregate with the same arithmetic.
+    """
+    e = t.events
+    daily = (
+        e.groupBy(
+            "user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = daily.select(
+        "user_id",
+        "day",
+        "v",
+        F.sum("v").over(win).cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(win).cast("long").alias("sq"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / F.col("n")
+    dev = F.col("v").cast("double") - F.col("s").cast("double") / F.col("n")
+    return (
+        w.filter((F.col("n") >= 4) & (dev * dev > F.lit(4.0) * var))
+        .select(
+            "user_id",
+            "day",
+            "v",
+            mean.alias("mean_prev"),
+            var.alias("var_prev"),
+        )
+    )

@@ -346,11 +346,19 @@ def agg_rollup(t):
     """,
 )
 def agg_cube(t):
-    """Cube: all grouping-set combinations."""
+    """Cube: all grouping-set combinations — same re-aggregation form as
+    `agg_rollup` (`operators/rollup.py`): one scan + one base-group
+    shuffle; the Expand quadruples base groups, not fact rows."""
     o = t.orders
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        dsum(o.o_totalprice).alias("sum_price"),
-        F.count(F.lit(1)).alias("n_orders"),
+    return ru.rollup_reagg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        int_sums={
+            "sum_price": F.floor(o.o_totalprice * F.lit(100.0) + F.lit(0.5))
+        },
+        finish={"sum_price": F.col("__i_sum_price").cast("double") / F.lit(100.0)},
+        count_alias="n_orders",
+        mode="cube",
     )
 
 
