@@ -3117,3 +3117,82 @@ def ts_anomaly_zscore(t):
             var.alias("var_prev"),
         )
     )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topk_per_group(t):
+    """Per-group top-k: the 3 highest-value orders in each priority
+    class (deterministic tie-break on key) — the grouped counterpart of
+    `topk_orders`' global TakeOrderedAndProject.
+
+    Scale: one shuffle on the group key + in-partition sort; with few
+    huge groups the window sort is the cost — the documented alternative
+    is per-partition pre-truncation (aggregate a bounded top-k heap per
+    map task via `collect_list`+`slice`, then merge), worth it only when
+    k ≪ group size and groups are few; the window form is the right
+    default and what Catalyst optimizes (rank pushdown into sort at the
+    window operator in recent Spark).
+    """
+    o = t.orders
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT md5(text) AS fp,
+           arg_max(doc_id, n_chars * 1000000000000 - doc_id) AS doc_id,
+           arg_max(n_chars, n_chars * 1000000000000 - doc_id) AS n_chars,
+           COUNT(*) AS n_dups
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY md5(text)
+    """,
+)
+def dedup_keep_best(t):
+    """Exact dedup with QUALITY-BASED survivor selection: within each
+    content-identical group keep the best document (longest, ties to
+    the lowest id) instead of `dedup_exact`'s arbitrary min-id — the
+    form every production corpus dedup actually uses (keep the copy
+    with the richest metadata / longest text).
+
+    The survivor choice is a single int64 ordering key
+    (n_chars·1e12 − doc_id, strictly unique per row), so `max_by`
+    aggregates it with map-side partials — one shuffle carrying one
+    struct per (partition × fingerprint), no window sort, no row
+    explosion. The oracle uses DuckDB's arg_max on the same key.
+
+    Scale: identical profile to `dedup_exact` — groupBy on the 16-byte
+    md5; survivor selection is free inside the aggregate.
+    """
+    d = t.documents.filter(F.col("text").isNotNull())
+    key = F.col("n_chars") * F.lit(1_000_000_000_000) - F.col("doc_id")
+    return (
+        d.select(F.md5("text").alias("fp"), "doc_id", "n_chars", key.alias("__k"))
+        .groupBy("fp")
+        .agg(
+            F.max_by("doc_id", F.col("__k")).alias("doc_id"),
+            F.max_by("n_chars", F.col("__k")).alias("n_chars"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
