@@ -1168,3 +1168,109 @@ def agg_stats_moments(t):
         F.round((n * sxy - sx * sy) / n / n, 4).alias("covar_pop"),
         F.round(F.sqrt((n * sxx - sx * sx) / n / n), 6).alias("stddev_pop_qty"),
     )
+
+
+@register(
+    "tpch_q8_shape",
+    oracle=f"""
+    WITH flow AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           {_dsum_sql("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0.0 END", 6)}
+             / {_dsum_sql('volume', 6)} AS mkt_share
+    FROM flow GROUP BY o_year ORDER BY o_year
+    """,
+)
+def tpch_q8_shape(t):
+    """TPC-H Q8 shape (national market share): 8-table snowflake — nation
+    joined TWICE under different roles (customer side restricts the
+    market region, supplier side feeds the share numerator) — with a
+    conditional-share aggregate per order year.
+
+    Scale notes: part/customer/nation/region/supplier are all true
+    dimensions → broadcast; the only fact shuffle is lineitem⋈orders.
+    The share is a ratio of two fixed-point sums computed in ONE
+    aggregate pass (conditional numerator), not two scans."""
+    l, o, c, s, p = t.lineitem, t.orders, t.customer, t.supplier, t.part
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t.region
+    volume = l.l_extendedprice * (1 - l.l_discount)
+    share_num = F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        l.join(F.broadcast(p.filter(p.p_type == "ECONOMY")), p.p_partkey == l.l_partkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("cn_region"),
+        )
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .withColumn("o_year", F.year(o.o_orderdate).cast("long"))
+        .groupBy("o_year")
+        .agg((dsum(share_num, 6) / dsum(volume, 6)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q17_shape",
+    oracle=f"""
+    WITH avg_qty AS (
+      SELECT l_partkey,
+             {_dsum_sql('l_quantity')} / COUNT(*) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_dsum_sql('l.l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.aq
+    """,
+)
+def tpch_q17_shape(t):
+    """TPC-H Q17 shape (small-quantity-order revenue): the classic
+    correlated scalar subquery — each lineitem compared against the
+    average quantity OF ITS OWN PART — decorrelated into a per-part
+    aggregate joined back to the fact.
+
+    Scale notes: the per-part average aggregates map-side then shuffles
+    group partials only; the join back to lineitem is on the SAME key
+    (l_partkey), so AQE co-partitions the two sides; part is broadcast.
+    The 0.2·avg comparison uses the exact fixed-point average, identical
+    in both engines (ratio of exact int sum and count)."""
+    l, p = t.lineitem, t.part
+    avg_qty = (
+        l.groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((dsum(l.l_quantity) / F.count(F.lit(1))).alias("aq"))
+    )
+    return (
+        l.join(F.broadcast(p.filter(p.p_brand == "Brand#1")), p.p_partkey == l.l_partkey)
+        .join(avg_qty, F.col("ap_key") == l.l_partkey)
+        .filter(l.l_quantity < F.lit(0.2) * F.col("aq"))
+        .agg(
+            (dsum(l.l_extendedprice) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
