@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -162,3 +162,47 @@ def lang_id(texts: pd.Series) -> pd.Series:
         return best
 
     return texts.map(detect)
+
+
+def fuzzy_token_pairs(vocab: DataFrame, col: str) -> DataFrame:
+    """All distinct string pairs (a < b) within edit distance 1, via a
+    SOUND blocked self-join (no quadratic candidate set).
+
+    Soundness of the blocking for d ≤ 1: a single substitution changes
+    one position — it can destroy the first character only at p=1 and
+    the last only at p=n, never both (n ≥ 2); an insert/delete shifts
+    one end but leaves the other end character intact. So every
+    qualifying pair shares a first-char or last-char block; length ≤ 1
+    strings (where one edit can touch "both ends") all share a
+    catch-all block. Exploded block keys → equi-join → exact
+    levenshtein residual → distinct (a pair can match in two blocks).
+    Verified against the brute-force quadratic join on adversarial
+    vocabularies in tests.
+
+    Returns (tok_a, tok_b, dist) with dist ∈ {0-impossible, 1}.
+    """
+    keys = F.array_distinct(
+        F.array(
+            F.concat(F.lit("f:"), F.substring(col, 1, 1)),
+            F.concat(F.lit("l:"), F.substring(F.col(col), -1, 1)),
+            F.when(F.length(col) <= 1, F.lit("s:short")).otherwise(
+                F.concat(F.lit("f:"), F.substring(col, 1, 1))
+            ),
+        )
+    )
+    blocked = vocab.select(F.col(col).alias("__tok"), F.explode(keys).alias("bk"))
+    a = blocked.select(F.col("__tok").alias("tok_a"), "bk")
+    b = blocked.select(F.col("__tok").alias("tok_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("tok_a") < F.col("tok_b"))
+            & (F.levenshtein("tok_a", "tok_b") <= 1)
+        )
+        .select(
+            "tok_a",
+            "tok_b",
+            F.levenshtein("tok_a", "tok_b").cast("long").alias("dist"),
+        )
+        .distinct()
+    )

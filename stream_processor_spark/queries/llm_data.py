@@ -3196,3 +3196,44 @@ def dedup_keep_best(t):
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+@register(
+    "join_fuzzy_tokens",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+    FROM vocab a JOIN vocab b
+      ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+    """,
+)
+def join_fuzzy_tokens(t):
+    """Fuzzy self-join of the corpus token vocabulary: all token pairs
+    within edit distance 1 — typo mining / vocabulary normalization.
+
+    The oracle is the plain quadratic predicate join; the Spark plan is
+    a SOUND BLOCKED join — a single character edit can destroy the
+    first character only at position 1 and the last character only at
+    position n, never both (n ≥ 2), and insert/delete shifts preserve
+    the untouched end. So every qualifying pair shares a
+    (first-char) or (last-char) block — plus one catch-all block for
+    length ≤ 1 tokens, where both ends are the same character. Blocks
+    are exploded (≤3 keys per token), equi-joined, and the exact
+    levenshtein residual + distinct dedups multi-block matches. The
+    quadratic work collapses to within-block pairs — the same
+    candidates-then-residual discipline as `join_interval_banded` and
+    the LSH dedup family, applied to string similarity.
+
+    Scale: vocabulary extraction is one distinct shuffle (map-side
+    partial); the self-join shuffles only (block_key, token) pairs and
+    AQE skew-splits hot blocks (e.g. a dominant first letter).
+    """
+    d = t.documents.filter(F.col("text").isNotNull())
+    vocab = d.select(
+        F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    return tx.fuzzy_token_pairs(vocab, "tok")

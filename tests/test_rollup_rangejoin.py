@@ -103,3 +103,35 @@ def test_banded_interval_join_boundary_exactness(spark):
     )
     assert got == brute
     assert (1, 10) in got and (2, 12) in got and (1, 11) not in got
+
+
+def test_fuzzy_token_blocking_is_sound(spark):
+    """The first-char/last-char/short blocking must lose NO pair within
+    edit distance 1 — checked against the brute-force quadratic join on
+    an adversarial vocabulary (edits at both ends, inserts/deletes at
+    the front and back, empty and single-char strings)."""
+    from stream_processor_spark.operators.text import fuzzy_token_pairs
+
+    vocab = [
+        "", "a", "b", "ab", "ba", "aa", "bb", "abc", "bbc", "abd",
+        "bc", "ac", "cab", "abcd", "xbcd", "abcx", "bcd", "abdc",
+    ]
+    vdf = spark.createDataFrame([(v,) for v in set(vocab)], "tok string")
+    got = sorted(
+        (r.tok_a, r.tok_b) for r in fuzzy_token_pairs(vdf, "tok").collect()
+    )
+    a, b = vdf.alias("a"), vdf.alias("b")
+    from pyspark.sql import functions as F
+
+    brute = sorted(
+        (r[0], r[1])
+        for r in a.join(
+            b,
+            (F.col("a.tok") < F.col("b.tok"))
+            & (F.levenshtein(F.col("a.tok"), F.col("b.tok")) <= 1),
+        )
+        .select("a.tok", "b.tok")
+        .collect()
+    )
+    assert got == brute
+    assert ("a", "b") in got and ("", "a") in got  # short-string blocks work
