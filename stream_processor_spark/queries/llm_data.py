@@ -1062,8 +1062,8 @@ def _ivf_serve(e, cent_rows, nprobe=2, topk=10):
     """Shared IVF serving plan: hydrated model + ONE vectorized corpus pass.
 
     Round-5 second rewrite. The quantizer (k·dim scalars from
-    ``cent_rows``) and the query vector are HYDRATED DRIVER-SIDE — one
-    model-sized collect each, the pyspark.ml pattern
+    ``cent_rows``) and the query vector are HYDRATED DRIVER-SIDE in ONE
+    model-sized collect — the pyspark.ml pattern
     (KMeansModel.clusterCenters lives on the driver and ships in the task
     closure). The probe list (``cos DESC, clabel DESC LIMIT nprobe``,
     the oracle's exact ordering) is then a driver-side computation over
