@@ -44,6 +44,8 @@ CONTESTED = [
     "join_star_5way",
     "join_bucketed",
     "agg_rollup",
+    "sim_ann_sq8",
+    "text_bm25",
 ]
 N_RUNS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 

@@ -2131,8 +2131,7 @@ def sim_ann_sq8(t):
     """Scalar-quantized ANN (SQ8): per-dimension min/max over the corpus
     → each vector quantized to 8-bit codes → asymmetric dequantized-dot
     shortlist (top-50; candidate codes dequantized against the RAW query
-    vector, exact scaled-int sums) → exact fused-fold cosine rerank
-    (top-10).
+    vector, exact scaled-int sums) → exact fused cosine rerank (top-10).
 
     This is the deterministic member of the product-quantization family
     (per-dim scalar codebooks instead of trained sub-space centroids), so
@@ -2140,99 +2139,68 @@ def sim_ann_sq8(t):
     rounding on identical expression shapes, and the shortlist scores are
     exact int64 sums.
 
-    Scale: the (min, max) codebook is one global aggregate packed into a
-    single broadcast row (2·dim doubles — model-sized); quantization +
-    scoring is a map-only pass (TakeOrderedAndProject shortlist, no
-    corpus shuffle); the rerank touches 50 rows. At 100 TB the codes
-    would be written once as a byte column (4-8× scan shrinkage for any
-    downstream similarity pass) — this query is that pipeline inline.
+    Round-5 vectorized serve (same rewrite as `sim_ann_ivf`): the
+    (mn, mx) codebook fits COLUMNAR (128 min/max aggregates in one scan,
+    no posexplode shuffle) and hydrates driver-side with the query
+    vector; quantize + asymmetric ADC + exact rerank all run in ONE
+    Arrow-batched numpy pass (`operators/npkernel.py` — the affine
+    dequantization and every scaled-int term replicate the JVM/DuckDB
+    expression order exactly, so the hash oracle is unchanged). The
+    shortlist boundary and final ranking are the same two
+    TakeOrderedAndProject steps.
+
+    Scale: codebook fit is one columnar aggregate; the corpus path is
+    scan → vectorized map → top-50 → top-10, zero corpus shuffle. At
+    100 TB the codes would be written once as a byte column (4-8× scan
+    shrinkage for any downstream similarity pass) — this query is that
+    pipeline inline.
     """
+    import pandas as pd
+
     e = t.embeddings
     dim = 64
-    ex = e.select("vec_id", F.posexplode("embedding").alias("pos0", "v")).select(
-        (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("x")
-    )
-    packed = (
-        ex.groupBy("pos")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
-                lambda s: F.struct(s["mn"].alias("mn"), s["mx"].alias("mx")),
-            ).alias("dims")
-        )
-    )
+    aggs = [
+        F.expr(f"min(cast(element_at(embedding, {i}) AS double)) AS mn{i}")
+        for i in range(1, dim + 1)
+    ] + [
+        F.expr(f"max(cast(element_at(embedding, {i}) AS double)) AS mx{i}")
+        for i in range(1, dim + 1)
+    ]
+    row = e.agg(*aggs).collect()[0]
+    mn = np.asarray([row[f"mn{i}"] for i in range(1, dim + 1)], dtype=np.float64)
+    mx = np.asarray([row[f"mx{i}"] for i in range(1, dim + 1)], dtype=np.float64)
+    q = npk.hydrate_query(e)
+    span = mx - mn
+    ok = mx > mn
+    span_safe = np.where(ok, span, 1.0)
+    sqq = npk.self_norms_scaled(q[None, :])[0]
 
-    def quantize(vec):
-        # positions 1..dim against the broadcast codebook
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda i: F.when(
-                F.element_at(F.col("dims"), i)["mx"]
-                > F.element_at(F.col("dims"), i)["mn"],
-                F.round(
-                    (
-                        (
-                            F.element_at(vec, i).cast("double")
-                            - F.element_at(F.col("dims"), i)["mn"]
-                        )
-                        * F.lit(255.0)
-                    )
-                    / (
-                        F.element_at(F.col("dims"), i)["mx"]
-                        - F.element_at(F.col("dims"), i)["mn"]
-                    ),
-                    0,
-                ).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-        )
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            Q8 = np.where(ok, npk.round_half_up(((E - mn) * 255.0) / span_safe), 0)
+            DQ = (Q8.astype(np.float64) * span) / 255.0 + mn
+            s = npk.round_half_up((DQ * q) * 1e16).sum(axis=1)
+            p = npk.dot_scaled(E, q)
+            sxx = npk.self_norms_scaled(E)
+            cos = p.astype("float64") / (
+                np.sqrt(sxx.astype("float64")) * np.sqrt(float(sqq))
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "s": s, "cosine": cos}
+            )
 
-    codes = (
-        sim.fan_out(e)
-        .crossJoin(F.broadcast(packed))
-        .select("vec_id", "embedding", quantize(F.col("embedding")).alias("code"))
-    )
-    qrow = (
-        e.filter(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(packed))
-        .select(F.col("embedding").alias("qv"), F.col("dims").alias("__dims"))
-    )
-
-    def adc_term(i):
-        # asymmetric scoring: DEQUANTIZED candidate component against the
-        # RAW query component — the affine (mn, mx) offsets cancel out of
-        # the ranking instead of poisoning it the way a symmetric
-        # quantized-x-quantized dot does (recall 0.9 vs 0.1 on the
-        # fixture). Scaled-int terms keep the shortlist boundary exact.
-        d = F.element_at(F.col("__dims"), i)
-        dq = (
-            F.element_at(F.col("code"), i).cast("double") * (d["mx"] - d["mn"])
-        ) / F.lit(255.0) + d["mn"]
-        return F.round(
-            dq * F.element_at(F.col("qv"), i).cast("double") * F.lit(1e16), 0
-        ).cast("long")
-
-    shortlist = (
-        codes.crossJoin(F.broadcast(qrow))
-        .select(
-            "vec_id",
-            "embedding",
-            "qv",
-            F.aggregate(
-                F.sequence(F.lit(1), F.lit(dim)),
-                F.lit(0).cast("long"),
-                lambda acc, i: acc + adc_term(i),
-            ).alias("s"),
-        )
-        .orderBy(F.col("s").desc(), F.col("vec_id"))
-        .limit(50)
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_id long, s long, cosine double"
     )
     return (
-        shortlist.select(
-            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
-        )
+        scored.orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(50)
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
+        .select("vec_id", "cosine")
     )
 
 
