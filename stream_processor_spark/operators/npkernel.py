@@ -146,3 +146,51 @@ def hydrate_query(embeddings, vec_id: int = 0, id_col: str = "vec_id",
 
     row = embeddings.filter(F.col(id_col) == vec_id).select(vec_col).head()
     return np.asarray(row[0], dtype=np.float64)
+
+
+def hydrate_codebooks(cent_rows):
+    """Collect a (m, cid, pos, c) PQ codebook frame into model arrays.
+
+    Returns a list indexed by subspace m: (cids int64[k_m] ascending,
+    CB float64[k_m, sub_dim]). Codewords that emptied during training
+    simply have no row — consumers index through `cids`, never by dense
+    codeword id. One model-sized collect (n_sub·k·sub_dim scalars).
+    """
+    rows = cent_rows.collect()
+    by_m: dict = {}
+    for m, cid, pos, c in rows:
+        by_m.setdefault(int(m), {}).setdefault(int(cid), {})[int(pos)] = float(c)
+    books = []
+    for m in sorted(by_m):
+        cids = sorted(by_m[m])
+        sub_dim = max(max(d) for d in by_m[m].values())
+        CB = np.zeros((len(cids), sub_dim), dtype=np.float64)
+        for j, cid in enumerate(cids):
+            for pos, c in by_m[m][cid].items():
+                CB[j, pos - 1] = c
+        books.append((np.asarray(cids, dtype=np.int64), CB))
+    return books
+
+
+def pq_adc_scores(E: np.ndarray, books, sub_dim: int, q: np.ndarray) -> np.ndarray:
+    """PQ code assignment + asymmetric-distance scores in one pass.
+
+    Per subspace: argmin of the exact scaled-int squared distance
+    (`sum(round(((x-c)*(x-c))*1e16))`, ties to the LOWEST cid — argmin
+    returns the first minimum and `cids` is ascending), then the
+    query-side ADC table entry (`sum(round((q_i*c_i)*1e16))`) for the
+    winning codeword; scores sum as exact int64 across subspaces —
+    bit-identical to the JVM `pq_code_expr`/`pq_adc_expr` expressions
+    and the unrolled-CTE oracles.
+    """
+    n = E.shape[0]
+    s = np.zeros(n, dtype=np.int64)
+    for m, (cids, CB) in enumerate(books):
+        Xs = E[:, m * sub_dim:(m + 1) * sub_dim]
+        P = Xs[:, None, :] - CB[None, :, :]
+        D = round_half_up((P * P) * SCALE).sum(axis=-1)
+        idx = np.argmin(D, axis=1)
+        qsub = q[m * sub_dim:(m + 1) * sub_dim]
+        tbl = dot_scaled(CB, qsub)
+        s += tbl[idx]
+    return s

@@ -1291,37 +1291,49 @@ _PQ_TRAINED_ORACLE = (
 
 def _pq_trained_frame(t, shortlist=_PQ_SHORTLIST):
     """Plain-PQ serving frame with a parameterized shortlist (the recall
-    test compares shortlist sizes across PQ variants)."""
+    test compares shortlist sizes across PQ variants).
+
+    Round-5 vectorized serve: the trained codebooks (the lazy
+    `lloyd_fit_pq` dataflow, executed once by the hydration collect)
+    and the query hydrate driver-side; code assignment + ADC scoring +
+    exact rerank cosine run in ONE Arrow-batched numpy pass
+    (`npkernel.pq_adc_scores` — bit-identical to the JVM expressions,
+    oracle unchanged); shortlist and final ranking are the same two
+    TakeOrderedAndProject steps."""
+    import pandas as pd
+
     e = t.embeddings
     M, SUB, K = _PQ_M, _PQ_SUB, _PQ_K
-    books = kmeans.pack_codebooks(
+    books = npk.hydrate_codebooks(
         kmeans.lloyd_fit_pq(e, n_sub=M, sub_dim=SUB, k=K, iters=_PQ_ITERS)
     )
-    coded = (
-        sim.fan_out(e)
-        .crossJoin(F.broadcast(books))
-        .select(
-            "vec_id",
-            "embedding",
-            kmeans.pq_code_expr("embedding", M, SUB).alias("code"),
-        )
-    )
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    qb = q.crossJoin(F.broadcast(books)).select(
-        "qv", kmeans.pq_adc_expr("qv", SUB).alias("__adc")
-    )
-    shortlist_df = (
-        coded.crossJoin(F.broadcast(qb))
-        .select("vec_id", "embedding", "qv", kmeans.pq_adc_score(M).alias("__s"))
-        .orderBy(F.col("__s").desc(), F.col("vec_id"))
-        .limit(shortlist)
+    q = npk.hydrate_query(e)
+    sqq = npk.self_norms_scaled(q[None, :])[0]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            s = npk.pq_adc_scores(E, books, SUB, q)
+            p = npk.dot_scaled(E, q)
+            sxx = npk.self_norms_scaled(E)
+            cos = p.astype("float64") / (
+                np.sqrt(sxx.astype("float64")) * np.sqrt(float(sqq))
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "s": s, "cosine": cos}
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="vec_id long, s long, cosine double"
     )
     return (
-        shortlist_df.select(
-            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
-        )
+        scored.orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(shortlist)
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
+        .select("vec_id", "cosine")
     )
 
 
