@@ -1274,3 +1274,86 @@ def tpch_q17_shape(t):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_shape(t):
+    """TPC-H Q4 shape (order-priority checking): EXISTS decorrelated to a
+    LEFT SEMI join from the filtered order slice to the qualifying
+    lineitem set, then a priority count. (Predicate adapted to the
+    fixture's columns: quantity > 45 stands in for the
+    commit-vs-receipt-date lateness test, same shape.)
+
+    Scale notes: the date filter pushes into the orders scan; the semi
+    join shuffles only matching keys and stops at the first match per
+    order (no fan-out row multiplication); the count aggregate is
+    5 groups — map-side collapse."""
+    l, o = t.lineitem, t.orders
+    return (
+        o.filter(
+            (o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (o.o_orderdate < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            l.filter(l.l_quantity > 45).select("l_orderkey"),
+            o.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q13_shape",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_shape(t):
+    """TPC-H Q13 shape (customer distribution): left join with a
+    JOIN-CONDITION filter on the right side (customers keep their row
+    even when every order is filtered away — a WHERE would drop them),
+    per-customer order counts, then the distribution of those counts.
+
+    Scale notes: the join shuffles on custkey; the first aggregate's
+    groups are customer-cardinality (partial combine), the second's are
+    the handful of distinct counts — collapses map-side. COUNT(o_orderkey)
+    counts non-NULL right rows, so no-order customers land in bucket 0
+    identically in both engines."""
+    c, o = t.customer, t.orders
+    per_cust = (
+        c.join(
+            o.filter(o.o_orderstatus != "F"),
+            o.o_custkey == c.c_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
