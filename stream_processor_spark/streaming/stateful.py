@@ -19,7 +19,14 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 RUNNING_COUNT_OUTPUT = StructType(
     [
@@ -125,4 +132,73 @@ def running_stats(grouped_stream: DataFrame, key_col: str) -> DataFrame:
         outputStructType=RUNNING_STATS_OUTPUT,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+ZSCORE_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("seq", LongType()),
+        StructField("v", LongType()),
+        StructField("mean_prev", DoubleType()),
+        StructField("var_prev", DoubleType()),
+    ]
+)
+ZSCORE_STATE = StructType([StructField("window", ArrayType(LongType()))])
+
+
+def _make_zscore_update(window: int, min_n: int, z2: float):
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        win: list[int] = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values("seq")  # deterministic intra-batch order
+        alerts: list[tuple] = []
+        for seq, v in zip(rows["seq"].tolist(), rows["v_scaled"].tolist()):
+            n = len(win)
+            if n >= min_n:
+                s = sum(win)
+                sq = sum(x * x for x in win)
+                # identical scalar double arithmetic to the batch
+                # ts_anomaly_zscore operator: exact int operands, then
+                # single IEEE ops
+                mean = float(s) / n
+                var = (float(sq) - float(s) * float(s) / n) / n
+                dev = float(v) - mean
+                if dev * dev > z2 * var:
+                    alerts.append((key[0], seq, v, mean, var))
+            win.append(int(v))
+            win = win[-window:]
+        state.update((win,))
+        yield pd.DataFrame(
+            alerts, columns=["key", "seq", "v", "mean_prev", "var_prev"]
+        )
+
+    return update
+
+
+def zscore_alerts(grouped_stream: DataFrame, key_col: str,
+                  window: int = 7, min_n: int = 4, z2: float = 4.0) -> DataFrame:
+    """Streaming anomaly alerts: per key, flag values deviating from the
+    trailing ≤``window`` values' mean by more than √``z2`` standard
+    deviations — the streaming twin of the batch `ts_anomaly_zscore`
+    query (same exact-int sums, same squared-form threshold, same scalar
+    double arithmetic).
+
+    Input needs ``(key_col, seq long, v_scaled long)`` — values already
+    fixed-point-scaled (`floor(v*100+0.5)`), seq giving the
+    deterministic per-key order. State per key is the bounded trailing
+    window (≤ ``window`` int64s — O(1), no watermark needed to bound
+    it); it survives micro-batches and restarts via the checkpoint.
+
+    Scale: one shuffle on the key into the state store, same profile as
+    any streaming aggregation; alerts stream out in update mode.
+    """
+    return grouped_stream.groupBy(key_col).applyInPandasWithState(
+        _make_zscore_update(window, min_n, z2),
+        outputStructType=ZSCORE_OUTPUT,
+        stateStructType=ZSCORE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

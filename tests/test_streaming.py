@@ -489,3 +489,55 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     out.clear()
     _run_available_now(running_stats(topic.read_stream(spark), "key"), ckpt, collect, "update")
     assert out == [("a", 3, 400)]
+
+
+def test_apply_in_pandas_with_state_zscore_alerts(spark, tmp_path):
+    """Streaming z-score twin of ts_anomaly_zscore: a spike after a
+    stable window alerts; the trailing window survives a restart via
+    the checkpoint; stable values never alert."""
+    from pyspark.sql.types import DoubleType
+
+    from stream_processor_spark.streaming.stateful import zscore_alerts
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("seq", LongType()),
+            StructField("v_scaled", LongType()),
+        ]
+    )
+    topic = broker.topic("series", schema)
+    ckpt = broker.checkpoint_dir()
+    out: list = []
+
+    def collect(batch_df, _):
+        out.extend(
+            (r.key, r.seq, r.v, r.mean_prev, r.var_prev)
+            for r in batch_df.collect()
+        )
+
+    # stable window (alternating 100/101 — dev² = 0.25 < 4σ² = 1.0),
+    # then a spike at seq 6
+    topic.produce_rows(
+        spark,
+        [{"key": "a", "seq": i, "v_scaled": 100 + (i % 2)} for i in range(5)]
+        + [{"key": "b", "seq": 0, "v_scaled": 500}],
+    )
+    _run_available_now(zscore_alerts(topic.read_stream(spark), "key"), ckpt, collect, "update")
+    assert out == []  # stable series, short series: no alerts
+
+    topic.produce_rows(
+        spark,
+        [{"key": "a", "seq": 6, "v_scaled": 1000},   # spike vs [100..104]
+         {"key": "a", "seq": 7, "v_scaled": 105},    # near-normal again
+         {"key": "b", "seq": 1, "v_scaled": 9999}],  # still < min_n history
+    )
+    out.clear()
+    _run_available_now(zscore_alerts(topic.read_stream(spark), "key"), ckpt, collect, "update")
+    keys = [(k, s, v) for k, s, v, _, _ in out]
+    assert ("a", 6, 1000) in keys          # the spike alerts
+    assert all(k != "b" for k, _, _ in keys)  # b has < min_n history
+    # seq 7 (105) vs window [100,101,100,101,100,1000]: the spike in the
+    # window inflates the variance enough that 105 must NOT alert
+    assert ("a", 7, 105) not in keys
