@@ -3252,3 +3252,60 @@ def join_fuzzy_tokens(t):
         F.explode(tx.tokens(F.col("text"))).alias("tok")
     ).distinct()
     return tx.fuzzy_token_pairs(vocab, "tok")
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 10 < 9
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents WHERE text IS NOT NULL
+    ),
+    leaks AS (
+      SELECT DISTINCT a.fp
+      FROM assigned a JOIN assigned b
+        ON a.fp = b.fp AND a.split = 'train' AND b.split = 'eval'
+    )
+    SELECT
+      (SELECT COUNT(*) FROM assigned WHERE split = 'train') AS n_train,
+      (SELECT COUNT(*) FROM assigned WHERE split = 'eval') AS n_eval,
+      (SELECT COUNT(*) FROM leaks) AS n_leaked_fingerprints
+    """,
+)
+def split_leakage_audit(t):
+    """Train/eval split + contamination audit in one pass: documents are
+    split 90/10 by a DETERMINISTIC id hash (md5 prefix mod 10 — stable
+    across runs and engines), then the audit counts content
+    fingerprints that appear on BOTH sides — exact-duplicate leakage
+    from train into eval, the check every pipeline must run because an
+    id-based split deliberately ignores content.
+
+    Scale: assignment is a map-only expression; the leak check is one
+    shuffle on the 16-byte fingerprint with a per-fingerprint
+    conditional aggregate (never a self-join of documents); output is
+    one row.
+
+    Note the Spark side aggregates per-fingerprint flags instead of the
+    oracle's pedagogical self-join — same result, linear work.
+    """
+    d = t.documents.filter(F.col("text").isNotNull())
+    split = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 < 9,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    assigned = d.select(F.md5("text").alias("fp"), split.alias("split"))
+    per_fp = assigned.groupBy("fp").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias("n_ev"),
+    )
+    return per_fp.agg(
+        F.sum("n_tr").cast("long").alias("n_train"),
+        F.sum("n_ev").cast("long").alias("n_eval"),
+        F.sum(
+            F.when((F.col("n_tr") > 0) & (F.col("n_ev") > 0), 1).otherwise(0)
+        ).cast("long").alias("n_leaked_fingerprints"),
+    )
