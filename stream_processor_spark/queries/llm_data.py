@@ -970,9 +970,12 @@ def sim_centroids(t):
         .groupBy("label", "pos")
         .agg(
             (
-                F.sum("sv").cast("double")
-                / (F.lit(1e16) * F.count(F.lit(1)))  # single division: one
-                # rounding step from exact operands → engine-identical
+                # DECIMAL(38,0) sum: exact and overflow-proof for any
+                # group size (int64 would overflow past ~900 worst-case
+                # rows per group at the 1e16 scale); the single division
+                # rounds the same exact operand → engine-identical
+                F.sum(F.col("sv").cast("decimal(38,0)")).cast("double")
+                / (F.lit(1e16) * F.count(F.lit(1)))
             ).alias("centroid_component")
         )
     )
@@ -3308,4 +3311,51 @@ def split_leakage_audit(t):
         F.sum(
             F.when((F.col("n_tr") > 0) & (F.col("n_ev") > 0), 1).otherwise(0)
         ).cast("long").alias("n_leaked_fingerprints"),
+    )
+
+
+@register(
+    "feature_quantile_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM binned GROUP BY decile ORDER BY decile
+    """,
+)
+def feature_quantile_bins(t):
+    """Quantile binning: every order assigned its global price decile
+    (ntile over a TOTAL order — value + key tie-break, so bin edges are
+    deterministic), summarized as per-decile count and value range —
+    the standard numeric-feature discretization step.
+
+    Scale: ntile over an unpartitioned window is a single-reducer sort
+    at face value; the documented scale path is two-pass — compute
+    approx (or exact distributed) decile EDGES first, broadcast them,
+    and bin map-side with a CASE/searchsorted — same outputs when edges
+    are exact. This query keeps the exact single-pass form the oracle
+    can replay; the edges-first variant is `agg_approx_percentile`'s
+    shape composed with a broadcast join.
+    """
+    o = t.orders
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    binned = o.select(
+        "o_orderkey", "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("decile")
     )

@@ -99,3 +99,21 @@ def test_lloyd_fit_np_trajectory_identical(spark, sf_dir):
 @pytest.mark.parametrize("x", [np.array([]), np.zeros((0, 8))])
 def test_kernels_handle_empty(x):
     assert npk.round_half_up(x).size == 0
+
+
+def test_mean_update_survives_int64_overflow_scale(spark):
+    """A cluster of n vectors contributes up to n·1e16 per dimension —
+    int64 overflows past ~900 worst-case rows (caught by ANSI mode at
+    the sf10 rehearsal). The DECIMAL(38,0) sums must return the exact
+    mean where the long sum would have aborted."""
+    import pandas as pd
+
+    n = 2000  # 2000 * 1e16 = 2e19 > int64 max
+    df = spark.createDataFrame(
+        pd.DataFrame({"label": [0] * n, "embedding": [[1.0, -1.0]] * n})
+    )
+    out = {
+        (r["label"], r["pos"]): r["c"]
+        for r in kmeans._mean_update(df, "label", "embedding", dim=2).collect()
+    }
+    assert out == {(0, 1): 1.0, (0, 2): -1.0}
