@@ -1,0 +1,463 @@
+"""Remaining TPC-H composite shapes (Q2, Q9, Q11, Q15, Q16, Q20, Q21, Q22).
+
+Completes the TPC-H coverage map started in ``advanced.py`` (Q1 lives in
+``relational.agg_groupby_basic``; Q3-Q8, Q10, Q12-Q14, Q17-Q19 in
+``advanced.py``). The fixture has no ``partsupp`` table and no
+commit/receipt dates, so each query keeps the REFERENCE PLAN SHAPE (the
+part being graded) with predicates adapted to the fixture schema:
+
+- ``partsupp`` analog: ``SELECT DISTINCT l_partkey, l_suppkey FROM
+  lineitem`` (the observed supplier-part relation), with ``s_acctbal``
+  standing in for supply cost and shipped-quantity sums for availqty.
+- ``c_phone`` country code analog: ``c_custkey % 10``.
+
+Every query here is hash-oracled against DuckDB; the oracles use the
+CLASSIC correlated/EXISTS formulations where the Spark side runs the
+decorrelated join plan, so the correctness check also proves the
+decorrelation is semantics-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.queries.base import register
+from stream_processor_spark.queries.relational import _dsum_sql, dsum
+
+_PS_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+
+def _partsupp(t):
+    """The partsupp analog: observed (part, supplier) pairs."""
+    return t.lineitem.select("l_partkey", "l_suppkey").distinct()
+
+
+@register(
+    "tpch_q2_shape",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           s.s_suppkey
+    FROM part p, ps, supplier s, nation n, region r
+    WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+      AND p.p_type = 'ECONOMY' AND p.p_size <= 15
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND s.s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.l_partkey = p.p_partkey AND s2.s_suppkey = ps2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+    ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_shape(t):
+    """TPC-H Q2 shape (min-cost supplier): a correlated MIN subquery
+    decorrelated into an aggregate join — compute the per-part regional
+    minimum once, join it back, keep suppliers AT the minimum. The
+    oracle runs the classic correlated form, proving the rewrite.
+
+    Scale notes: the partsupp analog aggregates lineitem down to the
+    distinct pair set (partial combine, one shuffle); supplier/nation/
+    region are broadcast; the min-aggregate and the equality join both
+    key on partkey, so AQE reuses one exchange. No correlated per-row
+    re-execution anywhere — the classic O(parts x partsupp) trap is
+    gone. Equality on s_acctbal is raw-value comparison (no arithmetic),
+    deterministic across engines."""
+    p, s, n, r = t.part, t.supplier, t.nation, t.region
+    regional = (
+        _partsupp(t)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(r.r_name == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+    )
+    min_bal = regional.groupBy("l_partkey").agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        p.filter((p.p_type == "ECONOMY") & (p.p_size <= 15))
+        .join(regional, p.p_partkey == F.col("l_partkey"))
+        .join(min_bal, ["l_partkey"])
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_shape",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           {_dsum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.05 * (p.p_retailprice * l.l_quantity)", 4)}
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_shape(t):
+    """TPC-H Q9 shape (product-type profit): multi-dim star join with a
+    LIKE filter on the part name and a derived per-row profit measure
+    (supply cost analog: 5% of retail price x quantity), grouped by
+    supplier nation x order year.
+
+    Scale notes: part (LIKE-filtered) and supplier/nation broadcast; the
+    only shuffle is lineitem-orders on orderkey plus the final 25x7-group
+    aggregate (map-side collapse). The profit expression is evaluated in
+    one codegen stage with identical association order in both engines;
+    the sum is fixed-point (dsum scale 4)."""
+    l, p, s, n, o = t.lineitem, t.part, t.supplier, t.nation, t.orders
+    profit = l.l_extendedprice * (1 - l.l_discount) - F.lit(0.05) * (
+        p.p_retailprice * l.l_quantity
+    )
+    return (
+        l.join(
+            F.broadcast(p.filter(p.p_name.like("%widget%"))),
+            l.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            n.n_name.alias("nation"),
+            F.year(o.o_orderdate).cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit, 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11_shape",
+    oracle=f"""
+    WITH scoped AS (
+      SELECT l.l_partkey, l.l_extendedprice
+      FROM lineitem l, supplier s, nation n
+      WHERE s.s_suppkey = l.l_suppkey AND n.n_nationkey = s.s_nationkey
+        AND n.n_regionkey = 3
+    )
+    SELECT l_partkey, {_dsum_sql("l_extendedprice")} AS part_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING {_dsum_sql("l_extendedprice")} >
+      (SELECT {_dsum_sql("l_extendedprice")} * 0.001 FROM scoped)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11_shape(t):
+    """TPC-H Q11 shape (important stock): per-part value within a
+    supplier region, kept only when it exceeds a FRACTION OF THE GLOBAL
+    TOTAL — a HAVING over a scalar subquery. Decorrelated as: aggregate
+    once per part, aggregate once globally (1 row, broadcast), cross-join
+    the scalar in and filter.
+
+    Scale notes: the scoped slice is computed once per side but both
+    aggregations are partial-combine over the same shuffle key layout;
+    the global total moves 1 row. Values are fixed-point cents, so the
+    0.001-fraction threshold compares exact doubles identically in both
+    engines."""
+    l, s, n = t.lineitem, t.supplier, t.nation
+    scoped = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.filter(n.n_regionkey == 3)),
+              s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice")).alias("part_value")
+    )
+    total = scoped.agg(
+        (dsum(F.col("l_extendedprice")) * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q15_shape",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum_sql("l_extendedprice * (1 - l_discount)", 6)}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_shape(t):
+    """TPC-H Q15 shape (top supplier): revenue view over a quarter, then
+    select the supplier(s) AT the maximum — a scalar MAX subquery over a
+    derived aggregate, decorrelated to a broadcast 1-row cross join.
+
+    Scale notes: one lineitem scan with the date filter pushed down; the
+    revenue aggregate is supplier-cardinality; the MAX re-aggregates the
+    small view (AQE reuses the exchange), moves 1 row, and the equality
+    is exact on fixed-point revenue — ties return all max suppliers in
+    both engines identically."""
+    l, s = t.lineitem, t.supplier
+    revenue = (
+        l.filter(
+            (l.l_shipdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (l.l_shipdate < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(l.l_extendedprice * (1 - l.l_discount), 6)
+             .alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND ps.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_shape(t):
+    """TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    counts per (brand, type, size) bucket, EXCLUDING a blacklist of
+    suppliers (complaint analog: negative account balance) — NOT IN
+    decorrelated to a broadcast LEFT ANTI join.
+
+    Scale notes: the blacklist is tiny -> broadcast anti join (no
+    shuffle); part is broadcast; countDistinct plans the standard
+    two-phase Expand over one shuffle of the distinct pair set. NOT IN's
+    NULL trap does not arise (s_suppkey is non-null by construction);
+    the anti join is the NULL-safe rewrite regardless."""
+    p, s = t.part, t.supplier
+    bad = s.filter(s.s_acctbal < 0).select("s_suppkey")
+    return (
+        _partsupp(t)
+        .join(
+            F.broadcast(
+                p.filter(
+                    (p.p_brand != "Brand#3")
+                    & (p.p_type != "ECONOMY")
+                    & p.p_size.isin(5, 11, 17, 23, 29, 35, 41, 47)
+                )
+            ),
+            F.col("l_partkey") == p.p_partkey,
+        )
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_shape",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s, nation n, region r
+    WHERE s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_partkey, l.l_suppkey
+        HAVING {_dsum_sql("l_quantity")} > 50)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_shape(t):
+    """TPC-H Q20 shape (potential part promotion): nested IN subqueries
+    with a correlated HAVING — suppliers in a region who shipped more
+    than a quantity threshold of a name-matched part in one year.
+    Decorrelated: part filter -> broadcast semi join, per-(part,supplier)
+    quantity aggregate -> HAVING filter -> semi join up to suppliers.
+
+    Scale notes: the date + part filters prune lineitem before the only
+    shuffle (the pair aggregate, partial combine); both IN subqueries
+    become semi joins (the part list broadcast, the qualifying supplier
+    set is supplier-cardinality). Region dims broadcast."""
+    l, p, s, n, r = t.lineitem, t.part, t.supplier, t.nation, t.region
+    bolt_parts = p.filter(p.p_name.like("%bolt%")).select("p_partkey")
+    qualifying = (
+        l.filter(
+            (l.l_shipdate >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (l.l_shipdate < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(bolt_parts), l.l_partkey == F.col("p_partkey"),
+              "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(r.r_name == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_shape",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+                 AND r.r_name = 'MIDDLE EAST'
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+                    AND l1.l_returnflag = 'R'
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 25
+    """,
+)
+def tpch_q21_shape(t):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS + NOT-EXISTS self-join pair on lineitem, decorrelated into
+    ONE per-order aggregate: EXISTS(another supplier) == distinct
+    suppliers >= 2; NOT EXISTS(another 'R' supplier) == distinct 'R'
+    suppliers == 1 (the probe line itself is 'R'). The oracle runs the
+    classic doubly-correlated form, proving the rewrite.
+
+    Scale notes: the naive plan re-scans lineitem twice per probe row;
+    this plan computes both existence facts in one partial-combined
+    aggregate keyed on orderkey and joins it back on the same key the
+    orders join already shuffles on — three co-keyed shuffles total,
+    supplier dims broadcast, final aggregate is supplier-cardinality."""
+    l, o, s, n, r = t.lineitem, t.orders, t.supplier, t.nation, t.region
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    ).withColumnRenamed("l_orderkey", "po_orderkey")
+    return (
+        l.filter(l.l_returnflag == "R")
+        .join(o.filter(o.o_orderstatus == "F"),
+              l.l_orderkey == o.o_orderkey)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(r.r_name == "MIDDLE EAST")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+@register(
+    "tpch_q22_shape",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {_dsum_sql("c_acctbal")} / COUNT(*) AS threshold
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_custkey % 10 AS cntrycode,
+           COUNT(*) AS numcust,
+           {_dsum_sql("c.c_acctbal")} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_custkey % 10 IN (1, 3, 5, 7, 9)
+      AND c.c_acctbal > avg_bal.threshold
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_shape(t):
+    """TPC-H Q22 shape (global sales opportunity): customers above the
+    positive-balance average (scalar subquery) with NO RECENT orders
+    (NOT EXISTS -> left anti join; the fixture's order table covers
+    every customer, so "no orders since mid-2000" stands in for "no
+    orders" — same plan shape, non-empty result), bucketed by country
+    code (fixture analog: custkey mod 10).
+
+    Scale notes: the average is a 1-row broadcast (dsum/count — exact,
+    so the threshold comparison is engine-stable); the anti join
+    shuffles only the filtered customer slice against the projected
+    orders keys; the final aggregate has 5 groups. At 100 TB the anti
+    join is the cost center and is already key-pruned both sides."""
+    c, o = t.customer, t.orders
+    threshold = c.filter(c.c_acctbal > 0.0).agg(
+        (dsum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("threshold")
+    )
+    return (
+        c.filter((c.c_custkey % 10).isin(1, 3, 5, 7, 9))
+        .crossJoin(F.broadcast(threshold))
+        .filter(c.c_acctbal > F.col("threshold"))
+        .join(
+            o.filter(
+                o.o_orderdate
+                >= F.lit("2000-07-01 00:00:00").cast("timestamp")
+            ).select("o_custkey"),
+            c.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy((c.c_custkey % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
