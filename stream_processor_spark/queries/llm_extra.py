@@ -283,3 +283,178 @@ def ts_ohlc(t):
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+# ------------------------------------------------------------ time series ----
+
+_EWMA_W = [500000, 250000, 125000, 62500]  # 1e6-scaled 0.5 * 0.5^k
+
+
+def _ewma_lag_sql(col: str, k: int) -> str:
+    return (
+        f"LAG({col}, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
+@register(
+    "ts_ewma_truncated",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST((
+             {" + ".join(
+                 f"COALESCE({_ewma_lag_sql('vq', k)} * {w}, 0)"
+                 for k, w in enumerate(_EWMA_W))}
+           ) AS DOUBLE) / CAST((
+             {" + ".join(
+                 f"(CASE WHEN {_ewma_lag_sql('vq', k)} IS NOT NULL"
+                 f" THEN {w} ELSE 0 END)"
+                 for k, w in enumerate(_EWMA_W))}
+           ) AS DOUBLE) / 100.0 AS ewma
+    FROM q
+    """,
+)
+def ts_ewma_truncated(t):
+    """Exponentially weighted moving average (alpha = 0.5), truncated at
+    4 lags — the smoothing pass of monitoring/feature pipelines. The
+    recursive EWMA is not a SQL window aggregate; the K-term truncation
+    (weights decay 16x over the window) makes it one: a weighted sum of
+    LAG 0..3 with the weight mass renormalized over the lags that exist
+    at the partition head.
+
+    Determinism: values are fixed-point cents, weights 1e6-scaled int64;
+    numerator/denominator are exact integers < 2^53, so the final two
+    IEEE divisions are correctly rounded identically in both engines.
+    Scale notes: ONE shuffle on user_id serves all 8 window terms (same
+    frame); no self-joins, no state.
+    """
+    e = t.events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = e.select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k, wk in enumerate(_EWMA_W):
+        lagk = F.lag("vq", k).over(w)
+        num = num + F.coalesce(lagk * F.lit(wk), F.lit(0))
+        den = den + F.when(lagk.isNotNull(), F.lit(wk)).otherwise(F.lit(0))
+    return q.select(
+        "user_id", "event_id",
+        (num.cast("double") / den.cast("double") / F.lit(100.0)).alias("ewma"),
+    )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+    FROM changes
+    """,
+)
+def scd2_intervals(t):
+    """SCD type-2 interval build: collapse each user's event-type stream
+    into change-point rows with [valid_from, valid_to) validity — the
+    transformation that turns an event log into a slowly-changing
+    dimension (valid_to NULL = current). Gaps-and-islands via LAG to
+    detect changes, LEAD over the surviving change rows to close each
+    interval.
+
+    Scale notes: one shuffle on user_id; both window passes and the
+    filter reuse the same partitioning (no second exchange — Spark
+    keeps the hash partitioning through the filter). Deterministic
+    (ts, event_id) total order per user.
+    """
+    e = t.events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"),
+             "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+# -------------------------------------------------------------- embeddings ----
+
+_PROJ_IN_DIM = 64
+_PROJ_OUT_DIM = 8
+
+
+def _proj_sign(i: int, j: int) -> int:
+    """Deterministic +-1 from the engine's pinned LCG (same constants as
+    corpus_mix / sample ranking)."""
+    x = (1103515245 * (i * _PROJ_IN_DIM + j) + 12345) % 2147483648
+    return 1 if ((x >> 16) & 1) == 0 else -1
+
+
+def _proj_oracle() -> str:
+    outs = []
+    for i in range(_PROJ_OUT_DIM):
+        terms = " + ".join(
+            "{s}CAST(round(CAST(embedding[{idx}] AS DOUBLE) * 1000000.0)"
+            " AS BIGINT)".format(
+                s="" if _proj_sign(i, j) > 0 else "-", idx=j + 1
+            )
+            for j in range(_PROJ_IN_DIM)
+        )
+        outs.append(f"CAST({terms} AS BIGINT) AS p{i}")
+    return "SELECT vec_id, " + ", ".join(outs) + " FROM embeddings"
+
+
+@register("embedding_random_projection", oracle=_proj_oracle())
+def embedding_random_projection(t):
+    """Johnson-Lindenstrauss sign random projection: 64-dim float
+    embeddings down to 8 fixed-point dims via a pinned +-1 matrix (LCG
+    bit per cell) — the cheap dimensionality reduction that front-ends
+    clustering / dedup at corpus scale (distances preserved within
+    ~1/sqrt(8)). Components are exact int64 sums of 1e6-scaled
+    coordinates, so the projection hash-checks bit-for-bit.
+
+    Scale notes: narrow map-only stage, whole-stage codegen (no UDF, no
+    shuffle); the sign matrix is compiled into the plan as +-
+    expressions. For out-dims in the hundreds, switch to the
+    `npkernel` Arrow pass — same contract, one numpy matmul per batch.
+    """
+    emb = t.embeddings
+    q = [
+        F.round(F.col("embedding").getItem(j).cast("double") * 1000000.0, 0)
+        .cast("long")
+        .alias(f"q{j}")
+        for j in range(_PROJ_IN_DIM)
+    ]
+    base = emb.select("vec_id", *q)
+    outs = []
+    for i in range(_PROJ_OUT_DIM):
+        expr = None
+        for j in range(_PROJ_IN_DIM):
+            term = base[f"q{j}"] if _proj_sign(i, j) > 0 else -base[f"q{j}"]
+            expr = term if expr is None else expr + term
+        outs.append(expr.cast("long").alias(f"p{i}"))
+    return base.select("vec_id", *outs)

@@ -126,3 +126,52 @@ def udf_grouped_map_normalize(t):
         .groupBy("event_type")
         .applyInPandas(normalize, schema="event_id long, event_type string, value_norm double")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) * 2
+             + l_linenumber AS derived
+    FROM lineitem
+    """,
+)
+def udf_map_in_arrow(t):
+    """mapInArrow: the fifth UDF shape — raw pyarrow RecordBatch in/out,
+    no pandas materialization at all (zero-copy columnar, the fastest
+    Python surface Spark offers; the right one for batch-level work on
+    Arrow-native data like tensors or large binary columns).
+
+    The kernel derives ``quantity_cents * 2 + linenumber`` with pyarrow
+    compute (integer-exact, so it hash-checks). Scale notes: narrow
+    map-only stage, no shuffle; Arrow batches stream through without a
+    pandas copy — for multimodal binary columns this halves peak Python
+    memory vs mapInPandas.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def derive(batches):
+        for batch in batches:
+            q = batch.column("l_quantity")
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(q, pa.scalar(100.0)),
+                                pa.scalar(0.5))),
+                pa.int64(),
+            )
+            derived = pc.add(
+                pc.multiply(cents, pa.scalar(2, pa.int64())),
+                pc.cast(batch.column("l_linenumber"), pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"),
+                 derived],
+                names=["l_orderkey", "l_linenumber", "derived"],
+            )
+
+    return t.lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).mapInArrow(
+        derive, schema="l_orderkey long, l_linenumber int, derived long"
+    )
