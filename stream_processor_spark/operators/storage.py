@@ -110,3 +110,126 @@ def bucketed_pair(spark: SparkSession, sf_dir: str,
             shutil.rmtree(loc, ignore_errors=True)
             write_bucketed(df, name, key, num_buckets, sort_col=key)
     return spark.table(li_name), spark.table(o_name)
+
+
+# ------------------------------------------------------------- compaction ----
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    sort_cols: list[str],
+    rows_per_file: int,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet dataset as
+    ~``rows_per_file``-row files RANGE-CLUSTERED on ``sort_cols``.
+
+    Streaming sinks and over-parallel writers leave thousands of tiny
+    files; at 100 TB that multiplies scan tasks, NameNode/listing load
+    and footer overhead. The rewrite both coalesces (repartitionByRange
+    sizes the output) and sort-clusters (each output file covers a
+    disjoint ``sort_cols`` range, so parquet min/max footer stats prune
+    files for range predicates — the same effect bucketing gives equi
+    keys). Returns the output file count.
+
+    Scale notes: one count job sizes the output (swap for file-size
+    statistics from the catalog at scale); the rewrite itself is one
+    range shuffle. maxRecordsPerFile caps stragglers if the range
+    sampling under-splits a hot key.
+    """
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    num_files = max(1, -(-n // rows_per_file))
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.option("maxRecordsPerFile", rows_per_file)
+        .mode("overwrite")
+        .parquet(dest_path)
+    )
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(dest_path, "*.parquet")))
+
+
+# ---------------------------------------------------------------- z-order ----
+
+_MORTON_MASKS = (
+    (8, 16711935),      # 0x00FF00FF
+    (4, 252645135),     # 0x0F0F0F0F
+    (2, 858993459),     # 0x33333333
+    (1, 1431655765),    # 0x55555555
+)
+
+
+def morton_sql(x: str, y: str) -> str:
+    """SQL expression (valid in both Spark SQL and DuckDB) interleaving
+    the low 16 bits of ``x`` and ``y`` into a 32-bit Morton (Z-order)
+    key. Pure bit arithmetic — identical results in any engine."""
+
+    def spread(col: str) -> str:
+        e = f"(CAST({col} AS BIGINT) & 65535)"
+        for shift, mask in _MORTON_MASKS:
+            e = f"(({e} | ({e} << {shift})) & {mask})"
+        return e
+
+    return f"({spread(x)} | ({spread(y)} << 1))"
+
+
+def morton_key(x_col: str, y_col: str):
+    """Column form of :func:`morton_sql` for DataFrame pipelines (takes
+    column NAMES — the expression is compiled from SQL text so the same
+    generator serves Spark and the DuckDB oracles)."""
+    return F.expr(morton_sql(x_col, y_col))
+
+
+def quantile_bucket_expr(df: DataFrame, col: str, bits: int):
+    """Rank-normalize ``col`` to 0..2^bits-1 via quantile boundaries.
+
+    Raw-value interleaving degenerates when dimensions have very
+    different bit widths (the wide dimension's high bits dominate the
+    sort), so production z-ordering — Delta's OPTIMIZE ZORDER does the
+    same — interleaves RANK space, not value space. Boundaries come from
+    approxQuantile (exact here; raise relativeError to ~0.001 at 100 TB
+    — boundary jitter only blurs rectangle edges, never correctness);
+    the bucket id is a codegen-friendly sum of boundary comparisons."""
+    n = 1 << bits
+    bounds = df.stat.approxQuantile(col, [i / n for i in range(1, n)], 0.0)
+    expr = F.lit(0)
+    for b in sorted(set(bounds)):
+        expr = expr + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+    return expr.cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    num_files: int,
+    bits: int = 4,
+) -> None:
+    """Z-order clustered write: range-partition + sort by the Morton
+    interleave of the two dimensions' QUANTILE RANKS, so EVERY file
+    covers a small rectangle in (x, y) space and parquet min/max stats
+    prune files for predicates on EITHER dimension — the
+    multi-dimensional generalization of the single-key clustering
+    `compact_files` gives, the layout trick behind Delta/Iceberg
+    OPTIMIZE ZORDER, implemented directly on parquet.
+
+    Scale notes: two approxQuantile passes size the rank grid (sampled
+    at scale), then one range shuffle on the z-key; the interleave is
+    whole-stage-codegen bit arithmetic (no UDF)."""
+    keyed = df.withColumn(
+        "__zx", quantile_bucket_expr(df, x_col, bits)
+    ).withColumn("__zy", quantile_bucket_expr(df, y_col, bits))
+    (
+        keyed.withColumn("__z", F.expr(morton_sql("__zx", "__zy")))
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", "__zx", "__zy")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -458,3 +458,32 @@ def embedding_random_projection(t):
             expr = term if expr is None else expr + term
         outs.append(expr.cast("long").alias(f"p{i}"))
     return base.select("vec_id", *outs)
+
+
+# ------------------------------------------------------------ data layout ----
+
+from stream_processor_spark.operators import storage as st  # noqa: E402
+
+
+@register(
+    "layout_zorder_key",
+    oracle=f"""
+    SELECT event_id,
+           CAST({st.morton_sql("user_id", "event_id")} AS BIGINT)
+             AS z_key
+    FROM events
+    """,
+)
+def layout_zorder_key(t):
+    """Morton (Z-order) interleave key over two dimensions — the sort
+    key behind `operators.storage.write_zordered` (multi-dimensional
+    file clustering: each file covers a small (x, y) rectangle so
+    parquet min/max stats prune on either dimension). Registered so the
+    bit-interleave itself is hash-verified against DuckDB: the SAME SQL
+    text generator (`storage.morton_sql`) compiles to both engines.
+
+    Scale notes: pure whole-stage-codegen bit arithmetic, map-only."""
+    e = t.events
+    return e.select(
+        "event_id", st.morton_key("user_id", "event_id").alias("z_key")
+    )

@@ -138,3 +138,96 @@ def test_join_bucketed_query_zero_exchange(spark, sf_dir):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_compact_files_coalesces_and_clusters(spark, sf_dir, tmp_path):
+    """Small-file compaction: a 64-way fragmented write collapses to
+    ~n/rows_per_file range-clustered files; rows survive exactly and
+    each output file's sort-key range is disjoint (what makes parquet
+    min/max footer stats prune range predicates post-compaction)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stream_processor_spark.operators.storage import compact_files
+
+    t = Tables(spark, sf_dir)
+    frag = str(tmp_path / "fragmented")
+    t.events.repartition(64).write.parquet(frag)
+    assert len(glob.glob(os.path.join(frag, "*.parquet"))) == 64
+
+    compacted = str(tmp_path / "compacted")
+    n = t.events.count()
+    n_files = compact_files(spark, frag, compacted, ["event_id"],
+                            rows_per_file=-(-n // 4))
+    assert n_files <= 5  # ~4 plus range-sampling slack
+    out = spark.read.parquet(compacted)
+    assert out.count() == n
+    assert out.select(F.sum("event_id")).head()[0] == \
+        t.events.select(F.sum("event_id")).head()[0]
+
+    # disjoint event_id ranges across files -> footer stats prune
+    ranges = []
+    for f in glob.glob(os.path.join(compacted, "*.parquet")):
+        md = pq.read_metadata(f)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_id"
+            )
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {ranges}"
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: after write_zordered on (user_id, event_id), each
+    file covers a small rectangle in both dimensions — the sum of
+    per-file min/max spans on EACH dimension must be far below
+    n_files x full_span (which is what a single-key sort gives the
+    non-sorted dimension)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stream_processor_spark.operators.storage import write_zordered
+
+    t = Tables(spark, sf_dir)
+    path = str(tmp_path / "zordered")
+    n_files = 16
+    write_zordered(t.events, path, "user_id", "event_id", n_files)
+
+    spans = {"user_id": [], "event_id": []}
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) >= n_files // 2
+    for f in files:
+        md = pq.read_metadata(f)
+        for col_name in spans:
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col_name
+                )
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+            spans[col_name].append(max(his) - min(los))
+    full = {
+        c: (t.events.agg(F.max(c) - F.min(c)).head()[0]) for c in spans
+    }
+    for c in spans:
+        avg_span = sum(spans[c]) / len(spans[c])
+        # each dimension's per-file coverage must be a small fraction of
+        # the full domain (a 1-D sort leaves the other dimension at ~1.0)
+        assert avg_span < 0.5 * full[c], (c, avg_span, full[c])
+
+    # layout change must not change content
+    assert spark.read.parquet(path).count() == t.events.count()
