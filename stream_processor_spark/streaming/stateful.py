@@ -202,3 +202,130 @@ def zscore_alerts(grouped_stream: DataFrame, key_col: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------- streaming dedup ----
+
+BAND_DEDUP_OUTPUT = StructType(
+    [
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("jaccard", DoubleType()),
+    ]
+)
+BAND_DEDUP_STATE = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType())),
+        StructField("hsets", ArrayType(ArrayType(LongType()))),
+    ]
+)
+
+
+def _make_band_dedup_update(threshold: float, cap: int):
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            doc_ids = list(state.get[0])
+            hsets = [set(h) for h in state.get[1]]
+        else:
+            doc_ids, hsets = [], []
+        rows = pd.concat(list(batches), ignore_index=True)
+        rows = rows.sort_values("doc_id")  # deterministic arrival order
+        seen = set(doc_ids)
+        pairs: list[tuple] = []
+        for doc_id, hset in zip(rows["doc_id"].tolist(), rows["hset"]):
+            if doc_id in seen:  # at-least-once replay guard
+                continue
+            hs = set(int(x) for x in hset)
+            for did, stored in zip(doc_ids, hsets):
+                inter = len(hs & stored)
+                union = len(hs) + len(stored) - inter
+                if union and inter / union >= threshold:
+                    a, b = (did, doc_id) if did < doc_id else (doc_id, did)
+                    # same exact-int division as the batch operator
+                    pairs.append((a, b, inter / union))
+            if len(doc_ids) < cap:
+                doc_ids.append(int(doc_id))
+                hsets.append(hs)
+                seen.add(doc_id)
+        state.update((doc_ids, [sorted(h) for h in hsets]))
+        yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "jaccard"])
+
+    return update
+
+
+def band_dedup(
+    doc_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    min_tokens: int = 3,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection — the incremental
+    twin of ``operators.dedup.minhash_det_near_dup_pairs``: documents
+    arrive on a stream, and each one is checked against everything
+    previously seen in any of its LSH band buckets, emitting
+    ``(doc_a, doc_b, jaccard)`` pairs (union over bands; consumers
+    dedup by pair — jaccard is identical from every band).
+
+    The shingle→minhash→band pipeline is the SAME pinned-coefficient
+    column-expression pass the batch operator uses (runs unchanged on a
+    streaming DataFrame — no Python until the state step), so streaming
+    and batch agree bit-for-bit on signatures and on the exact int-ratio
+    jaccard. Per-bucket state holds (doc_id, shingle-hash set) for up to
+    ``max_bucket_size`` docs; past the cap new docs are still CHECKED
+    against the stored members but no longer stored (the streaming
+    analog of the batch hot-bucket guard — batch drops oversized buckets
+    wholesale since it sees final sizes; a stream cannot, so it caps
+    admission instead — boilerplate buckets stop growing either way).
+
+    Scale: one shuffle on (band_idx, band_key) into the state store;
+    state per bucket is O(cap x shingles/doc) in the RocksDB store,
+    Arrow-batched per bucket. Replayed micro-batches are idempotent
+    (doc_id admission guard)."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_P,
+        minhash_signature,
+        shingle_hash_set,
+    )
+
+    toks = (
+        doc_stream.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__tk"),
+        )
+        .filter(F.size("__tk") >= min_tokens)
+    )
+    hs = toks.select("doc_id", shingle_hash_set(F.col("__tk")).alias("hset"))
+    sig = hs.select("doc_id", "hset", *minhash_signature(F.col("hset")))
+    p = F.lit(MINHASH_P).cast("long")
+    bands = sig.select(
+        "doc_id",
+        "hset",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.col(f"mh{2 * i}") * p + F.col(f"mh{2 * i + 1}")
+                        ).alias("band_key"),
+                    )
+                    for i in range(len(MINHASH_COEFFS) // 2)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "hset", "band.band_idx", "band.band_key")
+    return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _make_band_dedup_update(jaccard_threshold, max_bucket_size),
+        outputStructType=BAND_DEDUP_OUTPUT,
+        stateStructType=BAND_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
