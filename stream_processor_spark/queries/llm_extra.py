@@ -487,3 +487,108 @@ def layout_zorder_key(t):
     return e.select(
         "event_id", st.morton_key("user_id", "event_id").alias("z_key")
     )
+
+
+# ---------------------------------------------------------- data profiling ----
+
+_CORR_COLS = [  # (name, fixed-point scale chosen to keep Σq² inside int64)
+    ("l_quantity", 100),
+    ("l_extendedprice", 1),
+    ("l_discount", 10000),
+]
+
+
+def _corr_sql() -> str:
+    quant = ", ".join(
+        f"CAST(floor({c} * {s}.0 + 0.5) AS BIGINT) AS q_{c}"
+        for c, s in _CORR_COLS
+    )
+    moments, pairs = ["CAST(COUNT(*) AS BIGINT) AS n"], []
+    for c, _ in _CORR_COLS:
+        moments.append(f"CAST(SUM(q_{c}) AS BIGINT) AS s_{c}")
+        moments.append(f"CAST(SUM(q_{c} * q_{c}) AS BIGINT) AS ss_{c}")
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _s in _CORR_COLS[i + 1:]:
+            moments.append(f"CAST(SUM(q_{a} * q_{b}) AS BIGINT) AS sp_{a}_{b}")
+            pairs.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, round("
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / (sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f"         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f"    * sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f"           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+                f", 6) AS corr FROM m"
+            )
+    return (
+        f"WITH q AS (SELECT {quant} FROM lineitem),"
+        f" m AS (SELECT {', '.join(moments)} FROM q) "
+        + " UNION ALL ".join(pairs)
+    )
+
+
+@register("profile_correlations", oracle=_corr_sql())
+def profile_correlations(t):
+    """Pairwise Pearson correlation matrix over numeric fact columns in
+    ONE table pass — the feature-analysis step of data profiling
+    (`profile_table`'s bivariate sibling). All 10 moment sums
+    (n, Σx, Σx², Σxy per pair) come from a single aggregate over
+    fixed-point int64 values; the only float math is the final per-pair
+    ratio, identical expression shape in both engines, rounded to 6 dp.
+
+    Per-column scales are chosen so Σq² stays inside int64 headroom at
+    ~10^8 rows per aggregate partition-merge (price at scale 1:
+    max 10^5 -> Σq² ≈ 10^10/row); extreme row counts switch to DECIMAL.
+    Scale notes: scan -> partial moment sums -> 1-row reduce; the
+    3-pair report is expression-side Expand of the single row (free).
+    """
+    l = t.lineitem
+    q = l.select(
+        *[
+            F.floor(F.col(c) * F.lit(float(s)) + F.lit(0.5))
+            .cast("long")
+            .alias(f"q_{c}")
+            for c, s in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c, _ in _CORR_COLS:
+        aggs.append(F.sum(F.col(f"q_{c}")).cast("long").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(f"q_{c}") * F.col(f"q_{c}")).cast("long")
+            .alias(f"ss_{c}")
+        )
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _s in _CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum(F.col(f"q_{a}") * F.col(f"q_{b}")).cast("long")
+                .alias(f"sp_{a}_{b}")
+            )
+    m = q.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        return F.round(
+            (n * F.col(f"sp_{a}_{b}").cast("double") - sa * sb)
+            / (
+                F.sqrt(n * F.col(f"ss_{a}").cast("double") - sa * sa)
+                * F.sqrt(n * F.col(f"ss_{b}").cast("double") - sb * sb)
+            ),
+            6,
+        )
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_x"),
+                        F.lit(b).alias("col_y"),
+                        corr(a, b).alias("corr"),
+                    )
+                    for i, (a, _) in enumerate(_CORR_COLS)
+                    for b, _s in _CORR_COLS[i + 1:]
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
