@@ -592,3 +592,90 @@ def profile_correlations(t):
             )
         ).alias("p")
     ).select("p.*")
+
+
+# ------------------------------------------------------------ data quality ----
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders.custkey_not_null' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.status_in_domain',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.custkey_ref_customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def dq_checks(t):
+    """Data-quality expectation suite (the dbt-test / Great-Expectations
+    shape): not-null, range, domain-membership and referential-integrity
+    checks, each reported as (check, rows, violations). The three
+    row-local rules share ONE scan via conditional aggregates +
+    expression-side unpivot; the referential check is a broadcast left
+    join counted in the same style (violation = unmatched key).
+
+    Scale notes: one fact scan for the row-local rules (map-side
+    collapse to one row), one broadcast-dim join for the FK rule — at
+    two fact tables the FK check shuffles on the key like any equi
+    join. No rule ever materializes violating ROWS (counts only);
+    pair with `dlq_split` to route them.
+    """
+    o, c = t.orders, t.customer
+    local = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).cast("long")
+        .alias("v_null"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).cast("long")
+        .alias("v_price"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).cast("long").alias("v_domain"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check_name"),
+                        F.col("n_rows"),
+                        F.col(v).alias("n_violations"),
+                    )
+                    for name, v in [
+                        ("orders.custkey_not_null", "v_null"),
+                        ("orders.totalprice_positive", "v_price"),
+                        ("orders.status_in_domain", "v_domain"),
+                    ]
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).cast("long")
+            .alias("n_violations"),
+        )
+        .select(
+            F.lit("orders.custkey_ref_customer").alias("check_name"),
+            "n_rows",
+            "n_violations",
+        )
+    )
+    return local.unionAll(fk)
