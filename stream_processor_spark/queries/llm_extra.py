@@ -65,9 +65,14 @@ def corpus_shard_by_tokens(t):
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # bucket totals = max running sum per bucket of the windowed frame
+    # (keeps this branch's lineage identical to `local` so a
+    # materialized/persisted `local` serves both; as pure lazy plans
+    # Spark still scans the slim (doc_id, n_tokens) projection twice —
+    # at 100 TB persist `local` or write it out between the passes)
     offsets = (
-        sized.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
+        local.groupBy("bucket")
+        .agg(F.max("local_cum").alias("bucket_total"))
         .withColumn(
             "offset",
             F.coalesce(
