@@ -283,8 +283,11 @@ def band_dedup(
 
     Scale: one shuffle on (band_idx, band_key) into the state store;
     state per bucket is O(cap x shingles/doc) in the RocksDB store,
-    Arrow-batched per bucket. Replayed micro-batches are idempotent
-    (doc_id admission guard)."""
+    Arrow-batched per bucket. Replayed micro-batches are idempotent for
+    STORED docs (doc_id admission guard); docs that arrived after the
+    bucket capped are not remembered, so their pairs re-emit on replay —
+    at-least-once, like every emission from this operator (dedup pairs
+    downstream)."""
     from pyspark.sql import functions as F
 
     from stream_processor_spark.operators.dedup import (
