@@ -684,3 +684,38 @@ def dq_checks(t):
         )
     )
     return local.unionAll(fk)
+
+
+@register(
+    "ts_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def ts_transition_matrix(t):
+    """Behavioral transition matrix: counts of (previous event ->
+    next event) per-user transitions — the Markov-chain summary behind
+    path analysis and next-action models; completes the events-analytics
+    family (funnel / retention / sessionize / SCD2).
+
+    Scale notes: one shuffle on user_id for the LAG, then the transition
+    aggregate collapses map-side to |event_types|^2 groups."""
+    e = t.events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
