@@ -91,9 +91,7 @@ def tpch_q2_shape(t):
     )
 
 
-@register(
-    "tpch_q9_shape",
-    oracle=f"""
+_Q9_ORACLE = f"""
     SELECT n.n_name AS nation,
            EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
            {_dsum_sql(
@@ -107,8 +105,10 @@ def tpch_q2_shape(t):
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
-    """,
-)
+    """
+
+
+@register("tpch_q9_shape", oracle=_Q9_ORACLE)
 def tpch_q9_shape(t):
     """TPC-H Q9 shape (product-type profit): multi-dim star join with a
     LIKE filter on the part name and a derived per-row profit measure
@@ -538,4 +538,35 @@ def tpch_q21_bucketed(t):
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(25)
+    )
+
+
+@register("tpch_q9_bucketed", oracle=_Q9_ORACLE)
+def tpch_q9_bucketed(t):
+    """`tpch_q9_shape` on the bucketed layout: the one shuffle edge in
+    Q9 is lineitem-orders on orderkey — exactly the pair `bucketed_pair`
+    persists bucketed+sorted, so the merge-hinted fact edge joins with
+    ZERO Exchange and the broadcast dims attach as before. Same oracle
+    as the portable plan (the layout must not change the answer)."""
+    from stream_processor_spark.operators.storage import bucketed_pair
+
+    li, o = bucketed_pair(t._spark, t._dir)
+    p, s, n = t.part, t.supplier, t.nation
+    profit = li.l_extendedprice * (1 - li.l_discount) - F.lit(0.05) * (
+        p.p_retailprice * li.l_quantity
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(p.p_name.like("%widget%"))),
+            li.l_partkey == p.p_partkey,
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            n.n_name.alias("nation"),
+            F.year(o.o_orderdate).cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit, 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
     )
