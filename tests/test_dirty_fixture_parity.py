@@ -51,6 +51,10 @@ DIRTY_QUERIES = [
     "dedup_token_jaccard",
     "text_token_counts",
     "text_fingerprint",
+    # continuation-session text operators (NULL text, empty docs,
+    # whitespace runs must tokenize identically in both engines)
+    "text_tfidf_topk",
+    "corpus_shard_by_tokens",
 ]
 
 MULTIMODAL_QUERIES = [
