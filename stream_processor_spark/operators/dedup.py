@@ -159,6 +159,53 @@ def minhash_signature(hset: Column, coeffs=MINHASH_COEFFS) -> list[Column]:
     ]
 
 
+def lsh_band_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared shingle → pinned-MinHash → band pipeline: returns
+    ``(hs, bands)`` with ``hs = (doc_id, hset)`` and ``bands = (doc_id,
+    hset, band_idx, band_key)``. This is THE one implementation of the
+    LSH front end — the batch operator (`minhash_det_near_dup_pairs`)
+    and the streaming twin (`streaming/stateful.band_dedup`) both build
+    on it, which is what makes their bit-for-bit signature/band
+    agreement a structural fact rather than a maintained coincidence.
+    All column expressions — runs unchanged on batch or streaming
+    frames; callers that don't need ``hset`` downstream drop it (column
+    pruning erases it from the plan)."""
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("__tk"),
+        )
+        .filter(F.size("__tk") >= min_tokens)
+    )
+    hs = toks.select("doc_id", shingle_hash_set(F.col("__tk")).alias("hset"))
+    sig = hs.select("doc_id", "hset", *minhash_signature(F.col("hset")))
+    p = F.lit(MINHASH_P).cast("long")
+    bands = sig.select(
+        "doc_id",
+        "hset",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        (
+                            F.col(f"mh{2 * i}") * p + F.col(f"mh{2 * i + 1}")
+                        ).alias("band_key"),
+                    )
+                    for i in range(len(MINHASH_COEFFS) // 2)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "hset", "band.band_idx", "band.band_key")
+    return hs, bands
+
+
 def minhash_det_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -189,31 +236,8 @@ def minhash_det_near_dup_pairs(
     Reference parity: this is the engine's scale path for corpus dedup,
     beyond the reference's per-record operators (SURVEY §2.12).
     """
-    toks = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.split(F.col(text_col), " ").alias("__tk"),
-        )
-        .filter(F.size("__tk") >= min_tokens)
-    )
-    hs = toks.select("doc_id", shingle_hash_set(F.col("__tk")).alias("hset"))
-    sig = hs.select("doc_id", *minhash_signature(F.col("hset")))
-    p = F.lit(MINHASH_P).cast("long")
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        (F.col(f"mh{2 * i}") * p + F.col(f"mh{2 * i + 1}")).alias("band_key"),
-                    )
-                    for i in range(len(MINHASH_COEFFS) // 2)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    hs, bands_h = lsh_band_frame(docs, id_col, text_col, min_tokens)
+    bands = bands_h.select("doc_id", "band_idx", "band_key")
     if max_bucket_size is not None:
         sizes = (
             bands.groupBy("band_idx", "band_key")

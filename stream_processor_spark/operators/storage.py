@@ -185,8 +185,9 @@ def morton_key(x_col: str, y_col: str):
     return F.expr(morton_sql(x_col, y_col))
 
 
-def quantile_bucket_expr(df: DataFrame, col: str, bits: int):
-    """Rank-normalize ``col`` to 0..2^bits-1 via quantile boundaries.
+def quantile_bucket_exprs(df: DataFrame, cols: list[str], bits: int):
+    """Rank-normalize each of ``cols`` to 0..2^bits-1 via quantile
+    boundaries, computed for ALL columns in ONE approxQuantile pass.
 
     Raw-value interleaving degenerates when dimensions have very
     different bit widths (the wide dimension's high bits dominate the
@@ -194,13 +195,22 @@ def quantile_bucket_expr(df: DataFrame, col: str, bits: int):
     same — interleaves RANK space, not value space. Boundaries come from
     approxQuantile (exact here; raise relativeError to ~0.001 at 100 TB
     — boundary jitter only blurs rectangle edges, never correctness);
-    the bucket id is a codegen-friendly sum of boundary comparisons."""
+    each bucket id is a codegen-friendly sum of boundary comparisons."""
     n = 1 << bits
-    bounds = df.stat.approxQuantile(col, [i / n for i in range(1, n)], 0.0)
-    expr = F.lit(0)
-    for b in sorted(set(bounds)):
-        expr = expr + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
-    return expr.cast("long")
+    probs = [i / n for i in range(1, n)]
+    all_bounds = df.stat.approxQuantile(cols, probs, 0.0)
+    exprs = []
+    for col, bounds in zip(cols, all_bounds):
+        expr = F.lit(0)
+        for b in sorted(set(bounds)):
+            expr = expr + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+        exprs.append(expr.cast("long"))
+    return exprs
+
+
+def quantile_bucket_expr(df: DataFrame, col: str, bits: int):
+    """Single-column convenience wrapper over quantile_bucket_exprs."""
+    return quantile_bucket_exprs(df, [col], bits)[0]
 
 
 def write_zordered(
@@ -222,9 +232,8 @@ def write_zordered(
     Scale notes: two approxQuantile passes size the rank grid (sampled
     at scale), then one range shuffle on the z-key; the interleave is
     whole-stage-codegen bit arithmetic (no UDF)."""
-    keyed = df.withColumn(
-        "__zx", quantile_bucket_expr(df, x_col, bits)
-    ).withColumn("__zy", quantile_bucket_expr(df, y_col, bits))
+    zx, zy = quantile_bucket_exprs(df, [x_col, y_col], bits)
+    keyed = df.withColumn("__zx", zx).withColumn("__zy", zy)
     (
         keyed.withColumn("__z", F.expr(morton_sql("__zx", "__zy")))
         .repartitionByRange(num_files, F.col("__z"))

@@ -55,7 +55,9 @@ def corpus_shard_by_tokens(t):
     sized = d.select(
         "doc_id",
         F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / F.lit(_RANGE)).cast("long").alias("bucket"),
+        # integer `div`, not `/`: double division loses exactness past
+        # 2^53 and could flip a bucket/shard boundary vs the oracle
+        F.expr(f"doc_id div {_RANGE}").alias("bucket"),
     )
     local = sized.withColumn(
         "local_cum",
@@ -91,10 +93,9 @@ def corpus_shard_by_tokens(t):
         .select(
             "doc_id",
             "n_tokens",
-            (
-                (F.col("offset") + F.col("local_cum") - F.col("n_tokens"))
-                / F.lit(_SHARD_TOKENS)
-            ).cast("long").alias("shard_id"),
+            F.expr(
+                f"(offset + local_cum - n_tokens) div {_SHARD_TOKENS}"
+            ).alias("shard_id"),
         )
     )
 

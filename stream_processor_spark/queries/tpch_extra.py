@@ -120,7 +120,14 @@ def tpch_q9_shape(t):
     aggregate (map-side collapse). The profit expression is evaluated in
     one codegen stage with identical association order in both engines;
     the sum is fixed-point (dsum scale 4)."""
-    l, p, s, n, o = t.lineitem, t.part, t.supplier, t.nation, t.orders
+    return _q9_from(t.lineitem, t.orders, t)
+
+
+def _q9_from(l, o, t, merge_hint: bool = False):
+    """Q9 body over any (lineitem, orders) pair (raw or bucketed).
+    ``merge_hint`` pins the fact edge to the exchange-free sort-merge on
+    the bucketed layout (see `join_bucketed` for why)."""
+    p, s, n = t.part, t.supplier, t.nation
     profit = l.l_extendedprice * (1 - l.l_discount) - F.lit(0.05) * (
         p.p_retailprice * l.l_quantity
     )
@@ -131,7 +138,8 @@ def tpch_q9_shape(t):
         )
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(o.hint("merge") if merge_hint else o,
+              l.l_orderkey == o.o_orderkey)
         .groupBy(
             n.n_name.alias("nation"),
             F.year(o.o_orderdate).cast("long").alias("o_year"),
@@ -394,19 +402,23 @@ def tpch_q21_shape(t):
     return _q21_from(t.lineitem, t)
 
 
-def _q21_from(lineitem, t):
-    """Q21 body over any lineitem-shaped frame (raw or bucketed)."""
-    o, s, n, r = t.orders, t.supplier, t.nation, t.region
-    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    pre = lineitem.select(
-        "l_orderkey", "l_suppkey", "l_returnflag"
-    ).join(
+def _q21_semi_f_orders(frame, t):
+    """Keep only rows of orders with status 'F' (semi join on orderkey)."""
+    o = t.orders
+    return frame.join(
         o.filter(o.o_orderstatus == "F").select("o_orderkey"),
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_semi",
     )
-    waiting = (
-        pre.groupBy("l_orderkey")
+
+
+def _q21_waiting(lineitem_frame):
+    """Per-order bounded-state existence facts -> (l_orderkey,
+    wait_suppkey) for orders with >=2 suppliers and exactly one
+    R-supplier (who is the waiting supplier)."""
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    return (
+        lineitem_frame.groupBy("l_orderkey")
         .agg(
             F.min("l_suppkey").alias("min_s"),
             F.max("l_suppkey").alias("max_s"),
@@ -420,6 +432,11 @@ def _q21_from(lineitem, t):
         )
         .select("l_orderkey", F.col("min_r").alias("wait_suppkey"))
     )
+
+
+def _q21_report(waiting, t):
+    """Count waiting orders per supplier, attach region-filtered dims."""
+    s, n, r = t.supplier, t.nation, t.region
     return (
         waiting.groupBy("wait_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))  # one row per order
@@ -431,6 +448,15 @@ def _q21_from(lineitem, t):
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(25)
     )
+
+
+def _q21_from(lineitem, t):
+    """Portable Q21 body: semi join to 'F' orders FIRST (pre-shrinks the
+    aggregate's shuffle), then the bounded-state facts."""
+    pre = _q21_semi_f_orders(
+        lineitem.select("l_orderkey", "l_suppkey", "l_returnflag"), t
+    )
+    return _q21_report(_q21_waiting(pre), t)
 
 
 @register(
@@ -509,36 +535,10 @@ def tpch_q21_bucketed(t):
     from stream_processor_spark.operators.storage import bucketed_pair
 
     li, _o = bucketed_pair(t._spark, t._dir)
-    o, s, n, r = t.orders, t.supplier, t.nation, t.region
-    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    waiting = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.min("l_suppkey").alias("min_s"),
-            F.max("l_suppkey").alias("max_s"),
-            F.min(r_supp).alias("min_r"),
-            F.max(r_supp).alias("max_r"),
-        )
-        .filter(
-            (F.col("min_s") != F.col("max_s"))
-            & F.col("min_r").isNotNull()
-            & (F.col("min_r") == F.col("max_r"))
-        )
-        .join(o.filter(o.o_orderstatus == "F").select("o_orderkey"),
-              F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .select("l_orderkey", F.col("min_r").alias("wait_suppkey"))
-    )
-    return (
-        waiting.groupBy("wait_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("wait_suppkey") == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.filter(r.r_name == "MIDDLE EAST")),
-              n.n_regionkey == r.r_regionkey)
-        .select("s_suppkey", "s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), "s_suppkey")
-        .limit(25)
-    )
+    # agg-first: exchange-free over the bucketed layout; only the few
+    # qualifying orders then semi join to 'F' orders
+    waiting = _q21_semi_f_orders(_q21_waiting(li), t)
+    return _q21_report(waiting, t)
 
 
 @register("tpch_q9_bucketed", oracle=_Q9_ORACLE)
@@ -551,22 +551,4 @@ def tpch_q9_bucketed(t):
     from stream_processor_spark.operators.storage import bucketed_pair
 
     li, o = bucketed_pair(t._spark, t._dir)
-    p, s, n = t.part, t.supplier, t.nation
-    profit = li.l_extendedprice * (1 - li.l_discount) - F.lit(0.05) * (
-        p.p_retailprice * li.l_quantity
-    )
-    return (
-        li.join(
-            F.broadcast(p.filter(p.p_name.like("%widget%"))),
-            li.l_partkey == p.p_partkey,
-        )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            n.n_name.alias("nation"),
-            F.year(o.o_orderdate).cast("long").alias("o_year"),
-        )
-        .agg(dsum(profit, 4).alias("sum_profit"))
-        .orderBy("nation", F.col("o_year").desc())
-    )
+    return _q9_from(li, o, t, merge_hint=True)

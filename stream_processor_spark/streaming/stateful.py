@@ -288,43 +288,9 @@ def band_dedup(
     bucket capped are not remembered, so their pairs re-emit on replay —
     at-least-once, like every emission from this operator (dedup pairs
     downstream)."""
-    from pyspark.sql import functions as F
+    from stream_processor_spark.operators.dedup import lsh_band_frame
 
-    from stream_processor_spark.operators.dedup import (
-        MINHASH_COEFFS,
-        MINHASH_P,
-        minhash_signature,
-        shingle_hash_set,
-    )
-
-    toks = (
-        doc_stream.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            F.split(F.col(text_col), " ").alias("__tk"),
-        )
-        .filter(F.size("__tk") >= min_tokens)
-    )
-    hs = toks.select("doc_id", shingle_hash_set(F.col("__tk")).alias("hset"))
-    sig = hs.select("doc_id", "hset", *minhash_signature(F.col("hset")))
-    p = F.lit(MINHASH_P).cast("long")
-    bands = sig.select(
-        "doc_id",
-        "hset",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        (
-                            F.col(f"mh{2 * i}") * p + F.col(f"mh{2 * i + 1}")
-                        ).alias("band_key"),
-                    )
-                    for i in range(len(MINHASH_COEFFS) // 2)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "hset", "band.band_idx", "band.band_key")
+    _hs, bands = lsh_band_frame(doc_stream, id_col, text_col, min_tokens)
     return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
         _make_band_dedup_update(jaccard_threshold, max_bucket_size),
         outputStructType=BAND_DEDUP_OUTPUT,
