@@ -720,3 +720,111 @@ def ts_transition_matrix(t):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ------------------------------------------------------- data management ----
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT s_suppkey + 1000000, s_name, s_acctbal FROM supplier
+    )
+    SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, c.c_name) AS c_name,
+           COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal
+    FROM customer c FULL OUTER JOIN updates u
+      ON c.c_custkey = u.c_custkey
+    """,
+)
+def merge_upsert(t):
+    """MERGE INTO semantics (SCD type-1 upsert) as a pure query: matched
+    keys take the update row, unmatched updates insert, unmatched base
+    rows carry through — FULL OUTER join + per-column COALESCE
+    preferring the update side. The updates feed here is derived
+    deterministically from the fixture (balance bump for custkey%7,
+    supplier roster as inserts under shifted keys).
+
+    The COALESCE form assumes update rows carry complete records (an
+    update with NULL columns would fall back to base — use an
+    is-matched flag per side for partial updates). At 100 TB this is
+    one key-partitioned shuffle join; with the base table bucketed on
+    the key the base side needs no exchange at all (`join_bucketed`),
+    which is exactly how table formats implement MERGE compaction."""
+    c, s = t.customer, t.supplier
+    updates = (
+        c.filter(c.c_custkey % 7 == 0)
+        .select(
+            "c_custkey", "c_name",
+            (c.c_acctbal + F.lit(100.0)).alias("c_acctbal"),
+        )
+        .unionAll(
+            s.select(
+                (s.s_suppkey + F.lit(1000000)).alias("c_custkey"),
+                s.s_name.alias("c_name"),
+                s.s_acctbal.alias("c_acctbal"),
+            )
+        )
+    )
+    base = t.customer.select("c_custkey", "c_name", "c_acctbal")
+    u = updates.alias("u")
+    b = base.alias("b")
+    return u.join(
+        b, F.col("u.c_custkey") == F.col("b.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey"))
+        .alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("b.c_acctbal"))
+        .alias("c_acctbal"),
+    )
+
+
+@register(
+    "cdc_apply_lww",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_op, value AS last_value,
+           ts AS last_ts
+    FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+    """,
+)
+def cdc_apply_lww(t):
+    """CDC apply, last-write-wins: collapse a change log to final state
+    — per key take the latest op by (event time, event_id), drop keys
+    whose final op is the delete sentinel (here: 'purchase' stands in
+    for D). ONE max_by aggregate with a struct ordering key — no window
+    sort; the oracle runs the row_number formulation, proving the
+    aggregate equivalence (same pattern as `ts_ohlc`).
+
+    Scale notes: partial max_by combines map-side, so the shuffle
+    carries one candidate row per key per input partition — the
+    standard compaction pass of any CDC ingestion (Debezium-style) at
+    arbitrary log size. Restart-safe streaming twin:
+    `streaming_analogs`' stateful dedup with the same ordering key."""
+    e = t.events
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    last = (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("event_type").alias("last_op"),
+                    F.col("value").alias("last_value"),
+                    F.col("ts").alias("last_ts"),
+                ),
+                ordk,
+            ).alias("last")
+        )
+        .select("user_id", "last.*")
+    )
+    return last.filter(F.col("last_op") != "purchase")
