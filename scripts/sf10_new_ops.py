@@ -53,52 +53,15 @@ def main() -> None:
         print("generating sf10 (100x sf0.1) ...", file=sys.stderr)
         generate(spark, dst=DST10, replicas=100)
 
-    duck: dict[str, float] = {}
+    from scripts.bench_harness import duck_times, spark_floor, spark_rows
+
     con = duck_con_dir(DST10)
-    for name in NEW_OPS:
-        sql = REGISTRY[name].oracle
-        best = float("inf")
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        duck[name] = round(best, 3)
-        print(f"duckdb {name}: {duck[name]} s", file=sys.stderr)
+    duck = duck_times(con, NEW_OPS, N_RUNS)
     con.close()
 
-    floor_df = spark.range(32).repartition(32)
-    floor_df.write.mode("overwrite").format("noop").save()
-    floor = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        floor_df.write.mode("overwrite").format("noop").save()
-        floor = min(floor, time.perf_counter() - t0)
+    floor = spark_floor(spark)
 
-    rows = []
-    for name in NEW_OPS:
-        runs = []
-        for _ in range(N_RUNS + 1):
-            t0 = time.perf_counter()
-            df = REGISTRY[name].fn(spark, DST10)
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        steady = min(runs[1:])
-        adj = max(0.0, steady - floor)
-        ratio = round(adj / duck[name], 3) if duck[name] else None
-        rows.append(
-            {
-                "query": name,
-                "spark_raw_sec": steady,
-                "spark_adj_sec": round(adj, 3),
-                "duckdb_sec": duck[name],
-                "ratio_adj": ratio,
-                "runs": runs,
-            }
-        )
-        print(
-            f"spark {name}: adj {adj:.3f} s  ratio {ratio}x",
-            file=sys.stderr,
-        )
+    rows = spark_rows(spark, NEW_OPS, DST10, duck, N_RUNS, floor)
 
     print(json.dumps({
         "sf_dir": DST10,
