@@ -599,3 +599,77 @@ def test_streaming_band_dedup_matches_batch_lsh(spark, sf_dir, tmp_path):
     }
     assert streamed == expected
     assert len(expected) > 0  # non-trivial: the slice has near-dups
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_streaming_split_invariance_fuzz(spark, sf_dir, tmp_path, seed):
+    """Micro-batch-split invariance, fuzzed on real data: stream the
+    fixture's events through a windowed aggregation in RANDOMLY CHOSEN
+    restart-separated chunks; the final complete-mode state must equal
+    the batch aggregation bit-for-bit (fixed-point sums) regardless of
+    where the splits fall. This is the property the reference's
+    at-least-once batching contract reduces to — results independent of
+    batch boundaries."""
+    import random
+
+    import datetime as _dt
+
+    from stream_processor_spark.catalog import Tables
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "event_type", "value").collect()
+    rows = [
+        {"event_id": r.event_id, "ts": r.ts, "event_type": r.event_type,
+         "value": r.value}
+        for r in ev
+    ]
+    rng = random.Random(7000 + seed)
+    rng.shuffle(rows)  # arrival order != event-time order (late data)
+    cuts = sorted(rng.sample(range(1, len(rows)), 3))
+    chunks = [rows[a:b] for a, b in
+              zip([0] + cuts, cuts + [len(rows)])]
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    topic = broker.topic("ev", schema)
+    ckpt = broker.checkpoint_dir()
+
+    def agg(df):
+        return df.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+        ).select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "sum_cents"
+        )
+
+    final: list = []
+
+    def collect(batch_df, _):
+        final.clear()  # complete mode: last emission is the full state
+        final.extend(
+            (r.w_start, r.event_type, r.n, r.sum_cents)
+            for r in batch_df.collect()
+        )
+
+    for chunk in chunks:
+        if not chunk:
+            continue
+        topic.produce_rows(spark, chunk)
+        _run_available_now(
+            agg(topic.read_stream(spark)), ckpt, collect, "complete"
+        )
+
+    expected = sorted(
+        (r.w_start, r.event_type, r.n, r.sum_cents)
+        for r in agg(t.events).collect()
+    )
+    assert sorted(final) == expected
