@@ -828,3 +828,45 @@ def cdc_apply_lww(t):
         .select("user_id", "last.*")
     )
     return last.filter(F.col("last_op") != "purchase")
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey, NULLIF(c_custkey % 5, 0) AS grp
+      FROM customer WHERE c_custkey < 1000
+    )
+    SELECT COALESCE(CAST(a.grp AS VARCHAR), 'NULL') AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM k a JOIN k b ON a.grp IS NOT DISTINCT FROM b.grp
+    GROUP BY a.grp
+    ORDER BY grp
+    """,
+)
+def join_null_safe(t):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantic corner that
+    silently drops rows when an upsert/merge keys on a nullable column.
+    Derived nullable key (custkey%5, 0 -> NULL) self-joined null-safely;
+    the NULL group's pair count proves the matches happened (a plain
+    equi join would return nothing for it).
+
+    Scale notes: Spark plans eqNullSafe as a hash join on a
+    null-coalesced key (no nested loop); bounded input slice keeps the
+    demo's pair fan-out fixed across scale factors."""
+    c = t.customer
+    k = c.filter(c.c_custkey < 1000).select(
+        "c_custkey",
+        F.nullif((c.c_custkey % 5), F.lit(0)).alias("grp"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(b, F.col("a.grp").eqNullSafe(F.col("b.grp")))
+        .groupBy(
+            F.coalesce(F.col("a.grp").cast("string"), F.lit("NULL"))
+            .alias("grp")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("grp")
+    )
