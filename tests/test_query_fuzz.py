@@ -181,3 +181,36 @@ def test_fuzz_grouped_aggregate(spark, sf_dir, seed):
     )
     res = compare(f"fuzz_agg_{seed}", df, sql, sf_dir)
     assert res.ok, f"{sql}\n{res.detail}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_join_aggregate(spark, sf_dir, seed):
+    """Random filtered equi-join lineitem x orders + grouped aggregate:
+    samples the join-then-aggregate plan space the composite queries
+    live in."""
+    rng = random.Random(3000 + seed)
+    lb = gen_bool(rng, 1)
+    e = gen_int(rng, 2)
+    o_cut = rng.randrange(2, 9)
+    g = rng.choice(GROUP_COLS + ["o_orderpriority"])
+    sql = (
+        f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM({e.sql()}) AS BIGINT) AS s "
+        f"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE ({lb.sql()}) AND o.o_custkey % {o_cut} = 0 "
+        f"GROUP BY {g}"
+    )
+    t = Tables(spark, sf_dir)
+    l, o = t.lineitem, t.orders
+    df = (
+        l.filter(lb.spark())
+        .join(o.filter(o.o_custkey % o_cut == 0),
+              l.l_orderkey == o.o_orderkey)
+        .groupBy(g)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(e.spark()).cast("long").alias("s"),
+        )
+    )
+    res = compare(f"fuzz_join_{seed}", df, sql, sf_dir)
+    assert res.ok, f"{sql}\n{res.detail}"
