@@ -221,10 +221,18 @@ BAND_DEDUP_STATE = StructType(
 )
 
 
-def _make_band_dedup_update(threshold: float, cap: int):
+def _make_band_dedup_update(threshold: float, cap: int,
+                            ttl_ms: int | None = None):
     def update(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle bucket past its TTL: evict wholesale (bounds total
+            # state to active buckets; an evicted member's re-arrival
+            # re-admits it like a new doc)
+            state.remove()
+            yield pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+            return
         if state.exists:
             doc_ids = list(state.get[0])
             hsets = [set(h) for h in state.get[1]]
@@ -250,6 +258,8 @@ def _make_band_dedup_update(threshold: float, cap: int):
                 hsets.append(hs)
                 seen.add(doc_id)
         state.update((doc_ids, [sorted(h) for h in hsets]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # idle clock resets per batch
         yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "jaccard"])
 
     return update
@@ -262,6 +272,7 @@ def band_dedup(
     jaccard_threshold: float = 0.5,
     min_tokens: int = 3,
     max_bucket_size: int = 64,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection — the incremental
     twin of ``operators.dedup.minhash_det_near_dup_pairs``: documents
@@ -287,14 +298,25 @@ def band_dedup(
     STORED docs (doc_id admission guard); docs that arrived after the
     bucket capped are not remembered, so their pairs re-emit on replay —
     at-least-once, like every emission from this operator (dedup pairs
-    downstream)."""
+    downstream).
+
+    ``state_ttl_ms`` bounds state LIFETIME as the cap bounds its width:
+    buckets idle longer than the TTL (processing time, reset whenever
+    the bucket sees traffic) are evicted wholesale, so total state is
+    O(active buckets) on an unbounded stream — the standard dedup-
+    window trade (an evicted member's re-arrival is treated as new)."""
     from stream_processor_spark.operators.dedup import lsh_band_frame
 
     _hs, bands = lsh_band_frame(doc_stream, id_col, text_col, min_tokens)
     return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
-        _make_band_dedup_update(jaccard_threshold, max_bucket_size),
+        _make_band_dedup_update(jaccard_threshold, max_bucket_size,
+                                state_ttl_ms),
         outputStructType=BAND_DEDUP_OUTPUT,
         stateStructType=BAND_DEDUP_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -673,3 +673,96 @@ def test_streaming_split_invariance_fuzz(spark, sf_dir, tmp_path, seed):
         for r in agg(t.events).collect()
     )
     assert sorted(final) == expected
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the update fn directly
+    (wall-clock-free TTL semantics test)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_band_dedup_ttl_eviction_semantics():
+    """TTL update-fn contract, driven directly: a timed-out bucket is
+    removed wholesale and emits nothing; a live bucket re-arms its
+    timeout after every batch; post-eviction the same near-dup no
+    longer pairs (state was dropped)."""
+    import pandas as pd
+
+    from stream_processor_spark.streaming.stateful import (
+        _make_band_dedup_update,
+    )
+
+    update = _make_band_dedup_update(0.5, 64, ttl_ms=1500)
+    hset_a = list(range(100, 120))
+    hset_b = list(range(100, 118)) + [900, 901]  # jaccard 18/22 ≈ 0.82
+
+    # batch 1: doc 1 admitted, timeout armed
+    st = _FakeState()
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [1], "hset": [hset_a]})]), st))
+    assert out[0].empty and st.exists and st.timeout_set == 1500
+
+    # batch 2 (within TTL): near-dup pairs with the stored doc
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [2], "hset": [hset_b]})]), st))
+    assert [(r.doc_a, r.doc_b) for r in out[0].itertuples()] == [(1, 2)]
+
+    # timeout fires: bucket evicted wholesale, nothing emitted
+    st.hasTimedOut = True
+    out = list(update(("b", 1), iter([]), st))
+    assert out[0].empty and st.removed and not st.exists
+
+    # post-eviction: the same near-dup finds an empty bucket — no pair
+    st.hasTimedOut = False
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [3], "hset": [hset_b]})]), st))
+    assert out[0].empty and st.exists
+
+
+def test_band_dedup_ttl_mode_runs_end_to_end(spark, sf_dir, tmp_path):
+    """TTL mode through the real ProcessingTimeTimeout plumbing: two
+    near-dup docs in one run still pair (TTL far above the run time)."""
+    from stream_processor_spark.streaming.stateful import band_dedup
+
+    broker = FileBroker(str(tmp_path / "broker"))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    topic = broker.topic("docs", schema)
+    got: list = []
+
+    def collect(batch_df, _):
+        got.extend((r.doc_a, r.doc_b) for r in batch_df.collect())
+
+    text_a = "the quick brown fox jumps over the lazy dog again today"
+    topic.produce_rows(spark, [
+        {"doc_id": 1, "text": text_a},
+        {"doc_id": 2, "text": text_a + " ok"},
+    ])
+    _run_available_now(
+        band_dedup(topic.read_stream(spark), state_ttl_ms=600_000),
+        broker.checkpoint_dir(), collect, "update",
+    )
+    assert (1, 2) in set(got)
