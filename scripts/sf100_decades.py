@@ -28,7 +28,9 @@ DST = os.path.join(
     ".scratch", "sf100",
 )
 OPS = [
-    "agg_groupby_basic",   # TPC-H Q1: the canonical partial-agg scan
+    "agg_groupby_decimal", # TPC-H Q1, DECIMAL accumulators — the int64
+                       # fixed-point path OVERFLOWS at this magnitude
+                       # (found by this script; see dsum_dec)
     "tpch_q9_shape",       # star join with one fact-fact shuffle edge
     "tpch_q21_shape",      # bounded-state decorrelation
     "sim_ann_ivf",         # vectorized ANN serve, 5M vectors

@@ -870,3 +870,70 @@ def join_null_safe(t):
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("grp")
     )
+
+
+# ------------------------------------------------- beyond-int64 aggregates ----
+
+
+def _dsum_dec_sql(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of `dsum_dec`."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    )
+
+
+def dsum_dec(col, scale: int = 6):
+    """Order-independent exact DECIMAL sum — `dsum`'s beyond-int64 path.
+
+    `dsum`'s int64 fixed-point accumulator overflows once
+    Σ(value x 10^scale) exceeds 2^63 — measured REAL at the sf100
+    decade rehearsal: TPC-H Q1's scale-6 charge sum over 600M rows hits
+    3.5e19 (DuckDB's HUGEINT threw; Spark's int64 would have silently
+    wrapped — the worst failure mode). DECIMAL(30,scale) accumulation
+    is exact to 10^30 and still order-independent; the final cast
+    produces the correctly-rounded double of the exact total, identical
+    in any engine. Cost: decimal adds are ~2-4x int64 adds — pay it
+    when the magnitude demands it."""
+    return (
+        F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+    )
+
+
+@register(
+    "agg_groupby_decimal",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_dec_sql('l_quantity', 2)} AS sum_qty,
+           {_dsum_dec_sql('l_extendedprice', 2)} AS sum_base_price,
+           {_dsum_dec_sql('l_extendedprice * (1 - l_discount)', 6)}
+             AS sum_disc_price,
+           {_dsum_dec_sql(
+               'l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+             AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_decimal(t):
+    """TPC-H Q1 on the DECIMAL accumulation path — the beyond-int64
+    twin of `agg_groupby_basic`, for aggregates whose scaled totals
+    exceed dsum's 2^63 headroom (the sf100 rehearsal measured Q1's
+    scale-6 sums at 3.5e19 over 600M rows). Same single partial-combined
+    scan shape; the accumulator is DECIMAL(30,s), exact and
+    order-independent, finalized to the correctly-rounded double."""
+    l = t.lineitem
+    disc_price = l.l_extendedprice * (1 - l.l_discount)
+    charge = disc_price * (1 + l.l_tax)
+    return (
+        l.filter(l.l_shipdate <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum_dec(l.l_quantity, 2).alias("sum_qty"),
+            dsum_dec(l.l_extendedprice, 2).alias("sum_base_price"),
+            dsum_dec(disc_price, 6).alias("sum_disc_price"),
+            dsum_dec(charge, 6).alias("sum_charge"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
