@@ -30,7 +30,9 @@ def dsum(col: Column, scale: int = 2) -> Column:
     summed exactly, so the merge order can never change the result; the
     final division restores the scale. int64 headroom: 10^18/10^(s+digits)
     rows — beyond that (extreme 100 TB aggregates) switch ``scale`` down or
-    use DECIMAL sums.
+    use the DECIMAL path (``queries.llm_extra.dsum_dec`` — the sf100
+    rehearsal measured Q1's scale-6 sums overflowing at 600M rows, so
+    the headroom limit is real, not theoretical).
     """
     factor = float(10**scale)
     return F.sum(F.floor(col * F.lit(factor) + F.lit(0.5))).cast("double") / F.lit(factor)
