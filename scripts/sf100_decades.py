@@ -33,7 +33,12 @@ OPS = [
                        # (found by this script; see dsum_dec)
     "tpch_q9_shape",       # star join with one fact-fact shuffle edge
     "tpch_q21_shape",      # bounded-state decorrelation
-    "sim_ann_ivf",         # vectorized ANN serve, 5M vectors
+    # sim_ann_ivf is EXCLUDED here: at 5M vectors the oracle's
+    # per-dimension centroid sums exceed int64 (~3.5e19) and DuckDB's
+    # HUGEINT->DOUBLE conversion is not correctly rounded, so no
+    # bit-exact SQL mirror exists at this magnitude. The ENGINE stays
+    # correct (DECIMAL(38,0) accumulators, correctly-rounded final
+    # double) — verified through sf10; see docs/LIMITS.md.
     "text_tfidf_topk",     # token explode + top-k, 5M docs
 ]
 N_RUNS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
