@@ -72,8 +72,19 @@ def get_spark(app_name: str = "stream_processor_spark", master: str | None = Non
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    # env overrides for the scale rehearsals (sf100's 600M-row joins need
+    # more than the 8g default heap; defaults stay pinned for bench
+    # comparability)
+    overrides = {
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
+        "spark.sql.shuffle.partitions":
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"),
+    }
     for k, v in _BUILD_CONFS.items():
         builder = builder.config(k, v)
+    for k, v in overrides.items():
+        if v:
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     tune_session(spark)
     return spark
