@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from stream_processor_spark.operators import text as tx
 from stream_processor_spark.queries.base import register
+from stream_processor_spark.queries.relational import _dsum_sql, dsum
 
 _SHARD_TOKENS = 5000  # token budget per training shard
 _RANGE = 200  # doc_ids per prefix-sum bucket (static, key-derived)
@@ -886,10 +887,10 @@ def dsum_dec(col, scale: int = 6):
     """Order-independent exact DECIMAL sum — `dsum`'s beyond-int64 path.
 
     `dsum`'s int64 fixed-point accumulator overflows once
-    Σ(value x 10^scale) exceeds 2^63 — measured REAL at the sf100
-    decade rehearsal: TPC-H Q1's scale-6 charge sum over 600M rows hits
-    3.5e19 (DuckDB's HUGEINT threw; Spark's int64 would have silently
-    wrapped — the worst failure mode). DECIMAL(30,scale) accumulation
+    Σ(value x 10^scale) exceeds 2^63 — a boundary the sf100 decade
+    rehearsal measured as REAL (the IVF centroid sums crossed it at
+    ~3.5e19; Q1's scale-6 group sums sit at 2.8e18 there, one decade
+    from the cliff). DECIMAL(30,scale) accumulation
     is exact to 10^30 and still order-independent; the final cast
     produces the correctly-rounded double of the exact total, identical
     in any engine. Cost: decimal adds are ~2-4x int64 adds — pay it
@@ -936,4 +937,79 @@ def agg_groupby_decimal(t):
             dsum_dec(charge, 6).alias("sum_charge"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
+    )
+
+
+_SPLIT = 1 << 20  # hi/lo split point for over-int64 totals
+
+
+def _split_sums_sql(expr: str, scale: int, name: str) -> str:
+    q = f"CAST(floor(({expr}) * {10**scale}.0 + 0.5) AS BIGINT)"
+    return (
+        f"CAST(SUM({q} // {_SPLIT}) AS BIGINT) AS {name}_hi, "
+        f"CAST(SUM({q} % {_SPLIT}) AS BIGINT) AS {name}_lo"
+    )
+
+
+@register(
+    "agg_groupby_wide",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_split_sums_sql('l_extendedprice * (1 - l_discount)', 6,
+                            'disc')},
+           {_split_sums_sql(
+               'l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6,
+               'charge')},
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_wide(t):
+    """TPC-H Q1 with WIDE totals kept exact AND codegen-fast: the
+    over-int64 scale-6 sums are carried as TWO int64 accumulators each
+    (hi = q div 2^20, lo = q mod 2^20) and EMITTED as exact integer
+    pairs (total = hi x 2^20 + lo, recombined by the consumer at
+    whatever precision it owns).
+
+    This is the third point in the wide-total design space, built from
+    sf100 measurements: `dsum` (int64, fastest; Q1's scale-6 sums
+    reach 2.8e18 at sf100 — a decade from the 2^63 cliff the IVF sums
+    crossed); `dsum_dec` (DECIMAL, exact, but Spark plans it with ZERO
+    whole-stage codegen — 6.6x DuckDB at sf100 — and DuckDB's
+    int128->double conversion diverges from Spark's in the last ulp
+    past 2^53, measured at sf100); THIS form (all-int64 codegen
+    aggregation, no wide-int->double conversion anywhere, hash-exact at
+    any scale; headroom: lo-sums cap at ~8.8e12 rows per group).
+    """
+    l = t.lineitem
+    disc_price = l.l_extendedprice * (1 - l.l_discount)
+    charge = disc_price * (1 + l.l_tax)
+
+    def split(expr, scale, name):
+        q = F.floor(expr * F.lit(float(10 ** scale)) + F.lit(0.5)).cast(
+            "long"
+        )
+        return [
+            F.sum(F.expr(f"q_{name} div {_SPLIT}")).cast("long")
+            .alias(f"{name}_hi"),
+            F.sum(F.col(f"q_{name}") % F.lit(_SPLIT)).cast("long")
+            .alias(f"{name}_lo"),
+        ], q.alias(f"q_{name}")
+
+    disc_aggs, disc_q = split(disc_price, 6, "disc")
+    charge_aggs, charge_q = split(charge, 6, "charge")
+    base = l.filter(
+        l.l_shipdate <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select("l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", disc_q, charge_q)
+    return base.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        *disc_aggs,
+        *charge_aggs,
+        F.count(F.lit(1)).cast("long").alias("count_order"),
     )

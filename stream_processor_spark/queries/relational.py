@@ -30,9 +30,12 @@ def dsum(col: Column, scale: int = 2) -> Column:
     summed exactly, so the merge order can never change the result; the
     final division restores the scale. int64 headroom: 10^18/10^(s+digits)
     rows — beyond that (extreme 100 TB aggregates) switch ``scale`` down or
-    use the DECIMAL path (``queries.llm_extra.dsum_dec`` — the sf100
-    rehearsal measured Q1's scale-6 sums overflowing at 600M rows, so
-    the headroom limit is real, not theoretical).
+    use the DECIMAL path (``queries.llm_extra.dsum_dec``) or the hi/lo
+    split (``agg_groupby_wide``). The boundary is real, not
+    theoretical: the sf100 rehearsal measured the IVF family's
+    per-dimension centroid sums at ~3.5e19 (past int64), and Q1's own
+    scale-6 group sums reach 2.8e18 at 600M rows — one decade of
+    growth from the cliff.
     """
     factor = float(10**scale)
     return F.sum(F.floor(col * F.lit(factor) + F.lit(0.5))).cast("double") / F.lit(factor)
