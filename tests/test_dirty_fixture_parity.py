@@ -174,3 +174,70 @@ def test_dirty_relational_oracle_parity(spark, dirty_rel_sf_dir, name):
         name, spec.fn(spark, dirty_rel_sf_dir), spec.oracle, dirty_rel_sf_dir
     )
     assert result.ok, f"{name}: {result.detail}"
+
+
+# ---------------------------------------------------------- dirty events ----
+
+DIRTY_EVENTS_QUERIES = [
+    "ts_ewma_truncated",
+    "ts_ohlc",
+    "scd2_intervals",
+    "ts_transition_matrix",
+    "cdc_apply_lww",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_events_sf_dir(tmp_path_factory):
+    """Events fixture with the corners the clean generator never emits:
+    NULL values, exactly-tied timestamps (tie-break must carry), a
+    single-event user, and a user whose events all share one type."""
+    import datetime as dt
+
+    base = tmp_path_factory.mktemp("dirty_events_sf")
+    for name in TABLE_NAMES:
+        src = os.path.join(SF_SMALL, f"{name}.parquet")
+        if name != "events" and os.path.exists(src):
+            shutil.copy(src, base / f"{name}.parquet")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: NULL value mid-stream + tied timestamps
+        (1, t0, 1, "click", 1.25, "{}"),
+        (2, t0, 1, "view", None, "{}"),          # NULL value
+        (3, t0, 1, "click", -2.555, "{}"),       # tied ts, negative value
+        (4, t0 + dt.timedelta(hours=1), 1, "purchase", 0.0, "{}"),
+        # user 2: single event
+        (5, t0, 2, "signup", 9.99, "{}"),
+        # user 3: all same type (SCD2 must emit ONE interval)
+        (6, t0, 3, "view", 1.0, "{}"),
+        (7, t0 + dt.timedelta(minutes=5), 3, "view", 2.0, "{}"),
+        (8, t0 + dt.timedelta(minutes=9), 3, "view", None, "{}"),
+        # user 4: ends on the delete sentinel (cdc_apply_lww drops it)
+        (9, t0, 4, "click", 5.0, "{}"),
+        (10, t0 + dt.timedelta(minutes=1), 4, "purchase", 6.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+            "props": pa.array([r[5] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, base / "events.parquet")
+    return str(base)
+
+
+@pytest.mark.parametrize("name", DIRTY_EVENTS_QUERIES)
+def test_dirty_events_oracle_parity(spark, dirty_events_sf_dir, name):
+    spec = REGISTRY[name]
+    assert spec.oracle, f"{name} must have an oracle for this suite"
+    result = compare(
+        name, spec.fn(spark, dirty_events_sf_dir), spec.oracle,
+        dirty_events_sf_dir,
+    )
+    assert result.ok, f"{name}: {result.detail}"
