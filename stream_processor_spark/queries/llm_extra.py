@@ -1013,3 +1013,96 @@ def agg_groupby_wide(t):
         *charge_aggs,
         F.count(F.lit(1)).cast("long").alias("count_order"),
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY day
+    ),
+    win AS (
+      SELECT day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS wsum,
+             CAST(COUNT(*) OVER w AS BIGINT) AS wcnt,
+             CAST(dayofweek(day) AS INT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    trended AS (
+      SELECT day, dow,
+             CAST(cents AS DOUBLE) / 100.0 AS total,
+             CAST(wsum AS DOUBLE) / 700.0 AS trend,
+             7 * cents - wsum AS det_num
+      FROM win WHERE wcnt = 7
+    ),
+    seasonal AS (
+      SELECT dow,
+             CAST(SUM(det_num) AS DOUBLE)
+               / (700.0 * COUNT(*)) AS seasonal
+      FROM trended GROUP BY dow
+    )
+    SELECT t.day, t.total, t.trend, s.seasonal,
+           t.total - t.trend - s.seasonal AS remainder
+    FROM trended t JOIN seasonal s USING (dow)
+    """,
+)
+def ts_seasonal_decompose(t):
+    """Classical seasonal decomposition (STL-lite) of the daily total
+    series: trend = centered 7-day moving average, seasonal = per-
+    weekday mean of the detrended series, remainder = the rest. Kept
+    hash-exact the fixed-point way: daily totals are cents, the
+    detrended series is carried as the INTEGER ``7*cents - window_sum``
+    (full 7-day windows only, so the denominator is constant), and
+    every double is a single exact-int division — remainder is then a
+    difference of three bit-identical doubles, identical in any engine.
+
+    Scale notes: the raw scan collapses to day cardinality in one
+    partial-combined aggregate; all window/seasonal math runs on that
+    tiny frame (a global 7-row window over days is bounded by the
+    calendar, not the data — the same argument as `window_time_spine`).
+    """
+    e = t.events
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            ).cast("long").alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("wsum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("wcnt"),
+        F.dayofweek("day").cast("int").alias("dow"),
+    )
+    trended = win.filter(F.col("wcnt") == 7).select(
+        "day",
+        "dow",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("total"),
+        (F.col("wsum").cast("double") / F.lit(700.0)).alias("trend"),
+        (F.lit(7) * F.col("cents") - F.col("wsum")).alias("det_num"),
+    )
+    seasonal = trended.groupBy("dow").agg(
+        (
+            F.sum("det_num").cast("double")
+            / (F.lit(700.0) * F.count(F.lit(1)))
+        ).alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), "dow")
+        .select(
+            "day",
+            "total",
+            "trend",
+            "seasonal",
+            (F.col("total") - F.col("trend") - F.col("seasonal"))
+            .alias("remainder"),
+        )
+    )
