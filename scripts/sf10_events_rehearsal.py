@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -65,7 +64,6 @@ def generate(spark) -> None:
 
 
 def main() -> None:
-    from stream_processor_spark.queries import REGISTRY
     from stream_processor_spark.session import get_spark
 
     spark = get_spark("sf10-events-rehearsal")
@@ -76,6 +74,8 @@ def main() -> None:
 
     from scripts.bench_harness import duck_times, spark_floor, spark_rows
 
+    import pyarrow.dataset as _ds
+    n_events = _ds.dataset(os.path.join(DST, "events.parquet")).count_rows()
     con = duck_con_dir(DST)
     duck = duck_times(con, SERIES_OPS, N_RUNS)
     con.close()
@@ -86,7 +86,7 @@ def main() -> None:
 
     print(json.dumps({
         "sf_dir": DST,
-        "events_rows": REPLICAS * 100000,
+        "events_rows": n_events,
         "floor_sec": round(floor, 4),
         "n_runs": N_RUNS,
         "queries": rows,

@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,7 +42,6 @@ N_RUNS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
 
 def main() -> None:
-    from stream_processor_spark.queries import REGISTRY
     from stream_processor_spark.session import get_spark
 
     spark = get_spark("sf10-new-ops")

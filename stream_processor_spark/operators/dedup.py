@@ -174,11 +174,13 @@ def lsh_band_frame(
     agreement a structural fact rather than a maintained coincidence.
     All column expressions — runs unchanged on batch or streaming
     frames; callers that don't need ``hset`` downstream drop it (column
-    pruning erases it from the plan)."""
+    pruning erases it from the plan). The id passes through with its
+    ORIGINAL type (string ids work; the streaming twin casts to long
+    itself because its state schema demands it)."""
     toks = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
-            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(id_col).alias("doc_id"),
             F.split(F.col(text_col), " ").alias("__tk"),
         )
         .filter(F.size("__tk") >= min_tokens)

@@ -68,14 +68,14 @@ def corpus_shard_by_tokens(t):
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    # bucket totals = max running sum per bucket of the windowed frame
-    # (keeps this branch's lineage identical to `local` so a
-    # materialized/persisted `local` serves both; as pure lazy plans
-    # Spark still scans the slim (doc_id, n_tokens) projection twice —
-    # at 100 TB persist `local` or write it out between the passes)
+    # bucket totals via a plain hash aggregate over the slim projection
+    # (NOT max(local_cum) over the windowed frame — as a lazy plan that
+    # would run the per-bucket window sort twice). Spark scans the slim
+    # (doc_id, n_tokens) projection twice; at 100 TB persist `sized`
+    # between the passes.
     offsets = (
-        local.groupBy("bucket")
-        .agg(F.max("local_cum").alias("bucket_total"))
+        sized.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
         .withColumn(
             "offset",
             F.coalesce(
@@ -891,10 +891,13 @@ def dsum_dec(col, scale: int = 6):
     rehearsal measured as REAL (the IVF centroid sums crossed it at
     ~3.5e19; Q1's scale-6 group sums sit at 2.8e18 there, one decade
     from the cliff). DECIMAL(30,scale) accumulation
-    is exact to 10^30 and still order-independent; the final cast
-    produces the correctly-rounded double of the exact total, identical
-    in any engine. Cost: decimal adds are ~2-4x int64 adds — pay it
-    when the magnitude demands it."""
+    is exact to 10^30 and still order-independent; Spark's final cast
+    produces the correctly-rounded double of the exact total. CAVEATS
+    (both measured at sf100, see `agg_groupby_wide`): DuckDB's
+    decimal128->double conversion is NOT correctly rounded past 2^53,
+    so the cross-engine oracle check holds only below that magnitude —
+    and Spark plans decimal sums without whole-stage codegen (~7x
+    slower). `agg_groupby_wide`'s hi/lo int64 split avoids both."""
     return (
         F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
     )

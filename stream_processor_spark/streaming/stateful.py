@@ -305,9 +305,14 @@ def band_dedup(
     the bucket sees traffic) are evicted wholesale, so total state is
     O(active buckets) on an unbounded stream — the standard dedup-
     window trade (an evicted member's re-arrival is treated as new)."""
+    from pyspark.sql import functions as F
+
     from stream_processor_spark.operators.dedup import lsh_band_frame
 
-    _hs, bands = lsh_band_frame(doc_stream, id_col, text_col, min_tokens)
+    # the state schema carries long doc ids; cast HERE (the shared band
+    # frame deliberately preserves the caller's id type)
+    typed = doc_stream.withColumn(id_col, F.col(id_col).cast("long"))
+    _hs, bands = lsh_band_frame(typed, id_col, text_col, min_tokens)
     return bands.groupBy("band_idx", "band_key").applyInPandasWithState(
         _make_band_dedup_update(jaccard_threshold, max_bucket_size,
                                 state_ttl_ms),
