@@ -1109,3 +1109,39 @@ def ts_seasonal_decompose(t):
             .alias("remainder"),
         )
     )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(t):
+    """Positional window functions: first_value / last_value /
+    nth_value over an explicit whole-partition frame — the functions
+    behind "vs first session" / "vs latest reading" features. The
+    UNBOUNDED FOLLOWING frame is spelled out because last_value's
+    DEFAULT frame (ending at CURRENT ROW) returns the current row — the
+    classic silent-wrong-answer; the explicit frame makes both engines
+    agree and the query say what it means. Raw value passthrough (no
+    arithmetic), deterministic (ts, event_id) order."""
+    e = t.events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
