@@ -60,8 +60,16 @@ def generate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
 
     rep = F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("__rep")
 
+    # Parallelize the explode: the sf0.1 source tables are 1-3 parquet
+    # splits, so without a pre-repartition the x100/x1000 row explosion
+    # runs on 1-3 tasks (measured ~20 min for sf100 lineitem). One cheap
+    # shuffle of the SOURCE rows first gives 32-way explode/write.
+    # Values are unaffected — the id shift depends only on (__rep, row).
+    def _spread(df):
+        return df.repartition(32)
+
     (
-        orders.select("*", rep)
+        _spread(orders).select("*", rep)
         .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * F.lit(offset))
         .drop("__rep")
         .repartition(32)
@@ -69,7 +77,7 @@ def generate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
         .parquet(os.path.join(DSTDIR, "orders.parquet"))
     )
     (
-        lineitem.select("*", rep)
+        _spread(lineitem).select("*", rep)
         .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * F.lit(offset))
         .drop("__rep")
         .repartition(32)
@@ -81,7 +89,7 @@ def generate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
     documents = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     d_off = documents.agg(F.max("doc_id")).collect()[0][0] + 1
     (
-        documents.select("*", rep)
+        _spread(documents).select("*", rep)
         .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * F.lit(d_off))
         .drop("__rep")
         .repartition(32)
@@ -91,7 +99,7 @@ def generate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
     embeddings = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     v_off = embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
     (
-        embeddings.select("*", rep)
+        _spread(embeddings).select("*", rep)
         .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(v_off))
         .drop("__rep")
         .repartition(32)
