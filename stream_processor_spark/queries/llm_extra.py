@@ -1145,3 +1145,74 @@ def window_first_last(t):
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+@register(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           string_split(string_split(url, '://')[2], '/')[1] AS host,
+           '/' || array_to_string(
+             string_split(string_split(string_split(url, '://')[2],
+                                       '?')[1], '/')[2:], '/') AS path,
+           string_split(url, '?')[2] AS query
+    FROM u
+    """,
+)
+def scalar_url_parse(t):
+    """URL decomposition (host / path / query) — the first step of every
+    web-corpus pipeline (domain filtering, dedup by canonical URL,
+    robots scoping). Spark side uses the built-in `parse_url` (JVM
+    java.net parsing); the oracle rebuilds the same parts with pure
+    string splits over deterministically constructed URLs, proving the
+    built-in agrees with the spec on well-formed inputs.
+
+    Scale notes: map-only codegen; at corpus scale pair with
+    `dedup_cross_source`-style fingerprints keyed on (host, path)."""
+    d = t.documents
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(t):
+    """ROLLUP with grouping_id: the bitmask that tells report consumers
+    WHICH level each output row aggregates (0 = leaf, 1 = per-flag
+    subtotal, 3 = grand total) — without it, rollup output rows with
+    NULL keys are ambiguous against genuinely-NULL data. Spark's
+    grouping_id() == the oracle's GROUPING-bit arithmetic by
+    construction."""
+    l = t.lineitem
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+    )
