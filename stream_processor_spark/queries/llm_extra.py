@@ -1216,3 +1216,113 @@ def agg_grouping_id(t):
         )
         .select("l_returnflag", "l_linestatus", "gid", "n")
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '[ \\t\\n]+', ' ', 'g'))))
+               AS fp
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM norm GROUP BY fp
+    """,
+)
+def dedup_exact_normalized(t):
+    """Exact dedup under TEXT NORMALIZATION (casefold + whitespace-run
+    collapse + trim) — catches the near-trivial duplicates raw exact
+    dedup misses (trailing spaces, tabs vs spaces, case drift), which
+    in web corpora are the most common duplicate class. Survivor = min
+    doc_id per normalized fingerprint; identical regex/casefold
+    semantics in both engines (the dirty fixture pins the corners).
+
+    Scale notes: one md5-key shuffle with map-side combine — the
+    fingerprint (16 bytes) shuffles, never the text."""
+    d = t.documents
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), "[ \t\n]+", " ")))
+    )
+    return (
+        d.filter(F.col("text").isNotNull())
+        .select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("survivor_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS b_and,
+           CAST(l_orderkey | 4096 AS BIGINT) AS b_or,
+           CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS b_xor,
+           CAST(l_orderkey << 3 AS BIGINT) AS b_shl,
+           CAST(l_orderkey >> 2 AS BIGINT) AS b_shr,
+           CAST(bit_count(l_orderkey) AS INT) AS b_pop
+    FROM lineitem
+    """,
+)
+def scalar_bitwise(t):
+    """Bitwise scalar family (&, |, xor, shifts, popcount) — the
+    primitives behind the engine's Morton keys, SimHash bands and
+    bucket masks, surfaced as a checkable family row. Pure codegen."""
+    l = t.lineitem
+    k = F.col("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.col("l_linenumber").cast("long")).alias("b_xor"),
+        F.shiftleft(k, 3).alias("b_shl"),
+        F.shiftright(k, 2).alias("b_shr"),
+        F.bit_count(k).alias("b_pop"),
+    )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_hour_cents
+    FROM events
+    """,
+)
+def window_time_range_frame(t):
+    """Time-interval RANGE frame: per user, the trailing-1-hour rolling
+    sum by EVENT TIME (peers at the same timestamp aggregate together —
+    RANGE semantics, which no ROWS frame can express when timestamps
+    tie or gap). The rolling-metrics shape of rate limiting and
+    sliding-window features; fixed-point cents keep it exact.
+
+    Scale notes: one shuffle on user_id, one ordered pass per
+    partition — same profile as any window; the frame bound is
+    event-time arithmetic, no self-join."""
+    e = t.events
+    # Spark's RANGE frames need a numeric ordering key: exact epoch
+    # MICROS (lossless for the fixture's us-aligned events) with the
+    # hour expressed in the same unit — peers/bounds identical to the
+    # oracle's INTERVAL frame over the raw timestamp.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))  # NTZ->TS is a pure reinterpretation in the UTC session
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(cents).over(w).cast("long").alias("trailing_hour_cents"),
+    )
