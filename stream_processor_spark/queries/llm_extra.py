@@ -1326,3 +1326,131 @@ def window_time_range_frame(t):
         "ts",
         F.sum(cents).over(w).cast("long").alias("trailing_hour_cents"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts >= c.ts - INTERVAL 1 DAY THEN p.ts END AS ts_asof,
+           CASE WHEN p.ts >= c.ts - INTERVAL 1 DAY THEN p.value END
+             AS value_asof
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_tolerance(t):
+    """As-of join with a STALENESS TOLERANCE (the feature-store
+    variant): the latest purchase at-or-before each click counts only
+    if it is at most 1 day old — older matches null out, exactly like a
+    feature whose TTL expired. Same single-window union-tag plan as
+    `join_asof` plus one codegen predicate; the oracle applies the
+    identical tolerance over DuckDB's native ASOF."""
+    e = t.events
+    from stream_processor_spark.operators.asof import asof_join
+
+    clicks = e.filter(e.event_type == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(e.event_type == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["pts", "value"],
+    )
+    fresh = F.col("pts_asof") >= F.col("ts") - F.expr("INTERVAL 1 DAY")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("pts_asof")).alias("ts_asof"),
+        F.when(fresh, F.col("value_asof")).alias("value_asof"),
+    )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / (100.0 * SUM(CAST(l_quantity AS BIGINT))) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(t):
+    """Quantity-weighted average price — Σ(w·x)/Σw with the numerator
+    as exact int64 (cents x integer weight; headroom ~10^9 rows/group
+    at these magnitudes), one division per group. The weighted-mean
+    shape of every per-segment pricing / per-strata scoring report."""
+    l = t.lineitem
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    wq = F.col("l_quantity").cast("long")
+    return l.groupBy("l_returnflag").agg(
+        (
+            F.sum(cents * wq).cast("double")
+            / (F.lit(100.0) * F.sum(wq))
+        ).alias("wavg_price")
+    )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM pairs)
+    SELECT d.day,
+           CAST((SELECT COUNT(*) FROM pairs p WHERE p.day = d.day)
+                AS BIGINT) AS dau,
+           CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+                 WHERE p.day > d.day - INTERVAL 7 DAY AND p.day <= d.day)
+                AS BIGINT) AS wau
+    FROM days d
+    """,
+)
+def events_dau_wau(t):
+    """DAU / WAU: daily actives and EXACT trailing-7-day distinct
+    actives — the growth metrics every product pipeline reports. The
+    corpus collapses to distinct (day, user) pairs first (one
+    partial-combined shuffle; the raw scan never moves again); WAU then
+    joins the bounded pair set to the day spine over the 7-day range
+    (pairs x 7 rows — calendar-bounded, not data-bounded) and counts
+    distinct per day. The oracle runs the correlated-subquery
+    formulation, proving the range-join decorrelation.
+
+    Scale notes: at 100 TB the pair set is |days| x |active users| —
+    the standard DAU compaction; for exact WAU beyond memory, swap the
+    final distinct for the HLL sketch variant (`profile_table_approx`
+    contract)."""
+    e = t.events
+    pairs = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+        ).distinct()
+    )
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    win = days.alias("d").join(
+        pairs.alias("p"),
+        (F.col("p.day") > F.col("d.day") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("p.day") <= F.col("d.day")),
+    ).groupBy(F.col("d.day").alias("day")).agg(
+        F.countDistinct("p.user_id").cast("long").alias("wau")
+    )
+    return dau.join(win, "day").select("day", "dau", "wau")
