@@ -148,10 +148,18 @@ def compact_files(
         .mode("overwrite")
         .parquet(dest_path)
     )
-    import glob
-    import os
-
-    return len(glob.glob(os.path.join(dest_path, "*.parquet")))
+    # Count output files through the Hadoop FileSystem API so the same
+    # call is correct on HDFS/S3A/GCS, not just file:// (a local
+    # glob('*.parquet') silently returns 0 on remote destinations —
+    # round-5 ADVICE).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dest_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().endswith(".parquet")
+    )
 
 
 # ---------------------------------------------------------------- z-order ----

@@ -316,12 +316,12 @@ def _ewma_lag_sql(col: str, k: int) -> str:
              {" + ".join(
                  f"COALESCE({_ewma_lag_sql('vq', k)} * {w}, 0)"
                  for k, w in enumerate(_EWMA_W))}
-           ) AS DOUBLE) / CAST((
+           ) AS DOUBLE) / CAST(NULLIF((
              {" + ".join(
                  f"(CASE WHEN {_ewma_lag_sql('vq', k)} IS NOT NULL"
                  f" THEN {w} ELSE 0 END)"
                  for k, w in enumerate(_EWMA_W))}
-           ) AS DOUBLE) / 100.0 AS ewma
+           ), 0) AS DOUBLE) / 100.0 AS ewma
     FROM q
     """,
 )
@@ -353,7 +353,15 @@ def ts_ewma_truncated(t):
         den = den + F.when(lagk.isNotNull(), F.lit(wk)).otherwise(F.lit(0))
     return q.select(
         "user_id", "event_id",
-        (num.cast("double") / den.cast("double") / F.lit(100.0)).alias("ewma"),
+        # den = 0 when the current row AND all 3 lags carry NULL values
+        # (e.g. a partition head whose value is NULL): emit NULL, never
+        # 0.0/0.0 = NaN. Oracle mirrors with NULLIF(den, 0) — both
+        # engines then agree on NULL regardless of DuckDB's
+        # ieee_floating_point_ops setting (round-5 ADVICE).
+        F.when(
+            den > 0,
+            num.cast("double") / den.cast("double") / F.lit(100.0),
+        ).alias("ewma"),
     )
 
 

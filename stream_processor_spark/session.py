@@ -85,6 +85,27 @@ def get_spark(app_name: str = "stream_processor_spark", master: str | None = Non
     for k, v in overrides.items():
         if v:
             builder = builder.config(k, v)
+    # getOrCreate silently ignores builder.config when a session already
+    # exists in this process — a rehearsal script imported after another
+    # session starts would run with default heap/partitions while
+    # appearing configured. Make the no-op visible (round-5 ADVICE).
+    active = SparkSession.getActiveSession()
+    if active is not None and any(overrides.values()):
+        import warnings
+
+        wanted = {k: v for k, v in overrides.items() if v}
+        actual = {k: active.conf.get(k, None) for k in wanted}
+        ignored = {k: v for k, v in wanted.items() if actual.get(k) != v}
+        if ignored:
+            warnings.warn(
+                "get_spark: a SparkSession already exists; env overrides "
+                f"{ignored} are IGNORED by getOrCreate (active session has "
+                f"{actual}). Stop the session (spark.stop()) before "
+                "applying SPARK_GRAFT_DRIVER_MEM/"
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     spark = builder.getOrCreate()
     tune_session(spark)
     return spark

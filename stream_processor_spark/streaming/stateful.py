@@ -242,6 +242,14 @@ def _make_band_dedup_update(threshold: float, cap: int,
         rows = rows.sort_values("doc_id")  # deterministic arrival order
         seen = set(doc_ids)
         pairs: list[tuple] = []
+        # Batch-local overflow: docs arriving after the bucket capped are
+        # not persisted, but they ARE comparable to each other within
+        # this micro-batch — without this, two over-cap near-duplicates
+        # in one batch would never pair (round-5 ADVICE pair-loss gap).
+        # Cross-BATCH over-cap pairs remain dropped by design; see the
+        # band_dedup docstring for the cap-strategy contract.
+        extra_ids: list[int] = []
+        extra_hsets: list[set] = []
         for doc_id, hset in zip(rows["doc_id"].tolist(), rows["hset"]):
             if doc_id in seen:  # at-least-once replay guard
                 continue
@@ -257,6 +265,15 @@ def _make_band_dedup_update(threshold: float, cap: int,
                 doc_ids.append(int(doc_id))
                 hsets.append(hs)
                 seen.add(doc_id)
+            else:
+                for did, stored in zip(extra_ids, extra_hsets):
+                    inter = len(hs & stored)
+                    union = len(hs) + len(stored) - inter
+                    if union and inter / union >= threshold:
+                        a, b = (did, doc_id) if did < doc_id else (doc_id, did)
+                        pairs.append((a, b, inter / union))
+                extra_ids.append(int(doc_id))
+                extra_hsets.append(hs)
         state.update((doc_ids, [sorted(h) for h in hsets]))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)  # idle clock resets per batch
@@ -291,6 +308,12 @@ def band_dedup(
     analog of the batch hot-bucket guard — batch drops oversized buckets
     wholesale since it sees final sizes; a stream cannot, so it caps
     admission instead — boilerplate buckets stop growing either way).
+    Over-cap docs arriving in the SAME micro-batch are additionally
+    compared among themselves before being discarded, so an
+    intra-batch near-duplicate pair is never lost to the cap; two
+    over-cap near-duplicates arriving in DIFFERENT batches still never
+    pair — that is the deliberate residual asymmetry vs the batch twin
+    (which sees final bucket sizes and drops the whole bucket).
 
     Scale: one shuffle on (band_idx, band_key) into the state store;
     state per bucket is O(cap x shingles/doc) in the RocksDB store,

@@ -216,6 +216,11 @@ def dirty_events_sf_dir(tmp_path_factory):
         # user 4: ends on the delete sentinel (cdc_apply_lww drops it)
         (9, t0, 4, "click", 5.0, "{}"),
         (10, t0 + dt.timedelta(minutes=1), 4, "purchase", 6.0, "{}"),
+        # user 5: NULL value AT the partition head — ts_ewma_truncated's
+        # den=0 corner (current row and all lags NULL): both engines
+        # must emit NULL, not NaN (round-5 ADVICE)
+        (11, t0, 5, "view", None, "{}"),
+        (12, t0 + dt.timedelta(minutes=2), 5, "click", 3.5, "{}"),
     ]
     tbl = pa.table(
         {

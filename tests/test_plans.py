@@ -141,6 +141,14 @@ def test_rollup_expands_base_groups_not_fact_rows(spark, sf_dir):
     below_expand = plan[plan.index("Expand"):]
     assert "partial_sum" in below_expand
     assert "Exchange" in below_expand
+    # ...and in map-side order: partial_sum must render BELOW (after)
+    # the Exchange inside this segment, i.e. the map-side combine runs
+    # before the shuffle of base-group partials. A reduce-side-partial
+    # shape (partial above Exchange) would ship fact-group rows
+    # uncombined — excluded here.
+    assert below_expand.index("Exchange") < below_expand.index("partial_sum"), (
+        "partial_sum renders above Exchange: reduce-side partial shape"
+    )
 
 
 def test_salted_join_carries_salt_through_join_key(spark, sf_dir):

@@ -741,6 +741,45 @@ def test_band_dedup_ttl_eviction_semantics():
     assert out[0].empty and st.exists
 
 
+def test_band_dedup_overcap_docs_pair_within_batch():
+    """Round-5 ADVICE pair-loss fix: once a bucket is at cap, incoming
+    docs are still compared against EACH OTHER within the micro-batch
+    (not only against stored members), so two over-cap near-duplicates
+    arriving together still pair. They are NOT persisted: the same pair
+    arriving in different batches stays dropped (documented residual)."""
+    import pandas as pd
+
+    from stream_processor_spark.streaming.stateful import (
+        _make_band_dedup_update,
+    )
+
+    update = _make_band_dedup_update(0.5, cap=1)
+    hset_a = list(range(0, 20))
+    hset_b = list(range(100, 120))
+    hset_c = list(range(100, 118)) + [900, 901]  # ~0.82 jaccard vs b
+
+    # batch 1: doc 1 fills the bucket (cap=1)
+    st = _FakeState()
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [1], "hset": [hset_a]})]), st))
+    assert out[0].empty
+
+    # batch 2: docs 2 and 3 both over-cap, near-dups of each other but
+    # not of stored doc 1 — must pair intra-batch
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [2, 3], "hset": [hset_b, hset_c]})]), st))
+    assert [(r.doc_a, r.doc_b) for r in out[0].itertuples()] == [(2, 3)]
+    # neither was admitted: state still holds only doc 1
+    assert list(st.get[0]) == [1]
+
+    # batch 3: doc 4 (another near-dup of b/c) arrives ALONE — the
+    # over-cap extras were not persisted, so no pair emits (residual
+    # cross-batch asymmetry, documented in the band_dedup docstring)
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [4], "hset": [hset_b]})]), st))
+    assert out[0].empty
+
+
 def test_band_dedup_ttl_mode_runs_end_to_end(spark, sf_dir, tmp_path):
     """TTL mode through the real ProcessingTimeTimeout plumbing: two
     near-dup docs in one run still pair (TTL far above the run time)."""
