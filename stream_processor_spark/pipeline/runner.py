@@ -48,7 +48,12 @@ class Sink:
     ``parquet_idempotent`` (per-batch-id subdirectory overwritten
     atomically — a retried micro-batch replaces its own previous output,
     upgrading the file sink to effectively-once; read the sink root
-    recursively) | ``kafka`` | ``noop``.
+    recursively) | ``txn_table`` (manifest-commit transactional table,
+    operators/txn_table.py — data files are invisible until one atomic
+    manifest rename publishes them, and each micro-batch commits under
+    ``txn_id=batch-<id>`` so a foreachBatch replay is a no-op: the
+    exactly-once upgrade; read back via ``TxnTable(spark, path).read()``)
+    | ``kafka`` | ``noop``.
 
     ``options`` pass straight to the writer. For ``kafka``, the
     ``compression`` shorthand maps to ``kafka.compression.type``
@@ -86,6 +91,19 @@ class Sink:
             )
             df.write.mode("overwrite").parquet(
                 os.path.join(self.path_or_topic, part)
+            )
+        elif self.kind == "txn_table":
+            from stream_processor_spark.operators.txn_table import TxnTable
+
+            import uuid
+
+            txn = (
+                f"batch-{batch_id}"
+                if batch_id is not None
+                else f"adhoc-{uuid.uuid4().hex[:12]}"
+            )
+            TxnTable(df.sparkSession, self.path_or_topic).append(
+                df, txn_id=txn
             )
         elif self.kind == "kafka":  # pragma: no cover - needs a broker
             (

@@ -881,6 +881,53 @@ def multimodal_frame_sample(t):
 
 
 @register(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, c.c,
+             ((1103515245 * ((d.doc_id % 100000) * 4096
+                 + (y.y * d.w + x.x) * 3 + c.c) + 12345)
+               % 2147483648) % 256 AS v
+      FROM d, range(0, 8) y(y), range(0, 8) x(x), range(0, 3) c(c)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(MAX(h) * MAX(w) AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode_stats(t):
+    """REAL image decode, hash-verified end to end: every document gets
+    a deterministic 24-bit BMP payload (pixels from the engine's pinned
+    LCG over a linear index, widths 5..8 so every 4-byte row-padding
+    case occurs), the engine decodes the actual BMP bytes — header
+    parse, padding strip, BGR→RGB, bottom-up flip — in pure numpy
+    (operators/multimodal.py:decode_bmp) and emits integer-exact pixel
+    statistics. The oracle computes the SAME statistics from the
+    closed-form pixel formula without ever seeing the bytes, so a hash
+    match proves the encode→binary→decode path is byte-perfect.
+
+    Closes the round-5 "real image decode" gap for the formats a
+    container without codec libraries can honestly support (BMP + PPM;
+    JPEG/PNG keep the NotImplementedError contract). Scale notes: pure
+    map pass (one Arrow crossing, no shuffle before the final per-doc
+    stats, which aggregate inside the same mapInPandas batch)."""
+    return mm.decode_image(mm.attach_image_payload(t.documents.select("doc_id")))
+
+
+@register(
     "dedup_shingle_jaccard",
     oracle="""
     WITH sh AS (

@@ -25,6 +25,11 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        # Spark-written tables are DIRECTORIES of part files (the sf1+
+        # rehearsal dirs); DuckDB needs the explicit glob form there.
+        # Driver fixtures are single files — registered as-is.
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 

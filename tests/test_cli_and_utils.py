@@ -123,9 +123,13 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     assert abs(approx - exact) <= max(1, exact * 0.05)
 
 
-def test_multimodal_decode_stub_is_honest(spark, sf_dir):
-    """decode_image must raise NotImplementedError (no codecs shipped),
-    while the binary plumbing path works end-to-end."""
+def test_multimodal_decode_contract_is_honest(spark, sf_dir):
+    """Formats needing external codecs must still fail LOUDLY: a
+    payload that is neither BMP nor PPM (here: raw UTF-8 text bytes)
+    raises NotImplementedError through the decode path, while the
+    binary plumbing works end-to-end. (Round 6 made BMP/PPM decode
+    real — see test_multimodal_codecs.py — so the stub contract now
+    covers only genuinely codec-bound formats.)"""
     import pytest as _pytest
 
     from stream_processor_spark.operators import multimodal as mm
@@ -135,4 +139,6 @@ def test_multimodal_decode_stub_is_honest(spark, sf_dir):
     feats = mm.extract_binary_features(with_payload).collect()
     assert len(feats) == 5 and all(f.n_bytes > 0 for f in feats)
     with _pytest.raises(NotImplementedError):
-        mm.decode_image(with_payload)
+        mm.decode_image_bytes(b"JFIF-ish not really an image")
+    with _pytest.raises(Exception, match="unsupported image format"):
+        mm.decode_image(with_payload).collect()

@@ -1,0 +1,111 @@
+"""Round-6 real image decode: pure-numpy BMP/PPM codecs.
+
+What makes the decode REAL (not plumbing with a stand-in): the BMP path
+exercises header parsing, 4-byte row padding (widths 5..8 hit every
+padding case), BGR channel order, and bottom-up row storage; PPM
+exercises the token-based header (including comments). The
+`multimodal_decode_stats` registered query then hash-verifies the whole
+encode→binary→decode→stats loop against a DuckDB oracle that computes
+the same statistics from the closed-form pixel formula — covered by the
+main parity suite; here we pin the codec internals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stream_processor_spark.operators import multimodal as mm
+
+
+def _rand_img(h, w, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("w", [5, 6, 7, 8])  # every row-padding case
+@pytest.mark.parametrize("h", [1, 4, 9])
+def test_bmp_roundtrip_all_paddings(h, w):
+    img = _rand_img(h, w, seed=h * 100 + w)
+    raw = mm.encode_bmp(img)
+    assert raw[:2] == b"BM"
+    stride = (w * 3 + 3) // 4 * 4
+    assert len(raw) == 54 + h * stride
+    out = mm.decode_bmp(raw)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_bmp_channel_order_and_row_order_on_disk():
+    """The encoded bytes must be genuine BMP: bottom-up rows, BGR pixel
+    order — decoded correctly back to top-down RGB. Pin byte layout
+    explicitly so encode/decode can't share a compensating bug."""
+    img = np.zeros((2, 1, 3), dtype=np.uint8)
+    img[0, 0] = [255, 0, 0]    # top row: pure red
+    img[1, 0] = [0, 0, 255]    # bottom row: pure blue
+    raw = mm.encode_bmp(img)
+    # pixel data at offset 54; FIRST stored row is the BOTTOM image row,
+    # bytes in B,G,R order → blue row stores as (255, 0, 0)
+    assert tuple(raw[54:57]) == (255, 0, 0)
+    stride = 4  # w=1 → 3 bytes padded to 4
+    assert tuple(raw[54 + stride : 54 + stride + 3]) == (0, 0, 255)
+    np.testing.assert_array_equal(mm.decode_bmp(raw), img)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    img = _rand_img(3, 7, seed=42)
+    raw = mm.encode_ppm(img)
+    np.testing.assert_array_equal(mm.decode_ppm(raw), img)
+    # header comments are legal PPM; decoder must skip them
+    with_comment = b"P6\n# generated fixture\n7 3\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(mm.decode_ppm(with_comment), img)
+
+
+def test_decode_dispatch_and_unsupported_formats():
+    img = _rand_img(2, 2, seed=1)
+    np.testing.assert_array_equal(
+        mm.decode_image_bytes(mm.encode_bmp(img)), img
+    )
+    np.testing.assert_array_equal(
+        mm.decode_image_bytes(mm.encode_ppm(img)), img
+    )
+    with pytest.raises(NotImplementedError, match="unsupported image format"):
+        mm.decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+    # BMP container but a sub-format needing a real library
+    bad = bytearray(mm.encode_bmp(img))
+    bad[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP
+    with pytest.raises(NotImplementedError, match="only 24-bit"):
+        mm.decode_bmp(bytes(bad))
+
+
+def test_fixture_formula_matches_decoded_stats():
+    """The closed-form pixel generator and the decode path agree — the
+    same invariant the multimodal_decode_stats oracle checks via SQL,
+    pinned here without Spark in the loop."""
+    for doc_id in (0, 7, 19, 99_999, 1_234_567):
+        px = mm.fixture_pixels(doc_id)
+        h, w = mm.fixture_dims(doc_id)
+        assert px.shape == (h, w, 3)
+        decoded = mm.decode_bmp(mm.encode_bmp(px))
+        np.testing.assert_array_equal(decoded, px)
+        # spot-check one pixel against the raw formula
+        idx = (doc_id % 100000) * 4096 + ((1 * w + 1) * 3 + 2)
+        expect = ((1103515245 * idx + 12345) % 2147483648) % 256
+        if h > 1 and w > 1:
+            assert int(px[1, 1, 2]) == expect
+
+
+def test_decode_image_dataframe_null_payload(spark):
+    """NULL payloads flow through as NULL stats (SQL semantics), real
+    payloads decode — in one mapInPandas pass."""
+    from pyspark.sql import functions as F
+
+    img = mm.fixture_pixels(3)
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_bmp(img))), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.decode_image(df).collect()}
+    assert rows[1].height == img.shape[0]
+    assert rows[1].sum_r == int(img[:, :, 0].sum())
+    assert rows[2].height is None and rows[2].sum_r is None

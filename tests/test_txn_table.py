@@ -1,0 +1,210 @@
+"""Exactly-once manifest-commit table (operators/txn_table.py).
+
+The contract under test, end to end:
+- visibility comes ONLY from a committed manifest (crash-mid-write
+  leaves the previous snapshot fully intact — no partial reads);
+- commits are atomic renames with no-overwrite semantics, so racing
+  writers serialize via optimistic retry;
+- txn_id makes replay a no-op — the foreachBatch retry case commits
+  exactly once;
+- MERGE upsert against the table matches the registered `merge_upsert`
+  query's full-outer-COALESCE semantics;
+- the runner's Sink("txn_table") carries all of this into the pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_processor_spark.operators.txn_table import TxnTable
+
+
+def _df(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_append_read_roundtrip_and_time_travel(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    v1 = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.append(_df(spark, [(3, "c")]))
+    assert (v1, v2) == (0, 1)
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    # time travel: version 0 is still the two-row snapshot
+    assert sorted(r.k for r in t.read(version=0).collect()) == [1, 2]
+
+
+def test_overwrite_replaces_snapshot(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(9, "z")]))
+    assert [r.k for r in t.read().collect()] == [9]
+    assert [r.k for r in t.read(version=0).collect()] == [1]
+
+
+def test_crash_mid_write_leaves_no_partial_reads(spark, tmp_path):
+    """A writer that stages data files but dies before the manifest
+    rename must be invisible: the reader resolves the previous snapshot
+    and never sees the orphan files; vacuum then removes them."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+
+    # simulate the crash: stage (real parquet files land in data/) and
+    # stop before _commit
+    orphans = t._stage(_df(spark, [(100, "GHOST"), (101, "GHOST")]))
+    assert len(orphans) >= 1
+
+    # no partial read: snapshot unchanged, ghost rows invisible
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    assert t.latest_version() == 0
+
+    # a fresh reader handle resolves identically (nothing cached)
+    t2 = TxnTable(spark, str(tmp_path / "t"))
+    assert sorted(r.k for r in t2.read().collect()) == [1, 2]
+
+    # vacuum removes exactly the orphans, keeps every referenced file
+    assert t.vacuum() == len(orphans)
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    assert t.vacuum() == 0  # idempotent
+
+
+def test_txn_id_replay_is_noop(spark, tmp_path):
+    """foreachBatch retry contract: same txn_id → one commit, no
+    duplicate rows, version unchanged; later txns proceed normally."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    df = _df(spark, [(1, "a"), (2, "b")])
+    assert t.append(df, txn_id="batch-0") == 0
+    assert t.append(df, txn_id="batch-0") is None  # replay
+    assert t.read().count() == 2
+    assert t.latest_version() == 0
+    assert t.append(_df(spark, [(3, "c")]), txn_id="batch-1") == 1
+    assert t.read().count() == 3
+    # replay of an OLD batch after later commits is still a no-op
+    assert t.append(df, txn_id="batch-0") is None
+    assert t.read().count() == 3
+
+
+def test_concurrent_commit_race_rebases_not_clobbers(spark, tmp_path):
+    """Two writers race from the same parent snapshot: the loser's
+    commit rename fails (destination version exists), and the retry
+    rebases on the winner's manifest — both appends survive."""
+    root = str(tmp_path / "t")
+    t1, t2 = TxnTable(spark, root), TxnTable(spark, root)
+    t1.append(_df(spark, [(1, "base")]))
+
+    # t1 stages against version 0 ... then t2 commits version 1 first
+    staged = t1._stage(_df(spark, [(2, "slow")]))
+    assert t2.append(_df(spark, [(3, "fast")])) == 1
+    # t1's commit loop re-reads the latest snapshot and lands on v2
+    assert t1._commit(staged, "append", None, replace=False) == 2
+    assert sorted(r.k for r in t1.read().collect()) == [1, 2, 3]
+
+
+def test_try_commit_refuses_existing_version(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    manifest = dict(t.snapshot())  # same version as committed
+    assert t._try_commit(manifest) is False  # atomic no-overwrite
+    # and no temp manifest debris is left behind
+    assert not any(
+        n.startswith(".tmp-") for n in t.fs.list_names(t.manifest_dir)
+    )
+
+
+def test_merge_matches_registered_merge_upsert_query(spark, sf_dir):
+    """MERGE against the table == the registered merge_upsert query
+    (full-outer + COALESCE, llm_extra.py): load customer as the base
+    snapshot, merge the same deterministic updates feed, compare row
+    sets exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.queries import REGISTRY
+
+    t_tables = Tables(spark, sf_dir)
+    c, s = t_tables.customer, t_tables.supplier
+    with tempfile.TemporaryDirectory() as d:
+        table = TxnTable(spark, f"{d}/customer_t")
+        table.append(c.select("c_custkey", "c_name", "c_acctbal"))
+        updates = (
+            c.filter(c.c_custkey % 7 == 0)
+            .select(
+                "c_custkey", "c_name",
+                (c.c_acctbal + F.lit(100.0)).alias("c_acctbal"),
+            )
+            .unionAll(
+                s.select(
+                    (s.s_suppkey + F.lit(1000000)).alias("c_custkey"),
+                    s.s_name.alias("c_name"),
+                    s.s_acctbal.alias("c_acctbal"),
+                )
+            )
+        )
+        table.merge(updates, key_cols=["c_custkey"])
+        got = {tuple(r) for r in table.read().collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["merge_upsert"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_runner_txn_table_sink_replay_effectively_once(spark, tmp_path):
+    """Sink('txn_table') through the runner: replaying a micro-batch
+    (same batch_id — the foreachBatch retry case) commits once; a new
+    batch id appends alongside. Mirrors the parquet_idempotent test but
+    with atomic manifest commits instead of per-batch directories."""
+    from stream_processor_spark.pipeline.catalog import PipelineCatalog
+    from stream_processor_spark.pipeline.processors import BUILTIN_PROCESSORS
+    from stream_processor_spark.pipeline.runner import PipelineRunner, Sink
+
+    doc = {
+        "topics": [
+            {"id": 1, "topic_name": "in"},
+            {"id": 2, "topic_name": "out"},
+            {"id": 3, "topic_name": "dlq-capitalize"},
+        ],
+        "schemas": [{"id": 1, "schema_name": "s"}],
+        "processors": [
+            {"id": 11, "processor_name": "capitalize", "is_filter": False},
+        ],
+        "pipelines": [
+            {
+                "id": 1,
+                "name": "p",
+                "source_topic_id": 1,
+                "target_topic_id": 2,
+                "incoming_schema_id": 1,
+                "outgoing_schema_id": 1,
+                "steps": {"processors": [11], "dlq": [3]},
+            }
+        ],
+    }
+    catalog = PipelineCatalog.from_dict(doc)
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    target = Sink("txn_table", str(tmp_path / "target"))
+    dlq = Sink("txn_table", str(tmp_path / "dlq"))
+    resolved = catalog.resolve(1)
+    demo = spark.createDataFrame(
+        [("k1", "hello", 2), ("k2", None, 3)],
+        "key string, value string, num int",
+    )
+    routed = runner.routed_frame(resolved, demo)
+    for _ in range(2):  # same batch twice == foreachBatch retry
+        runner._write_routed(
+            resolved, routed, target, {"dlq-capitalize": dlq}, None,
+            batch_id=7,
+        )
+    assert TxnTable(spark, target.path_or_topic).read().count() == 1
+    assert TxnTable(spark, dlq.path_or_topic).read().count() == 1
+    # a different batch id appends (normal progress)
+    runner._write_routed(
+        resolved, routed, target, {"dlq-capitalize": dlq}, None, batch_id=8
+    )
+    assert TxnTable(spark, target.path_or_topic).read().count() == 2
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        TxnTable(spark, str(tmp_path / "t")).read()
