@@ -57,6 +57,14 @@ HEADLINE = [
     "join_star_3way_bucketed",
     "tpch_q6_shape",
     "udf_scalar",
+    # round 6: the measured at-parity scale answers, promoted to the
+    # headline record (VERDICT r5 item 1) — write-time layouts and the
+    # wide-accumulator Q1 run alongside their shuffle-era teaching twins
+    "tpch_q9_bucketed",
+    "tpch_q21_bucketed",
+    "agg_groupby_wide",
+    "text_bm25",
+    "text_bm25_postings",
 ]
 
 

@@ -143,13 +143,18 @@ def agg_pivot(t):
     """,
 )
 def join_star_5way(t):
-    """TPC-H Q5-shaped 5-way star: fact ⋈ orders ⋈ 3 broadcast dims.
+    """Q5-shaped 5-way star, shuffle-era (at scale bucket the fact edge, cf `join_star_3way_bucketed`).
 
-    Dimension hints only on the true dims (customer/nation/region); the
-    lineitem⋈orders edge is fact-fact at real scale — its strategy is left
-    to Catalyst/AQE (broadcast locally under the threshold, sort-merge with
-    skew splitting at 100 TB). The orderdate filter pushes into the orders
-    scan either way.
+    fact ⋈ orders ⋈ 3 broadcast dims. Dimension hints only on the true
+    dims (customer/nation/region); the lineitem⋈orders edge is
+    fact-fact at real scale — its strategy is left to Catalyst/AQE
+    (broadcast locally under the threshold, sort-merge with skew
+    splitting at 100 TB). The orderdate filter pushes into the orders
+    scan either way. That fact-fact Exchange is the measured scale cost
+    (sf10: 5.0x DuckDB); the write-time answer is the same bucketed
+    layout `join_star_3way_bucketed`/`join_bucketed` demonstrate —
+    co-bucket lineitem and orders on orderkey and the Exchange
+    disappears while the dims still broadcast.
     """
     l, o, c, n, r = t.lineitem, t.orders, t.customer, t.nation, t.region
     revenue = l.l_extendedprice * (1 - l.l_discount)

@@ -929,12 +929,20 @@ def dsum_dec(col, scale: int = 6):
     """,
 )
 def agg_groupby_decimal(t):
-    """TPC-H Q1 on the DECIMAL accumulation path — the beyond-int64
-    twin of `agg_groupby_basic`, for aggregates whose scaled totals
-    exceed dsum's 2^63 headroom (the sf100 rehearsal measured Q1's
-    scale-6 sums at 3.5e19 over 600M rows). Same single partial-combined
-    scan shape; the accumulator is DECIMAL(30,s), exact and
-    order-independent, finalized to the correctly-rounded double."""
+    """DECIMAL-path Q1 (teaching entry — at scale use `agg_groupby_wide`: 0.99x vs 6.6x at sf100).
+
+    The beyond-int64 twin of `agg_groupby_basic`, for aggregates whose
+    scaled totals exceed dsum's 2^63 headroom (the sf100 rehearsal
+    measured Q1's scale-6 sums at 3.5e19 over 600M rows). Same single
+    partial-combined scan shape; the accumulator is DECIMAL(30,s),
+    exact and order-independent, finalized to the correctly-rounded
+    double. KEPT REGISTERED as the documented illustration of WHY the
+    decimal path is not the scale answer: Spark plans decimal sums with
+    zero whole-stage codegen (measured 6.56x DuckDB at sf100), and
+    DuckDB's int128->double finalization diverges past 2^53 — both
+    fixed by `agg_groupby_wide`'s hi/lo int64 split (hash-exact at any
+    magnitude, 0.99x at 600M rows), which is the REGISTERED ANSWER for
+    over-int64 totals."""
     l = t.lineitem
     disc_price = l.l_extendedprice * (1 - l.l_discount)
     charge = disc_price * (1 + l.l_tax)

@@ -174,12 +174,17 @@ def join_range(t):
     """,
 )
 def join_star_3way(t):
-    """Star join: fact ⋈ orders ⋈ customer dim, then aggregate.
+    """Star join, shuffle-era layout (at scale use `join_star_3way_bucketed`: 1.36x vs 5.1x at sf10).
 
-    Only the true dimension (customer) carries a broadcast hint. orders is
-    fact-sized at real scale — Catalyst/AQE picks its strategy from stats
-    (broadcast locally, sort-merge + skew-split at 100 TB); hard-coding a
-    broadcast there would OOM a real cluster.
+    fact ⋈ orders ⋈ customer dim, then aggregate. Only the true
+    dimension (customer) carries a broadcast hint. orders is fact-sized
+    at real scale — Catalyst/AQE picks its strategy from stats
+    (broadcast locally, sort-merge + skew-split at 100 TB); hard-coding
+    a broadcast there would OOM a real cluster. The fact-fact Exchange
+    is this plan's measured scale cost (sf10: 5.1x DuckDB's embedded
+    hash join) — the registered scale answer is the write-time bucketed
+    layout (`join_star_3way_bucketed`, zero-Exchange on the fact edge,
+    1.36x), this entry being the ad-hoc-query baseline it amortizes.
     """
     l, o, c = t.lineitem, t.orders, t.customer
     revenue = l.l_extendedprice * (1 - l.l_discount)

@@ -110,10 +110,14 @@ _Q9_ORACLE = f"""
 
 @register("tpch_q9_shape", oracle=_Q9_ORACLE)
 def tpch_q9_shape(t):
-    """TPC-H Q9 shape (product-type profit): multi-dim star join with a
-    LIKE filter on the part name and a derived per-row profit measure
-    (supply cost analog: 5% of retail price x quantity), grouped by
-    supplier nation x order year.
+    """TPC-H Q9 shape, shuffle-era (at scale use `tpch_q9_bucketed`: 0.96x vs 2.43x at sf100).
+
+    Product-type profit: multi-dim star join with a LIKE filter on the
+    part name and a derived per-row profit measure (supply cost analog:
+    5% of retail price x quantity), grouped by supplier nation x order
+    year. The lineitem-orders Exchange is the measured sf100 cost;
+    `tpch_q9_bucketed` runs the same body zero-Exchange on the
+    co-bucketed layout at DuckDB parity.
 
     Scale notes: part (LIKE-filtered) and supplier/nation broadcast; the
     only shuffle is lineitem-orders on orderkey plus the final 25x7-group
@@ -377,7 +381,9 @@ _Q21_ORACLE = """
 
 @register("tpch_q21_shape", oracle=_Q21_ORACLE)
 def tpch_q21_shape(t):
-    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    """TPC-H Q21 shape, shuffle-era (at scale use `tpch_q21_bucketed`: 1.09x vs 3.98x at sf100).
+
+    Suppliers who kept orders waiting: the classic
     EXISTS + NOT-EXISTS self-join pair on lineitem, decorrelated into
     ONE per-order aggregate of O(1)-state min/max facts:
     EXISTS(another supplier) == min(suppkey) != max(suppkey);

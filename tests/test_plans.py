@@ -151,6 +151,38 @@ def test_rollup_expands_base_groups_not_fact_rows(spark, sf_dir):
     )
 
 
+def test_bm25_postings_scan_is_bucket_pruned(spark, sf_dir):
+    """text_bm25_postings (round 6): serving must read only the buckets
+    that can contain query tokens — the property that makes per-query
+    cost proportional to matched postings, not corpus size. The scan
+    must report bucket pruning (SelectedBucketsCount < total), the
+    query-token df frame must broadcast, and no document text column
+    may appear anywhere in the serving plan (tokenization was paid at
+    write time)."""
+    import re
+
+    from stream_processor_spark.operators.postings import (
+        bm25_from_postings,
+        ensure_postings,
+    )
+
+    df = REGISTRY["text_bm25_postings"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "postings scan lost its bucket pruning"
+    assert "BroadcastHashJoin" in plan  # df + stats frames broadcast
+    assert "text" not in re.sub(r"SelectedBucketsCount[^\n]*", "", plan)
+
+    # deterministic pruning bound: a single-token query can touch at
+    # most ONE bucket regardless of the fixture's vocabulary (the full
+    # registered query's selectivity varies with corpus vocab size)
+    post_name, stats_name = ensure_postings(spark, sf_dir)
+    one = bm25_from_postings(spark, post_name, stats_name, ["the"])
+    plan1 = one._jdf.queryExecution().executedPlan().toString()
+    m1 = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan1)
+    assert m1 and int(m1.group(1)) == 1 and int(m1.group(2)) > 1
+
+
 def test_salted_join_carries_salt_through_join_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_salted_skew", mode="simple")
     # the salt must be part of the join key (locally AQE may still pick a
