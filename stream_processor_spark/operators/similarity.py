@@ -22,7 +22,7 @@ Scale paths:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 1e16 puts 64-dim unit-vector dot products at ~1e16-1e17 — well inside
@@ -128,6 +128,7 @@ def banded_candidate_pairs(
     vec_col: str = "embedding",
     n_bands: int = 4,
     bits: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
@@ -135,11 +136,32 @@ def banded_candidate_pairs(
     self-equi-join → distinct. The join key is hash-derived, so bucket
     cardinality scales with the data — no O(n²/L) blow-up on a
     low-cardinality metadata label.
+
+    ``max_bucket`` bounds the within-bucket join quadratically: each
+    (band, key) bucket keeps its ``max_bucket`` smallest ids
+    (deterministic rank, one narrow-row window shuffle) before pairing,
+    so the worst-case pair count is n_bands × 2^bits × max_bucket²/2 at
+    ANY corpus size. Without it the round-6 sf1 rehearsal measured the
+    4-band/4-bit self-join exploding past 10^9 pairs at 1M vectors —
+    the classic hot-bucket LSH failure. The truncation trades recall
+    inside over-full buckets (over-cap members pair with the kept
+    prefix's band-mates only via their OTHER bands), the same bounded
+    contract as dedup_near's hot-bucket guard and the streaming
+    band_dedup cap; production tunes ``bits`` up (more, smaller
+    buckets — dim permitting) before relying on the cap.
     """
     bands = embeddings.select(
         F.col(id_col).alias("__id"),
         F.explode(sign_bands(F.col(vec_col), n_bands, bits)).alias("b"),
     ).select("__id", "b.band_idx", "b.band_key")
+    w = (
+        Window.partitionBy("band_idx", "band_key").orderBy("__id")
+    )
+    bands = (
+        bands.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_bucket)
+        .drop("__rk")
+    )
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(

@@ -39,8 +39,12 @@ def _bucket_sql(bits: int) -> str:
     return f"CAST({terms} AS INT)"
 
 
-def _band_cand_sql(n_bands: int = 4, bits: int = 4) -> str:
-    """DuckDB CTEs mirroring operators.similarity.banded_candidate_pairs.
+def _band_cand_sql(n_bands: int = 4, bits: int = 4,
+                   max_bucket: int = 256) -> str:
+    """DuckDB CTEs mirroring operators.similarity.banded_candidate_pairs
+    (including the ``max_bucket`` hot-bucket cap: each bucket keeps its
+    ``max_bucket`` smallest vec_ids before pairing — same deterministic
+    rank both sides).
 
     Emits ``bands(vec_id, band_idx, band_key)`` and ``cand(va, vb)``.
     """
@@ -58,9 +62,15 @@ def _band_cand_sql(n_bands: int = 4, bits: int = 4) -> str:
     return f"""
     keyed AS (SELECT vec_id, {keys} FROM embeddings),
     bands AS (
-      SELECT vec_id, u.band_idx,
-             CASE u.band_idx {case} END AS band_key
-      FROM keyed, (SELECT unnest([{idxs}]) AS band_idx) u
+      SELECT vec_id, band_idx, band_key FROM (
+        SELECT vec_id, u.band_idx,
+               CASE u.band_idx {case} END AS band_key,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.band_idx,
+                              CASE u.band_idx {case} END
+                 ORDER BY vec_id) AS rk
+        FROM keyed, (SELECT unnest([{idxs}]) AS band_idx) u
+      ) WHERE rk <= {max_bucket}
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
