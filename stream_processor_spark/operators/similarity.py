@@ -141,9 +141,10 @@ def banded_candidate_pairs(
     (band, key) bucket keeps its ``max_bucket`` smallest ids
     (deterministic rank, one narrow-row window shuffle) before pairing,
     so the worst-case pair count is n_bands × 2^bits × max_bucket²/2 at
-    ANY corpus size. Without it the round-6 sf1 rehearsal measured the
-    4-band/4-bit self-join exploding past 10^9 pairs at 1M vectors —
-    the classic hot-bucket LSH failure. The truncation trades recall
+    ANY corpus size — without it the 4-band/4-bit configuration grows
+    O(n²/2^bits): already ~10^7-10^8 intra-bucket pairs at the sf1
+    rehearsal's 20k vectors, and a non-starter at real corpus sizes
+    (the classic hot-bucket LSH failure). The truncation trades recall
     inside over-full buckets (over-cap members pair with the kept
     prefix's band-mates only via their OTHER bands), the same bounded
     contract as dedup_near's hot-bucket guard and the streaming

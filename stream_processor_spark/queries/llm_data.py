@@ -1981,10 +1981,51 @@ def sample_uniform_k(t):
     )
 
 
+def _cc_unrolled_sql(rounds: int = 30) -> str:
+    """Unrolled min-label propagation CTEs: c0..c<rounds>.
+
+    The natural recursive-CTE fixpoint (UNION-dedup transitive closure)
+    materializes (vertex, EVERY smaller reachable label) — O(V x
+    cluster_size) working set, which the round-6 sf1 sweep measured as
+    intractable already at 20k vertices with dense LSH clusters (>15
+    min, unbounded; DuckDB 1.0 has no keyed recursion). The
+    unrolled form is the EXACT oracle of the engine's BSP instead: each
+    stage keeps one (v, min comp) row per vertex, so stage cost is
+    O(V + E) flat. ``rounds`` mirrors connected_components' max_iter
+    (=30): if the true diameter exceeds it the Spark side raises — the
+    same loud contract, never a silent divergence; extra stages past the
+    fixpoint are no-ops.
+
+    Formulation notes (DuckDB 1.0): every stage must reference its
+    predecessor exactly ONCE — a two-reference stage (self UNION ALL
+    neighbor-propagate) inlines exponentially. Self-loops added to the
+    edge list make `min(own, neighbors)` a single grouped join; and
+    every stage is AS MATERIALIZED — inlined single-reference stages
+    still blow up the optimizer's plan search superlinearly (measured:
+    15 rounds 0.5 s, 20 rounds 12 s, 25+ minutes; materialized, 30
+    rounds run in 0.2 s at the same scale)."""
+    s = [
+        # self-loop per vertex ⇒ one grouped join per stage computes
+        # min(own previous comp, neighbors' previous comps)
+        "bidir_loop AS MATERIALIZED ("
+        "SELECT v, u FROM bidir "
+        "UNION ALL SELECT vec_id AS v, vec_id AS u FROM embeddings)",
+        "c0 AS MATERIALIZED "
+        "(SELECT vec_id AS v, vec_id AS comp FROM embeddings)",
+    ]
+    for i in range(1, rounds + 1):
+        s.append(
+            f"c{i} AS MATERIALIZED (SELECT b.u AS v, MIN(p.comp) AS comp "
+            f"FROM c{i - 1} p JOIN bidir_loop b ON b.v = p.v "
+            f"GROUP BY b.u)"
+        )
+    return ",\n    ".join(s)
+
+
 @register(
     "dedup_cc_clusters",
     oracle=f"""
-    WITH RECURSIVE
+    WITH
     {_band_cand_sql(4, 4).lstrip()},
     terms AS (
       SELECT c.va, c.vb,
@@ -2009,13 +2050,9 @@ def sample_uniform_k(t):
       SELECT va AS v, vb AS u FROM pairs
       UNION ALL SELECT vb, va FROM pairs
     ),
-    cc(v, comp) AS (
-      SELECT vec_id, vec_id FROM embeddings
-      UNION
-      SELECT b.u, cc.comp FROM cc JOIN bidir b ON b.v = cc.v
-    )
-    SELECT v AS vec_id, MIN(comp) AS component
-    FROM cc GROUP BY v
+    {_cc_unrolled_sql(30)}
+    SELECT v AS vec_id, comp AS component
+    FROM c30
     """,
 )
 def dedup_cc_clusters(t):
@@ -2026,9 +2063,12 @@ def dedup_cc_clusters(t):
     bits) — hash-derived bucket cardinality that scales with the data,
     unlike a metadata label (O(n²/L) within blocks at 100 TB).
     Pairs→clusters is the canonicalization step after near-dup detection;
-    iterative min-label propagation (operators/graph.py) vs DuckDB's
-    recursive-CTE fixpoint — both converge to the identical unique
-    fixpoint, so this iterative algorithm is hash-checked.
+    iterative min-label propagation (operators/graph.py) vs the oracle's
+    UNROLLED 30-round min-label propagation (same per-stage recurrence,
+    `_cc_unrolled_sql`) — the min-label fixpoint is unique, max_iter=30
+    bounds both sides identically (Spark raises loudly past it), so this
+    iterative algorithm is hash-checked at any scale the diameter bound
+    admits.
     """
     from stream_processor_spark.operators.graph import connected_components
 
