@@ -208,3 +208,50 @@ def test_runner_txn_table_sink_replay_effectively_once(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed snapshot"):
         TxnTable(spark, str(tmp_path / "t")).read()
+
+
+def test_streaming_pipeline_into_txn_table_checkpoint_resume(spark, tmp_path):
+    """Full streaming path: run_streaming → foreachBatch →
+    Sink('txn_table'), with a checkpointed resume. Batch ids come from
+    the checkpoint, so the second run's new micro-batch commits under a
+    NEW txn id (appends) while never re-committing the first — one
+    manifest version per processed micro-batch, rows exactly once."""
+    from tests.test_pipeline import CATALOG_DOC, RECORDS
+
+    from stream_processor_spark.pipeline.codecs import demo_message_schema
+
+    from stream_processor_spark.pipeline.catalog import PipelineCatalog
+    from stream_processor_spark.pipeline.processors import BUILTIN_PROCESSORS
+    from stream_processor_spark.pipeline.runner import PipelineRunner, Sink
+    from stream_processor_spark.streaming.file_stream import FileBroker
+
+    catalog = PipelineCatalog.from_dict(CATALOG_DOC)
+    runner = PipelineRunner(catalog, BUILTIN_PROCESSORS)
+    broker = FileBroker(str(tmp_path / "broker"))
+    topic = broker.topic("topic-in", demo_message_schema())
+    ckpt = broker.checkpoint_dir()
+    target = Sink("txn_table", str(tmp_path / "target"))
+    dlq = Sink("txn_table", str(tmp_path / "dlq"))
+
+    topic.produce(spark.createDataFrame(RECORDS, schema=demo_message_schema()))
+    q = runner.run_streaming(
+        1, topic.read_stream(spark), target, {"dlq-capitalize": dlq},
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    t = TxnTable(spark, target.path_or_topic)
+    assert t.read().count() == 2  # k1, k4
+
+    # resume with the same checkpoint: only the new file processes
+    topic.produce_rows(spark, [{"key": "k5", "value": "more", "num": 20}])
+    q = runner.run_streaming(
+        1, topic.read_stream(spark), target, {"dlq-capitalize": dlq},
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    rows = t.read().collect()
+    assert sorted(r.out_value for r in rows) == [
+        "HELLO_appended", "MORE_appended", "SPARK_appended",
+    ]
+    # each processed micro-batch committed exactly one txn
+    assert sorted(t.committed_txns()) == ["batch-0", "batch-1"]
