@@ -887,7 +887,7 @@ def join_null_safe(t):
 def _dsum_dec_sql(expr: str, scale: int = 6) -> str:
     """DuckDB mirror of `dsum_dec`."""
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS VARCHAR)"
     )
 
 
@@ -898,16 +898,21 @@ def dsum_dec(col, scale: int = 6):
     Σ(value x 10^scale) exceeds 2^63 — a boundary the sf100 decade
     rehearsal measured as REAL (the IVF centroid sums crossed it at
     ~3.5e19; Q1's scale-6 group sums sit at 2.8e18 there, one decade
-    from the cliff). DECIMAL(30,scale) accumulation
-    is exact to 10^30 and still order-independent; Spark's final cast
-    produces the correctly-rounded double of the exact total. CAVEATS
-    (both measured at sf100, see `agg_groupby_wide`): DuckDB's
-    decimal128->double conversion is NOT correctly rounded past 2^53,
-    so the cross-engine oracle check holds only below that magnitude —
-    and Spark plans decimal sums without whole-stage codegen (~7x
-    slower). `agg_groupby_wide`'s hi/lo int64 split avoids both."""
+    from the cliff). DECIMAL(30,scale) accumulation is exact to 10^30
+    and order-independent; the total is EMITTED AS ITS EXACT STRING
+    SERIALIZATION (fixed scale digits, e.g. "7.750000") — the consumer
+    parses it at whatever precision it owns, the same
+    no-lossy-conversion contract as `agg_groupby_wide`'s integer pairs.
+    The round-6 sf1 sweep is why: a double finalization was correctly
+    rounded in Spark but NOT in DuckDB (decimal128->double diverges in
+    the last ulp past 2^53 totals ≈ sf1's 2.8e16), so the hash oracle
+    broke at exactly the magnitude the operator exists for; the string
+    form is bit-stable at ANY magnitude in both engines. Remaining
+    caveat (measured at sf100): Spark plans decimal sums without
+    whole-stage codegen (~7x slower) — `agg_groupby_wide`'s hi/lo int64
+    split is the fast path."""
     return (
-        F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+        F.sum(col.cast(f"decimal(30,{scale})")).cast("string")
     )
 
 
@@ -935,14 +940,15 @@ def agg_groupby_decimal(t):
     scaled totals exceed dsum's 2^63 headroom (the sf100 rehearsal
     measured Q1's scale-6 sums at 3.5e19 over 600M rows). Same single
     partial-combined scan shape; the accumulator is DECIMAL(30,s),
-    exact and order-independent, finalized to the correctly-rounded
-    double. KEPT REGISTERED as the documented illustration of WHY the
-    decimal path is not the scale answer: Spark plans decimal sums with
-    zero whole-stage codegen (measured 6.56x DuckDB at sf100), and
-    DuckDB's int128->double finalization diverges past 2^53 — both
-    fixed by `agg_groupby_wide`'s hi/lo int64 split (hash-exact at any
-    magnitude, 0.99x at 600M rows), which is the REGISTERED ANSWER for
-    over-int64 totals."""
+    exact and order-independent, emitted as the exact string
+    serialization (see `dsum_dec` — the sf1 sweep caught DuckDB's
+    int128->double finalization diverging past 2^53, so no double
+    conversion exists on either side; hash-stable at any magnitude).
+    KEPT REGISTERED as the documented illustration of WHY the decimal
+    path is not the scale answer: Spark plans decimal sums with zero
+    whole-stage codegen (measured 6.56x DuckDB at sf100) —
+    `agg_groupby_wide`'s hi/lo int64 split (0.99x at 600M rows) is the
+    REGISTERED ANSWER for over-int64 totals."""
     l = t.lineitem
     disc_price = l.l_extendedprice * (1 - l.l_discount)
     charge = disc_price * (1 + l.l_tax)
