@@ -537,13 +537,24 @@ def tpch_q21_bucketed(t):
     Note the JOIN ORDER flips with the layout: the portable plan semi
     joins to 'F' orders BEFORE aggregating (the join pre-shrinks the
     aggregate's shuffle); here the aggregate is exchange-free, so it
-    runs FIRST and only the few qualifying orders semi join."""
+    runs FIRST and only the few qualifying orders then semi join —
+    against the BUCKETED orders with a merge hint, because the 'F'
+    filter still passes ~half the order keys (~3M at sf10) and
+    broadcasting them costs a single-threaded driver hash build
+    (measured 3.4 s end-to-end with the broadcast vs 1.9 s co-bucketed;
+    the round-6 sf10 record caught AQE picking the broadcast). The
+    waiting frame inherits lineitem's bucket distribution through the
+    aggregate, so the semi join needs zero Exchange on either side."""
     from stream_processor_spark.operators.storage import bucketed_pair
 
-    li, _o = bucketed_pair(t._spark, t._dir)
-    # agg-first: exchange-free over the bucketed layout; only the few
-    # qualifying orders then semi join to 'F' orders
-    waiting = _q21_semi_f_orders(_q21_waiting(li), t)
+    li, o = bucketed_pair(t._spark, t._dir)
+    # agg-first: exchange-free over the bucketed layout; qualifying
+    # orders semi join the co-bucketed 'F' orders (merge, not broadcast)
+    waiting = _q21_waiting(li).join(
+        o.filter(o.o_orderstatus == "F").select("o_orderkey").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
     return _q21_report(waiting, t)
 
 
