@@ -1248,6 +1248,42 @@ def sim_ann_ivf(t):
     return _ivf_serve(e, cent_rows)
 
 
+@register("sim_ann_ivf_indexed", oracle=_IVF_ORACLE)
+def sim_ann_ivf_indexed(t):
+    """`sim_ann_ivf` served from a PERSISTED inverted-list index — the
+    build/serve split real vector serving uses, and the ANN twin of
+    `text_bm25_postings` (round 6): `operators/annindex.ensure_ivf_index`
+    writes the corpus ONCE as a table partitioned by list id (same
+    deterministic quantizer, same bit-exact vectorized assignment), and
+    each query then scans ONLY its nprobe probed list partitions
+    (`PartitionFilters` pruning, pinned in tests/test_plans.py) and
+    exact-reranks with the engine's scaled-int64 cosine. Results are
+    identical to `sim_ann_ivf` — same model, probe order, and rerank
+    arithmetic — so the oracle is shared.
+
+    Scale: per-query scan cost is nprobe/k of the corpus BY LAYOUT (no
+    assignment pass at query time at all); the write is amortized
+    across queries, and incremental appends assign new vectors against
+    the frozen model into their list partitions."""
+    import numpy as np
+
+    from stream_processor_spark.operators.annindex import (
+        ensure_ivf_index,
+        ivf_query_indexed,
+    )
+
+    spark = t._spark
+    lists_name, cent_name = ensure_ivf_index(spark, t._dir)
+    qrow = (
+        t.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError("IVF indexed serve: query vector (vec_id=0) not found")
+    return ivf_query_indexed(
+        spark, lists_name, cent_name, np.asarray(qrow[0], dtype=np.float64)
+    )
+
+
 _IVF_TRAINED_ORACLE = (
     "WITH " + kmeans.lloyd_oracle_ctes(k=10, iters=2) + ",\n" + _ivf_serve_sql(3)
 )

@@ -183,6 +183,23 @@ def test_bm25_postings_scan_is_bucket_pruned(spark, sf_dir):
     assert m1 and int(m1.group(1)) == 1 and int(m1.group(2)) > 1
 
 
+def test_ivf_indexed_scan_is_partition_pruned(spark, sf_dir):
+    """sim_ann_ivf_indexed (round 6): serving must read ONLY the probed
+    list partitions — the layout guarantee that makes per-query cost
+    nprobe/k of the corpus. The lists scan must carry a list_id IN
+    partition filter with exactly nprobe (=2) values, and no
+    assignment work may appear at query time (exactly one Python stage:
+    the rerank)."""
+    import re
+
+    df = REGISTRY["sim_ann_ivf_indexed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[\w+#\d+L? IN \(([^)]*)\)\]", plan)
+    assert m, f"no partition pruning in scan: {plan[:500]}"
+    assert len(m.group(1).split(",")) == 2  # nprobe
+    assert plan.count("MapInPandas") == 1  # rerank only — no assignment
+
+
 def test_q21_bucketed_semi_join_is_merge_not_broadcast(spark, sf_dir):
     """tpch_q21_bucketed (round 6): the 'F'-orders semi join must run as
     a co-bucketed sort-merge, NOT a broadcast — the 'F' filter passes
