@@ -101,6 +101,44 @@ def ensure_ivf_index(
     return lists_name, cent_name
 
 
+def append_ivf_index(
+    spark: SparkSession, lists_name: str, cent_name: str,
+    new_vectors: DataFrame,
+) -> None:
+    """Incremental index maintenance: assign ONLY the new vectors
+    against the FROZEN model (same bit-exact kernel) and append them to
+    their list partitions — no rebuild, no touch of existing lists.
+
+    This is the standard IVF append contract: the quantizer stays fixed
+    (queries keep probing the same lists), so append-then-query equals
+    rebuild-then-query EXACTLY as long as the model is unchanged
+    (tested); centroid drift is handled by a periodic full
+    `ensure_ivf_index` rebuild, not per append."""
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            assigned, _sxx = npk.assign_labels(E, labels, C, scc)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["list_id"] = assigned
+            yield out
+
+    (
+        new_vectors.select("vec_id", "embedding")
+        .mapInPandas(
+            assign,
+            schema="vec_id long, embedding array<float>, list_id long",
+        )
+        .write.mode("append")
+        .insertInto(lists_name)
+    )
+
+
 def ivf_query_indexed(
     spark: SparkSession,
     lists_name: str,

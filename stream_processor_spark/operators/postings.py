@@ -122,6 +122,41 @@ def ensure_postings(
     return post_name, stats_name
 
 
+def append_postings(
+    spark: SparkSession, post_name: str, stats_name: str, new_docs: DataFrame
+) -> None:
+    """Incremental index maintenance: tokenize ONLY the new documents
+    (same vectorized pass), insert their postings into the bucketed
+    table, and refresh the corpus stats.
+
+    ``insertInto`` on a bucketed table routes rows through the bucket
+    hash, so new postings land in the correct bucket files and bucket
+    PRUNING stays sound; each append adds one file per touched bucket
+    (periodic compaction — re-running `ensure_postings` from scratch or
+    `storage.compact_files` per bucket — restores the one-file-per-
+    bucket read profile; the same trade every LSM-shaped index makes).
+    Stats are recomputed from the postings table itself: distinct
+    (doc, len) is exact regardless of how many appends happened.
+
+    Equivalence contract (tested): append(A) then append(B) produces
+    the same query results as building from A∪B, because tokenization
+    is per-document and df/stats are recomputed from the full table at
+    query/refresh time."""
+    build_postings_frame(new_docs).write.mode("append").insertInto(post_name)
+    dlen = spark.table(post_name).select("doc_id", "len").distinct()
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum("len").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    # collect the 1-row stats BEFORE overwriting: the lazy plan reads
+    # the same table being replaced
+    row = stats.collect()[0]
+    spark.createDataFrame([(row[0], row[1])], "n double, avgdl double") \
+        .write.mode("overwrite").insertInto(stats_name, overwrite=True)
+
+
 def bm25_from_postings(
     spark: SparkSession,
     post_name: str,

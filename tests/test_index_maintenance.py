@@ -1,0 +1,126 @@
+"""Incremental maintenance of the round-6 persisted indexes.
+
+Contracts under test:
+- postings: append(B) onto an index built from A ≡ build from A∪B —
+  postings rows are per-document and stats/df recompute from the full
+  table, so the query results must match EXACTLY.
+- IVF: append(B) assigns new vectors against the FROZEN model (the
+  layout's contract — queries keep probing the same lists); the result
+  equals a driver-side replay of assign+probe+rerank over A∪B with
+  model(A).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _docs_dirs(tmp_path, spark):
+    """Two sf-dirs: A (doc_id < 300 of the sf0.001 documents) and FULL."""
+    full_dir, a_dir = tmp_path / "full", tmp_path / "a"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "documents.parquet")
+    shutil.copy(src, full_dir / "documents.parquet")
+    docs = spark.read.parquet(src)
+    docs.filter("doc_id < 300").write.mode("overwrite").parquet(
+        str(a_dir / "documents.parquet")
+    )
+    return str(a_dir), str(full_dir)
+
+
+def test_postings_append_equals_full_rebuild(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.postings import (
+        append_postings,
+        bm25_from_postings,
+        ensure_postings,
+    )
+
+    a_dir, full_dir = _docs_dirs(tmp_path, spark)
+    qtokens = ["the", "data", "pipeline"]
+
+    post_a, stats_a = ensure_postings(spark, a_dir, num_buckets=8)
+    new_docs = spark.read.parquet(
+        os.path.join(full_dir, "documents.parquet")
+    ).filter("doc_id >= 300")
+    append_postings(spark, post_a, stats_a, new_docs)
+
+    post_f, stats_f = ensure_postings(spark, full_dir, num_buckets=8)
+
+    got = sorted(
+        tuple(r)
+        for r in bm25_from_postings(spark, post_a, stats_a, qtokens).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_from_postings(spark, post_f, stats_f, qtokens).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # bucket pruning stays sound after the append: rows for one token
+    # are still found via the pruned scan (file-per-bucket may be >1 now)
+    one = bm25_from_postings(spark, post_a, stats_a, ["the"])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan
+
+
+def test_ivf_append_assigns_against_frozen_model(spark, tmp_path):
+    from stream_processor_spark.operators import npkernel as npk
+    from stream_processor_spark.operators.annindex import (
+        append_ivf_index,
+        ensure_ivf_index,
+        ivf_query_indexed,
+    )
+
+    # A = vec_id < 300; B = rest. Model comes from A only.
+    full_dir, a_dir = tmp_path / "efull", tmp_path / "ea"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    shutil.copy(src, full_dir / "embeddings.parquet")
+
+    lists_name, cent_name = ensure_ivf_index(spark, str(a_dir))
+    new_vecs = spark.read.parquet(src).filter("vec_id >= 300")
+    append_ivf_index(spark, lists_name, cent_name, new_vecs)
+
+    qvec = np.asarray(
+        emb.filter("vec_id = 0").head()[1], dtype=np.float64
+    )
+    got = [
+        (r.vec_id, round(r.cosine, 12))
+        for r in ivf_query_indexed(
+            spark, lists_name, cent_name, qvec, nprobe=2, topk=10
+        ).collect()
+    ]
+
+    # expected: driver-side replay over A∪B with model(A)
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+    rows = emb.select("vec_id", "embedding").collect()
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    ids = np.asarray([r[0] for r in rows])
+    assigned, sxx = npk.assign_labels(E, labels, C, scc)
+    sqq = npk.self_norms_scaled(qvec[None, :])[0]
+    qp = npk.dot_scaled(qvec[None, :], C)[0]
+    qcos = qp.astype("float64") / (
+        np.sqrt(scc.astype("float64")) * np.sqrt(float(sqq))
+    )
+    order = np.lexsort((-labels, -qcos))
+    probe = set(int(x) for x in labels[order[:2]])
+    keep = np.isin(assigned, list(probe))
+    p = npk.dot_scaled(E[keep], qvec)
+    cos = p.astype("float64") / (
+        np.sqrt(sxx[keep].astype("float64")) * np.sqrt(float(sqq))
+    )
+    pairs = sorted(
+        zip(-cos, ids[keep])
+    )[:10]
+    want = [(int(v), round(-c, 12)) for c, v in pairs]
+    assert got == want
