@@ -181,8 +181,13 @@ def main() -> None:
         "route",
         F.to_json(F.struct("out_key", "out_value", "out_num")).alias("value"),
     )
+    # best-of-3 with a discarded warm run: the first materialization of
+    # this path pays json-codegen warmup (measured ~5x), and round 6
+    # found best-of-2 still under-samples it (154-168k vs the 206k
+    # steady state a best-of-5 probe shows)
+    routed.write.mode("overwrite").format("noop").save()
     pipe_best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         routed.write.mode("overwrite").format("noop").save()
         pipe_best = min(pipe_best, time.perf_counter() - t0)
