@@ -381,6 +381,51 @@ def text_token_counts(t):
     )
 
 
+# GPT-2-style pre-tokenizer, constrained to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate IDENTICALLY: leftmost-first
+# alternation, no lookahead (RE2 has none — GPT-2's `\s+(?!\S)` branch
+# is dropped), ASCII classes (no locale-dependent \p{L} differences).
+# Contract: contractions split ('s 't 're 've 'm 'll 'd), one leading
+# space folds into the following token (the BPE convention that makes
+# " world" ≠ "world"), runs of letters / digits / other-non-space each
+# form one token, remaining whitespace separates and is dropped.
+_BPE_RE = r"('s|'t|'re|'ve|'m|'ll|'d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@register(
+    "text_token_counts_bpe",
+    oracle=f"""
+    SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    )
+    GROUP BY tok
+    """,
+)
+def text_token_counts_bpe(t):
+    """Corpus token frequencies under a BPE-ish PRE-TOKENIZER — the
+    GPT-2 regex family (contractions, space-prefixed letter/digit/
+    punctuation runs) restricted to the Java∩RE2 subset so Spark and
+    DuckDB tokenize bit-identically (see `_BPE_RE`). Complements
+    `text_token_counts` (whitespace split): this is the token stream a
+    real BPE tokenizer would merge, so its counts drive vocabulary
+    coverage and tokens-per-doc budgeting for training pipelines.
+
+    Scale: regexp_extract_all runs inside codegen (no Python); explode
+    + count is one map-side-combined shuffle of (token, partial n)."""
+    return (
+        t.documents.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register(
     "text_stats",
     oracle="""

@@ -55,6 +55,10 @@ DIRTY_QUERIES = [
     # whitespace runs must tokenize identically in both engines)
     "text_tfidf_topk",
     "corpus_shard_by_tokens",
+    # round 6: the BPE-ish pre-tokenizer must split runs/tabs/newlines/
+    # unicode identically under Java and RE2 (no lookahead, ASCII
+    # classes — see _BPE_RE)
+    "text_token_counts_bpe",
 ]
 
 MULTIMODAL_QUERIES = [
