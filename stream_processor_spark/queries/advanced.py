@@ -143,7 +143,7 @@ def agg_pivot(t):
     """,
 )
 def join_star_5way(t):
-    """Q5-shaped 5-way star, shuffle-era (at scale bucket the fact edge, cf `join_star_3way_bucketed`).
+    """Q5-shaped 5-way star, shuffle-era (at scale use `join_star_5way_bucketed`: 1.4s vs 4.8s at sf10).
 
     fact ⋈ orders ⋈ 3 broadcast dims. Dimension hints only on the true
     dims (customer/nation/region); the lineitem⋈orders edge is
@@ -162,6 +162,53 @@ def join_star_5way(t):
         l.join(
             o.filter(o.o_orderdate >= F.lit("1996-01-01 00:00:00").cast("timestamp")),
             l.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(r.r_name.alias("region"), n.n_name.alias("nation"))
+        .agg(
+            dsum(revenue, 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_star_5way_bucketed",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_star_5way_bucketed(t):
+    """`join_star_5way` on the write-time-bucketed layout — the
+    registered scale answer its shuffle-era twin points at (round 6):
+    the lineitem⋈orders fact edge reads both sides bucketed+sorted on
+    orderkey (merge hint ⇒ zero Exchange, zero sort), the three true
+    dims broadcast as before, and the orderdate filter still pushes
+    into the bucketed orders scan. Same oracle as the portable plan —
+    the layout must not change the answer."""
+    from stream_processor_spark.operators.storage import bucketed_pair
+
+    li, o = bucketed_pair(t._spark, t._dir)
+    c, n, r = t.customer, t.nation, t.region
+    revenue = li.l_extendedprice * (1 - li.l_discount)
+    return (
+        li.join(
+            o.filter(
+                o.o_orderdate
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+            ).hint("merge"),
+            li.l_orderkey == o.o_orderkey,
         )
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
