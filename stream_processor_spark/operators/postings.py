@@ -157,6 +157,38 @@ def append_postings(
         .write.mode("overwrite").insertInto(stats_name, overwrite=True)
 
 
+def stream_postings_updates(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    post_name: str,
+    stats_name: str,
+    checkpoint_dir: str,
+):
+    """Maintain the postings index from a document STREAM: each
+    micro-batch runs :func:`append_postings` (tokenize only the new
+    docs, bucket-routed insert, stats refresh) through foreachBatch.
+
+    Delivery contract: the file append itself is at-least-once — a
+    foreachBatch retry re-inserts the SAME postings rows (tokenization
+    is deterministic per document). Serving heals that exactly:
+    ``bm25_from_postings(..., dedup_replays=True)`` drops duplicate
+    (tok, doc_id) rows AFTER bucket pruning, so replayed appends cannot
+    change any score and the dedup cost scales with matched postings,
+    not the corpus. (The alternative — manifest-committed appends via
+    operators/txn_table — trades the bucketed layout's pruning for
+    commit atomicity; this keeps the layout and heals at read.)"""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_postings(spark, post_name, stats_name, batch_df)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def bm25_from_postings(
     spark: SparkSession,
     post_name: str,
@@ -164,6 +196,7 @@ def bm25_from_postings(
     qtokens: list[str],
     k1: float = 1.2,
     b: float = 0.75,
+    dedup_replays: bool = False,
 ) -> DataFrame:
     """Serve one BM25 ranking from the persisted layout.
 
@@ -171,8 +204,17 @@ def bm25_from_postings(
     holding query tokens; everything downstream (df aggregate, idf,
     score) operates on matched postings only. Scoring expressions are
     the exact Catalyst forms `text_bm25` uses, so results (and the
-    DuckDB oracle) are identical."""
+    DuckDB oracle) are identical.
+
+    ``dedup_replays=True`` additionally drops duplicate (tok, doc_id)
+    rows after pruning — required when the index receives streaming
+    appends (:func:`stream_postings_updates`), whose foreachBatch
+    retries re-insert identical rows; a replayed batch then cannot
+    affect any score. Leave False for batch-built indexes (no
+    duplicates to heal; saves the dedup aggregate)."""
     post = spark.table(post_name).filter(F.col("tok").isin(list(qtokens)))
+    if dedup_replays:
+        post = post.dropDuplicates(["tok", "doc_id"])
     stats = spark.table(stats_name)
     dfreq = post.groupBy("tok").agg(
         F.count(F.lit(1)).cast("double").alias("df")

@@ -71,6 +71,63 @@ def test_postings_append_equals_full_rebuild(spark, tmp_path):
     assert "SelectedBucketsCount: 1 out of 8" in plan
 
 
+def test_streaming_postings_updates_and_replay_healing(spark, tmp_path):
+    """Streaming index maintenance end-to-end: documents arrive as a
+    file stream, each micro-batch appends its postings; a REPLAYED
+    append (the foreachBatch retry case — identical rows re-inserted)
+    must not change any score when serving with dedup_replays=True.
+    Final state == a batch-built index over the full corpus."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.postings import (
+        append_postings,
+        bm25_from_postings,
+        ensure_postings,
+        stream_postings_updates,
+    )
+
+    a_dir, full_dir = _docs_dirs(tmp_path, spark)
+    qtokens = ["the", "data", "pipeline"]
+    post, stats = ensure_postings(spark, a_dir, num_buckets=8)
+
+    # stream the remaining docs in: one file == one micro-batch
+    stream_src = tmp_path / "incoming"
+    docs = spark.read.parquet(os.path.join(full_dir, "documents.parquet"))
+    docs.filter("doc_id >= 300 AND doc_id < 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    docs.filter("doc_id >= 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    doc_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = stream_postings_updates(
+        spark, doc_stream, post, stats, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    # simulate a foreachBatch retry: re-append one slice verbatim
+    append_postings(
+        spark, post, stats, docs.filter("doc_id >= 400")
+    )
+
+    post_f, stats_f = ensure_postings(spark, full_dir, num_buckets=8)
+    got = sorted(
+        tuple(r)
+        for r in bm25_from_postings(
+            spark, post, stats, qtokens, dedup_replays=True
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_from_postings(spark, post_f, stats_f, qtokens).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_ivf_append_assigns_against_frozen_model(spark, tmp_path):
     from stream_processor_spark.operators import npkernel as npk
     from stream_processor_spark.operators.annindex import (
