@@ -65,6 +65,8 @@ HEADLINE = [
     "agg_groupby_wide",
     "text_bm25",
     "text_bm25_postings",
+    "join_star_5way_bucketed",
+    "sim_ann_ivf_indexed",
 ]
 
 
