@@ -157,6 +157,70 @@ def append_postings(
         .write.mode("overwrite").insertInto(stats_name, overwrite=True)
 
 
+def bm25_multi_query(
+    spark: SparkSession,
+    post_name: str,
+    stats_name: str,
+    queries: dict[int, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    dedup_replays: bool = False,
+) -> DataFrame:
+    """Serve MANY BM25 rankings in ONE pass over the index — the
+    training-data-selection workload (thousands of topic queries
+    scoring one corpus) that makes the persisted layout pay hardest.
+
+    The postings scan is pruned ONCE by the UNION of all query tokens
+    (still an ``isin`` literal list ⇒ bucket pruning holds — the query
+    set is a parameter, like the model in the ANN serve paths); a
+    broadcast (query_id, tok) frame then fans each matched posting out
+    to the queries containing its token, and one (query_id, doc_id)
+    aggregate produces every ranking. Document frequencies come from
+    the pruned postings GROUPED ONCE — never per query, so a token
+    shared by many queries is counted once. Per-token/doc scoring terms
+    are the exact `bm25_from_postings` expressions: for each query_id
+    the result is IDENTICAL to serving that query alone (tested), so
+    the registered multi-query entry reuses the same oracle shape with
+    a query dimension added.
+
+    Scale: cost is O(matched postings x avg queries-per-token), one
+    combined shuffle keyed (query_id, doc_id) — vs running N single
+    queries = N scans. The fan-out frame is query-set-sized and
+    broadcast."""
+    all_toks = sorted({tok for toks in queries.values() for tok in toks})
+    post = spark.table(post_name).filter(F.col("tok").isin(all_toks))
+    if dedup_replays:
+        post = post.dropDuplicates(["tok", "doc_id"])
+    stats = spark.table(stats_name)
+    dfreq = post.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    qtok = spark.createDataFrame(
+        [(qid, tok) for qid, toks in queries.items() for tok in set(toks)],
+        "query_id long, tok string",
+    )
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * (F.col("len").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    return (
+        post.join(F.broadcast(qtok), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(term), 6).alias("bm25"))
+    )
+
+
 def stream_postings_updates(
     spark: SparkSession,
     doc_stream: DataFrame,

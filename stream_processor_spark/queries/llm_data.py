@@ -2348,6 +2348,78 @@ def text_bm25_postings(t):
     return bm25_from_postings(spark, post_name, stats_name, qtokens)
 
 
+@register(
+    "text_bm25_multiquery",
+    # text_bm25's oracle with a query dimension: per (query doc 0/1/2,
+    # corpus doc) score, df/corpus stats computed once, query token
+    # sets deduplicated per query exactly as the engine's broadcast
+    # (query_id, tok) frame is.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs
+      ) WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dlen AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dlen
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    qtok AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM toks WHERE doc_id IN (0, 1, 2)
+    )
+    SELECT q.query_id, t.doc_id,
+           round(SUM(
+             ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
+             * (CAST(t.tf AS DOUBLE) * 2.2)
+             / (CAST(t.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(d.len AS DOUBLE) / c.avgdl)))
+           ), 6) AS bm25
+    FROM tf t
+    JOIN qtok q ON t.tok = q.tok
+    JOIN dfreq f ON t.tok = f.tok
+    JOIN dlen d ON t.doc_id = d.doc_id
+    CROSS JOIN corpus c
+    GROUP BY q.query_id, t.doc_id
+    """,
+)
+def text_bm25_multiquery(t):
+    """Batched BM25: THREE query documents (doc_id 0/1/2) ranked against
+    the whole corpus in ONE pass over the persisted postings index
+    (`operators/postings.bm25_multi_query`) — the training-data
+    selection workload where the layout pays hardest: N queries cost
+    one pruned scan + one (query, doc) aggregate instead of N scans.
+    Per query the scores are identical to the single-query path (same
+    expressions, df counted once over the pruned postings); the oracle
+    is `text_bm25`'s with a query dimension."""
+    from stream_processor_spark.operators.postings import (
+        bm25_multi_query,
+        ensure_postings,
+    )
+
+    spark = t._spark
+    qrows = (
+        t.documents.filter(F.col("doc_id").isin([0, 1, 2]))
+        .select("doc_id", "text")
+        .collect()
+    )
+    queries = {
+        int(r[0]): sorted({tok for tok in (r[1] or "").split(" ") if tok})
+        for r in qrows
+    }
+    queries = {qid: toks for qid, toks in queries.items() if toks}
+    if not queries:
+        raise ValueError("bm25 multiquery: no query documents found")
+    post_name, stats_name = ensure_postings(spark, t._dir)
+    return bm25_multi_query(spark, post_name, stats_name, queries)
+
+
 _SQ8_ORACLE = """
 WITH dims AS (
   SELECT i.i AS pos,
