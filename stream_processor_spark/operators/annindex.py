@@ -139,6 +139,91 @@ def append_ivf_index(
     )
 
 
+def ivf_multi_query_indexed(
+    spark: SparkSession,
+    lists_name: str,
+    cent_name: str,
+    queries: dict,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> DataFrame:
+    """Serve MANY ANN queries in ONE pass over the persisted index —
+    the batched-retrieval twin of `postings.bm25_multi_query`.
+
+    Each query's probe lists are computed driver-side from the hydrated
+    model (identical ordering to the single-query path); the lists scan
+    is pruned once by the UNION of all probes (partition filter), and
+    one Arrow-batched rerank scores each scanned vector against exactly
+    the queries whose probe set contains its list. Per-query top-k via
+    one query_id-partitioned window over candidate rows. For any
+    query_id the rows are IDENTICAL to `ivf_query_indexed` (tested).
+
+    Scale: scan cost = |union of probed lists|, rerank cost =
+    Σ_q |q's probed lists| — vs N separate scans; the query matrix is
+    broadcast in the task closure."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+    qids = sorted(queries)
+    Q = np.stack([np.asarray(queries[q], dtype=np.float64) for q in qids])
+    sqq = npk.self_norms_scaled(Q)
+    probes: dict[int, set] = {}
+    for i, qid in enumerate(qids):
+        qp = npk.dot_scaled(Q[i][None, :], C)[0]
+        qcos = qp.astype("float64") / (
+            np.sqrt(scc.astype("float64")) * np.sqrt(float(sqq[i]))
+        )
+        order = np.lexsort((-labels, -qcos))
+        probes[qid] = set(int(x) for x in labels[order[:nprobe]])
+    union_lists = sorted(set().union(*probes.values()))
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            sxx = npk.self_norms_scaled(E)
+            ids = pdf["vec_id"].to_numpy()
+            lids = pdf["list_id"].to_numpy()
+            frames = []
+            for i, qid in enumerate(qids):
+                mask = np.isin(lids, list(probes[qid]))
+                if not mask.any():
+                    continue
+                p = npk.dot_scaled(E[mask], Q[i])
+                cos = p.astype("float64") / (
+                    np.sqrt(sxx[mask].astype("float64"))
+                    * np.sqrt(float(sqq[i]))
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": ids[mask],
+                            "cosine": cos,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        spark.table(lists_name)
+        .filter(F.col("list_id").isin(union_lists))
+        .select("vec_id", "embedding", "list_id")
+        .mapInPandas(rerank, schema="query_id long, vec_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk)
+        .drop("__rn")
+    )
+
+
 def ivf_query_indexed(
     spark: SparkSession,
     lists_name: str,

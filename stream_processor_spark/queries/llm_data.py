@@ -1163,6 +1163,123 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 _IVF_ORACLE = "WITH " + _IVF_CENT_SQL + ",\n" + _ivf_serve_sql(2)
 
 
+def _ivf_serve_multi_sql(nprobe: int = 2, topk: int = 10,
+                         query_ids: str = "0, 1, 2") -> str:
+    """`_ivf_serve_sql` with a query dimension: every query in
+    ``query_ids`` probes its own nearest lists and gets its own top-k —
+    the oracle of the batched indexed serve. Assignment CTEs are shared
+    (the index is query-independent)."""
+    return f"""asn_terms AS (
+  SELECT e.vec_id, c.clabel,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE) * c.c * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE)
+                    * CAST(e.embedding[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+asn_sims AS (
+  SELECT vec_id, clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))) AS cos
+  FROM asn_terms GROUP BY vec_id, clabel
+),
+assign AS (
+  SELECT vec_id, clabel AS list_id FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel DESC) AS rn
+    FROM asn_sims) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({query_ids})),
+q_terms AS (
+  SELECT q.query_id, c.clabel,
+         CAST(round(CAST(q.qv[c.pos] AS DOUBLE) * c.c * 1e16) AS BIGINT) AS p,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc,
+         CAST(round(CAST(q.qv[c.pos] AS DOUBLE) * CAST(q.qv[c.pos] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM cent c CROSS JOIN q
+),
+q_sims AS (
+  SELECT query_id, clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cos
+  FROM q_terms GROUP BY query_id, clabel
+),
+qprobe AS (
+  SELECT query_id, clabel AS list_id FROM (
+    SELECT query_id, clabel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, clabel DESC) AS rn
+    FROM q_sims) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN qprobe p USING (list_id)
+),
+cand_terms AS (
+  SELECT cd.query_id, e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN cand cd USING (vec_id)
+  JOIN q ON q.query_id = cd.query_id
+  CROSS JOIN generate_series(1, 64) AS i(i)
+),
+scored AS (
+  SELECT query_id, vec_id,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+  FROM cand_terms GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= {topk}
+"""
+
+
+@register(
+    "sim_ann_ivf_multiquery",
+    oracle="WITH " + _IVF_CENT_SQL + ",\n" + _ivf_serve_multi_sql(2, 10),
+)
+def sim_ann_ivf_multiquery(t):
+    """Batched ANN: THREE query vectors (vec_id 0/1/2) served in ONE
+    pass over the persisted IVF index — the retrieval twin of
+    `text_bm25_multiquery` (`operators/annindex.ivf_multi_query_indexed`).
+    The lists scan is pruned once by the UNION of every query's probes;
+    one Arrow rerank scores each vector against exactly the queries
+    whose probe set contains its list; per-query top-10 via one
+    query-partitioned window. Per query the rows are identical to
+    `sim_ann_ivf_indexed` (same model/probe/rerank arithmetic)."""
+    import numpy as np
+
+    from stream_processor_spark.operators.annindex import (
+        ensure_ivf_index,
+        ivf_multi_query_indexed,
+    )
+
+    spark = t._spark
+    lists_name, cent_name = ensure_ivf_index(spark, t._dir)
+    qrows = (
+        t.embeddings.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("multi-query IVF: no query vectors found")
+    queries = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows
+    }
+    return ivf_multi_query_indexed(spark, lists_name, cent_name, queries)
+
+
 def _ivf_serve(e, cent_rows, nprobe=2, topk=10):
     """Shared IVF serving plan: hydrated model + ONE vectorized corpus pass.
 
