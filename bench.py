@@ -231,8 +231,12 @@ def main() -> None:
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
-        suffix = f"_r{rnd}" if rnd else ""
-        full_path = os.path.join(here, "docs", f"BENCH{suffix}_full.json")
+        if rnd:
+            full_path = os.path.join(here, "docs", f"BENCH_r{rnd}_full.json")
+        else:
+            # ad-hoc runs tee to an untracked scratch path so they never
+            # clobber the committed per-round records under docs/
+            full_path = os.path.join(here, "BENCH_full.json")
         with open(full_path, "w") as fh:
             json.dump(result, fh, indent=1)
     except OSError:

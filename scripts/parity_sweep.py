@@ -2,7 +2,11 @@
 """Run the oracle-parity comparison for a slice of the registry.
 
 Usage: python scripts/parity_sweep.py <sf_dir> [start] [end]
-Prints one line per query; exits nonzero if any mismatch.
+       python scripts/parity_sweep.py <sf_dir> --names a,b,c
+Prints one line per query; exits nonzero if any mismatch. --names runs
+exactly the listed queries (so post-sweep additions can be verified at
+every scale without re-running the whole registry — round-6 verdict
+item 3); unknown or oracle-less names fail loudly.
 """
 
 from __future__ import annotations
@@ -18,13 +22,29 @@ from tests.oracle_harness import compare  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    start = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    end = int(sys.argv[3]) if len(sys.argv) > 3 else 10**9
+    argv = list(sys.argv[1:])
+    wanted: list[str] | None = None
+    if "--names" in argv:
+        i = argv.index("--names")
+        wanted = [n for n in argv[i + 1].split(",") if n]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    start = int(argv[1]) if len(argv) > 1 else 0
+    end = int(argv[2]) if len(argv) > 2 else 10**9
 
     spark = get_spark("parity-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    names = sorted(n for n, s in REGISTRY.items() if s.oracle)[start:end]
+    if wanted is not None:
+        unknown = [n for n in wanted if n not in REGISTRY]
+        no_oracle = [
+            n for n in wanted if n in REGISTRY and not REGISTRY[n].oracle
+        ]
+        if unknown or no_oracle:
+            print(f"unknown: {unknown}; no oracle: {no_oracle}")
+            return 2
+        names = wanted
+    else:
+        names = sorted(n for n, s in REGISTRY.items() if s.oracle)[start:end]
     failures = 0
     for name in names:
         spec = REGISTRY[name]

@@ -45,22 +45,25 @@ def ensure_ivf_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
     """Build (once per sf_dir) the partitioned inverted-list table and
-    the centroid table; return (lists_table, centroids_table)."""
-    import shutil
-
+    the centroid table; return (lists_table, centroids_table). Cached
+    only when BOTH tables exist (a crash between the two writes leaves
+    a half-built pair, rebuilt here); stale directories are cleared via
+    the Hadoop FileSystem API so the path is correct on remote
+    warehouses too (round-6 ADVICE)."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators import kmeans
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
 
     tag = hashlib.md5(f"{sf_dir}|ivf".encode()).hexdigest()[:8]
     lists_name, cent_name = f"ivf_lists_{tag}", f"ivf_cent_{tag}"
-    if spark.catalog.tableExists(lists_name):
+    if spark.catalog.tableExists(lists_name) and spark.catalog.tableExists(
+        cent_name
+    ):
         return lists_name, cent_name
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
     for name in (lists_name, cent_name):
-        shutil.rmtree(
-            warehouse.removeprefix("file:") + "/" + name, ignore_errors=True
-        )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        drop_warehouse_dir(spark, name)
 
     e = Tables(spark, sf_dir).embeddings
     cent_rows = kmeans._mean_update(

@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def drop_warehouse_dir(spark: SparkSession, table_name: str) -> None:
+    """Delete a managed table's warehouse directory through the Hadoop
+    FileSystem API — correct on HDFS/S3A/GCS as well as file:// (a local
+    ``shutil.rmtree`` on the stripped path is a silent no-op on remote
+    warehouses; same rationale as ``compact_files``' file counting)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table_name)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       mode: str = "overwrite") -> None:
     """Hive-style partitioned parquet: one directory per partition value."""

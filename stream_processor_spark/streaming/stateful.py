@@ -274,6 +274,11 @@ def _make_band_dedup_update(threshold: float, cap: int,
                         pairs.append((a, b, inter / union))
                 extra_ids.append(int(doc_id))
                 extra_hsets.append(hs)
+                # over-cap docs aren't persisted in state, but within
+                # this batch they must still dedup replays: without
+                # this, a doc_id delivered twice to a capped bucket
+                # self-pairs (round-6 ADVICE)
+                seen.add(int(doc_id))
         state.update((doc_ids, [sorted(h) for h in hsets]))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)  # idle clock resets per batch

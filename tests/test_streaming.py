@@ -780,6 +780,34 @@ def test_band_dedup_overcap_docs_pair_within_batch():
     assert out[0].empty
 
 
+def test_band_dedup_overcap_duplicate_delivery_no_self_pair():
+    """Round-6 ADVICE: a doc_id delivered TWICE in one micro-batch to a
+    capped bucket (at-least-once redelivery) must not self-pair or
+    duplicate its cross pairs — over-cap ids join the batch-local
+    replay guard just like admitted ones."""
+    import pandas as pd
+
+    from stream_processor_spark.streaming.stateful import (
+        _make_band_dedup_update,
+    )
+
+    update = _make_band_dedup_update(0.5, cap=1)
+    hset_a = list(range(0, 20))
+    hset_b = list(range(100, 120))
+    hset_c = list(range(100, 118)) + [900, 901]  # ~0.82 jaccard vs b
+
+    st = _FakeState()
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [1], "hset": [hset_a]})]), st))
+    assert out[0].empty  # bucket at cap
+
+    # doc 2 arrives twice (redelivery) alongside near-dup doc 3: the
+    # bug emitted (2, 2, 1.0) and (2, 3) twice
+    out = list(update(("b", 1), iter([pd.DataFrame(
+        {"doc_id": [2, 2, 3], "hset": [hset_b, hset_b, hset_c]})]), st))
+    assert [(r.doc_a, r.doc_b) for r in out[0].itertuples()] == [(2, 3)]
+
+
 def test_band_dedup_ttl_mode_runs_end_to_end(spark, sf_dir, tmp_path):
     """TTL mode through the real ProcessingTimeTimeout plumbing: two
     near-dup docs in one run still pair (TTL far above the run time)."""

@@ -61,10 +61,13 @@ def test_crash_mid_write_leaves_no_partial_reads(spark, tmp_path):
     t2 = TxnTable(spark, str(tmp_path / "t"))
     assert sorted(r.k for r in t2.read().collect()) == [1, 2]
 
-    # vacuum removes exactly the orphans, keeps every referenced file
-    assert t.vacuum() == len(orphans)
+    # the default grace window protects fresh files (they could belong
+    # to a LIVE writer); an explicit grace_ms=0 sweep removes exactly
+    # the orphans and keeps every referenced file
+    assert t.vacuum() == 0
+    assert t.vacuum(grace_ms=0) == len(orphans)
     assert sorted(r.k for r in t.read().collect()) == [1, 2]
-    assert t.vacuum() == 0  # idempotent
+    assert t.vacuum(grace_ms=0) == 0  # idempotent
 
 
 def test_txn_id_replay_is_noop(spark, tmp_path):
@@ -255,3 +258,119 @@ def test_streaming_pipeline_into_txn_table_checkpoint_resume(spark, tmp_path):
     ]
     # each processed micro-batch committed exactly one txn
     assert sorted(t.committed_txns()) == ["batch-0", "batch-1"]
+
+
+def test_vacuum_grace_protects_live_writer(spark, tmp_path):
+    """Round-7 hardening: a writer in the window between staging its
+    data / writing its temp manifest and the commit rename must survive
+    a concurrent vacuum — the default grace window keeps young
+    invisible files, so the in-flight commit still completes."""
+    import json
+
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+
+    # a live writer mid-commit: data staged, temp manifest written,
+    # rename not yet issued
+    staged = t._stage(_df(spark, [(2, "inflight")]))
+    snap = t.snapshot()
+    manifest = {
+        "version": snap["version"] + 1,
+        "parent_version": snap["version"],
+        "operation": "append",
+        "txn_id": None,
+        "files": snap["files"] + staged,
+        "committed_txns": [],
+    }
+    tmp = f"{t.manifest_dir}/.tmp-inflight.json"
+    t.fs.write_text(tmp, json.dumps(manifest))
+
+    # racing vacuum with the default grace: nothing swept
+    assert t.vacuum() == 0
+    assert t.fs.exists(tmp)
+    for f in staged:
+        assert t.fs.exists(f)
+
+    # the live writer's commit still lands
+    assert t.fs.rename_no_overwrite(tmp, t._manifest_path(1))
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Round-7 file-pruned copy-on-write: a merge touching keys in one
+    data file rewrites that file only — every other base file appears
+    in the new snapshot BY PATH, not as a rewritten copy."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # three appends == three disjoint file sets (one file each)
+    t.append(_df(spark, [(1, "a"), (2, "b")]).repartition(1))
+    t.append(_df(spark, [(3, "c"), (4, "d")]).repartition(1))
+    t.append(_df(spark, [(5, "e"), (6, "f")]).repartition(1))
+    before = t.snapshot()
+    assert len(before["files"]) == 3
+
+    # updates touch keys {3, 7}: key 3 lives in the second file; 7 is
+    # an insert matching no file
+    t.merge(
+        _df(spark, [(3, "C2"), (7, "g")]).repartition(1), key_cols=["k"]
+    )
+    after = t.snapshot()
+    assert after["operation"] == "merge"
+
+    rows = sorted((r.k, r.v) for r in t.read().collect())
+    assert rows == [
+        (1, "a"), (2, "b"), (3, "C2"), (4, "d"), (5, "e"), (6, "f"),
+        (7, "g"),
+    ]
+
+    # untouched files 1 and 3 are carried by reference; the touched
+    # file (containing key 3) is gone from the manifest
+    def rows_of(path):
+        return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    touched = [f for f in before["files"] if (3, "c") in rows_of(f)]
+    untouched = [f for f in before["files"] if f not in touched]
+    assert len(touched) == 1 and len(untouched) == 2
+    assert set(untouched) <= set(after["files"])
+    assert touched[0] not in after["files"]
+
+
+def test_merge_concurrent_append_rederives_not_lost_update(spark, tmp_path):
+    """Round-7 ADVICE (medium): a merge losing the commit race to a
+    concurrent append must NOT retry with its stale staged files (that
+    silently drops the winner's rows) — it discards them and re-derives
+    against the new snapshot, so both the merge and the concurrent
+    append survive."""
+    from stream_processor_spark.operators.txn_table import CommitConflict
+
+    root = str(tmp_path / "t")
+
+    class RacingTable(TxnTable):
+        raced = False
+
+        def _stage(self, df):
+            staged = super()._stage(df)
+            if not RacingTable.raced:
+                RacingTable.raced = True
+                # a concurrent writer commits between our derivation
+                # and our commit
+                TxnTable(self.spark, self.root).append(
+                    _df(self.spark, [(99, "concurrent")])
+                )
+            return staged
+
+    t = RacingTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(_df(spark, [(1, "A2")]), key_cols=["k"])
+    rows = sorted((r.k, r.v) for r in t.read().collect())
+    # the lost-update bug would drop (99, "concurrent") here
+    assert rows == [(1, "A2"), (2, "b"), (99, "concurrent")]
+
+    # and the primitive itself: a derived commit with a stale parent
+    # raises instead of committing
+    staged = t._stage(_df(spark, [(8, "stale")]))
+    with pytest.raises(CommitConflict, match="stale"):
+        t._commit(
+            staged, "merge", None, replace=True, expected_parent=0
+        )
+    for f in staged:
+        t.fs.delete(f)
