@@ -62,11 +62,23 @@ the local replica (`tests/test_oracle_parity.py` +
 sf0.001 and sf0.1.
 
 {n_total} queries registered; {n_hash} hash-checked, {n_rows} rows-only.
+
+## Layout-aware routing
+
+`stream_processor_spark.router.Router` resolves a SEMANTIC query name
+to the best available physical plan: the indexed registry entry when
+its persisted layout (bucketed fact tables / BM25 postings / IVF lists)
+exists in the catalog, the from-scratch twin otherwise — so the
+fast-path twins below are selected automatically, not by the caller
+knowing two names (`tests/test_router.py` pins both directions):
+
+{routes_table}
 """
 
 
 def main() -> None:
     from stream_processor_spark.queries import REGISTRY
+    from stream_processor_spark.router import ROUTES
 
     assigned: set[str] = set()
     blocks: list[str] = []
@@ -89,9 +101,22 @@ def main() -> None:
             + "\n".join(rows)
         )
 
+    routes_table = (
+        "| semantic query | layout | indexed plan | scratch plan |\n"
+        "|---|---|---|---|\n"
+        + "\n".join(
+            f"| `{name}` | {r.layout} | `{r.indexed}` | "
+            + (f"`{r.scratch}`" if r.scratch else "(builds layout on use)")
+            + " |"
+            for name, r in sorted(ROUTES.items())
+        )
+    )
     out = (
         HEADER.format(
-            n_total=len(REGISTRY), n_hash=n_hash, n_rows=len(REGISTRY) - n_hash
+            n_total=len(REGISTRY),
+            n_hash=n_hash,
+            n_rows=len(REGISTRY) - n_hash,
+            routes_table=routes_table,
         )
         + "\n"
         + "\n\n".join(blocks)

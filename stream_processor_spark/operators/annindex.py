@@ -41,6 +41,13 @@ from pyspark.sql import functions as F
 from stream_processor_spark.operators import npkernel as npk
 
 
+def ivf_names(sf_dir: str) -> tuple[str, str]:
+    """Deterministic (lists, centroids) table names — pure tag
+    computation for layout probes (see `postings.postings_names`)."""
+    tag = hashlib.md5(f"{sf_dir}|ivf".encode()).hexdigest()[:8]
+    return f"ivf_lists_{tag}", f"ivf_cent_{tag}"
+
+
 def ensure_ivf_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[str, str]:
@@ -54,8 +61,7 @@ def ensure_ivf_index(
     from stream_processor_spark.operators import kmeans
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
-    tag = hashlib.md5(f"{sf_dir}|ivf".encode()).hexdigest()[:8]
-    lists_name, cent_name = f"ivf_lists_{tag}", f"ivf_cent_{tag}"
+    lists_name, cent_name = ivf_names(sf_dir)
     if spark.catalog.tableExists(lists_name) and spark.catalog.tableExists(
         cent_name
     ):

@@ -112,6 +112,21 @@ def read_stats(spark: SparkSession, stats_name: str) -> DataFrame:
     )
 
 
+def postings_names(
+    spark: SparkSession, sf_dir: str, num_buckets: int | None = None
+) -> tuple[str, str]:
+    """Deterministic (postings, stats) table names for a layout — pure
+    tag computation, no existence check and no build. The probe half of
+    the layout contract: the router asks ``tableExists`` on these to
+    decide between the indexed and from-scratch plans."""
+    if num_buckets is None:
+        num_buckets = max(8, spark.sparkContext.defaultParallelism)
+    tag = hashlib.md5(
+        f"{sf_dir}|{num_buckets}|bm25v2".encode()
+    ).hexdigest()[:8]
+    return f"bm25_post_{tag}", f"bm25_stats_{tag}"
+
+
 def ensure_postings(
     spark: SparkSession, sf_dir: str, num_buckets: int | None = None
 ) -> tuple[str, str]:
@@ -126,10 +141,7 @@ def ensure_postings(
 
     if num_buckets is None:
         num_buckets = max(8, spark.sparkContext.defaultParallelism)
-    tag = hashlib.md5(
-        f"{sf_dir}|{num_buckets}|bm25v2".encode()
-    ).hexdigest()[:8]
-    post_name, stats_name = f"bm25_post_{tag}", f"bm25_stats_{tag}"
+    post_name, stats_name = postings_names(spark, sf_dir, num_buckets)
 
     if not (
         spark.catalog.tableExists(post_name)

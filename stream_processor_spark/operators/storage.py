@@ -99,16 +99,11 @@ def bucketed_pair(spark: SparkSession, sf_dir: str,
     write is skipped when the tables already exist (the amortization
     that makes write-time bucketing pay).
     """
-    import hashlib
-    import shutil
-
     from stream_processor_spark.catalog import Tables
 
+    li_name, o_name = bucketed_pair_names(spark, sf_dir, num_buckets)
     if num_buckets is None:
         num_buckets = max(8, spark.sparkContext.defaultParallelism)
-
-    tag = hashlib.md5(f"{sf_dir}|{num_buckets}".encode()).hexdigest()[:8]
-    li_name, o_name = f"b_lineitem_{tag}", f"b_orders_{tag}"
     t = Tables(spark, sf_dir)
     for name, df, key in (
         (li_name, t.lineitem, "l_orderkey"),
@@ -118,11 +113,22 @@ def bucketed_pair(spark: SparkSession, sf_dir: str,
             # a fresh session's in-memory catalog forgets managed tables,
             # but their warehouse directories persist — clear any stale
             # location or saveAsTable aborts with LOCATION_ALREADY_EXISTS
-            warehouse = spark.conf.get("spark.sql.warehouse.dir")
-            loc = warehouse.removeprefix("file:") + "/" + name
-            shutil.rmtree(loc, ignore_errors=True)
+            drop_warehouse_dir(spark, name)
             write_bucketed(df, name, key, num_buckets, sort_col=key)
     return spark.table(li_name), spark.table(o_name)
+
+
+def bucketed_pair_names(
+    spark: SparkSession, sf_dir: str, num_buckets: int | None = None
+) -> tuple[str, str]:
+    """Deterministic (lineitem, orders) bucketed-table names — pure tag
+    computation for layout probes (see `postings.postings_names`)."""
+    import hashlib
+
+    if num_buckets is None:
+        num_buckets = max(8, spark.sparkContext.defaultParallelism)
+    tag = hashlib.md5(f"{sf_dir}|{num_buckets}".encode()).hexdigest()[:8]
+    return f"b_lineitem_{tag}", f"b_orders_{tag}"
 
 
 # ------------------------------------------------------------- compaction ----

@@ -1,0 +1,157 @@
+"""Layout-aware query routing: one semantic query, two physical plans.
+
+The engine persists three accelerating layouts — bucketed fact tables
+(`operators/storage.bucketed_pair`), a BM25 postings index
+(`operators/postings`), and a partitioned IVF vector index
+(`operators/annindex`) — and until round 7 the USER had to know which
+registered query variant exploits which layout (`text_bm25` vs
+`text_bm25_postings`, `tpch_q9_shape` vs `tpch_q9_bucketed`, ...).
+That's backwards: a real engine's optimizer resolves the physical plan
+from what storage offers. This module is that contract, reduced to its
+load-bearing core (the reference — a fixed Node.js Kafka pipeline,
+src/consumer.js — has no optimizer at all; this is pure Spark-side
+surface):
+
+    r = Router(spark, sf_dir)
+    r.resolve("bm25")      # -> ("text_bm25", "scratch")    no index yet
+    r.ensure("bm25")       # build the postings layout once
+    r.resolve("bm25")      # -> ("text_bm25_postings", "indexed")
+    r.query("bm25")        # the routed DataFrame, same rows either way
+
+Routing is a CATALOG PROBE, never a build: `resolve` asks
+``tableExists`` on the layout's deterministic table names
+(`postings_names` / `ivf_names` / `bucketed_pair_names`) and picks the
+indexed variant only when every table of the layout is present. Both
+variants of every route are independently hash-oracled registry entries
+producing identical results (the round-6 twins), so routing can never
+change answers — only plans. Routes whose batched/multi-query shape has
+no from-scratch twin (`bm25_multi`, `ann_multi`, `ann_sq8_multi`)
+build the layout on first use instead — the registered behavior.
+
+At 100 TB the router is what turns the build-once/serve-pruned story
+into default behavior: ingest jobs call ``ensure`` after writing,
+query jobs just ask for the semantic query and hit the indexed plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Route:
+    """One semantic query: the layout that accelerates it, the registry
+    entry serving from that layout, and the from-scratch registry entry
+    used when the layout doesn't exist (None → the indexed variant
+    builds the layout on first use, which is its registered behavior)."""
+
+    layout: str
+    indexed: str
+    scratch: str | None
+
+
+def _postings_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.postings import postings_names
+
+    return postings_names(spark, sf_dir)
+
+
+def _ivf_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.annindex import ivf_names
+
+    return ivf_names(sf_dir)
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.storage import bucketed_pair_names
+
+    return bucketed_pair_names(spark, sf_dir)
+
+
+def _build_postings(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.postings import ensure_postings
+
+    ensure_postings(spark, sf_dir)
+
+
+def _build_ivf(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.annindex import ensure_ivf_index
+
+    ensure_ivf_index(spark, sf_dir)
+
+
+def _build_bucketed(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.storage import bucketed_pair
+
+    bucketed_pair(spark, sf_dir)
+
+
+# layout key -> (deterministic table names, builder)
+LAYOUTS = {
+    "bm25_postings": (_postings_tables, _build_postings),
+    "ivf_index": (_ivf_tables, _build_ivf),
+    "bucketed_fact": (_bucketed_tables, _build_bucketed),
+}
+
+# semantic name -> Route. Both registry entries of a route share result
+# semantics (each is hash-oracled against the same-shaped DuckDB SQL).
+ROUTES = {
+    "bm25": Route("bm25_postings", "text_bm25_postings", "text_bm25"),
+    "bm25_multi": Route("bm25_postings", "text_bm25_multiquery", None),
+    "ann_topk": Route("ivf_index", "sim_ann_ivf_indexed", "sim_ann_ivf"),
+    "ann_multi": Route("ivf_index", "sim_ann_ivf_multiquery", None),
+    "fact_fact_join": Route("bucketed_fact", "join_bucketed", None),
+    "star_3way": Route(
+        "bucketed_fact", "join_star_3way_bucketed", "join_star_3way"
+    ),
+    "star_5way": Route(
+        "bucketed_fact", "join_star_5way_bucketed", "join_star_5way"
+    ),
+    "tpch_q9": Route("bucketed_fact", "tpch_q9_bucketed", "tpch_q9_shape"),
+    "tpch_q21": Route("bucketed_fact", "tpch_q21_bucketed", "tpch_q21_shape"),
+}
+
+
+class Router:
+    """Resolve semantic query names to the best available physical plan
+    for one (spark, sf_dir) pair. Stateless between calls: every
+    `resolve` re-probes the catalog, so a layout built (or dropped)
+    elsewhere in the session is picked up immediately."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def has_layout(self, layout: str) -> bool:
+        names_fn, _ = LAYOUTS[layout]
+        return all(
+            self.spark.catalog.tableExists(n)
+            for n in names_fn(self.spark, self.sf_dir)
+        )
+
+    def ensure(self, name: str) -> None:
+        """Build ``name``'s accelerating layout if absent (ingest-side
+        call; the amortized write the serve path assumes)."""
+        _, build = LAYOUTS[ROUTES[name].layout]
+        build(self.spark, self.sf_dir)
+
+    def resolve(self, name: str) -> tuple[str, str]:
+        """(registry entry, 'indexed' | 'scratch') for semantic query
+        ``name`` — the probe decision without running anything."""
+        route = ROUTES[name]
+        if route.scratch is None or self.has_layout(route.layout):
+            return route.indexed, "indexed"
+        return route.scratch, "scratch"
+
+    def query(self, name: str) -> DataFrame:
+        """The routed DataFrame for semantic query ``name``."""
+        from stream_processor_spark.queries import REGISTRY
+
+        entry, _ = self.resolve(name)
+        return REGISTRY[entry].fn(self.spark, self.sf_dir)
+
+    def plan_report(self) -> dict[str, tuple[str, str]]:
+        """Every route's current resolution — the EXPLAIN of the router."""
+        return {name: self.resolve(name) for name in ROUTES}

@@ -1,0 +1,82 @@
+"""Layout-aware query routing (stream_processor_spark/router.py).
+
+Contract: `resolve` probes the catalog — scratch plan when the layout
+is absent, indexed plan once it exists — and `query` returns identical
+rows either way (the routed variants are the hash-oracled twins)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from stream_processor_spark.router import ROUTES, Router
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def routed_dir(tmp_path):
+    """A private sf-dir copy so layout tags are unseen by the session
+    catalog (routes start un-indexed)."""
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ("documents", "embeddings", "lineitem", "orders", "customer"):
+        shutil.copy(os.path.join(SF_SMALL, f"{t}.parquet"), d / f"{t}.parquet")
+    return str(d)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bm25_routes_scratch_then_indexed_same_rows(spark, routed_dir):
+    from stream_processor_spark.operators.postings import postings_names
+
+    r = Router(spark, routed_dir)
+    assert r.resolve("bm25") == ("text_bm25", "scratch")
+    scratch_rows = _rows(r.query("bm25"))
+    # the scratch plan must not touch any postings table
+    post, _stats = postings_names(spark, routed_dir)
+    assert post not in r.query("bm25")._jdf.queryExecution().analyzed().toString()
+
+    r.ensure("bm25")
+    assert r.resolve("bm25") == ("text_bm25_postings", "indexed")
+    indexed = r.query("bm25")
+    assert post in indexed._jdf.queryExecution().analyzed().toString()
+    assert _rows(indexed) == scratch_rows
+
+    # multi-query shape has no scratch twin: always the indexed entry
+    assert r.resolve("bm25_multi") == ("text_bm25_multiquery", "indexed")
+
+
+def test_star_route_flips_on_bucketed_layout(spark, routed_dir):
+    r = Router(spark, routed_dir)
+    assert r.resolve("star_3way") == ("join_star_3way", "scratch")
+    scratch_rows = _rows(r.query("star_3way"))
+    r.ensure("star_3way")
+    assert r.resolve("star_3way") == ("join_star_3way_bucketed", "indexed")
+    assert _rows(r.query("star_3way")) == scratch_rows
+    # one bucketed_pair layout serves every fact-fact route
+    for name in ("star_5way", "tpch_q9", "tpch_q21", "fact_fact_join"):
+        got, how = r.resolve(name)
+        assert how == "indexed" and got == ROUTES[name].indexed
+
+
+def test_ann_route_flips_on_ivf_layout(spark, routed_dir):
+    r = Router(spark, routed_dir)
+    assert r.resolve("ann_topk") == ("sim_ann_ivf", "scratch")
+    scratch_rows = _rows(r.query("ann_topk"))
+    r.ensure("ann_topk")
+    assert r.resolve("ann_topk") == ("sim_ann_ivf_indexed", "indexed")
+    assert _rows(r.query("ann_topk")) == scratch_rows
+
+
+def test_plan_report_covers_every_route(spark, routed_dir):
+    report = Router(spark, routed_dir).plan_report()
+    assert set(report) == set(ROUTES)
+    for entry, how in report.values():
+        assert how in ("indexed", "scratch")
+        from stream_processor_spark.queries import REGISTRY
+
+        assert entry in REGISTRY
