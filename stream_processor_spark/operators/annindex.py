@@ -283,3 +283,333 @@ def ivf_query_indexed(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(topk)
     )
+
+
+# ---------------------------------------------------- trained-model indexes
+
+
+def ivf_trained_names(sf_dir: str, k: int = 10, iters: int = 2) -> tuple[str, str]:
+    """Deterministic (lists, centroids) names for the TRAINED-quantizer
+    IVF layout (Lloyd centroids instead of per-label means)."""
+    tag = hashlib.md5(f"{sf_dir}|ivftr|{k}|{iters}".encode()).hexdigest()[:8]
+    return f"ivftr_lists_{tag}", f"ivftr_cent_{tag}"
+
+
+def ensure_ivf_trained_index(
+    spark: SparkSession, sf_dir: str, k: int = 10, iters: int = 2
+) -> tuple[str, str]:
+    """`ensure_ivf_index` with the coarse quantizer TRAINED by the
+    deterministic fixed-point Lloyd's (`kmeans.lloyd_fit_np` — the
+    model `sim_ann_ivf_trained` fits PER QUERY) persisted alongside the
+    corpus partitioned by its assigned list. This closes the last gap
+    between the trained family and the build-once/serve-pruned layout:
+    training cost (iters corpus passes + model-sized shuffles) is paid
+    at WRITE time; serving is the identical partition-pruned
+    `ivf_query_indexed` scan. Same frozen-model append contract as the
+    label-based index (`append_ivf_index` works unchanged on these
+    table names)."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators import kmeans
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    lists_name, cent_name = ivf_trained_names(sf_dir, k, iters)
+    if spark.catalog.tableExists(lists_name) and spark.catalog.tableExists(
+        cent_name
+    ):
+        return lists_name, cent_name
+    for name in (lists_name, cent_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        drop_warehouse_dir(spark, name)
+
+    e = Tables(spark, sf_dir).embeddings
+    cent = kmeans.lloyd_fit_np(e, k=k, iters=iters)
+    cent.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("c").cast("double").alias("c"),
+    ).write.mode("overwrite").format("parquet").saveAsTable(cent_name)
+
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            assigned, _sxx = npk.assign_labels(E, labels, C, scc)
+            out = pdf[["vec_id", "embedding"]].copy()
+            out["list_id"] = assigned
+            yield out
+
+    (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            assign, schema="vec_id long, embedding array<float>, list_id long"
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .format("parquet")
+        .saveAsTable(lists_name)
+    )
+    return lists_name, cent_name
+
+
+def pq_names(
+    sf_dir: str, n_sub: int = 8, sub_dim: int = 8, k: int = 16, iters: int = 2
+) -> tuple[str, str]:
+    """Deterministic (codes, codebooks) table names for the PQ layout."""
+    tag = hashlib.md5(
+        f"{sf_dir}|pq|{n_sub}|{sub_dim}|{k}|{iters}".encode()
+    ).hexdigest()[:8]
+    return f"pq_codes_{tag}", f"pq_books_{tag}"
+
+
+def ensure_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> tuple[str, str]:
+    """Persist the TRAINED product-quantization layout once per sf_dir:
+    the deterministic-Lloyd codebooks (`kmeans.lloyd_fit_pq` — the
+    model `sim_ann_pq_trained` fits per query) as a tiny side table,
+    and every corpus vector's M codeword ids (8 int8-sized values — the
+    32x scan shrinkage PQ exists for) as a codes table. Assignment uses
+    the exact `npkernel.pq_code_cids` argmin the inline serve uses, so
+    a query served from this layout is bit-identical to the fit-per-
+    query plan (shared oracle).
+
+    At 100 TB this is the PQ contract: train once (on a sample if need
+    be), write codes next to the corpus, and every similarity pass
+    scans 8 bytes/vector instead of 256 — the shortlist never touches
+    float embeddings; only the final topk rerank reads the (pushed-
+    down, id-pruned) full vectors."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators import kmeans
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    codes_name, books_name = pq_names(sf_dir, n_sub, sub_dim, k, iters)
+    if spark.catalog.tableExists(codes_name) and spark.catalog.tableExists(
+        books_name
+    ):
+        return codes_name, books_name
+    for name in (codes_name, books_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        drop_warehouse_dir(spark, name)
+
+    e = Tables(spark, sf_dir).embeddings
+    books_frame = kmeans.lloyd_fit_pq(
+        e, n_sub=n_sub, sub_dim=sub_dim, k=k, iters=iters
+    )
+    books_frame.select(
+        F.col("m").cast("long").alias("m"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("c").cast("double").alias("c"),
+    ).write.mode("overwrite").format("parquet").saveAsTable(books_name)
+
+    books = npk.hydrate_codebooks(spark.table(books_name))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            codes = npk.pq_code_cids(E, books, sub_dim)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    (
+        e.select("vec_id", "embedding")
+        .mapInPandas(encode, schema="vec_id long, codes array<long>")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(codes_name)
+    )
+    return codes_name, books_name
+
+
+def _adc_score_col(tables) -> "F.Column":
+    """JVM-side ADC score over the persisted codes column: per subspace
+    a literal cid->table map lookup (`element_at`), summed as exact
+    int64 — whole-stage-codegen resident, no Python in the shortlist
+    scan."""
+    score = None
+    for m, tbl in enumerate(tables):
+        cids = sorted(tbl)
+        mexpr = F.map_from_arrays(
+            F.array(*[F.lit(int(c)).cast("long") for c in cids]),
+            F.array(*[F.lit(int(tbl[c])).cast("long") for c in cids]),
+        )
+        term = F.element_at(mexpr, F.col("codes").getItem(m))
+        score = term if score is None else score + term
+    return score
+
+
+def pq_query_indexed(
+    spark: SparkSession,
+    codes_name: str,
+    books_name: str,
+    embeddings: DataFrame,
+    query_vec: np.ndarray,
+    shortlist: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """Serve one PQ-ADC query from the persisted layout: the shortlist
+    scan reads ONLY the codes table (8 ids/vector) with the per-query
+    ADC tables folded in as literal maps (JVM expressions, exact int64
+    sums — identical scores to `npkernel.pq_adc_scores`); the exact
+    cosine rerank then reads just the `shortlist` pushed-down ids from
+    the float embeddings. Results are bit-identical to the fit-per-
+    query `sim_ann_pq_trained` plan (same codebooks, same assignment,
+    same shortlist boundary `s DESC, vec_id ASC`, same rerank
+    arithmetic)."""
+    import pandas as pd
+
+    books = npk.hydrate_codebooks(spark.table(books_name))
+    sub_dim = books[0][1].shape[1]
+    q = np.asarray(query_vec, dtype=np.float64)
+    tables = npk.pq_adc_tables(books, sub_dim, q)
+    short_ids = [
+        int(r[0])
+        for r in spark.table(codes_name)
+        .select("vec_id", _adc_score_col(tables).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(shortlist)
+        .select("vec_id")
+        .collect()
+    ]
+    sqq = npk.self_norms_scaled(q[None, :])[0]
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            sxx = npk.self_norms_scaled(E)
+            p = npk.dot_scaled(E, q)
+            cos = p.astype("float64") / (
+                np.sqrt(sxx.astype("float64")) * np.sqrt(float(sqq))
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cosine": cos}
+            )
+
+    return (
+        embeddings.filter(F.col("vec_id").isin(short_ids))
+        .select("vec_id", "embedding")
+        .mapInPandas(rerank, schema="vec_id long, cosine double")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(topk)
+    )
+
+
+def pq_multi_query_indexed(
+    spark: SparkSession,
+    codes_name: str,
+    books_name: str,
+    embeddings: DataFrame,
+    queries: dict,
+    shortlist: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """Serve MANY PQ-ADC queries in ONE pass over the codes table: each
+    query contributes one literal-map ADC score column to the same
+    scan; per-query shortlists come from one window, and one pushed-
+    down embeddings read reranks the UNION of all shortlists (each
+    candidate scored only against the queries that shortlisted it).
+    For any query_id the rows are identical to `pq_query_indexed`."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    books = npk.hydrate_codebooks(spark.table(books_name))
+    sub_dim = books[0][1].shape[1]
+    qids = sorted(queries)
+    Q = {
+        qid: np.asarray(queries[qid], dtype=np.float64) for qid in qids
+    }
+    scored = spark.table(codes_name).select(
+        "vec_id",
+        *[
+            _adc_score_col(
+                npk.pq_adc_tables(books, sub_dim, Q[qid])
+            ).alias(f"s_{qid}")
+            for qid in qids
+        ],
+    )
+    stacked = scored.select(
+        "vec_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(q)).cast("long") for q in qids]),
+                F.array(*[F.col(f"s_{qid}") for qid in qids]),
+            )
+        ).alias("query_id", "s"),
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    short = (
+        stacked.withColumn("__rn", F.row_number().over(w_s))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    members: dict[int, set] = {qid: set() for qid in qids}
+    for r in short:
+        members[int(r[0])].add(int(r[1]))
+    union_ids = sorted(set().union(*members.values()))
+    sqqs = {
+        qid: npk.self_norms_scaled(Q[qid][None, :])[0] for qid in qids
+    }
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            ids = pdf["vec_id"].to_numpy()
+            sxx = npk.self_norms_scaled(E)
+            frames = []
+            for qid in qids:
+                mask = np.isin(ids, list(members[qid]))
+                if not mask.any():
+                    continue
+                p = npk.dot_scaled(E[mask], Q[qid])
+                cos = p.astype("float64") / (
+                    np.sqrt(sxx[mask].astype("float64"))
+                    * np.sqrt(float(sqqs[qid]))
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": ids[mask], "cosine": cos}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    reranked = (
+        embeddings.filter(F.col("vec_id").isin(union_ids))
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            rerank, schema="query_id long, vec_id long, cosine double"
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w_c))
+        .filter(F.col("__rn") <= topk)
+        .drop("__rn")
+    )

@@ -172,25 +172,52 @@ def hydrate_codebooks(cent_rows):
     return books
 
 
+def pq_code_cids(E: np.ndarray, books, sub_dim: int) -> np.ndarray:
+    """Per-subspace winning codeword ids — the code-ASSIGNMENT half of
+    :func:`pq_adc_scores`, factored out so the persisted-index build
+    (`annindex.ensure_pq_index`) and the inline serve share the exact
+    argmin (scaled-int squared distance, ties to the LOWEST cid — argmin
+    returns the first minimum and `cids` is ascending). Returns (n, M)
+    int64 of cid VALUES (not positions)."""
+    n = E.shape[0]
+    out = np.zeros((n, len(books)), dtype=np.int64)
+    for m, (cids, CB) in enumerate(books):
+        Xs = E[:, m * sub_dim:(m + 1) * sub_dim]
+        P = Xs[:, None, :] - CB[None, :, :]
+        D = round_half_up((P * P) * SCALE).sum(axis=-1)
+        out[:, m] = cids[np.argmin(D, axis=1)]
+    return out
+
+
+def pq_adc_tables(books, sub_dim: int, q: np.ndarray) -> list:
+    """Per-subspace {cid: scaled-int ADC table entry} for one query —
+    the query-side half of :func:`pq_adc_scores`
+    (`sum(round((q_i*c_i)*1e16))` per codeword)."""
+    return [
+        dict(
+            zip(
+                cids.tolist(),
+                dot_scaled(CB, q[m * sub_dim:(m + 1) * sub_dim]).tolist(),
+            )
+        )
+        for m, (cids, CB) in enumerate(books)
+    ]
+
+
 def pq_adc_scores(E: np.ndarray, books, sub_dim: int, q: np.ndarray) -> np.ndarray:
     """PQ code assignment + asymmetric-distance scores in one pass.
 
-    Per subspace: argmin of the exact scaled-int squared distance
-    (`sum(round(((x-c)*(x-c))*1e16))`, ties to the LOWEST cid — argmin
-    returns the first minimum and `cids` is ascending), then the
+    Per subspace: the :func:`pq_code_cids` argmin assignment, then the
     query-side ADC table entry (`sum(round((q_i*c_i)*1e16))`) for the
     winning codeword; scores sum as exact int64 across subspaces —
     bit-identical to the JVM `pq_code_expr`/`pq_adc_expr` expressions
     and the unrolled-CTE oracles.
     """
-    n = E.shape[0]
-    s = np.zeros(n, dtype=np.int64)
-    for m, (cids, CB) in enumerate(books):
-        Xs = E[:, m * sub_dim:(m + 1) * sub_dim]
-        P = Xs[:, None, :] - CB[None, :, :]
-        D = round_half_up((P * P) * SCALE).sum(axis=-1)
-        idx = np.argmin(D, axis=1)
-        qsub = q[m * sub_dim:(m + 1) * sub_dim]
-        tbl = dot_scaled(CB, qsub)
-        s += tbl[idx]
+    codes = pq_code_cids(E, books, sub_dim)
+    tables = pq_adc_tables(books, sub_dim, q)
+    s = np.zeros(E.shape[0], dtype=np.int64)
+    for m, tbl in enumerate(tables):
+        cids = np.asarray(sorted(tbl), dtype=np.int64)
+        vals = np.asarray([tbl[int(c)] for c in cids], dtype=np.int64)
+        s += vals[np.searchsorted(cids, codes[:, m])]
     return s

@@ -3766,3 +3766,350 @@ def feature_quantile_bins(t):
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------- persisted trained-ANN serving ----
+# Round-7: the trained family (Lloyd-fit IVF and PQ) gets the same
+# build-once/serve-pruned treatment the label-based IVF index and the
+# BM25 postings received in round 6 (operators/annindex.py), plus
+# batched multi-query serving for the quantized shortlist paths.
+
+
+@register("sim_ann_ivf_trained_indexed", oracle=_IVF_TRAINED_ORACLE)
+def sim_ann_ivf_trained_indexed(t):
+    """`sim_ann_ivf_trained` served from a PERSISTED index: the
+    deterministic-Lloyd coarse quantizer is fitted ONCE at build time
+    (`operators/annindex.ensure_ivf_trained_index` — the same
+    `kmeans.lloyd_fit_np` model the per-query plan refits every call)
+    and the corpus written partitioned by its assigned list; each query
+    then probes nprobe=3 lists driver-side and scans only those
+    partitions (`PartitionFilters` pruning) with the exact scaled-int64
+    rerank. Results are identical to `sim_ann_ivf_trained` — same
+    model trajectory, probe order, rerank — so the full
+    training-replay oracle is shared.
+
+    Scale: this closes the 'persist the trained model' half of the IVF
+    story — training (2 corpus passes + model-sized shuffles) is paid
+    at write time, serving is nprobe/k of the corpus by layout, and
+    `append_ivf_index` works unchanged against the frozen trained
+    model."""
+    from stream_processor_spark.operators.annindex import (
+        ensure_ivf_trained_index,
+        ivf_query_indexed,
+    )
+
+    spark = t._spark
+    lists_name, cent_name = ensure_ivf_trained_index(spark, t._dir)
+    qrow = (
+        t.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError("trained IVF serve: query vector (vec_id=0) missing")
+    return ivf_query_indexed(
+        spark,
+        lists_name,
+        cent_name,
+        np.asarray(qrow[0], dtype=np.float64),
+        nprobe=3,
+    )
+
+
+@register("sim_ann_pq_indexed", oracle=_PQ_TRAINED_ORACLE)
+def sim_ann_pq_indexed(t):
+    """`sim_ann_pq_trained` served from a PERSISTED layout: codebooks
+    trained once (`operators/annindex.ensure_pq_index`, the exact
+    deterministic-Lloyd dataflow) and every vector's 8 codeword ids
+    written as a codes table — 8 ids/vector vs 64 floats, the 32x scan
+    shrinkage PQ exists for. Serving computes the query's ADC tables
+    driver-side, folds them into the codes scan as literal maps
+    (whole-stage-codegen `element_at` sums, exact int64 — zero Python
+    in the shortlist), and reranks ONLY the shortlist ids read back
+    from the float table with vec_id pushdown. Identical results to
+    the fit-per-query plan (same assignment argmin, shortlist
+    boundary, rerank), so the training-replay oracle is shared.
+
+    Scale: the shortlist pass scans the codes table (≈3% of the float
+    bytes); the float embeddings are touched for exactly `shortlist`
+    rows per query. Rebuild cadence handles drift; the codes table is
+    append-able with the frozen codebooks like every other layout."""
+    from stream_processor_spark.operators.annindex import (
+        ensure_pq_index,
+        pq_query_indexed,
+    )
+
+    spark = t._spark
+    codes_name, books_name = ensure_pq_index(
+        spark, t._dir, _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
+    )
+    q = npk.hydrate_query(t.embeddings)
+    return pq_query_indexed(
+        spark, codes_name, books_name, t.embeddings, q,
+        shortlist=_PQ_SHORTLIST,
+    )
+
+
+def _pq_serve_multi_sql(
+    query_ids, shortlist: int = _PQ_SHORTLIST, topk: int = 10
+) -> str:
+    """Multi-query PQ-ADC serving CTEs: the (query-independent) code
+    assignment is computed once; ADC tables, integer shortlists and
+    exact reranks carry a query_id dimension — per query identical to
+    `_pq_serve_sql`."""
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    return f"""codes AS (
+  SELECT vid, m, cid FROM (
+    SELECT vid, m, cid, row_number() OVER (PARTITION BY vid, m
+             ORDER BY dist ASC, cid ASC) AS rn FROM (
+      SELECT l.vid, l.m, c.cid,
+             CAST(SUM(CAST(round((l.v - c.c) * (l.v - c.c) * 1e16) AS BIGINT))
+                  AS BIGINT) AS dist
+      FROM sub_long l JOIN cent c ON c.m = l.m AND c.pos = l.pos
+      GROUP BY l.vid, l.m, c.cid)) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({ids})),
+q_adc AS (
+  SELECT q.query_id, c.m, c.cid,
+         CAST(SUM(CAST(round(CAST(q.qv[c.m * {_PQ_SUB} + c.pos] AS DOUBLE) * c.c
+                             * 1e16) AS BIGINT)) AS BIGINT) AS t
+  FROM cent c CROSS JOIN q GROUP BY q.query_id, c.m, c.cid),
+scores AS (
+  SELECT a.query_id, k.vid, CAST(SUM(a.t) AS BIGINT) AS s
+  FROM codes k JOIN q_adc a ON a.m = k.m AND a.cid = k.cid
+  GROUP BY a.query_id, k.vid),
+short AS (
+  SELECT query_id, vid AS vec_id FROM (
+    SELECT query_id, vid, row_number() OVER (PARTITION BY query_id
+             ORDER BY s DESC, vid ASC) AS rn
+    FROM scores) WHERE rn <= {shortlist}),
+cand_terms AS (
+  SELECT sh.query_id, e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN short sh ON sh.vec_id = e.vec_id
+  JOIN q ON q.query_id = sh.query_id
+  CROSS JOIN generate_series(1, 64) AS i(i)),
+mscored AS (
+  SELECT query_id, vec_id,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+  FROM cand_terms GROUP BY query_id, vec_id)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM mscored) WHERE rn <= {topk}
+"""
+
+
+_PQ_MULTI_ORACLE = (
+    "WITH "
+    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS)
+    + ",\n"
+    + _pq_serve_multi_sql([0, 1, 2])
+)
+
+
+@register("sim_ann_pq_multiquery", oracle=_PQ_MULTI_ORACLE)
+def sim_ann_pq_multiquery(t):
+    """Batched PQ-ADC: THREE query vectors (vec_id 0/1/2) served in ONE
+    pass over the persisted codes table
+    (`operators/annindex.pq_multi_query_indexed`) — each query adds one
+    literal-map ADC column to the same 8-ids/vector scan, per-query
+    shortlists come from one window, and one pushed-down embeddings
+    read reranks the union of shortlists. Per query the rows are
+    identical to `sim_ann_pq_indexed`; the oracle is the training
+    replay with a query dimension.
+
+    Scale: N queries cost one codes scan (+N codegen columns) + one
+    |union shortlist|-row float read — vs N full scans for the
+    fit-per-query plan; this is the training-data-selection shape
+    (thousands of probe queries against one corpus) for the quantized
+    family."""
+    from stream_processor_spark.operators.annindex import (
+        ensure_pq_index,
+        pq_multi_query_indexed,
+    )
+
+    spark = t._spark
+    codes_name, books_name = ensure_pq_index(
+        spark, t._dir, _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
+    )
+    qrows = (
+        t.embeddings.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("multi-query PQ: no query vectors found")
+    queries = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
+    return pq_multi_query_indexed(
+        spark, codes_name, books_name, t.embeddings, queries,
+        shortlist=_PQ_SHORTLIST,
+    )
+
+
+def _sq8_multi_oracle(query_ids, shortlist: int = 50, topk: int = 10) -> str:
+    """`_SQ8_ORACLE` with a query_id dimension — quantization CTEs are
+    query-independent and computed once; per query the serve replay is
+    identical to the single-query oracle."""
+    ids = ", ".join(str(i) for i in sorted(query_ids))
+    return f"""
+WITH dims AS (
+  SELECT i.i AS pos,
+         MIN(CAST(embedding[i.i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i.i] AS DOUBLE)) AS mx
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS i(i)
+  GROUP BY i.i
+),
+q8 AS (
+  SELECT e.vec_id, d.pos,
+         CASE WHEN d.mx > d.mn THEN
+           CAST(round(((CAST(e.embedding[d.pos] AS DOUBLE) - d.mn) * 255.0)
+                      / (d.mx - d.mn)) AS BIGINT)
+         ELSE 0 END AS q
+  FROM embeddings e CROSS JOIN dims d
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN ({ids})),
+scores AS (
+  SELECT q.query_id, a.vec_id,
+         CAST(SUM(CAST(round(((CAST(a.q AS DOUBLE) * (d.mx - d.mn)) / 255.0 + d.mn)
+                             * CAST(q.qv[a.pos] AS DOUBLE) * 1e16) AS BIGINT))
+              AS BIGINT) AS s
+  FROM q8 a JOIN dims d USING (pos) CROSS JOIN q
+  GROUP BY q.query_id, a.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, vec_id) AS rn
+    FROM scores) WHERE rn <= {shortlist}),
+terms AS (
+  SELECT cd.query_id, e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN cand cd ON cd.vec_id = e.vec_id
+  JOIN q ON q.query_id = cd.query_id
+  CROSS JOIN generate_series(1, 64) AS i(i)),
+mscored AS (
+  SELECT query_id, vec_id,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+  FROM terms GROUP BY query_id, vec_id)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM mscored) WHERE rn <= {topk}
+"""
+
+
+@register("sim_ann_sq8_multiquery", oracle=_sq8_multi_oracle([0, 1, 2]))
+def sim_ann_sq8_multiquery(t):
+    """Batched SQ8: THREE query vectors (vec_id 0/1/2) served in ONE
+    corpus pass — the (mn, mx) codebook fits once (query-independent),
+    and the single Arrow-batched scan quantizes/dequantizes each vector
+    ONCE then scores it against every query (the dequantized matrix is
+    reused across queries — the batched-ADC trick). Each batch emits
+    only its per-query top-`shortlist` rows (a safe superset of the
+    global shortlist — the standard partial top-k), so the window
+    input stays bounded by batches x queries x shortlist, not the
+    corpus. Per-query shortlist and exact-cosine rerank are one
+    window each; rows per query are identical to `sim_ann_sq8`.
+
+    Scale: N queries = ONE corpus scan + per-batch O(n·d + n·N) numpy
+    (vs N scans each repeating quantization); the window input is
+    model-sized. This is the remaining retrieval path from round-6
+    verdict item 7, completing multi-query serving across BM25, IVF,
+    PQ and SQ8."""
+    import pandas as pd
+
+    e = t.embeddings
+    dim = 64
+    aggs = [
+        F.expr(f"min(cast(element_at(embedding, {i}) AS double)) AS mn{i}")
+        for i in range(1, dim + 1)
+    ] + [
+        F.expr(f"max(cast(element_at(embedding, {i}) AS double)) AS mx{i}")
+        for i in range(1, dim + 1)
+    ]
+    row = e.agg(*aggs).collect()[0]
+    mn = np.asarray([row[f"mn{i}"] for i in range(1, dim + 1)], dtype=np.float64)
+    mx = np.asarray([row[f"mx{i}"] for i in range(1, dim + 1)], dtype=np.float64)
+    span = mx - mn
+    ok = mx > mn
+    span_safe = np.where(ok, span, 1.0)
+    qrows = (
+        e.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("multi-query SQ8: no query vectors found")
+    qids = sorted(int(r[0]) for r in qrows)
+    Q = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
+    sqqs = {qid: npk.self_norms_scaled(Q[qid][None, :])[0] for qid in qids}
+    shortlist, topk = 50, 10
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            ids = pdf["vec_id"].to_numpy()
+            Q8 = np.where(ok, npk.round_half_up(((E - mn) * 255.0) / span_safe), 0)
+            DQ = (Q8.astype(np.float64) * span) / 255.0 + mn
+            sxx = npk.self_norms_scaled(E)
+            frames = []
+            for qid in qids:
+                qv = Q[qid]
+                s = npk.round_half_up((DQ * qv) * 1e16).sum(axis=1)
+                p = npk.dot_scaled(E, qv)
+                cos = p.astype("float64") / (
+                    np.sqrt(sxx.astype("float64")) * np.sqrt(float(sqqs[qid]))
+                )
+                # batch-local partial top-k (s DESC, vec_id ASC): a safe
+                # superset of the global shortlist boundary
+                keep = np.lexsort((ids, -s))[:shortlist]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": ids[keep],
+                            "s": s[keep],
+                            "cosine": cos[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    from pyspark.sql.window import Window
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, vec_id long, s long, cosine double"
+    )
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_s))
+        .filter(F.col("__rn") <= shortlist)
+        .drop("__rn", "s")
+        .withColumn("__rn", F.row_number().over(w_c))
+        .filter(F.col("__rn") <= topk)
+        .drop("__rn")
+    )
