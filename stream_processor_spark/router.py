@@ -70,6 +70,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
     return bucketed_pair_names(spark, sf_dir)
 
 
+def _ivf_trained_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.annindex import ivf_trained_names
+
+    return ivf_trained_names(sf_dir)
+
+
+def _pq_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.annindex import pq_names
+
+    return pq_names(sf_dir)
+
+
 def _build_postings(spark: SparkSession, sf_dir: str) -> None:
     from stream_processor_spark.operators.postings import ensure_postings
 
@@ -88,11 +100,27 @@ def _build_bucketed(spark: SparkSession, sf_dir: str) -> None:
     bucketed_pair(spark, sf_dir)
 
 
+def _build_ivf_trained(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.annindex import (
+        ensure_ivf_trained_index,
+    )
+
+    ensure_ivf_trained_index(spark, sf_dir)
+
+
+def _build_pq(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.annindex import ensure_pq_index
+
+    ensure_pq_index(spark, sf_dir)
+
+
 # layout key -> (deterministic table names, builder)
 LAYOUTS = {
     "bm25_postings": (_postings_tables, _build_postings),
     "ivf_index": (_ivf_tables, _build_ivf),
     "bucketed_fact": (_bucketed_tables, _build_bucketed),
+    "ivf_trained": (_ivf_trained_tables, _build_ivf_trained),
+    "pq_index": (_pq_tables, _build_pq),
 }
 
 # semantic name -> Route. Both registry entries of a route share result
@@ -111,6 +139,11 @@ ROUTES = {
     ),
     "tpch_q9": Route("bucketed_fact", "tpch_q9_bucketed", "tpch_q9_shape"),
     "tpch_q21": Route("bucketed_fact", "tpch_q21_bucketed", "tpch_q21_shape"),
+    "ann_trained": Route(
+        "ivf_trained", "sim_ann_ivf_trained_indexed", "sim_ann_ivf_trained"
+    ),
+    "ann_pq": Route("pq_index", "sim_ann_pq_indexed", "sim_ann_pq_trained"),
+    "ann_pq_multi": Route("pq_index", "sim_ann_pq_multiquery", None),
 }
 
 

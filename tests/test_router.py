@@ -72,6 +72,17 @@ def test_ann_route_flips_on_ivf_layout(spark, routed_dir):
     assert _rows(r.query("ann_topk")) == scratch_rows
 
 
+def test_pq_route_flips_on_codes_layout(spark, routed_dir):
+    r = Router(spark, routed_dir)
+    assert r.resolve("ann_pq") == ("sim_ann_pq_trained", "scratch")
+    scratch_rows = _rows(r.query("ann_pq"))
+    r.ensure("ann_pq")
+    assert r.resolve("ann_pq") == ("sim_ann_pq_indexed", "indexed")
+    assert _rows(r.query("ann_pq")) == scratch_rows
+    # the multi-query shape shares the layout
+    assert r.resolve("ann_pq_multi") == ("sim_ann_pq_multiquery", "indexed")
+
+
 def test_plan_report_covers_every_route(spark, routed_dir):
     report = Router(spark, routed_dir).plan_report()
     assert set(report) == set(ROUTES)
