@@ -73,6 +73,19 @@ fast-path twins below are selected automatically, not by the caller
 knowing two names (`tests/test_router.py` pins both directions):
 
 {routes_table}
+
+### Teaching entries (reclassified round 7)
+
+Five entries exist to DEMONSTRATE the shuffle-era / decimal cost their
+registered twins eliminate, and are documented teaching entries rather
+than performance claims: `tpch_q9_shape`, `tpch_q21_shape`,
+`join_star_3way`, `join_star_5way` (per-query fact-fact exchange — the
+round-7 knob matrix over SMJ/shuffled-hash x AQE-skew x partitions,
+docs/SF10_STRAGGLERS_r7.json, bottoms out at 3.1x/3.4x DuckDB at sf10;
+the bucketed twins measure 0.93x-1.51x) and `agg_groupby_decimal`
+(decimal aggregation off the codegen path; `agg_groupby_wide` is the
+0.99x exact answer). The router resolves each to its fast twin when
+the layout exists — the correctness oracles still hash-check all five.
 """
 
 

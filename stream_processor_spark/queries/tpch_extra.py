@@ -110,7 +110,16 @@ _Q9_ORACLE = f"""
 
 @register("tpch_q9_shape", oracle=_Q9_ORACLE)
 def tpch_q9_shape(t):
-    """TPC-H Q9 shape, shuffle-era (at scale use `tpch_q9_bucketed`: 0.96x vs 2.43x at sf100).
+    """TPC-H Q9, TEACHING ENTRY (shuffle-era; the routed answer is `tpch_q9_bucketed`, 1.51x at sf10 / 0.96x at sf100).
+
+    Reclassified round 7 after the knob matrix exhausted the shuffle-era
+    levers (docs/SF10_STRAGGLERS_r7.json): best of {SMJ vs shuffled-hash,
+    AQE skew on/off, 32/64 partitions} is 3.1x DuckDB at sf10 — the gap
+    IS the per-query fact-fact exchange, and the fix is the write-time
+    bucketed layout (`Router("tpch_q9")` selects it automatically when
+    built), not a runtime conf. AQE skew-join is a no-op here (uniform
+    TPC-H keys); storage-partitioned join needs the bucketed relations
+    this entry deliberately avoids.
 
     Product-type profit: multi-dim star join with a LIKE filter on the
     part name and a derived per-row profit measure (supply cost analog:
@@ -381,7 +390,15 @@ _Q21_ORACLE = """
 
 @register("tpch_q21_shape", oracle=_Q21_ORACLE)
 def tpch_q21_shape(t):
-    """TPC-H Q21 shape, shuffle-era (at scale use `tpch_q21_bucketed`: 1.09x vs 3.98x at sf100).
+    """TPC-H Q21, TEACHING ENTRY (shuffle-era; the routed answer is `tpch_q21_bucketed`, 0.93x at sf10).
+
+    Reclassified round 7 after the knob matrix exhausted the shuffle-era
+    levers (docs/SF10_STRAGGLERS_r7.json): best of {SMJ vs shuffled-hash,
+    AQE skew on/off, 32/64 partitions} is 3.44x DuckDB at sf10 — three
+    self-joins of the fact table each pay the exchange this plan exists
+    to demonstrate; the co-bucketed twin replaces all of them with
+    zero-Exchange merge joins (`Router("tpch_q21")` selects it when the
+    layout exists). AQE skew-join is a no-op (uniform keys).
 
     Suppliers who kept orders waiting: the classic
     EXISTS + NOT-EXISTS self-join pair on lineitem, decorrelated into
