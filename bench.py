@@ -67,6 +67,9 @@ HEADLINE = [
     "text_bm25_postings",
     "join_star_5way_bucketed",
     "sim_ann_ivf_indexed",
+    # round 7: the trained-family persisted serves and a batched serve
+    "sim_ann_pq_indexed",
+    "sim_ann_sq8_multiquery",
 ]
 
 

@@ -613,3 +613,37 @@ def pq_multi_query_indexed(
         .filter(F.col("__rn") <= topk)
         .drop("__rn")
     )
+
+
+def append_pq_codes(
+    spark: SparkSession, codes_name: str, books_name: str,
+    new_vectors: DataFrame,
+) -> None:
+    """Incremental PQ-index maintenance: encode ONLY the new vectors
+    against the FROZEN codebooks (the exact `npkernel.pq_code_cids`
+    assignment the build used) and append their code rows — no
+    retraining, no touch of existing codes. Append-then-query equals
+    rebuild-then-query EXACTLY while the codebooks are unchanged
+    (tested); codebook drift is handled by a periodic full
+    `ensure_pq_index` rebuild, the same contract as `append_ivf_index`."""
+    books = npk.hydrate_codebooks(spark.table(books_name))
+    sub_dim = books[0][1].shape[1]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            codes = npk.pq_code_cids(E, books, sub_dim)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    (
+        new_vectors.select("vec_id", "embedding")
+        .mapInPandas(encode, schema="vec_id long, codes array<long>")
+        .write.mode("append")
+        .insertInto(codes_name)
+    )

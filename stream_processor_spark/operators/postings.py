@@ -385,3 +385,45 @@ def bm25_from_postings(
         .groupBy("doc_id")
         .agg(F.round(F.sum(term), 6).alias("bm25"))
     )
+
+
+def compact_postings(
+    spark: SparkSession, post_name: str, dedup_replays: bool = True
+) -> int:
+    """Restore the one-file-per-bucket read profile after appends.
+
+    Every `append_postings` adds one file per touched bucket (the LSM
+    trade); this rewrites the table as ONE sorted file per bucket via a
+    staging table + catalog rename (readers never see a partial state —
+    the original table stays queryable until the atomic swap). With
+    ``dedup_replays`` (default) duplicate (tok, doc_id) rows from
+    at-least-once streaming appends are healed PERMANENTLY here, so
+    steady-state serving can drop its per-query dedup aggregate —
+    compaction is where replay damage gets repaired for good, exactly
+    as in every LSM store. Returns the bucket count."""
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    num_buckets = None
+    for r in spark.sql(f"DESCRIBE FORMATTED {post_name}").collect():
+        if str(r[0]).strip().startswith("Num Buckets"):
+            num_buckets = int(str(r[1]).strip())
+    if num_buckets is None:
+        raise ValueError(f"{post_name} is not a bucketed table")
+
+    rows = spark.table(post_name)
+    if dedup_replays:
+        rows = rows.dropDuplicates(["tok", "doc_id"])
+    tmp = f"{post_name}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    drop_warehouse_dir(spark, tmp)
+    (
+        rows.repartition(num_buckets, F.col("tok"))
+        .write.bucketBy(num_buckets, "tok")
+        .sortBy("tok")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE {post_name}")
+    drop_warehouse_dir(spark, post_name)
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {post_name}")
+    return num_buckets

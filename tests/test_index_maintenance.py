@@ -264,3 +264,127 @@ def test_append_postings_stats_incremental_and_replay_safe(spark, tmp_path):
     healed = read_stats(spark, stats).collect()[0]
     assert (healed["n"], healed["avgdl"]) == exact(post)
     assert spark.table(stats).count() == 1  # single repaired base row
+
+
+def test_pq_append_encodes_against_frozen_codebooks(spark, tmp_path):
+    """Round-7: append(B) onto a PQ index built from A must equal a
+    rebuild over A∪B with codebooks(A) — the frozen-model contract
+    (`append_pq_codes` encodes new vectors with the stored books)."""
+    import numpy as np
+
+    from stream_processor_spark.operators import npkernel as npk
+    from stream_processor_spark.operators.annindex import (
+        append_pq_codes,
+        ensure_pq_index,
+        pq_query_indexed,
+    )
+
+    full_dir, a_dir = tmp_path / "pfull", tmp_path / "pa"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    shutil.copy(src, full_dir / "embeddings.parquet")
+
+    codes_name, books_name = ensure_pq_index(spark, str(a_dir))
+    append_pq_codes(
+        spark, codes_name, books_name, emb.filter("vec_id >= 300")
+    )
+
+    qvec = np.asarray(emb.filter("vec_id = 0").head()[1], dtype=np.float64)
+    got = [
+        (r.vec_id, round(r.cosine, 12))
+        for r in pq_query_indexed(
+            spark, codes_name, books_name, emb, qvec
+        ).collect()
+    ]
+
+    # expected: driver-side replay over A∪B with books(A)
+    books = npk.hydrate_codebooks(spark.table(books_name))
+    sub_dim = books[0][1].shape[1]
+    rows = emb.select("vec_id", "embedding").collect()
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    ids = np.asarray([r[0] for r in rows])
+    s = npk.pq_adc_scores(E, books, sub_dim, qvec)
+    short = sorted(zip(-s, ids))[:50]
+    keep = np.isin(ids, [v for _, v in short])
+    sqq = npk.self_norms_scaled(qvec[None, :])[0]
+    p = npk.dot_scaled(E[keep], qvec)
+    sxx = npk.self_norms_scaled(E[keep])
+    cos = p.astype("float64") / (
+        np.sqrt(sxx.astype("float64")) * np.sqrt(float(sqq))
+    )
+    want = [
+        (int(v), round(-c, 12)) for c, v in sorted(zip(-cos, ids[keep]))[:10]
+    ]
+    assert got == want
+
+
+def test_compact_postings_restores_one_file_per_bucket(spark, tmp_path):
+    """Round-7: after appends (and a replayed append), compaction must
+    (a) bring the table back to one sorted file per bucket, (b) heal
+    the duplicate rows permanently so serving needs NO per-query dedup,
+    and (c) preserve bucket pruning and exact scores."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.postings import (
+        append_postings,
+        bm25_from_postings,
+        compact_postings,
+        ensure_postings,
+    )
+
+    a_dir, full_dir = _docs_dirs(tmp_path, spark)
+    qtokens = ["the", "data", "pipeline"]
+    post, stats = ensure_postings(spark, a_dir, num_buckets=8)
+    docs = spark.read.parquet(os.path.join(full_dir, "documents.parquet"))
+    batch = docs.filter("doc_id >= 300")
+    append_postings(spark, post, stats, batch)
+    append_postings(spark, post, stats, batch)  # replay: duplicate rows
+
+    def file_count():
+        loc = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(loc + "/" + post)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return sum(
+            1
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    assert file_count() > 8  # appends fragmented the buckets
+    dup = spark.table(post).groupBy("tok", "doc_id").count().filter(
+        F.col("count") > 1
+    )
+    assert dup.count() > 0
+
+    want = sorted(
+        tuple(r)
+        for r in bm25_from_postings(
+            spark, post, stats, qtokens, dedup_replays=True
+        ).collect()
+    )
+    assert compact_postings(spark, post) == 8
+    assert file_count() == 8  # one file per bucket again
+    assert (
+        spark.table(post)
+        .groupBy("tok", "doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # no per-query dedup needed anymore; scores unchanged
+    got = sorted(
+        tuple(r)
+        for r in bm25_from_postings(spark, post, stats, qtokens).collect()
+    )
+    assert got == want and len(got) > 0
+    plan = (
+        bm25_from_postings(spark, post, stats, ["the"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount: 1 out of 8" in plan
