@@ -49,10 +49,10 @@ def record(out, spark, REGISTRY, indexed_name, scratch_name):
     }
     print(indexed_name, out[indexed_name], flush=True)
     if scratch_name:
-        per_query = min(
-            noop_time(REGISTRY[scratch_name].fn(spark, SF_DIR))
-            for _ in range(2)
-        )
+        # ONE run: the twin refits the model per query, which is the
+        # whole point of the record — repeating a multi-minute fit for
+        # a best-of-2 buys nothing at this scale
+        per_query = noop_time(REGISTRY[scratch_name].fn(spark, SF_DIR))
         out[f"{scratch_name}_per_query_sec"] = round(per_query, 2)
         print(f"{scratch_name} per-query:", per_query, flush=True)
 
