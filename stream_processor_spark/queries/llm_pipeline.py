@@ -1,0 +1,502 @@
+"""Training-data pipeline composition operators (round 7).
+
+The corpus-preparation steps that sit BETWEEN the per-document analyses
+(`llm_data.py`) and the training job itself: sequence packing
+(concat-and-chunk), semantic deduplication (SemDeDup-style cluster +
+near-dup prune), cross-document boilerplate detection, one BPE merge
+step of tokenizer training, and an auditable multi-rule quality gate.
+
+Every operator follows the engine's hash-oracle discipline: integer or
+exactly-reproducible arithmetic only, and a DuckDB oracle that replays
+the same definition (including the full k-means training trajectory for
+the semantic dedup, via ``kmeans.lloyd_oracle_ctes``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stream_processor_spark.operators import kmeans
+from stream_processor_spark.operators import similarity as sim
+from stream_processor_spark.operators import text as tx
+from stream_processor_spark.queries.base import register
+from stream_processor_spark.queries.llm_data import _band_cand_sql
+
+# Concat-and-chunk training-sequence length (tokens per packed sequence).
+_SEQ_LEN = 512
+# Static doc_id bucket width for the distributed prefix sum (mirrors
+# `corpus_shard_by_tokens`'s convention).
+_RANGE = 200
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS begin_off
+      FROM sized
+    )
+    SELECT doc_id, seq_id,
+           least((seq_id + 1) * {_SEQ_LEN} - 1, begin_off + n_tokens - 1)
+             - greatest(seq_id * {_SEQ_LEN}, begin_off) + 1 AS seq_tokens
+    FROM (
+      SELECT doc_id, begin_off, n_tokens,
+             unnest(generate_series(begin_off // {_SEQ_LEN},
+                                    (begin_off + n_tokens - 1) // {_SEQ_LEN}))
+               AS seq_id
+      FROM pos WHERE n_tokens >= 1
+    )
+    """,
+)
+def corpus_pack_sequences(t):
+    """Concat-and-chunk sequence packing: documents in stable doc_id
+    order are concatenated into one token stream and chunked into
+    fixed-length training sequences of {512} tokens — the packing step
+    GPT-style pretraining uses. Output is the doc→sequence span map:
+    one row per (document, sequence) overlap with the token count that
+    document contributes to that sequence (a doc crossing a boundary
+    emits one row per spanned sequence).
+
+    Scale: the global token offset comes from the same DISTRIBUTED
+    prefix sum as `corpus_shard_by_tokens` (static doc_id-range buckets,
+    per-bucket local cumsum in parallel, one tiny cascaded bucket-offset
+    pass) — no single-threaded global window. The explode multiplies
+    rows only by the spans a doc actually crosses (≤ n_tokens/seq_len +
+    1), and the text column never shuffles.
+    """
+    d = t.documents
+    sized = d.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {_RANGE}").alias("bucket"),
+    )
+    local = sized.withColumn(
+        "local_cum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        sized.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bucket_total").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    pos = (
+        local.join(F.broadcast(offsets), "bucket")
+        .filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("offset") + F.col("local_cum") - F.col("n_tokens")).alias(
+                "begin_off"
+            ),
+        )
+    )
+    return pos.select(
+        "doc_id",
+        "begin_off",
+        "n_tokens",
+        F.explode(
+            F.expr(
+                f"sequence(begin_off div {_SEQ_LEN},"
+                f" (begin_off + n_tokens - 1) div {_SEQ_LEN})"
+            )
+        ).alias("seq_id"),
+    ).select(
+        "doc_id",
+        "seq_id",
+        (
+            F.least(
+                (F.col("seq_id") + 1) * _SEQ_LEN - 1,
+                F.col("begin_off") + F.col("n_tokens") - 1,
+            )
+            - F.greatest(F.col("seq_id") * _SEQ_LEN, F.col("begin_off"))
+            + 1
+        ).alias("seq_tokens"),
+    )
+
+
+# SemDeDup parameters: the shared deterministic-Lloyd quantizer
+# (k=10, 2 iterations — same budget as `sim_ann_ivf_trained`, so the
+# oracle CTE chain is the proven one) and the cosine near-dup threshold.
+_SEM_K, _SEM_ITERS, _SEM_TAU = 10, 2, 0.35
+
+_SEMANTIC_ORACLE = (
+    "WITH "
+    + kmeans.lloyd_oracle_ctes(k=_SEM_K, iters=_SEM_ITERS)
+    + """,
+asn_terms AS (
+  SELECT e.vec_id, c.clabel,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE) * c.c * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE)
+                    * CAST(e.embedding[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+asn_sims AS (
+  SELECT vec_id, clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))) AS cos
+  FROM asn_terms GROUP BY vec_id, clabel
+),
+assign AS (
+  SELECT vec_id, clabel AS cluster_id FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, clabel DESC) AS rn
+    FROM asn_sims) WHERE rn = 1
+),"""
+    + _band_cand_sql(4, 4)
+    + f""",
+    same_cl AS (
+      SELECT c.va, c.vb FROM cand c
+      JOIN assign x ON x.vec_id = c.va
+      JOIN assign y ON y.vec_id = c.vb
+      WHERE x.cluster_id = y.cluster_id
+    ),
+    pair_terms AS (
+      SELECT s.va, s.vb,
+             CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                        * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS p,
+             CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                        * CAST(a.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+             CAST(round(CAST(b.embedding[i.i] AS DOUBLE)
+                        * CAST(b.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS bb
+      FROM same_cl s
+      JOIN embeddings a ON s.va = a.vec_id
+      JOIN embeddings b ON s.vb = b.vec_id
+      CROSS JOIN generate_series(1, 64) AS i(i)
+    ),
+    dropped AS (
+      SELECT DISTINCT vb FROM (
+        SELECT va, vb FROM pair_terms GROUP BY va, vb
+        HAVING CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+                 / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                    * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) > {_SEM_TAU}
+      )
+    )
+    SELECT a.vec_id, a.cluster_id
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT vb FROM dropped)
+    """
+)
+
+
+@register("dedup_semantic", oracle=_SEMANTIC_ORACLE)
+def dedup_semantic(t):
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with the deterministic fixed-point Lloyd's trainer, then
+    within each cluster drop every vector that has a LOWER-id near
+    duplicate (exact cosine > τ) — keeping one representative per
+    semantic near-dup group. Output: the surviving (vec_id, cluster_id)
+    rows.
+
+    Candidate pairs come from the engine's banded hyperplane-LSH
+    (`banded_candidate_pairs`, hot-bucket-capped) intersected with
+    same-cluster membership, so the pairing cost is bounded at any
+    corpus size — the pairwise step never goes quadratic in the cluster
+    population. The DuckDB oracle replays the ENTIRE k-means training
+    trajectory (``kmeans.lloyd_oracle_ctes``), the argmax-cosine
+    cluster assignment, the capped LSH candidate generation, and the
+    scaled-int64 exact cosine — the full operator is hash-verified.
+
+    Scale: fit on a sample at 100 TB (the trainer takes any DataFrame);
+    assignment is one map-only broadcast-model pass; LSH banding and the
+    cluster blocking key both shuffle slim projections only.
+    """
+    e = t.embeddings
+    cent = kmeans.lloyd_fit_np(e, k=_SEM_K, iters=_SEM_ITERS)
+    assigned = kmeans.assign_cosine(
+        e.select("vec_id", "embedding"),
+        kmeans.pack_centroids(cent),
+        out_col="cluster_id",
+    ).select("vec_id", "cluster_id")
+    cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
+    ca = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    cb = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("cl_b")
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dropped = (
+        cand.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("cl_a") == F.col("cl_b"))
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", sim.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") > _SEM_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster_id"
+    )
+
+
+# A shingle is boilerplate when it appears in at least this many docs.
+_BOILER_DF = 10
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(tk) - 2),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS shingle
+      FROM toks
+    ),
+    df AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df >= {_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN df.df >= {_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) * 10000 // COUNT(*) AS boiler_pct
+    FROM sh s JOIN df USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_boilerplate_ngrams(t):
+    """Cross-document boilerplate detection (CCNet-style): a distinct
+    3-token shingle is boilerplate when it occurs in ≥ {10} documents
+    (headers, license banners, navigation templates). Per document:
+    distinct-shingle count, boilerplate-shingle count, and the
+    integer-scaled coverage ``boiler_pct = n_boiler * 10000 div
+    n_shingles`` — the signal a cleaning pass thresholds on.
+
+    Scale: shingle document frequency is one hash aggregate on the
+    shingle key; the join back and the per-doc aggregate shuffle only
+    the slim (doc_id, shingle) projection. All-expression shingling
+    (transform over sequence) — no Python, no explode of non-distinct
+    shingles.
+    """
+    d = t.documents
+    tk = tx.tokens(F.col("text"))
+    sh3 = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tk, i),
+            F.element_at(tk, i + 1),
+            F.element_at(tk, i + 2),
+        ),
+    )
+    sh = (
+        d.filter(F.col("text").isNotNull() & (F.size(tk) >= 3))
+        .select("doc_id", F.explode(F.array_distinct(sh3)).alias("shingle"))
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.expr("n_boiler * 10000 div n_shingles").alias("boiler_pct"),
+        )
+    )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH wf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE text IS NOT NULL
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+                    i -> substr(tok, i, 2))) AS pair, freq
+      FROM wf WHERE len(tok) >= 2
+    ),
+    agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM pairs GROUP BY pair)
+    SELECT pair, cnt FROM (
+      SELECT pair, cnt,
+             row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM agg)
+    WHERE rn <= 20
+    """,
+)
+def text_bpe_pair_counts(t):
+    """One BPE merge step of tokenizer training: corpus-weighted counts
+    of adjacent character pairs inside words, top 20 by count (the pair
+    a BPE trainer would merge next). Word frequencies aggregate first so
+    the character-pair explode runs over the VOCABULARY (distinct words)
+    rather than the corpus — the standard word-counts-first BPE
+    formulation.
+
+    Scale: one token-count aggregate over the corpus, then all later
+    stages are vocabulary-sized. Top-20 is TakeOrderedAndProject with a
+    total (cnt DESC, pair) order — deterministic under ties, no global
+    sort.
+    """
+    d = t.documents
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    wf = toks.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    pairs = (
+        wf.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+# Quality-gate stopword list: lowercase mirror of operators/text.STOPWORDS.
+_GATE_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+
+
+@register(
+    "text_quality_gate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS tk,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars
+      FROM documents WHERE text IS NOT NULL
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             n_chars,
+             CAST(len(list_filter(tk, x -> list_contains([{_GATE_STOPS}],
+                                                         lower(x))))
+                  AS BIGINT) AS n_stop,
+             CAST(list_max(list_transform(list_distinct(tk),
+                    u -> len(list_filter(tk, x -> x = u)))) AS BIGINT) AS top_freq
+      FROM base
+    )
+    SELECT doc_id, n_tokens,
+           (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END)
+         + (CASE WHEN n_chars < 2 * n_tokens OR n_chars > 12 * n_tokens
+                 THEN 4 ELSE 0 END)
+         + (CASE WHEN n_stop * 20 < n_tokens THEN 8 ELSE 0 END)
+         + (CASE WHEN top_freq * 5 > n_tokens THEN 16 ELSE 0 END) AS fail_mask,
+           (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END)
+         + (CASE WHEN n_chars < 2 * n_tokens OR n_chars > 12 * n_tokens
+                 THEN 4 ELSE 0 END)
+         + (CASE WHEN n_stop * 20 < n_tokens THEN 8 ELSE 0 END)
+         + (CASE WHEN top_freq * 5 > n_tokens THEN 16 ELSE 0 END) = 0 AS passed
+    FROM feat
+    """,
+)
+def text_quality_gate(t):
+    """Auditable multi-rule quality gate (Gopher-rule shape): each
+    document gets a BITMAP of failed filter rules instead of a bare
+    drop — the form a production cleaning pipeline needs to report WHY
+    a document was rejected and to tune each rule independently.
+
+    Rules (bit set = failed): 1 too short (<10 tokens); 2 too long
+    (>1000); 4 mean token length outside [2,12] chars (exact integer
+    cross-multiplication, no division); 8 stopword ratio < 5%
+    (``n_stop * 20 < n_tokens``); 16 single-token dominance > 20%
+    (``top_freq * 5 > n_tokens``). ``passed`` = no bits set.
+
+    All arithmetic is integer-exact (hash-safe). The per-doc dominant
+    token count is an all-expression fold over the token array
+    (quadratic in tokens-per-doc, linear in docs — codegen-resident, no
+    shuffle); the whole gate is one embarrassingly parallel map pass.
+    """
+    d = t.documents
+    tk = tx.tokens(F.col("text"))
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        tk.alias("tk"),
+        F.length(F.regexp_replace(F.col("text"), " ", ""))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    tkc = F.col("tk")
+    feat = base.select(
+        "doc_id",
+        F.size(tkc).cast("long").alias("n_tokens"),
+        "n_chars",
+        F.size(
+            F.filter(tkc, lambda x: F.lower(x).isin(*tx.STOPWORDS))
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(tkc),
+                lambda u: F.size(F.filter(tkc, lambda x: x == u)),
+            )
+        )
+        .cast("long")
+        .alias("top_freq"),
+    )
+    mask = (
+        F.when(F.col("n_tokens") < 10, 1).otherwise(0)
+        + F.when(F.col("n_tokens") > 1000, 2).otherwise(0)
+        + F.when(
+            (F.col("n_chars") < 2 * F.col("n_tokens"))
+            | (F.col("n_chars") > 12 * F.col("n_tokens")),
+            4,
+        ).otherwise(0)
+        + F.when(F.col("n_stop") * 20 < F.col("n_tokens"), 8).otherwise(0)
+        + F.when(F.col("top_freq") * 5 > F.col("n_tokens"), 16).otherwise(0)
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        mask.alias("fail_mask"),
+        (mask == 0).alias("passed"),
+    )

