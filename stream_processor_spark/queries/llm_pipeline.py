@@ -399,6 +399,183 @@ def text_bpe_pair_counts(t):
     )
 
 
+# Mixing recipe: per-language token-share targets (percent) and the
+# global budget as a fraction of corpus tokens — both scale-free, so the
+# operator is meaningful at every sf.
+_MIX_W = {"en": 50, "de": 20, "fr": 15, "es": 10, "zh": 5}
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_W.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "corpus_token_budget_mix",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM sized),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incl
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM cum CROSS JOIN tot
+    WHERE cum_incl <= (tot.total // 2) * ({_MIX_CASE}) // 100
+    """,
+)
+def corpus_token_budget_mix(t):
+    """Data-mixing recipe execution (Dolma/RedPajama shape): hit a
+    global token budget (half the corpus) with a fixed per-language
+    token share (en 50 / de 20 / fr 15 / es 10 / zh 5 percent),
+    selecting documents deterministically in doc_id order per language
+    until that language's target is full. Output: the selected
+    (doc_id, lang, n_tokens) manifest a downstream tokenizer consumes.
+
+    Scale: per-language running token counts use the engine's
+    distributed prefix sum keyed by (lang, doc_id-range bucket) — the
+    per-group generalization of `corpus_shard_by_tokens` — so no
+    language's cumsum single-threads. The corpus total is one scalar
+    aggregate broadcast into the filter; only the slim
+    (doc_id, lang, n_tokens) projection ever shuffles.
+    """
+    d = t.documents
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {_RANGE}").alias("bucket"),
+    )
+    local = sized.withColumn(
+        "local_cum",
+        F.sum("n_tokens").over(
+            Window.partitionBy("lang", "bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    offsets = (
+        sized.groupBy("lang", "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_total"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bucket_total").over(
+                    Window.partitionBy("lang")
+                    .orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("lang", "bucket", "offset")
+    )
+    total = sized.agg(F.sum("n_tokens").cast("long").alias("total"))
+    return (
+        local.join(F.broadcast(offsets), ["lang", "bucket"])
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("offset") + F.col("local_cum")
+            <= F.expr(f"(total div 2) * ({_MIX_CASE}) div 100")
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+# DSIR ratio scale: per-token importance = (target_count * 1e6) div
+# source_count. The target/source TOTAL ratio is a constant factor across
+# documents, so it is deliberately dropped — rankings are unchanged and
+# every intermediate stays comfortably inside int64 (target_count * 1e6
+# overflows only past ~9e12 occurrences of one token in the target slice).
+_DSIR_SCALE = 1_000_000
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ),
+    src AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS src_cnt FROM tok GROUP BY token
+    ),
+    tgt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS tgt_cnt FROM tok
+      WHERE lang = 'en' GROUP BY token
+    ),
+    ratio AS (
+      SELECT s.token,
+             COALESCE(t.tgt_cnt, 0) * {_DSIR_SCALE} // s.src_cnt AS r
+      FROM src s LEFT JOIN tgt t USING (token)
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r.r) AS BIGINT) AS dsir_score,
+           CAST(SUM(r.r) AS BIGINT) // COUNT(*) AS dsir_mean
+    FROM tok k JOIN ratio r USING (token)
+    GROUP BY k.doc_id
+    """,
+)
+def dsir_importance_weights(t):
+    """DSIR-style importance weights: score every document by how much
+    its unigram distribution looks like a TARGET slice (here lang='en')
+    relative to the full corpus — the data-selection signal of
+    Xie et al.'s Data Selection with Importance Resampling, in the
+    engine's log-free integer form. Per token occurrence the weight is
+    ``(target_count * 1e6) div source_count``; a document's score is the
+    sum over its tokens, plus the length-normalized mean.
+
+    Scale: two token-keyed hash aggregates (corpus and target slice)
+    build the ratio table, one join back on the token key, one doc_id
+    aggregate — all slim projections, no text movement after
+    tokenization, and the ratio table is vocabulary-sized (broadcastable
+    when the vocabulary is).
+    """
+    d = t.documents
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("token")
+        )
+    )
+    src = tok.groupBy("token").agg(F.count("*").cast("long").alias("src_cnt"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("tgt_cnt"))
+    )
+    ratio = (
+        src.join(tgt, "token", "left")
+        .select(
+            "token",
+            F.expr(
+                f"coalesce(tgt_cnt, 0) * {_DSIR_SCALE} div src_cnt"
+            ).alias("r"),
+        )
+    )
+    return (
+        tok.join(ratio, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("r").cast("long").alias("dsir_score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_score",
+            F.expr("dsir_score div n_tokens").alias("dsir_mean"),
+        )
+    )
+
+
 # Quality-gate stopword list: lowercase mirror of operators/text.STOPWORDS.
 _GATE_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
 

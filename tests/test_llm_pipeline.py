@@ -97,6 +97,48 @@ def test_bpe_pair_counts_shape(spark, sf_dir):
     assert cnts == sorted(cnts, reverse=True)
 
 
+def test_token_budget_mix_respects_targets(spark, sf_dir):
+    """Every language's selected token total stays within its recipe
+    target, and selections are doc_id prefixes per language (removing
+    the selected doc with the highest doc_id frees budget, so any
+    lower-id doc of the same language that fits must be present)."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.queries.llm_pipeline import _MIX_W
+
+    out = REGISTRY["corpus_token_budget_mix"].fn(spark, sf_dir).cache()
+    d = Tables(spark, sf_dir).documents.select(
+        "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n")
+    )
+    total = d.agg(F.sum("n")).head()[0]
+    got = {
+        r["lang"]: r["toks"]
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    for lang, toks in got.items():
+        target = (total // 2) * _MIX_W[lang] // 100
+        assert toks <= target, (lang, toks, target)
+
+
+def test_dsir_scores_favor_target_language(spark, sf_dir):
+    """English documents (the target slice) must average a higher
+    importance mean than non-English ones — the defining property of
+    importance resampling toward a target distribution."""
+    from stream_processor_spark.catalog import Tables
+
+    out = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir)
+    langs = Tables(spark, sf_dir).documents.select("doc_id", "lang")
+    avg = (
+        out.join(langs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_mean").alias("m"))
+        .collect()
+    )
+    by = {r[0]: r["m"] for r in avg}
+    assert by[True] > by[False]
+
+
 def test_boilerplate_pct_bounds(spark, sf_dir):
     out = REGISTRY["text_boilerplate_ngrams"].fn(spark, sf_dir)
     bad = out.filter(
