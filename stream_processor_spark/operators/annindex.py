@@ -615,6 +615,173 @@ def pq_multi_query_indexed(
     )
 
 
+def ivfpq_names(
+    sf_dir: str, k: int = 10, iters: int = 2,
+    n_sub: int = 8, sub_dim: int = 8, pq_k: int = 16, pq_iters: int = 2,
+) -> tuple[str, str, str]:
+    """Deterministic (codes, coarse-centroids, codebooks) table names for
+    the combined IVF+PQ layout."""
+    tag = hashlib.md5(
+        f"{sf_dir}|ivfpq|{k}|{iters}|{n_sub}|{sub_dim}|{pq_k}|{pq_iters}".encode()
+    ).hexdigest()[:8]
+    return f"ivfpq_codes_{tag}", f"ivfpq_cent_{tag}", f"ivfpq_books_{tag}"
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    iters: int = 2,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    pq_k: int = 16,
+    pq_iters: int = 2,
+) -> tuple[str, str, str]:
+    """Persist the COMBINED IVF+PQ layout (the FAISS IndexIVFPQ shape)
+    once per sf_dir: a trained coarse quantizer (deterministic Lloyd)
+    partitions the corpus into inverted lists, and INSIDE each list the
+    vectors are stored as PQ codeword ids — so a query prunes to its
+    probed list partitions AND scans 8 ids/vector instead of 64 floats.
+    Three tables: codes (vec_id, codes) PARTITIONED BY list_id, the
+    coarse centroids, and the PQ codebooks. Coarse assignment and PQ
+    encoding happen in ONE corpus pass (`npkernel` bit-exact kernels),
+    so build cost is the two fits plus a single encode scan.
+    """
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators import kmeans
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    codes_name, cent_name, books_name = ivfpq_names(
+        sf_dir, k, iters, n_sub, sub_dim, pq_k, pq_iters
+    )
+    if all(
+        spark.catalog.tableExists(n)
+        for n in (codes_name, cent_name, books_name)
+    ):
+        return codes_name, cent_name, books_name
+    for name in (codes_name, cent_name, books_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        drop_warehouse_dir(spark, name)
+
+    e = Tables(spark, sf_dir).embeddings
+    cent = kmeans.lloyd_fit_np(e, k=k, iters=iters)
+    cent.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("c").cast("double").alias("c"),
+    ).write.mode("overwrite").format("parquet").saveAsTable(cent_name)
+    books_frame = kmeans.lloyd_fit_pq(
+        e, n_sub=n_sub, sub_dim=sub_dim, k=pq_k, iters=pq_iters
+    )
+    books_frame.select(
+        F.col("m").cast("long").alias("m"),
+        F.col("cid").cast("long").alias("cid"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("c").cast("double").alias("c"),
+    ).write.mode("overwrite").format("parquet").saveAsTable(books_name)
+
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+    books = npk.hydrate_codebooks(spark.table(books_name))
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            assigned, _sxx = npk.assign_labels(E, labels, C, scc)
+            codes = npk.pq_code_cids(E, books, sub_dim)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "list_id": assigned,
+                }
+            )
+
+    (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            assign_encode,
+            schema="vec_id long, codes array<long>, list_id long",
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .format("parquet")
+        .saveAsTable(codes_name)
+    )
+    return codes_name, cent_name, books_name
+
+
+def ivfpq_query_indexed(
+    spark: SparkSession,
+    codes_name: str,
+    cent_name: str,
+    books_name: str,
+    embeddings: DataFrame,
+    query_vec: np.ndarray,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """Serve one ANN query from the combined layout: probe selection is
+    the exact trained-IVF ordering (cos DESC, label DESC, driver-side);
+    the shortlist scan reads ONLY the probed list partitions of the
+    codes table (`PartitionFilters` pruning) with the query's ADC
+    tables folded in as literal maps (JVM int64 sums — zero Python);
+    the exact cosine rerank reads just the shortlist ids from the float
+    table. Scan cost per query: (nprobe/k of the corpus) × (8 ids
+    instead of 64 floats) — both prunings compound."""
+    import pandas as pd
+
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+    q = np.asarray(query_vec, dtype=np.float64)
+    sqq = npk.self_norms_scaled(q[None, :])[0]
+    qp = npk.dot_scaled(q[None, :], C)[0]
+    qcos = qp.astype("float64") / (
+        np.sqrt(scc.astype("float64")) * np.sqrt(float(sqq))
+    )
+    order = np.lexsort((-labels, -qcos))  # cos DESC, label DESC
+    probe = [int(x) for x in np.sort(labels[order[:nprobe]])]
+
+    books = npk.hydrate_codebooks(spark.table(books_name))
+    sub_dim = books[0][1].shape[1]
+    tables = npk.pq_adc_tables(books, sub_dim, q)
+    short_ids = [
+        int(r[0])
+        for r in spark.table(codes_name)
+        .filter(F.col("list_id").isin(probe))
+        .select("vec_id", _adc_score_col(tables).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id"))
+        .limit(shortlist)
+        .select("vec_id")
+        .collect()
+    ]
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            sxx = npk.self_norms_scaled(E)
+            p = npk.dot_scaled(E, q)
+            cos = p.astype("float64") / (
+                np.sqrt(sxx.astype("float64")) * np.sqrt(float(sqq))
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cosine": cos}
+            )
+
+    return (
+        embeddings.filter(F.col("vec_id").isin(short_ids))
+        .select("vec_id", "embedding")
+        .mapInPandas(rerank, schema="vec_id long, cosine double")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(topk)
+    )
+
+
 def append_pq_codes(
     spark: SparkSession, codes_name: str, books_name: str,
     new_vectors: DataFrame,

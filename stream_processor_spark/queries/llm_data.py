@@ -4113,3 +4113,145 @@ def sim_ann_sq8_multiquery(t):
         .filter(F.col("__rn") <= topk)
         .drop("__rn")
     )
+
+
+# ------------------------------------------------ combined IVF+PQ index ----
+
+_IVFPQ_NPROBE = 3
+
+_IVFPQ_ORACLE = (
+    "WITH "
+    + kmeans.lloyd_oracle_ctes(k=10, iters=2)
+    + ",\n"
+    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq")
+    + f""",
+asn_terms AS (
+  SELECT e.vec_id, c.clabel,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE) * c.c * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE)
+                    * CAST(e.embedding[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+asn_sims AS (
+  SELECT vec_id, clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))) AS cos
+  FROM asn_terms GROUP BY vec_id, clabel
+),
+assign AS (
+  SELECT vec_id, clabel AS list_id FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, clabel DESC) AS rn
+    FROM asn_sims) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+q_terms AS (
+  SELECT c.clabel,
+         CAST(round(c.c * CAST(q.qv[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS p,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc,
+         CAST(round(CAST(q.qv[c.pos] AS DOUBLE) * CAST(q.qv[c.pos] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM cent c CROSS JOIN q
+),
+q_sims AS (
+  SELECT clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cos
+  FROM q_terms GROUP BY clabel
+),
+qprobe AS (
+  SELECT clabel AS list_id FROM (
+    SELECT clabel, row_number() OVER (ORDER BY cos DESC, clabel DESC) AS rn
+    FROM q_sims) WHERE rn <= {_IVFPQ_NPROBE}
+),
+probed AS (SELECT a.vec_id FROM assign a JOIN qprobe USING (list_id)),
+codes AS (
+  SELECT vid, m, cid FROM (
+    SELECT vid, m, cid, row_number() OVER (PARTITION BY vid, m
+             ORDER BY dist ASC, cid ASC) AS rn FROM (
+      SELECT l.vid, l.m, c.cid,
+             CAST(SUM(CAST(round((l.v - c.c) * (l.v - c.c) * 1e16) AS BIGINT))
+                  AS BIGINT) AS dist
+      FROM pqsub_long l JOIN pqcent c ON c.m = l.m AND c.pos = l.pos
+      GROUP BY l.vid, l.m, c.cid)) WHERE rn = 1),
+q_adc AS (
+  SELECT c.m, c.cid,
+         CAST(SUM(CAST(round(CAST(q.qv[c.m * {_PQ_SUB} + c.pos] AS DOUBLE) * c.c
+                             * 1e16) AS BIGINT)) AS BIGINT) AS t
+  FROM pqcent c CROSS JOIN q GROUP BY c.m, c.cid),
+scores AS (
+  SELECT k.vid, CAST(SUM(a.t) AS BIGINT) AS s
+  FROM codes k JOIN probed pr ON pr.vec_id = k.vid
+  JOIN q_adc a ON a.m = k.m AND a.cid = k.cid
+  GROUP BY k.vid),
+short AS (
+  SELECT vid AS vec_id FROM (
+    SELECT vid, row_number() OVER (ORDER BY s DESC, vid ASC) AS rn
+    FROM scores) WHERE rn <= {_PQ_SHORTLIST}),
+cand_terms AS (
+  SELECT e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN short USING (vec_id)
+  CROSS JOIN q CROSS JOIN generate_series(1, 64) AS i(i)
+)
+SELECT vec_id,
+       CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+            * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+FROM cand_terms GROUP BY vec_id
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+)
+
+
+@register("sim_ann_ivfpq_indexed", oracle=_IVFPQ_ORACLE)
+def sim_ann_ivfpq_indexed(t):
+    """The COMBINED IVF+PQ index (the FAISS IndexIVFPQ layout): a
+    trained coarse quantizer (deterministic Lloyd, k=10) partitions the
+    corpus into inverted lists, and inside each list partition vectors
+    are stored as their 8 PQ codeword ids
+    (`operators/annindex.ensure_ivfpq_index` — one corpus pass does
+    both the bit-exact coarse assignment and the PQ encode). Serving
+    compounds BOTH prunings: the scan reads only the nprobe=3 probed
+    list partitions (`PartitionFilters`) AND only 8 ids/vector (ADC
+    literal-map scoring, whole-stage codegen, zero Python in the
+    shortlist); the exact rerank reads just the 50 shortlist ids from
+    the float table. The oracle replays BOTH training trajectories
+    (coarse Lloyd + PQ Lloyd namespaced into one WITH chain), the
+    corpus assignment, the query probe, the probed-only ADC shortlist,
+    and the exact rerank — the full composite index is hash-verified.
+
+    Scale: per-query scan cost is (nprobe/k of rows) × (8 ids vs 64
+    floats) ≈ 1% of the brute-force bytes by CONSTRUCTION — the layout
+    the 100 TB similarity-search story actually deploys. Appends ride
+    the frozen models (assign + encode new vectors into their list
+    partitions); drift is a periodic rebuild, as with every layout."""
+    from stream_processor_spark.operators.annindex import (
+        ensure_ivfpq_index,
+        ivfpq_query_indexed,
+    )
+
+    spark = t._spark
+    codes_name, cent_name, books_name = ensure_ivfpq_index(
+        spark, t._dir, 10, 2, _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
+    )
+    q = npk.hydrate_query(t.embeddings)
+    return ivfpq_query_indexed(
+        spark,
+        codes_name,
+        cent_name,
+        books_name,
+        t.embeddings,
+        q,
+        nprobe=_IVFPQ_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+    )

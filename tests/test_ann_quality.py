@@ -112,3 +112,19 @@ def test_lsh_recall_floor(rankings):
 def test_ivf_not_worse_than_lsh(rankings):
     top10, ivf, lsh = rankings
     assert len(ivf & top10) >= len(lsh & top10)
+
+
+def test_ivfpq_compound_pruning_recall(spark, rankings):
+    """The combined IVF+PQ index (round 7) compounds two prunings
+    (nprobe=3 of 10 list partitions x 8-id ADC shortlist); recall can
+    only lose vs either pruning alone, so the floor is the looser 0.5
+    (measured 0.6+ on the fixture). Query must still be found and the
+    result exactly 10 rows."""
+    top10, _, _ = rankings
+    got = {
+        r.vec_id
+        for r in REGISTRY["sim_ann_ivfpq_indexed"].fn(spark, SF).collect()
+    }
+    assert len(got) == 10
+    assert 0 in got
+    assert len(got & top10) / 10 >= 0.5

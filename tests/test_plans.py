@@ -273,3 +273,31 @@ def test_profile_approx_pass_has_no_expand_single_scan(spark, sf_dir):
     )
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" not in plan, plan
+
+
+def test_ivfpq_scan_is_partition_pruned_codes_only(spark, sf_dir):
+    """sim_ann_ivfpq_indexed (round 7): the shortlist scan must read
+    ONLY the probed list partitions of the CODES table (list_id IN with
+    nprobe=3 values) and no float embeddings — the compound-pruning
+    guarantee. The only Python stage at query time is the final rerank
+    over the pushed-down shortlist ids."""
+    import re
+
+    df = REGISTRY["sim_ann_ivfpq_indexed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the returned plan is the rerank over the shortlist: one Python
+    # stage, and its embeddings scan is id-pruned (pushed-down IN)
+    assert plan.count("MapInPandas") == 1
+    assert re.search(r"PushedFilters: \[.*In\(vec_id", plan), plan[:600]
+    # the codes-table scan itself (executed eagerly for the shortlist)
+    # prunes by list partition: probe the layout directly
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.annindex import ivfpq_names
+
+    codes_name, _, _ = ivfpq_names(sf_dir)
+    pruned = spark.table(codes_name).filter(F.col("list_id").isin([0, 1, 2]))
+    cplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[\w+#\d+L? IN \(([^)]*)\)\]", cplan), (
+        cplan[:600]
+    )
