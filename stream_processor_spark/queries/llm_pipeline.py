@@ -30,53 +30,12 @@ _SEQ_LEN = 512
 _RANGE = 200
 
 
-@register(
-    "corpus_pack_sequences",
-    oracle=f"""
-    WITH sized AS (
-      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    pos AS (
-      SELECT doc_id, n_tokens,
-             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-                  - n_tokens AS BIGINT) AS begin_off
-      FROM sized
-    )
-    SELECT doc_id, seq_id,
-           least((seq_id + 1) * {_SEQ_LEN} - 1, begin_off + n_tokens - 1)
-             - greatest(seq_id * {_SEQ_LEN}, begin_off) + 1 AS seq_tokens
-    FROM (
-      SELECT doc_id, begin_off, n_tokens,
-             unnest(generate_series(begin_off // {_SEQ_LEN},
-                                    (begin_off + n_tokens - 1) // {_SEQ_LEN}))
-               AS seq_id
-      FROM pos WHERE n_tokens >= 1
-    )
-    """,
-)
-def corpus_pack_sequences(t):
-    """Concat-and-chunk sequence packing: documents in stable doc_id
-    order are concatenated into one token stream and chunked into
-    fixed-length training sequences of {512} tokens — the packing step
-    GPT-style pretraining uses. Output is the doc→sequence span map:
-    one row per (document, sequence) overlap with the token count that
-    document contributes to that sequence (a doc crossing a boundary
-    emits one row per spanned sequence).
-
-    Scale: the global token offset comes from the same DISTRIBUTED
-    prefix sum as `corpus_shard_by_tokens` (static doc_id-range buckets,
-    per-bucket local cumsum in parallel, one tiny cascaded bucket-offset
-    pass) — no single-threaded global window. The explode multiplies
-    rows only by the spans a doc actually crosses (≤ n_tokens/seq_len +
-    1), and the text column never shuffles.
-    """
-    d = t.documents
-    sized = d.select(
-        "doc_id",
-        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-        F.expr(f"doc_id div {_RANGE}").alias("bucket"),
-    )
+def _with_begin_off(sized):
+    """(doc_id, n_tokens, bucket) → + ``begin_off``: each document's
+    global token offset in doc_id order, via the engine's DISTRIBUTED
+    prefix sum (per-bucket local cumsum in parallel + one tiny cascaded
+    bucket-offset pass) — bit-identical to the sequential running sum by
+    associativity of +, with no single-threaded global window."""
     local = sized.withColumn(
         "local_cum",
         F.sum("n_tokens").over(
@@ -101,9 +60,8 @@ def corpus_pack_sequences(t):
         )
         .select("bucket", "offset")
     )
-    pos = (
+    return (
         local.join(F.broadcast(offsets), "bucket")
-        .filter(F.col("n_tokens") >= 1)
         .select(
             "doc_id",
             "n_tokens",
@@ -112,28 +70,94 @@ def corpus_pack_sequences(t):
             ),
         )
     )
-    return pos.select(
-        "doc_id",
-        "begin_off",
-        "n_tokens",
-        F.explode(
-            F.expr(
-                f"sequence(begin_off div {_SEQ_LEN},"
-                f" (begin_off + n_tokens - 1) div {_SEQ_LEN})"
-            )
-        ).alias("seq_id"),
-    ).select(
-        "doc_id",
-        "seq_id",
-        (
-            F.least(
-                (F.col("seq_id") + 1) * _SEQ_LEN - 1,
-                F.col("begin_off") + F.col("n_tokens") - 1,
-            )
-            - F.greatest(F.col("seq_id") * _SEQ_LEN, F.col("begin_off"))
-            + 1
-        ).alias("seq_tokens"),
+
+
+def _pack_rows(pos):
+    """(doc_id, n_tokens, begin_off) → (doc_id, seq_id, seq_tokens):
+    explode each doc over the sequences its token span crosses."""
+    return (
+        pos.filter(F.col("n_tokens") >= 1)
+        .select(
+            "doc_id",
+            "begin_off",
+            "n_tokens",
+            F.explode(
+                F.expr(
+                    f"sequence(begin_off div {_SEQ_LEN},"
+                    f" (begin_off + n_tokens - 1) div {_SEQ_LEN})"
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            "seq_id",
+            (
+                F.least(
+                    (F.col("seq_id") + 1) * _SEQ_LEN - 1,
+                    F.col("begin_off") + F.col("n_tokens") - 1,
+                )
+                - F.greatest(F.col("seq_id") * _SEQ_LEN, F.col("begin_off"))
+                + 1
+            ).alias("seq_tokens"),
+        )
     )
+
+
+def _pack_sql(src: str) -> str:
+    """Packing tail SQL over CTE ``src``(doc_id, n_tokens): sequential
+    running sum + per-span explode (the oracle replays the sequential
+    definition the distributed prefix sum equals)."""
+    return f"""pos AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS begin_off
+      FROM {src}
+    )
+    SELECT doc_id, seq_id,
+           least((seq_id + 1) * {_SEQ_LEN} - 1, begin_off + n_tokens - 1)
+             - greatest(seq_id * {_SEQ_LEN}, begin_off) + 1 AS seq_tokens
+    FROM (
+      SELECT doc_id, begin_off, n_tokens,
+             unnest(generate_series(begin_off // {_SEQ_LEN},
+                                    (begin_off + n_tokens - 1) // {_SEQ_LEN}))
+               AS seq_id
+      FROM pos WHERE n_tokens >= 1
+    )"""
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    """
+    + _pack_sql("sized"),
+)
+def corpus_pack_sequences(t):
+    """Concat-and-chunk sequence packing: documents in stable doc_id
+    order are concatenated into one token stream and chunked into
+    fixed-length training sequences of {512} tokens — the packing step
+    GPT-style pretraining uses. Output is the doc→sequence span map:
+    one row per (document, sequence) overlap with the token count that
+    document contributes to that sequence (a doc crossing a boundary
+    emits one row per spanned sequence).
+
+    Scale: the global token offset comes from the same DISTRIBUTED
+    prefix sum as `corpus_shard_by_tokens` (static doc_id-range buckets,
+    per-bucket local cumsum in parallel, one tiny cascaded bucket-offset
+    pass) — no single-threaded global window. The explode multiplies
+    rows only by the spans a doc actually crosses (≤ n_tokens/seq_len +
+    1), and the text column never shuffles.
+    """
+    d = t.documents
+    sized = d.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {_RANGE}").alias("bucket"),
+    )
+    return _pack_rows(_with_begin_off(sized))
 
 
 # SemDeDup parameters: the shared deterministic-Lloyd quantizer
@@ -579,11 +603,9 @@ def dsir_importance_weights(t):
 # Quality-gate stopword list: lowercase mirror of operators/text.STOPWORDS.
 _GATE_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
 
-
-@register(
-    "text_quality_gate",
-    oracle=f"""
-    WITH base AS (
+# Shared gate CTEs / mask expression (also composed into the end-to-end
+# curation oracle below).
+_GATE_FEAT_SQL = f"""base AS (
       SELECT doc_id, string_split(text, ' ') AS tk,
              CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars
       FROM documents WHERE text IS NOT NULL
@@ -598,20 +620,71 @@ _GATE_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
              CAST(list_max(list_transform(list_distinct(tk),
                     u -> len(list_filter(tk, x -> x = u)))) AS BIGINT) AS top_freq
       FROM base
+    )"""
+
+_GATE_MASK_SQL = """(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END)
+         + (CASE WHEN n_chars < 2 * n_tokens OR n_chars > 12 * n_tokens
+                 THEN 4 ELSE 0 END)
+         + (CASE WHEN n_stop * 20 < n_tokens THEN 8 ELSE 0 END)
+         + (CASE WHEN top_freq * 5 > n_tokens THEN 16 ELSE 0 END)"""
+
+
+def _gate_feat(d):
+    """documents → per-doc gate features (doc_id, n_tokens, n_chars,
+    n_stop, top_freq) — one all-expression map pass."""
+    tk = tx.tokens(F.col("text"))
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        tk.alias("tk"),
+        F.length(F.regexp_replace(F.col("text"), " ", ""))
+        .cast("long")
+        .alias("n_chars"),
     )
+    tkc = F.col("tk")
+    return base.select(
+        "doc_id",
+        F.size(tkc).cast("long").alias("n_tokens"),
+        "n_chars",
+        F.size(
+            F.filter(tkc, lambda x: F.lower(x).isin(*tx.STOPWORDS))
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(tkc),
+                lambda u: F.size(F.filter(tkc, lambda x: x == u)),
+            )
+        )
+        .cast("long")
+        .alias("top_freq"),
+    )
+
+
+def _gate_mask_col():
+    """The rule bitmap over `_gate_feat` columns (mirror of
+    `_GATE_MASK_SQL`)."""
+    return (
+        F.when(F.col("n_tokens") < 10, 1).otherwise(0)
+        + F.when(F.col("n_tokens") > 1000, 2).otherwise(0)
+        + F.when(
+            (F.col("n_chars") < 2 * F.col("n_tokens"))
+            | (F.col("n_chars") > 12 * F.col("n_tokens")),
+            4,
+        ).otherwise(0)
+        + F.when(F.col("n_stop") * 20 < F.col("n_tokens"), 8).otherwise(0)
+        + F.when(F.col("top_freq") * 5 > F.col("n_tokens"), 16).otherwise(0)
+    )
+
+
+@register(
+    "text_quality_gate",
+    oracle=f"""
+    WITH {_GATE_FEAT_SQL}
     SELECT doc_id, n_tokens,
-           (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
-         + (CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END)
-         + (CASE WHEN n_chars < 2 * n_tokens OR n_chars > 12 * n_tokens
-                 THEN 4 ELSE 0 END)
-         + (CASE WHEN n_stop * 20 < n_tokens THEN 8 ELSE 0 END)
-         + (CASE WHEN top_freq * 5 > n_tokens THEN 16 ELSE 0 END) AS fail_mask,
-           (CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
-         + (CASE WHEN n_tokens > 1000 THEN 2 ELSE 0 END)
-         + (CASE WHEN n_chars < 2 * n_tokens OR n_chars > 12 * n_tokens
-                 THEN 4 ELSE 0 END)
-         + (CASE WHEN n_stop * 20 < n_tokens THEN 8 ELSE 0 END)
-         + (CASE WHEN top_freq * 5 > n_tokens THEN 16 ELSE 0 END) = 0 AS passed
+           {_GATE_MASK_SQL} AS fail_mask,
+           ({_GATE_MASK_SQL}) = 0 AS passed
     FROM feat
     """,
 )
@@ -632,48 +705,69 @@ def text_quality_gate(t):
     (quadratic in tokens-per-doc, linear in docs — codegen-resident, no
     shuffle); the whole gate is one embarrassingly parallel map pass.
     """
-    d = t.documents
-    tk = tx.tokens(F.col("text"))
-    base = d.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        tk.alias("tk"),
-        F.length(F.regexp_replace(F.col("text"), " ", ""))
-        .cast("long")
-        .alias("n_chars"),
-    )
-    tkc = F.col("tk")
-    feat = base.select(
-        "doc_id",
-        F.size(tkc).cast("long").alias("n_tokens"),
-        "n_chars",
-        F.size(
-            F.filter(tkc, lambda x: F.lower(x).isin(*tx.STOPWORDS))
-        )
-        .cast("long")
-        .alias("n_stop"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(tkc),
-                lambda u: F.size(F.filter(tkc, lambda x: x == u)),
-            )
-        )
-        .cast("long")
-        .alias("top_freq"),
-    )
-    mask = (
-        F.when(F.col("n_tokens") < 10, 1).otherwise(0)
-        + F.when(F.col("n_tokens") > 1000, 2).otherwise(0)
-        + F.when(
-            (F.col("n_chars") < 2 * F.col("n_tokens"))
-            | (F.col("n_chars") > 12 * F.col("n_tokens")),
-            4,
-        ).otherwise(0)
-        + F.when(F.col("n_stop") * 20 < F.col("n_tokens"), 8).otherwise(0)
-        + F.when(F.col("top_freq") * 5 > F.col("n_tokens"), 16).otherwise(0)
-    )
+    feat = _gate_feat(t.documents)
+    mask = _gate_mask_col()
     return feat.select(
         "doc_id",
         "n_tokens",
         mask.alias("fail_mask"),
         (mask == 0).alias("passed"),
     )
+
+
+@register(
+    "corpus_curate_e2e",
+    oracle=f"""
+    WITH {_GATE_FEAT_SQL},
+    gated AS (SELECT doc_id FROM feat WHERE {_GATE_MASK_SQL} = 0),
+    keep AS (
+      SELECT MIN(d.doc_id) AS doc_id
+      FROM documents d JOIN gated g ON d.doc_id = g.doc_id
+      GROUP BY md5(d.text)
+    ),
+    sized AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    ),
+    {_pack_sql("sized")}
+    """,
+)
+def corpus_curate_e2e(t):
+    """The END-TO-END curation pipeline as ONE declarative plan:
+    quality-gate the corpus (all 5 rules pass) → exact-dedup the
+    survivors (keep the lowest doc_id per md5 text fingerprint — the
+    fingerprint, not the text, is what shuffles) → pack the curated
+    stream into 512-token training sequences. Output: the final
+    doc→sequence manifest a tokenizer fleet consumes.
+
+    This is the composition story: each stage is an independently
+    hash-verified operator (`text_quality_gate`, the `dedup_exact`
+    family, `corpus_pack_sequences`), and chaining them stays ONE
+    Catalyst plan — no materialization between stages, filters fused
+    into the scans, and the packing prefix sum runs distributed over
+    only the curated survivors. The oracle chains the same three
+    definitions as CTEs.
+
+    Scale: gate is a map pass; dedup shuffles (md5, doc_id) pairs only;
+    packing shuffles the slim (doc_id, n_tokens) projection. The text
+    column is read once and never moves.
+    """
+    d = t.documents
+    feat = _gate_feat(d)
+    gated = feat.filter(_gate_mask_col() == 0).select("doc_id")
+    keep = (
+        d.join(gated, "doc_id")
+        .groupBy(F.md5(F.col("text")).alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sized = (
+        d.join(keep, "doc_id")
+        .select(
+            "doc_id",
+            F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            F.expr(f"doc_id div {_RANGE}").alias("bucket"),
+        )
+    )
+    return _pack_rows(_with_begin_off(sized))
