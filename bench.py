@@ -70,6 +70,12 @@ HEADLINE = [
     # round 7: the trained-family persisted serves and a batched serve
     "sim_ann_pq_indexed",
     "sim_ann_sq8_multiquery",
+    # round 7b: the combined IVF+PQ layout and the pipeline-composition
+    # operators (packing, semantic dedup, end-to-end curation)
+    "sim_ann_ivfpq_indexed",
+    "corpus_pack_sequences",
+    "dedup_semantic",
+    "corpus_curate_e2e",
 ]
 
 
