@@ -782,6 +782,51 @@ def ivfpq_query_indexed(
     )
 
 
+def append_ivfpq_index(
+    spark: SparkSession,
+    codes_name: str,
+    cent_name: str,
+    books_name: str,
+    new_vectors: DataFrame,
+    sub_dim: int = 8,
+) -> None:
+    """Incremental maintenance for the COMBINED layout: assign AND
+    encode only the new vectors against the FROZEN coarse model and
+    codebooks (the exact build kernels) and append them to their list
+    partitions. Same contract as every other layout: append-then-query
+    equals rebuild-then-query EXACTLY while both models are unchanged
+    (tested); model drift is a periodic `ensure_ivfpq_index` rebuild."""
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+    books = npk.hydrate_codebooks(spark.table(books_name))
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            assigned, _sxx = npk.assign_labels(E, labels, C, scc)
+            codes = npk.pq_code_cids(E, books, sub_dim)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "list_id": assigned,
+                }
+            )
+
+    (
+        new_vectors.select("vec_id", "embedding")
+        .mapInPandas(
+            assign_encode,
+            schema="vec_id long, codes array<long>, list_id long",
+        )
+        .write.mode("append")
+        .insertInto(codes_name)
+    )
+
+
 def append_pq_codes(
     spark: SparkSession, codes_name: str, books_name: str,
     new_vectors: DataFrame,

@@ -388,3 +388,81 @@ def test_compact_postings_restores_one_file_per_bucket(spark, tmp_path):
         .toString()
     )
     assert "SelectedBucketsCount: 1 out of 8" in plan
+
+
+def test_ivfpq_append_assigns_and_encodes_against_frozen_models(spark, tmp_path):
+    """Combined-layout maintenance (round 7): append(B) onto an IVF+PQ
+    index built from A must assign AND encode the new vectors with the
+    FROZEN coarse model and codebooks; the served result equals a
+    driver-side replay of assign+encode+probe+ADC-shortlist+rerank over
+    A∪B with models(A)."""
+    from stream_processor_spark.operators import npkernel as npk
+    from stream_processor_spark.operators.annindex import (
+        append_ivfpq_index,
+        ensure_ivfpq_index,
+        ivfpq_query_indexed,
+    )
+
+    full_dir, a_dir = tmp_path / "pqfull", tmp_path / "pqa"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    shutil.copy(src, full_dir / "embeddings.parquet")
+
+    codes_name, cent_name, books_name = ensure_ivfpq_index(spark, str(a_dir))
+    new_vecs = spark.read.parquet(src).filter("vec_id >= 300")
+    append_ivfpq_index(
+        spark, codes_name, cent_name, books_name, new_vecs, sub_dim=8
+    )
+
+    qvec = np.asarray(emb.filter("vec_id = 0").head()[1], dtype=np.float64)
+    got = [
+        (r.vec_id, round(r.cosine, 12))
+        for r in ivfpq_query_indexed(
+            spark,
+            codes_name,
+            cent_name,
+            books_name,
+            emb,
+            qvec,
+            nprobe=3,
+            shortlist=50,
+            topk=10,
+        ).collect()
+    ]
+
+    # driver-side replay over A∪B with models(A)
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+    books = npk.hydrate_codebooks(spark.table(books_name))
+    rows = emb.select("vec_id", "embedding").collect()
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    ids = np.asarray([r[0] for r in rows])
+    assigned, sxx = npk.assign_labels(E, labels, C, scc)
+    codes = npk.pq_code_cids(E, books, 8)
+    sqq = npk.self_norms_scaled(qvec[None, :])[0]
+    qp = npk.dot_scaled(qvec[None, :], C)[0]
+    qcos = qp.astype("float64") / (
+        np.sqrt(scc.astype("float64")) * np.sqrt(float(sqq))
+    )
+    order = np.lexsort((-labels, -qcos))
+    probe = set(int(x) for x in labels[order[:3]])
+    keep = np.isin(assigned, list(probe))
+    tables = npk.pq_adc_tables(books, 8, qvec)
+    s = np.array(
+        [
+            sum(tables[m][int(codes[i, m])] for m in range(codes.shape[1]))
+            for i in range(len(ids))
+        ],
+        dtype=np.int64,
+    )
+    cand = sorted(zip(-s[keep], ids[keep]))[:50]
+    short = np.asarray([v for _, v in cand])
+    mask = np.isin(ids, short)
+    p = npk.dot_scaled(E[mask], qvec)
+    cos = p.astype("float64") / (
+        np.sqrt(sxx[mask].astype("float64")) * np.sqrt(float(sqq))
+    )
+    pairs = sorted(zip(-cos, ids[mask]))[:10]
+    want = [(int(v), round(-c, 12)) for c, v in pairs]
+    assert got == want
