@@ -782,6 +782,123 @@ def ivfpq_query_indexed(
     )
 
 
+def ivfpq_multi_query_indexed(
+    spark: SparkSession,
+    codes_name: str,
+    cent_name: str,
+    books_name: str,
+    embeddings: DataFrame,
+    queries: dict,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """Serve MANY queries from the combined IVF+PQ layout in ONE pass:
+    the codes scan is pruned to the UNION of all queries' probe lists
+    (partition filter), each query contributes one literal-map ADC
+    column gated to its OWN probed lists (`list_id IN probes[q]` — rows
+    outside a query's probe score NULL and drop out of its shortlist),
+    per-query shortlists come from one window, and one pushed-down
+    float read reranks the union of shortlists. Per query the rows are
+    identical to `ivfpq_query_indexed` (same probe order, ADC scores,
+    shortlist boundary, rerank)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+    books = npk.hydrate_codebooks(spark.table(books_name))
+    sub_dim = books[0][1].shape[1]
+    qids = sorted(queries)
+    Q = {qid: np.asarray(queries[qid], dtype=np.float64) for qid in qids}
+    probes: dict[int, list] = {}
+    for qid in qids:
+        sqq = npk.self_norms_scaled(Q[qid][None, :])[0]
+        qp = npk.dot_scaled(Q[qid][None, :], C)[0]
+        qcos = qp.astype("float64") / (
+            np.sqrt(scc.astype("float64")) * np.sqrt(float(sqq))
+        )
+        order = np.lexsort((-labels, -qcos))
+        probes[qid] = [int(x) for x in np.sort(labels[order[:nprobe]])]
+    union_lists = sorted(set().union(*[set(p) for p in probes.values()]))
+
+    scored = spark.table(codes_name).filter(
+        F.col("list_id").isin(union_lists)
+    ).select(
+        "vec_id",
+        *[
+            F.when(
+                F.col("list_id").isin(probes[qid]),
+                _adc_score_col(npk.pq_adc_tables(books, sub_dim, Q[qid])),
+            ).alias(f"s_{qid}")
+            for qid in qids
+        ],
+    )
+    stacked = scored.select(
+        "vec_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(q)).cast("long") for q in qids]),
+                F.array(*[F.col(f"s_{qid}") for qid in qids]),
+            )
+        ).alias("query_id", "s"),
+    ).filter(F.col("s").isNotNull())
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("vec_id")
+    )
+    short = (
+        stacked.withColumn("__rn", F.row_number().over(w_s))
+        .filter(F.col("__rn") <= shortlist)
+        .select("query_id", "vec_id")
+        .collect()
+    )
+    members: dict[int, set] = {qid: set() for qid in qids}
+    for r in short:
+        members[int(r[0])].add(int(r[1]))
+    union_ids = sorted(set().union(*members.values()))
+    sqqs = {qid: npk.self_norms_scaled(Q[qid][None, :])[0] for qid in qids}
+
+    def rerank(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            ids = pdf["vec_id"].to_numpy()
+            sxx = npk.self_norms_scaled(E)
+            frames = []
+            for qid in qids:
+                mask = np.isin(ids, list(members[qid]))
+                if not mask.any():
+                    continue
+                p = npk.dot_scaled(E[mask], Q[qid])
+                cos = p.astype("float64") / (
+                    np.sqrt(sxx[mask].astype("float64"))
+                    * np.sqrt(float(sqqs[qid]))
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": ids[mask], "cosine": cos}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    reranked = (
+        embeddings.filter(F.col("vec_id").isin(union_ids))
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            rerank, schema="query_id long, vec_id long, cosine double"
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w_c))
+        .filter(F.col("__rn") <= topk)
+        .drop("__rn")
+    )
+
+
 def append_ivfpq_index(
     spark: SparkSession,
     codes_name: str,

@@ -4255,3 +4255,154 @@ def sim_ann_ivfpq_indexed(t):
         nprobe=_IVFPQ_NPROBE,
         shortlist=_PQ_SHORTLIST,
     )
+
+
+_IVFPQ_MULTI_ORACLE = (
+    "WITH "
+    + kmeans.lloyd_oracle_ctes(k=10, iters=2)
+    + ",\n"
+    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq")
+    + f""",
+asn_terms AS (
+  SELECT e.vec_id, c.clabel,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE) * c.c * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[c.pos] AS DOUBLE)
+                    * CAST(e.embedding[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc
+  FROM embeddings e CROSS JOIN cent c
+),
+asn_sims AS (
+  SELECT vec_id, clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))) AS cos
+  FROM asn_terms GROUP BY vec_id, clabel
+),
+assign AS (
+  SELECT vec_id, clabel AS list_id FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, clabel DESC) AS rn
+    FROM asn_sims) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN (0, 1, 2)),
+q_terms AS (
+  SELECT q.query_id, c.clabel,
+         CAST(round(c.c * CAST(q.qv[c.pos] AS DOUBLE) * 1e16) AS BIGINT) AS p,
+         CAST(round(c.c * c.c * 1e16) AS BIGINT) AS cc,
+         CAST(round(CAST(q.qv[c.pos] AS DOUBLE) * CAST(q.qv[c.pos] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM cent c CROSS JOIN q
+),
+q_sims AS (
+  SELECT query_id, clabel,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(cc) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cos
+  FROM q_terms GROUP BY query_id, clabel
+),
+qprobe AS (
+  SELECT query_id, clabel AS list_id FROM (
+    SELECT query_id, clabel, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, clabel DESC) AS rn
+    FROM q_sims) WHERE rn <= {_IVFPQ_NPROBE}
+),
+probed AS (
+  SELECT qp.query_id, a.vec_id
+  FROM assign a JOIN qprobe qp ON a.list_id = qp.list_id
+),
+codes AS (
+  SELECT vid, m, cid FROM (
+    SELECT vid, m, cid, row_number() OVER (PARTITION BY vid, m
+             ORDER BY dist ASC, cid ASC) AS rn FROM (
+      SELECT l.vid, l.m, c.cid,
+             CAST(SUM(CAST(round((l.v - c.c) * (l.v - c.c) * 1e16) AS BIGINT))
+                  AS BIGINT) AS dist
+      FROM pqsub_long l JOIN pqcent c ON c.m = l.m AND c.pos = l.pos
+      GROUP BY l.vid, l.m, c.cid)) WHERE rn = 1),
+q_adc AS (
+  SELECT q.query_id, c.m, c.cid,
+         CAST(SUM(CAST(round(CAST(q.qv[c.m * {_PQ_SUB} + c.pos] AS DOUBLE) * c.c
+                             * 1e16) AS BIGINT)) AS BIGINT) AS t
+  FROM pqcent c CROSS JOIN q GROUP BY q.query_id, c.m, c.cid),
+scores AS (
+  SELECT pr.query_id, k.vid, CAST(SUM(a.t) AS BIGINT) AS s
+  FROM codes k
+  JOIN probed pr ON pr.vec_id = k.vid
+  JOIN q_adc a ON a.query_id = pr.query_id AND a.m = k.m AND a.cid = k.cid
+  GROUP BY pr.query_id, k.vid),
+short AS (
+  SELECT query_id, vid AS vec_id FROM (
+    SELECT query_id, vid, row_number() OVER (PARTITION BY query_id
+             ORDER BY s DESC, vid ASC) AS rn
+    FROM scores) WHERE rn <= {_PQ_SHORTLIST}),
+cand_terms AS (
+  SELECT sh.query_id, e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e JOIN short sh ON sh.vec_id = e.vec_id
+  JOIN q ON q.query_id = sh.query_id
+  CROSS JOIN generate_series(1, 64) AS i(i)),
+mscored AS (
+  SELECT query_id, vec_id,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+  FROM cand_terms GROUP BY query_id, vec_id)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM mscored) WHERE rn <= 10
+"""
+)
+
+
+@register("sim_ann_ivfpq_multiquery", oracle=_IVFPQ_MULTI_ORACLE)
+def sim_ann_ivfpq_multiquery(t):
+    """Batched serving for the combined IVF+PQ index: THREE queries
+    (vec_id 0/1/2) in ONE pass (`annindex.ivfpq_multi_query_indexed`).
+    The codes scan is pruned to the UNION of all probe lists; each
+    query's literal-map ADC column is gated to its OWN probed lists
+    (rows outside score NULL and drop from that query's shortlist), so
+    per query the rows are identical to `sim_ann_ivfpq_indexed`. One
+    window produces all shortlists; one pushed-down float read reranks
+    the union. This completes batched serving across every retrieval
+    layout: BM25 postings, IVF, PQ, SQ8, and now IVF+PQ.
+
+    Scale: N queries cost one |union probed partitions| codes scan of
+    8 ids/vector + one |union shortlists| float read — the
+    training-data-selection shape (thousands of probes against one
+    corpus) on the cheapest layout."""
+    from stream_processor_spark.operators.annindex import (
+        ensure_ivfpq_index,
+        ivfpq_multi_query_indexed,
+    )
+
+    spark = t._spark
+    codes_name, cent_name, books_name = ensure_ivfpq_index(
+        spark, t._dir, 10, 2, _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS
+    )
+    qrows = (
+        t.embeddings.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("multi-query IVF+PQ: no query vectors found")
+    queries = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
+    return ivfpq_multi_query_indexed(
+        spark,
+        codes_name,
+        cent_name,
+        books_name,
+        t.embeddings,
+        queries,
+        nprobe=_IVFPQ_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+    )
