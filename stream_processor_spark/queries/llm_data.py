@@ -230,13 +230,14 @@ def dedup_token_jaccard(t):
     )
 
 
-@register(
-    "dedup_near",
-    # Deterministic MinHash-LSH, reimplemented in SQL: same pinned
-    # universal-hash coefficients, same 60-bit md5 shingle hashes, same
-    # 4×2 banding — candidate sets and jaccard values match exactly.
-    oracle="""
-    WITH params AS (
+# Deterministic MinHash-LSH pair CTE chain, reimplemented in SQL: same
+# pinned universal-hash coefficients, same 60-bit md5 shingle hashes,
+# same 4×2 banding as operators/dedup.minhash_det_near_dup_pairs —
+# candidate sets and jaccard values match exactly. Ends in
+# ``pairs(doc_a, doc_b, jaccard)`` with jaccard >= 0.5; shared by
+# `dedup_near` and the end-to-end `dedup_fuzzy_survivors`
+# (queries/curation_extra.py).
+MINHASH_PAIRS_CTES = """params AS (
       SELECT * FROM (VALUES
         (0, 1103515245, 12345), (1, 1229782938, 2463534242),
         (2, 1790989885, 777777777), (3, 1537228672, 1013904223),
@@ -286,16 +287,25 @@ def dedup_token_jaccard(t):
       FROM bands_kept x JOIN bands_kept y
         ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        AND x.doc_id < y.doc_id
-    )
-    SELECT doc_a, doc_b, jaccard FROM (
-      SELECT c.doc_a, c.doc_b,
-             CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
-               / (len(ha.hset) + len(hb.hset)
-                  - len(list_intersect(ha.hset, hb.hset))) AS jaccard
-      FROM cand c
-      JOIN hs ha ON c.doc_a = ha.doc_id
-      JOIN hs hb ON c.doc_b = hb.doc_id
-    ) WHERE jaccard >= 0.5
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE)
+                 / (len(ha.hset) + len(hb.hset)
+                    - len(list_intersect(ha.hset, hb.hset))) AS jaccard
+        FROM cand c
+        JOIN hs ha ON c.doc_a = ha.doc_id
+        JOIN hs hb ON c.doc_b = hb.doc_id
+      ) WHERE jaccard >= 0.5
+    )"""
+
+
+@register(
+    "dedup_near",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def dedup_near(t):
