@@ -1,0 +1,137 @@
+"""Hybrid retrieval: lexical (BM25) + semantic (embedding cosine) fusion.
+
+Training-data selection pipelines rarely rank with one signal: the
+production pattern (Elastic/Vespa/Milvus "hybrid search") runs a
+lexical ranker and a vector ranker and fuses the two lists with
+Reciprocal Rank Fusion (Cormack et al., SIGIR 2009). Both legs already
+exist in this engine as hash-oracled operators (`text_bm25`,
+`sim_topk`); this module registers the fused operator on top of them.
+
+Determinism: RRF needs only the RANKS, and ranks are integers with a
+total order (score desc, id asc), so the fusion is exact-integer
+arithmetic — `1e9 div (60 + rank)` summed over legs — immune to libm
+or accumulation-order divergence. The only doubles involved (the BM25
+score rounded to 6 dp, the scaled-int cosine ratio) are the same
+expressions already hash-pinned by the leg operators.
+
+Scale: each leg is its own top-k (TakeOrderedAndProject — one scan, no
+global sort); the fusion joins two k-row lists (k=50), which is
+driver-trivial at any corpus size. At 100 TB the legs serve from their
+persisted layouts (BM25 postings, IVF index) via the router; the
+fusion cost is unchanged.
+
+Reference parity: the reference (src/consumer.js) has no retrieval
+surface; this is part of the beyond-reference LLM-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stream_processor_spark.operators import similarity as sim
+from stream_processor_spark.queries.base import register
+from stream_processor_spark.queries.llm_data import (
+    _BM25_ORACLE,
+    _query_vec,
+    text_bm25,
+)
+
+# RRF constant from the original paper; 1e9 scaling keeps the fused
+# score an exact int64 (max 2 * 1e9/61 < 2^25).
+_RRF_K = 60
+_RRF_SCALE = 1_000_000_000
+_LEG_K = 50
+
+# The BM25 oracle ends in its final SELECT; rewrap it as a CTE by
+# splicing the SELECT into the WITH chain. _BM25_ORACLE is
+# "WITH docs AS (...), ..., qtok AS (...) SELECT t.doc_id, ... GROUP BY t.doc_id"
+_bm25_body = _BM25_ORACLE.strip()
+assert _bm25_body.startswith("WITH ")
+_split_at = _bm25_body.index("\n    SELECT t.doc_id")
+_BM25_CTES = _bm25_body[len("WITH ") : _split_at].rstrip().rstrip(",")
+_BM25_FINAL = _bm25_body[_split_at:].strip()
+
+_HYBRID_ORACLE = (
+    sim.ORACLE_COSINE_CTE.format(query_filter="vec_id = 0", dim=64).rstrip()
+    + ",\n"
+    + _BM25_CTES
+    + ",\n"
+    + f"""
+    bm25_scored AS (
+      {_BM25_FINAL}
+    ),
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm25_scored
+      ) WHERE r <= {_LEG_K}
+    ),
+    sem AS (
+      SELECT doc_id, r FROM (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r
+        FROM scored
+      ) WHERE r <= {_LEG_K}
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE({_RRF_SCALE} // (CAST({_RRF_K} AS BIGINT) + l.r), 0)
+              + COALESCE({_RRF_SCALE} // (CAST({_RRF_K} AS BIGINT) + s.r), 0)
+              AS BIGINT) AS rrf,
+           l.r AS lex_rank,
+           s.r AS sem_rank
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+)
+
+
+def _ranked(df, score_col: str, id_col: str, k: int):
+    """Top-k by (score desc, id asc) with the rank attached.
+
+    TakeOrderedAndProject does the top-k in one scan; the row_number
+    window then runs over the k-row survivor set (driver-trivial), so
+    no corpus-sized single-partition sort ever exists in the plan.
+    """
+    top = df.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return top.select(
+        F.col(id_col).alias("doc_id"), F.row_number().over(w).cast("long").alias("r")
+    )
+
+
+@register("retrieval_hybrid_rrf", oracle=_HYBRID_ORACLE)
+def retrieval_hybrid_rrf(t):
+    """Hybrid lexical+semantic retrieval fused with Reciprocal Rank
+    Fusion: top-50 BM25 (query doc 0's tokens) and top-50 exact cosine
+    (query vector 0) combined as sum of `1e9 div (60 + rank)` — the
+    standard hybrid-search ranking, exact-integer end to end.
+
+    Each leg is the already-oracled operator (`text_bm25` /
+    `sim_topk`); a document missing from one leg contributes 0 from it.
+    Returns the fused top-20 with both leg ranks for auditability.
+    """
+    lex = _ranked(text_bm25(t), "bm25", "doc_id", _LEG_K).withColumnRenamed(
+        "r", "lex_rank"
+    )
+    sem_scores = sim.cosine_vs_query(t.embeddings, _query_vec(t)).select(
+        "vec_id", "cosine"
+    )
+    sem = _ranked(sem_scores, "cosine", "vec_id", _LEG_K).withColumnRenamed(
+        "r", "sem_rank"
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(
+            F.expr(f"{_RRF_SCALE}L div ({_RRF_K}L + lex_rank)"), F.lit(0).cast("long")
+        )
+        + F.coalesce(
+            F.expr(f"{_RRF_SCALE}L div ({_RRF_K}L + sem_rank)"), F.lit(0).cast("long")
+        )
+    ).cast("long")
+    return (
+        fused.select("doc_id", rrf.alias("rrf"), "lex_rank", "sem_rank")
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
