@@ -114,6 +114,18 @@ def _build_pq(spark: SparkSession, sf_dir: str) -> None:
     ensure_pq_index(spark, sf_dir)
 
 
+def _zonemap_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.zonemap import zonemap_names
+
+    return zonemap_names(sf_dir)
+
+
+def _build_zonemap(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.zonemap import ensure_zonemap
+
+    ensure_zonemap(spark, sf_dir)
+
+
 # layout key -> (deterministic table names, builder)
 LAYOUTS = {
     "bm25_postings": (_postings_tables, _build_postings),
@@ -121,6 +133,7 @@ LAYOUTS = {
     "bucketed_fact": (_bucketed_tables, _build_bucketed),
     "ivf_trained": (_ivf_trained_tables, _build_ivf_trained),
     "pq_index": (_pq_tables, _build_pq),
+    "zonemap": (_zonemap_tables, _build_zonemap),
 }
 
 # semantic name -> Route. Both registry entries of a route share result
@@ -144,6 +157,7 @@ ROUTES = {
     ),
     "ann_pq": Route("pq_index", "sim_ann_pq_indexed", "sim_ann_pq_trained"),
     "ann_pq_multi": Route("pq_index", "sim_ann_pq_multiquery", None),
+    "doc_lookup": Route("zonemap", "point_lookup_indexed", "point_lookup"),
 }
 
 

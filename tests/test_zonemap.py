@@ -1,0 +1,72 @@
+"""Zone-map skipping index: manifest invariants, pruning, rebuild."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.catalog import Tables
+from stream_processor_spark.operators import zonemap as zm
+
+
+def test_manifest_covers_table_exactly(spark, sf_dir):
+    data_name, map_name = zm.ensure_zonemap(spark, sf_dir)
+    total = spark.table(data_name).count()
+    rows = zm.manifest_rows(spark, map_name)
+    assert sum(r["rows"] for r in rows) == total
+    # doc_id is unique and the table is range-clustered: file key spans
+    # must be disjoint — that disjointness IS the pruning power
+    spans = sorted((r["min_key"], r["max_key"]) for r in rows)
+    for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+        assert amax < bmin
+    assert len(rows) > 1  # pruning is meaningful only with multiple files
+
+
+def test_point_lookup_prunes_and_matches(spark, sf_dir):
+    data_name, map_name = zm.ensure_zonemap(spark, sf_dir)
+    keys = [1, 7, 103]
+    files = zm.pruned_files_for_keys(spark, map_name, keys)
+    nfiles_total = len(zm.manifest_rows(spark, map_name))
+    assert 0 < len(files) <= len(keys) < nfiles_total
+    got = zm.lookup_by_keys(spark, sf_dir, keys)
+    # the scan reads exactly the pruned file set, nothing else
+    assert sorted(got.inputFiles()) == sorted(files)
+    expect = (
+        Tables(spark, sf_dir)
+        .documents.filter(F.col("doc_id").isin(keys))
+        .select("doc_id", "n_chars")
+    )
+    assert sorted(got.select("doc_id", "n_chars").collect()) == sorted(
+        expect.collect()
+    )
+
+
+def test_range_lookup_prunes_and_matches(spark, sf_dir):
+    _, map_name = zm.ensure_zonemap(spark, sf_dir)
+    lo, hi = 10, 29
+    files = zm.pruned_files_for_range(spark, map_name, lo, hi)
+    assert 0 < len(files) < len(zm.manifest_rows(spark, map_name))
+    got = zm.lookup_by_range(spark, sf_dir, lo, hi)
+    assert got.count() == (
+        Tables(spark, sf_dir)
+        .documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        .count()
+    )
+
+
+def test_lookup_beyond_every_zone_reads_nothing(spark, sf_dir):
+    _, map_name = zm.ensure_zonemap(spark, sf_dir)
+    files = zm.pruned_files_for_keys(spark, map_name, [10**15])
+    assert files == []
+    got = zm.lookup_by_keys(spark, sf_dir, [10**15])
+    assert got.count() == 0
+
+
+def test_half_built_pair_is_rebuilt(spark, sf_dir):
+    data_name, map_name = zm.ensure_zonemap(spark, sf_dir)
+    # crash window: manifest lost after the data write (ensure_postings
+    # contract — cache only when BOTH tables exist)
+    spark.sql(f"DROP TABLE IF EXISTS {map_name}")
+    d2, m2 = zm.ensure_zonemap(spark, sf_dir)
+    assert (d2, m2) == (data_name, map_name)
+    assert spark.catalog.tableExists(map_name)
+    assert zm.lookup_by_keys(spark, sf_dir, [1]).count() == 1
