@@ -1,0 +1,198 @@
+"""Incremental JOIN-view maintenance (delta joins, the IVM classic).
+
+`operators/aggmv.py` maintains an aggregate view from partial states;
+this module does the same for a JOIN view — the other half of classic
+incremental view maintenance (Blakeley et al., SIGMOD'86): for
+V = A ⋈ B, an insert batch ΔA contributes exactly ΔA ⋈ B_current, and
+interleaved appends on both sides cover every (a, b) pair exactly once
+— so the maintained view equals the from-scratch join bit-for-bit (the
+algebra is hash-pinned by the `join_incremental_mv` registry entry;
+the persisted surfaces live here and are pinned in
+tests/test_joinmv.py).
+
+The concrete view is ``orders ⋈ customer ON o_custkey = c_custkey``
+(the engine's aggmv convention: one concrete view, generalizable
+schema-by-schema).
+
+Scale design:
+- Both ACCUMULATED sides are bucketed by the join key, so the
+  per-batch delta join shuffles ONLY the batch — the accumulated scan
+  is bucket-local. Per-append cost is O(|Δ| + matched buckets), never
+  O(|A|+|B|).
+- The view table is PARTITIONED BY the producing batch id and appends
+  use dynamic-partition OVERWRITE: an at-least-once redelivery
+  rewrites its own partition instead of duplicating it. The input-side
+  append (content-fingerprint tagged, `aggmv._batch_fingerprint`
+  pattern) is the commit point; ``serve`` filters the view to
+  committed batches (an IN on the partition column → partition-pruned
+  read), so a crash between the two writes can never surface
+  uncommitted rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_N_BUCKETS = 8
+
+LEFT_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
+RIGHT_COLS = ["c_custkey", "c_name"]
+VIEW_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+
+
+def joinmv_names(sf_dir: str) -> tuple[str, str, str]:
+    """Deterministic (left, right, view) table names."""
+    tag = hashlib.md5(f"{sf_dir}|joinmv1".encode()).hexdigest()[:8]
+    return f"jmv_left_{tag}", f"jmv_right_{tag}", f"jmv_view_{tag}"
+
+
+def _fingerprint(batch: DataFrame, cols: list[str], side: str) -> str:
+    """Order-independent content fingerprint (XOR of md5-int64s +
+    count) prefixed by the side so left/right ids can never collide."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols])), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    row = (
+        batch.select(h.alias("__h"))
+        .agg(F.count(F.lit(1)).alias("c"), F.expr("bit_xor(__h)").alias("s"))
+        .collect()[0]
+    )
+    return f"{side}_{row['c']}_{row['s']}"
+
+
+def init_join_mv(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Create the three EMPTY state tables once; return their names.
+    Accumulators are bucketed by the join key (the delta-join
+    co-location); the view is partitioned by producing batch (the
+    replay-idempotence unit)."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    left_name, right_name, view_name = joinmv_names(sf_dir)
+    if all(
+        spark.catalog.tableExists(n) for n in (left_name, right_name, view_name)
+    ):
+        return left_name, right_name, view_name
+    for name in (left_name, right_name, view_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        drop_warehouse_dir(spark, name)
+
+    t = Tables(spark, sf_dir)
+    empty_left = t.orders.select(*LEFT_COLS).limit(0).withColumn(
+        "batch_id", F.lit("")
+    )
+    empty_right = t.customer.select(*RIGHT_COLS).limit(0).withColumn(
+        "batch_id", F.lit("")
+    )
+    (
+        empty_left.write.format("parquet")
+        .bucketBy(_N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(left_name)
+    )
+    (
+        empty_right.write.format("parquet")
+        .bucketBy(_N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(right_name)
+    )
+    empty_view = (
+        t.orders.select(*LEFT_COLS)
+        .limit(0)
+        .join(t.customer.select(*RIGHT_COLS).limit(0), F.expr("o_custkey = c_custkey"))
+        .select(*VIEW_COLS)
+        .withColumn("src_batch", F.lit(""))
+    )
+    (
+        empty_view.write.format("parquet")
+        .partitionBy("src_batch")
+        .saveAsTable(view_name)
+    )
+    return left_name, right_name, view_name
+
+
+def _committed(spark: SparkSession, table: str) -> set[str]:
+    spark.catalog.refreshTable(table)
+    return {
+        r["batch_id"]
+        for r in spark.table(table).select("batch_id").distinct().collect()
+    }
+
+
+def _write_view_delta(spark: SparkSession, view_name: str, delta: DataFrame) -> None:
+    """Dynamic-partition overwrite of the delta's own src_batch
+    partition: an at-least-once replay REWRITES it, never duplicates."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        delta.write.mode("overwrite").insertInto(view_name)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def append_left(
+    spark: SparkSession, names: tuple[str, str, str], batch: DataFrame
+) -> bool:
+    """Apply an orders batch: view += Δ ⋈ right_acc, then commit Δ to
+    the left accumulator. Returns False on a replayed batch."""
+    left_name, right_name, view_name = names
+    b = batch.select(*LEFT_COLS)
+    fp = _fingerprint(b, LEFT_COLS, "L")
+    if fp in _committed(spark, left_name):
+        return False
+    spark.catalog.refreshTable(right_name)
+    delta = (
+        b.join(
+            spark.table(right_name),
+            b["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(*VIEW_COLS)
+        .withColumn("src_batch", F.lit(fp))
+    )
+    _write_view_delta(spark, view_name, delta)
+    b.withColumn("batch_id", F.lit(fp)).write.mode("append").format(
+        "parquet"
+    ).insertInto(left_name)
+    return True
+
+
+def append_right(
+    spark: SparkSession, names: tuple[str, str, str], batch: DataFrame
+) -> bool:
+    """Apply a customer batch: view += left_acc ⋈ Δ, then commit Δ."""
+    left_name, right_name, view_name = names
+    b = batch.select(*RIGHT_COLS)
+    fp = _fingerprint(b, RIGHT_COLS, "R")
+    if fp in _committed(spark, right_name):
+        return False
+    spark.catalog.refreshTable(left_name)
+    delta = (
+        spark.table(left_name)
+        .join(b, F.col("o_custkey") == b["c_custkey"])
+        .select(*VIEW_COLS)
+        .withColumn("src_batch", F.lit(fp))
+    )
+    _write_view_delta(spark, view_name, delta)
+    b.withColumn("batch_id", F.lit(fp)).write.mode("append").format(
+        "parquet"
+    ).insertInto(right_name)
+    return True
+
+
+def serve_join_mv(spark: SparkSession, names: tuple[str, str, str]) -> DataFrame:
+    """The maintained join view, restricted to COMMITTED batches (an IN
+    on the partition column → partition-pruned scan), so a crash
+    between a view write and its input commit is invisible."""
+    left_name, right_name, view_name = names
+    committed = _committed(spark, left_name) | _committed(spark, right_name)
+    spark.catalog.refreshTable(view_name)
+    return (
+        spark.table(view_name)
+        .filter(F.col("src_batch").isin(sorted(committed)))
+        .drop("src_batch")
+    )

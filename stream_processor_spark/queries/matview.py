@@ -57,3 +57,43 @@ def agg_incremental_mv(t):
         )
     )
     return aggmv.finalize(states)
+
+
+@register(
+    "join_incremental_mv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_incremental_mv(t):
+    """Incremental JOIN-view maintenance fold (operators/joinmv.py).
+
+    Both sides of ``orders ⋈ customer`` arrive in two interleaved
+    insert batches; each append contributes exactly Δ ⋈ other-side-so-
+    far (the Blakeley'86 delta-join rule), so the union of the three
+    deltas covers every (order, customer) pair exactly once and folds
+    to the from-scratch join bit-for-bit. The persisted/replayed/
+    crash-windowed surfaces of the same operator are pinned in
+    tests/test_joinmv.py; at scale each delta join shuffles only the
+    batch (accumulators bucketed by key), so a 100 TB view is
+    maintained without rescanning either side.
+    """
+    from stream_processor_spark.operators.joinmv import VIEW_COLS
+
+    o = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t.customer.select("c_custkey", "c_name")
+    a0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    a1 = o.filter(F.col("o_orderkey") % 2 == 1)
+    b0 = c.filter(F.col("c_custkey") % 2 == 0)
+    b1 = c.filter(F.col("c_custkey") % 2 == 1)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    # append schedule: a0 (empty right), b0, a1, b1
+    v1 = a0.join(b0, on)          # Δb0 ⋈ A={a0}
+    v2 = a1.join(b0, on)          # Δa1 ⋈ B={b0}
+    v3 = a0.unionByName(a1).join(b1, on)  # Δb1 ⋈ A={a0,a1}
+    return (
+        v1.select(*VIEW_COLS)
+        .unionByName(v2.select(*VIEW_COLS))
+        .unionByName(v3.select(*VIEW_COLS))
+    )

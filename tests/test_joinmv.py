@@ -1,0 +1,88 @@
+"""Persisted incremental JOIN view: appends, replay, crash window."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.catalog import Tables
+from stream_processor_spark.operators import joinmv
+
+
+def _full_join(t):
+    return (
+        t.orders.select(*joinmv.LEFT_COLS)
+        .join(
+            t.customer.select(*joinmv.RIGHT_COLS),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(*joinmv.VIEW_COLS)
+    )
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _fresh(spark, sf_dir):
+    for name in joinmv.joinmv_names(sf_dir):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return joinmv.init_join_mv(spark, sf_dir)
+
+
+def test_interleaved_appends_equal_full_join(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    names = _fresh(spark, sf_dir)
+    o, c = t.orders, t.customer
+    assert joinmv.append_left(spark, names, o.filter(F.col("o_orderkey") % 2 == 0))
+    assert joinmv.append_right(spark, names, c.filter(F.col("c_custkey") % 2 == 0))
+    assert joinmv.append_left(spark, names, o.filter(F.col("o_orderkey") % 2 == 1))
+    assert joinmv.append_right(spark, names, c.filter(F.col("c_custkey") % 2 == 1))
+    got = joinmv.serve_join_mv(spark, names)
+    assert _sorted_rows(got) == _sorted_rows(_full_join(t))
+
+
+def test_replayed_batch_is_skipped(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    names = _fresh(spark, sf_dir)
+    b = t.orders.filter(F.col("o_orderkey") % 2 == 0)
+    joinmv.append_right(spark, names, t.customer)
+    assert joinmv.append_left(spark, names, b)
+    before = joinmv.serve_join_mv(spark, names).count()
+    assert not joinmv.append_left(spark, names, b)  # at-least-once replay
+    assert joinmv.serve_join_mv(spark, names).count() == before
+
+
+def test_crash_window_view_written_but_uncommitted(spark, sf_dir):
+    """A view partition whose input batch never committed must be
+    invisible to serve, and the replayed append must converge (the
+    dynamic-partition overwrite rewrites it, no duplicates)."""
+    t = Tables(spark, sf_dir)
+    names = _fresh(spark, sf_dir)
+    left_name, right_name, view_name = names
+    joinmv.append_right(spark, names, t.customer)
+
+    b = t.orders.filter(F.col("o_orderkey") % 2 == 0)
+    fp = joinmv._fingerprint(b.select(*joinmv.LEFT_COLS), joinmv.LEFT_COLS, "L")
+    # simulate the crash: the view delta lands, the input commit doesn't
+    delta = (
+        b.select(*joinmv.LEFT_COLS)
+        .join(spark.table(right_name), F.col("o_custkey") == F.col("c_custkey"))
+        .select(*joinmv.VIEW_COLS)
+        .withColumn("src_batch", F.lit(fp))
+    )
+    joinmv._write_view_delta(spark, view_name, delta)
+    assert joinmv.serve_join_mv(spark, names).count() == 0  # uncommitted → hidden
+
+    assert joinmv.append_left(spark, names, b)  # the at-least-once redelivery
+    got = joinmv.serve_join_mv(spark, names)
+    expect = _full_join(t).filter(F.col("o_orderkey") % 2 == 0)
+    assert _sorted_rows(got) == _sorted_rows(expect)
+
+
+def test_accumulators_are_bucketed(spark, sf_dir):
+    names = _fresh(spark, sf_dir)
+    for name, key in ((names[0], "o_custkey"), (names[1], "c_custkey")):
+        desc = spark.sql(f"DESCRIBE EXTENDED {name}").collect()
+        kv = {r["col_name"]: r["data_type"] for r in desc}
+        assert kv.get("Num Buckets") == str(joinmv._N_BUCKETS)
+        assert key in kv.get("Bucket Columns", "")
