@@ -414,6 +414,75 @@ class TxnTable:
             f"races: {last_err}"
         )
 
+    def delete_where(
+        self,
+        condition,
+        txn_id: str | None = None,
+        max_rederives: int = 5,
+    ) -> int | None:
+        """File-pruned copy-on-write DELETE (the GDPR / right-to-erasure
+        primitive): rows matching ``condition`` (a Column or SQL string)
+        disappear from the new snapshot; every data file containing NO
+        matching row is carried by reference, and only the touched
+        files are rewritten without their matching rows — a delete
+        hitting 0.1% of rows rewrites ~0.1% of files, not the table.
+
+        Same concurrency discipline as :meth:`merge`: the survivors are
+        derived from a specific snapshot, so the commit carries
+        ``expected_parent`` and a lost race discards the stale staged
+        files and re-derives. Matching no rows commits nothing and
+        returns the current version. Old versions still contain the
+        rows (time travel); physical erasure completes when the
+        superseded versions are retired and :meth:`vacuum` reclaims
+        their files — the Delta VACUUM contract.
+        """
+        from pyspark.sql import functions as F
+
+        if txn_id is not None and txn_id in self.committed_txns():
+            return None
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        last_err: CommitConflict | None = None
+        for _ in range(max_rederives):
+            snap = self.snapshot()
+            base_version = snap["version"]
+            base_files = snap["files"]
+            if not base_files:
+                raise ValueError(
+                    f"TxnTable at {self.root}: no committed snapshot"
+                )
+            base = self.spark.read.parquet(*base_files)
+            touched_raw = (
+                base.withColumn("__file", F.input_file_name())
+                .filter(cond)
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            touched = {_canon_path(r[0]) for r in touched_raw}
+            if not touched:
+                return base_version  # nothing matches: snapshot unchanged
+            rewrite = [f for f in base_files if _canon_path(f) in touched]
+            carried = [f for f in base_files if _canon_path(f) not in touched]
+            survivors = self.spark.read.parquet(*rewrite).filter(~cond)
+            staged = self._stage(survivors)
+            try:
+                return self._commit(
+                    staged,
+                    "delete",
+                    txn_id,
+                    replace=True,
+                    expected_parent=base_version,
+                    carried_files=carried,
+                )
+            except CommitConflict as err:
+                last_err = err
+                for f in staged:
+                    self.fs.delete(f)
+        raise CommitConflict(
+            f"TxnTable {self.root}: delete lost {max_rederives} derivation "
+            f"races: {last_err}"
+        )
+
     # ------------------------------------------------------------- cleanup
 
     def vacuum(self, grace_ms: int = 3_600_000) -> int:

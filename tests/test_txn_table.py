@@ -374,3 +374,75 @@ def test_merge_concurrent_append_rederives_not_lost_update(spark, tmp_path):
         )
     for f in staged:
         t.fs.delete(f)
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """Round-7 delete_where: file-pruned copy-on-write erasure —
+    matching rows vanish, files without matches carry by path, time
+    travel still sees the deleted rows until vacuum retires them."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).repartition(1))
+    t.append(_df(spark, [(3, "c"), (4, "d")]).repartition(1))
+    t.append(_df(spark, [(5, "e"), (6, "f")]).repartition(1))
+    before = t.snapshot()
+    v_before = before["version"]
+
+    got = t.delete_where("k = 3 OR k = 6")
+    assert got == v_before + 1
+    after = t.snapshot()
+    assert after["operation"] == "delete"
+    rows = sorted((r.k, r.v) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "b"), (4, "d"), (5, "e")]
+
+    # the file with no matching row (keys 1,2) is carried by reference
+    def rows_of(path):
+        return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    untouched = [f for f in before["files"] if (1, "a") in rows_of(f)]
+    touched = [f for f in before["files"] if f not in untouched]
+    assert len(untouched) == 1 and len(touched) == 2
+    assert set(untouched) <= set(after["files"])
+    assert not set(touched) & set(after["files"])
+
+    # time travel: the pre-delete snapshot still has every row
+    assert t.read(version=v_before).count() == 6
+
+
+def test_delete_where_no_match_and_replay(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v = t.snapshot()["version"]
+    # no matching row: no new commit, same snapshot
+    assert t.delete_where("k = 999") == v
+    assert t.snapshot()["version"] == v
+    # txn_id replay is a no-op
+    assert t.delete_where("k = 1", txn_id="del-1") == v + 1
+    assert t.delete_where("k = 1", txn_id="del-1") is None
+    assert sorted(r.k for r in t.read().collect()) == [2]
+
+
+def test_delete_where_concurrent_append_rederives(spark, tmp_path):
+    """A delete losing the commit race re-derives against the new
+    snapshot: the concurrent append's rows survive (unless they match
+    the predicate, in which case the re-derivation deletes them too)."""
+    root = str(tmp_path / "t")
+
+    class RacingTable(TxnTable):
+        raced = False
+
+        def _stage(self, df):
+            staged = super()._stage(df)
+            if not RacingTable.raced:
+                RacingTable.raced = True
+                TxnTable(self.spark, self.root).append(
+                    _df(self.spark, [(99, "concurrent"), (1, "late-dup")])
+                )
+            return staged
+
+    t = RacingTable(spark, root)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where("k = 1")
+    rows = sorted((r.k, r.v) for r in t.read().collect())
+    # both copies of k=1 (original AND the racing append's) are gone;
+    # the concurrent row survives
+    assert rows == [(2, "b"), (99, "concurrent")]
