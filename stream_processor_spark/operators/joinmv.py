@@ -141,6 +141,10 @@ def append_left(
     """Apply an orders batch: view += Δ ⋈ right_acc, then commit Δ to
     the left accumulator. Returns False on a replayed batch."""
     left_name, right_name, view_name = names
+    # foreachBatch hands a frame bound to a CLONED session; every state
+    # read must come from THAT session or the delta join mixes plans
+    # across sessions (the aggmv refresh note, one step further)
+    spark = batch.sparkSession
     b = batch.select(*LEFT_COLS)
     fp = _fingerprint(b, LEFT_COLS, "L")
     if fp in _committed(spark, left_name):
@@ -166,6 +170,7 @@ def append_right(
 ) -> bool:
     """Apply a customer batch: view += left_acc ⋈ Δ, then commit Δ."""
     left_name, right_name, view_name = names
+    spark = batch.sparkSession  # cloned-session rule, see append_left
     b = batch.select(*RIGHT_COLS)
     fp = _fingerprint(b, RIGHT_COLS, "R")
     if fp in _committed(spark, right_name):
@@ -195,4 +200,31 @@ def serve_join_mv(spark: SparkSession, names: tuple[str, str, str]) -> DataFrame
         spark.table(view_name)
         .filter(F.col("src_batch").isin(sorted(committed)))
         .drop("src_batch")
+    )
+
+
+def stream_join_mv_updates(
+    spark: SparkSession,
+    left_stream: DataFrame,
+    names: tuple[str, str, str],
+    checkpoint_dir: str,
+):
+    """Maintain the join view from a STREAM of left-side inserts: each
+    micro-batch runs :func:`append_left` through foreachBatch —
+    O(|Δ| + matched buckets) per trigger. A foreachBatch retry
+    redelivers identical rows, hits the same content fingerprint, and
+    is skipped before any write; a retry after the view delta but
+    before the input commit rewrites the SAME view partition (dynamic-
+    partition overwrite), so the fold stays exact under at-least-once
+    delivery — the `stream_agg_mv_updates` contract carried to join
+    views."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_left(spark, names, batch_df)
+
+    return (
+        left_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

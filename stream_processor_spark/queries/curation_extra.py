@@ -274,3 +274,161 @@ def text_unigram_surprisal(t):
     return nt.join(ds, "doc_id").select(
         "doc_id", "n_tokens", F.expr("s div n_tokens").alias("mean_surprisal")
     )
+
+
+@register(
+    "text_collocations_lift",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE text IS NOT NULL
+    ),
+    big AS (
+      SELECT p[1] AS w1, p[2] AS w2 FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, len(tk) - 1),
+                 i -> [tk[i], tk[i + 1]])) AS p
+        FROM docs WHERE len(tk) >= 2
+      ) WHERE p[1] <> '' AND p[2] <> ''
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM big GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tk) AS tok FROM docs)
+      WHERE tok <> '' GROUP BY tok
+    )
+    SELECT b.w1, b.w2, b.c12,
+           CAST(CAST(b.c12 * 1000000000 AS BIGINT)
+                // (u1.c * u2.c) AS BIGINT) AS lift_scaled
+    FROM c12 b
+    JOIN uni u1 ON b.w1 = u1.tok
+    JOIN uni u2 ON b.w2 = u2.tok
+    WHERE b.c12 >= 5
+    ORDER BY lift_scaled DESC, w1, w2 LIMIT 30
+    """,
+)
+def text_collocations_lift(t):
+    """Collocation mining by lift (PMI's ratio without the log): for
+    each adjacent token bigram seen >= 5 times, score how much more
+    often the pair occurs than its unigram frequencies predict —
+    ``lift_scaled = c12 * 1e9 div (c1 * c2)``, proportional to
+    P(w1,w2)/(P(w1)P(w2)) within a fixed corpus. Integer-exact (the
+    engine's log-free convention, like `text_unigram_surprisal`), so
+    the ranking hash-matches across engines; top 30 with a total-order
+    tie-break.
+
+    Scale: one pass builds bigrams as an array transform (no Python),
+    one hash aggregate each for bigram and unigram counts; the two
+    dictionary joins shuffle only (token, count) pairs — corpus text
+    never shuffles.
+    """
+    from stream_processor_spark.operators import text as tx
+
+    d = t.documents.filter(F.col("text").isNotNull()).select(
+        tx.tokens(F.col("text")).alias("tk")
+    )
+    pairs = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("tk"), i).alias("w1"),
+                F.element_at(F.col("tk"), i + 1).alias("w2"),
+            ),
+        ),
+        lambda s: (s["w1"] != "") & (s["w2"] != ""),
+    )
+    big = (
+        d.filter(F.size("tk") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        d.select(F.explode("tk").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        c12.filter(F.col("c12") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.expr("CAST(c12 * 1000000000 AS BIGINT) div (c1 * c2)").alias(
+                "lift_scaled"
+            ),
+        )
+        .orderBy(F.col("lift_scaled").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    "dq_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, m.med,
+             abs(l.l_quantity - m.med) AS adev
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    madt AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           MIN(d.med) AS med,
+           MIN(t.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * t.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM dev d JOIN madt t USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def dq_anomaly_mad(t):
+    """Robust outlier detection: median + MAD (median absolute
+    deviation), the z-score's heavy-tail-safe sibling — `ts_anomaly_
+    zscore` breaks when the contamination inflates the stddev; MAD
+    doesn't. Rows whose |x − median| exceeds 3·MAD are flagged, per
+    group. Exact across engines: l_quantity is integral, so the
+    interpolated medians and deviations are dyadic (the
+    `agg_percentile_exact` argument), and 3·MAD is exact binary
+    arithmetic.
+
+    Scale: two grouped exact percentiles (two passes by definition —
+    robust statistics are not one-pass) with the tiny per-group
+    medians broadcast back; at extreme scale swap `percentile` for
+    `approx_percentile` and keep the same shape.
+    """
+    l = t.lineitem.select("l_returnflag", "l_quantity")
+    med = l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("med")
+    )
+    dev = l.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_quantity") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -86,3 +86,37 @@ def test_accumulators_are_bucketed(spark, sf_dir):
         kv = {r["col_name"]: r["data_type"] for r in desc}
         assert kv.get("Num Buckets") == str(joinmv._N_BUCKETS)
         assert key in kv.get("Bucket Columns", "")
+
+
+def test_streaming_left_maintenance_and_restart(spark, sf_dir, tmp_path):
+    """Left-side inserts arrive as a parquet STREAM; after the run the
+    view equals the full join restricted to streamed orders, and a
+    restarted stream over the same source re-commits nothing."""
+    t = Tables(spark, sf_dir)
+    names = _fresh(spark, sf_dir)
+    joinmv.append_right(spark, names, t.customer)
+
+    src = str(tmp_path / "src")
+    # two files == two micro-batches (maxFilesPerTrigger=1)
+    for i in (0, 1):
+        t.orders.filter(F.col("o_orderkey") % 2 == i).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    stream = (
+        spark.readStream.schema(t.orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = joinmv.stream_join_mv_updates(
+        spark, stream, names, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = joinmv.serve_join_mv(spark, names)
+    assert _sorted_rows(got) == _sorted_rows(_full_join(t))
+
+    # restart over the same source: checkpoint + fingerprints → no dup
+    q2 = joinmv.stream_join_mv_updates(
+        spark, stream, names, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert joinmv.serve_join_mv(spark, names).count() == got.count()
