@@ -432,3 +432,80 @@ def dq_anomaly_mad(t):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "dq_drift_chi2",
+    oracle="""
+    WITH ref AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS rc FROM documents
+      WHERE doc_id % 2 = 0 GROUP BY source
+    ),
+    cur AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS oc FROM documents
+      WHERE doc_id % 2 = 1 GROUP BY source
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(rc) AS BIGINT) FROM ref) AS nr,
+             (SELECT CAST(SUM(oc) AS BIGINT) FROM cur) AS nc
+    )
+    SELECT r.source,
+           r.rc AS ref_count,
+           COALESCE(c.oc, 0) AS cur_count,
+           CAST(floor(
+             (CAST((COALESCE(c.oc, 0) * t.nr - t.nc * r.rc) AS DOUBLE)
+              * CAST((COALESCE(c.oc, 0) * t.nr - t.nc * r.rc) AS DOUBLE)
+              / CAST(t.nr * t.nc * r.rc AS DOUBLE)) * 1000000.0 + 0.5)
+             AS BIGINT) AS chi2_ppm
+    FROM ref r LEFT JOIN cur c ON r.source = c.source CROSS JOIN tot t
+    """,
+)
+def dq_drift_chi2(t):
+    """Distribution-drift detection between two corpus slices: the
+    per-category chi-square contribution of the CURRENT slice's
+    `source` mix against the REFERENCE slice's (the monitoring check a
+    production ingest runs before accepting a new data drop). The
+    statistic is computed over exact integer counts —
+    d = o·n_ref − n_cur·ref_c is int64-exact, and the one double
+    division is scaled to ppm with the engine's fixed-point rounding —
+    so the hash matches across engines (only +,−,×,÷ — no libm).
+
+    Scale: two grouped counts and a category-sized join; nothing
+    row-sized shuffles. Categories are the drift unit, so the result
+    is dashboard-sized at any corpus size.
+    """
+    d = t.documents
+    ref = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    cur = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("oc"))
+    )
+    tot_ref = ref.agg(F.sum("rc").alias("nr"))
+    tot_cur = cur.agg(F.sum("oc").alias("nc"))
+    joined = (
+        ref.join(cur, "source", "left_outer")
+        .crossJoin(F.broadcast(tot_ref))
+        .crossJoin(F.broadcast(tot_cur))
+        .withColumn("oc", F.coalesce(F.col("oc"), F.lit(0)))
+    )
+    diff = (F.col("oc") * F.col("nr") - F.col("nc") * F.col("rc")).cast("long")
+    chi2 = F.floor(
+        (
+            diff.cast("double")
+            * diff.cast("double")
+            / (F.col("nr") * F.col("nc") * F.col("rc")).cast("double")
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    return joined.select(
+        "source",
+        F.col("rc").alias("ref_count"),
+        F.col("oc").alias("cur_count"),
+        chi2.alias("chi2_ppm"),
+    )

@@ -135,3 +135,121 @@ def retrieval_hybrid_rrf(t):
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------- indexed hybrid ----
+
+from stream_processor_spark.queries.llm_data import (  # noqa: E402
+    _IVF_CENT_SQL,
+    _ivf_serve_sql,
+)
+
+_serve = _ivf_serve_sql(2)
+_ivf_split = _serve.rindex("SELECT vec_id,")
+_IVF_CTES = _serve[:_ivf_split].rstrip()
+assert _IVF_CTES.endswith(")")
+_IVF_FINAL = _serve[_ivf_split:].strip()
+
+_SEM_K = 10  # the IVF serve's pinned top-k
+
+_HYBRID_IDX_ORACLE = (
+    "WITH "
+    + _IVF_CENT_SQL
+    + ",\n"
+    + _IVF_CTES
+    + ",\n"
+    + f"""
+    ivf_scored AS (
+      {_IVF_FINAL}
+    ),
+    """
+    + _BM25_CTES
+    + ",\n"
+    + f"""
+    bm25_scored AS (
+      {_BM25_FINAL}
+    ),
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bm25_scored
+      ) WHERE r <= {_LEG_K}
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r
+      FROM ivf_scored
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE({_RRF_SCALE} // (CAST({_RRF_K} AS BIGINT) + l.r), 0)
+              + COALESCE({_RRF_SCALE} // (CAST({_RRF_K} AS BIGINT) + s.r), 0)
+              AS BIGINT) AS rrf,
+           l.r AS lex_rank,
+           s.r AS sem_rank
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+)
+
+
+@register("retrieval_hybrid_rrf_indexed", oracle=_HYBRID_IDX_ORACLE)
+def retrieval_hybrid_rrf_indexed(t):
+    """`retrieval_hybrid_rrf` served from BOTH persisted layouts: the
+    lexical leg ranks from the BM25 postings index (bucket-pruned scan,
+    `text_bm25_postings`' plan) and the semantic leg from the IVF
+    inverted-list index (partition-pruned scan, `sim_ann_ivf_indexed`'s
+    plan) — the production hybrid-search shape, where per-query cost is
+    matched-postings + probed-lists, never a corpus pass. The semantic
+    leg carries IVF's approximation (nprobe=2, top-10), so the oracle
+    replays the probe exactly; the fusion arithmetic is the same
+    exact-integer RRF as the from-scratch operator.
+    """
+    import numpy as np
+
+    from stream_processor_spark.operators.annindex import (
+        ensure_ivf_index,
+        ivf_query_indexed,
+    )
+    from stream_processor_spark.operators.postings import (
+        bm25_from_postings,
+        ensure_postings,
+    )
+
+    spark = t._spark
+    qrow = t.documents.filter(F.col("doc_id") == 0).select("text").head()
+    if qrow is None or qrow[0] is None:
+        raise ValueError("hybrid: query document (doc_id=0) not found")
+    qtokens = sorted({tok for tok in qrow[0].split(" ") if tok != ""})
+    post_name, stats_name = ensure_postings(spark, t._dir)
+    lex = _ranked(
+        bm25_from_postings(spark, post_name, stats_name, qtokens),
+        "bm25",
+        "doc_id",
+        _LEG_K,
+    ).withColumnRenamed("r", "lex_rank")
+
+    vrow = t.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()
+    if vrow is None:
+        raise ValueError("hybrid: query vector (vec_id=0) not found")
+    lists_name, cent_name = ensure_ivf_index(spark, t._dir)
+    sem_scores = ivf_query_indexed(
+        spark, lists_name, cent_name, np.asarray(vrow[0], dtype=np.float64)
+    )
+    sem = _ranked(sem_scores, "cosine", "vec_id", _SEM_K).withColumnRenamed(
+        "r", "sem_rank"
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(
+            F.expr(f"{_RRF_SCALE}L div ({_RRF_K}L + lex_rank)"), F.lit(0).cast("long")
+        )
+        + F.coalesce(
+            F.expr(f"{_RRF_SCALE}L div ({_RRF_K}L + sem_rank)"), F.lit(0).cast("long")
+        )
+    ).cast("long")
+    return (
+        fused.select("doc_id", rrf.alias("rrf"), "lex_rank", "sem_rank")
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )

@@ -42,14 +42,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass(frozen=True)
 class Route:
-    """One semantic query: the layout that accelerates it, the registry
-    entry serving from that layout, and the from-scratch registry entry
-    used when the layout doesn't exist (None → the indexed variant
-    builds the layout on first use, which is its registered behavior)."""
+    """One semantic query: the layout(s) that accelerate it, the
+    registry entry serving from that layout, and the from-scratch
+    registry entry used when the layout doesn't exist (None → the
+    indexed variant builds the layout on first use, which is its
+    registered behavior). ``layout`` may be a tuple for queries that
+    serve from several layouts at once (hybrid retrieval: postings AND
+    the IVF index) — the indexed plan is picked only when EVERY layout
+    is present."""
 
-    layout: str
+    layout: str | tuple[str, ...]
     indexed: str
     scratch: str | None
+
+    @property
+    def layouts(self) -> tuple[str, ...]:
+        return self.layout if isinstance(self.layout, tuple) else (self.layout,)
 
 
 def _postings_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
@@ -158,6 +166,9 @@ ROUTES = {
     "ann_pq": Route("pq_index", "sim_ann_pq_indexed", "sim_ann_pq_trained"),
     "ann_pq_multi": Route("pq_index", "sim_ann_pq_multiquery", None),
     "doc_lookup": Route("zonemap", "point_lookup_indexed", "point_lookup"),
+    "hybrid_search": Route(
+        ("bm25_postings", "ivf_index"), "retrieval_hybrid_rrf_indexed", None
+    ),
 }
 
 
@@ -179,16 +190,19 @@ class Router:
         )
 
     def ensure(self, name: str) -> None:
-        """Build ``name``'s accelerating layout if absent (ingest-side
-        call; the amortized write the serve path assumes)."""
-        _, build = LAYOUTS[ROUTES[name].layout]
-        build(self.spark, self.sf_dir)
+        """Build ``name``'s accelerating layout(s) if absent (ingest-
+        side call; the amortized write the serve path assumes)."""
+        for layout in ROUTES[name].layouts:
+            _, build = LAYOUTS[layout]
+            build(self.spark, self.sf_dir)
 
     def resolve(self, name: str) -> tuple[str, str]:
         """(registry entry, 'indexed' | 'scratch') for semantic query
         ``name`` — the probe decision without running anything."""
         route = ROUTES[name]
-        if route.scratch is None or self.has_layout(route.layout):
+        if route.scratch is None or all(
+            self.has_layout(lo) for lo in route.layouts
+        ):
             return route.indexed, "indexed"
         return route.scratch, "scratch"
 
