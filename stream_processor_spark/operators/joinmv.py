@@ -19,14 +19,18 @@ Scale design:
   per-batch delta join shuffles ONLY the batch — the accumulated scan
   is bucket-local. Per-append cost is O(|Δ| + matched buckets), never
   O(|A|+|B|).
-- The view table is PARTITIONED BY the producing batch id and appends
-  use dynamic-partition OVERWRITE: an at-least-once redelivery
-  rewrites its own partition instead of duplicating it. The input-side
-  append (content-fingerprint tagged, `aggmv._batch_fingerprint`
-  pattern) is the commit point; ``serve`` filters the view to
-  committed batches (an IN on the partition column → partition-pruned
-  read), so a crash between the two writes can never surface
-  uncommitted rows.
+- Commit state lives in a LOG table of one row per applied batch —
+  replay detection and serve filtering read the log, never an
+  accumulated table (an O(corpus) batch-id scan per append is exactly
+  the anti-pattern the round-6 verdict flagged in `append_postings`).
+- Every data write is REPLAY-IDEMPOTENT: the view is partitioned by
+  producing batch and the accumulators by batch id, and all three
+  writes are dynamic-partition OVERWRITES of the batch's own
+  partition. The log append is the single commit point, so the
+  protocol (view → acc → log) converges under at-least-once
+  redelivery from ANY crash window: uncommitted partitions are
+  invisible to ``serve`` (it filters on logged ids) and the replay
+  rewrites them in place.
 """
 
 from __future__ import annotations
@@ -43,10 +47,15 @@ RIGHT_COLS = ["c_custkey", "c_name"]
 VIEW_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
 
 
-def joinmv_names(sf_dir: str) -> tuple[str, str, str]:
-    """Deterministic (left, right, view) table names."""
-    tag = hashlib.md5(f"{sf_dir}|joinmv1".encode()).hexdigest()[:8]
-    return f"jmv_left_{tag}", f"jmv_right_{tag}", f"jmv_view_{tag}"
+def joinmv_names(sf_dir: str) -> tuple[str, str, str, str]:
+    """Deterministic (left, right, view, log) table names."""
+    tag = hashlib.md5(f"{sf_dir}|joinmv2".encode()).hexdigest()[:8]
+    return (
+        f"jmv_left_{tag}",
+        f"jmv_right_{tag}",
+        f"jmv_view_{tag}",
+        f"jmv_log_{tag}",
+    )
 
 
 def _fingerprint(batch: DataFrame, cols: list[str], side: str) -> str:
@@ -65,20 +74,20 @@ def _fingerprint(batch: DataFrame, cols: list[str], side: str) -> str:
     return f"{side}_{row['c']}_{row['s']}"
 
 
-def init_join_mv(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
-    """Create the three EMPTY state tables once; return their names.
+def init_join_mv(spark: SparkSession, sf_dir: str) -> tuple[str, str, str, str]:
+    """Create the four EMPTY state tables once; return their names.
     Accumulators are bucketed by the join key (the delta-join
-    co-location); the view is partitioned by producing batch (the
-    replay-idempotence unit)."""
+    co-location) and partitioned by batch id (the replay-idempotence
+    unit); the view is partitioned by producing batch; the log is the
+    commit record (one row per applied batch — KB-scale forever)."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
-    left_name, right_name, view_name = joinmv_names(sf_dir)
-    if all(
-        spark.catalog.tableExists(n) for n in (left_name, right_name, view_name)
-    ):
-        return left_name, right_name, view_name
-    for name in (left_name, right_name, view_name):
+    names = joinmv_names(sf_dir)
+    left_name, right_name, view_name, log_name = names
+    if all(spark.catalog.tableExists(n) for n in names):
+        return names
+    for name in names:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
@@ -91,12 +100,14 @@ def init_join_mv(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     )
     (
         empty_left.write.format("parquet")
+        .partitionBy("batch_id")
         .bucketBy(_N_BUCKETS, "o_custkey")
         .sortBy("o_custkey")
         .saveAsTable(left_name)
     )
     (
         empty_right.write.format("parquet")
+        .partitionBy("batch_id")
         .bucketBy(_N_BUCKETS, "c_custkey")
         .sortBy("c_custkey")
         .saveAsTable(right_name)
@@ -113,41 +124,69 @@ def init_join_mv(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         .partitionBy("src_batch")
         .saveAsTable(view_name)
     )
-    return left_name, right_name, view_name
+    log = spark.createDataFrame([], "batch_id string, side string")
+    log.write.format("parquet").saveAsTable(log_name)
+    return names
 
 
-def _committed(spark: SparkSession, table: str) -> set[str]:
-    spark.catalog.refreshTable(table)
-    return {
-        r["batch_id"]
-        for r in spark.table(table).select("batch_id").distinct().collect()
-    }
+def _committed(spark: SparkSession, log_name: str) -> set[str]:
+    """Applied batch ids — a read of the LOG (one row per batch), not
+    of any accumulated data."""
+    spark.catalog.refreshTable(log_name)
+    return {r["batch_id"] for r in spark.table(log_name).collect()}
 
 
-def _write_view_delta(spark: SparkSession, view_name: str, delta: DataFrame) -> None:
-    """Dynamic-partition overwrite of the delta's own src_batch
-    partition: an at-least-once replay REWRITES it, never duplicates."""
+def _overwrite_own_partition(
+    spark: SparkSession, table: str, df: DataFrame
+) -> None:
+    """Dynamic-partition overwrite of the frame's own batch partition:
+    an at-least-once replay REWRITES it, never duplicates."""
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        delta.write.mode("overwrite").insertInto(view_name)
+        df.write.mode("overwrite").insertInto(table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def append_left(
-    spark: SparkSession, names: tuple[str, str, str], batch: DataFrame
+def _apply(
+    spark: SparkSession,
+    names: tuple[str, str, str, str],
+    b: DataFrame,
+    fp: str,
+    acc_name: str,
+    delta: DataFrame,
 ) -> bool:
-    """Apply an orders batch: view += Δ ⋈ right_acc, then commit Δ to
-    the left accumulator. Returns False on a replayed batch."""
-    left_name, right_name, view_name = names
+    """The shared commit protocol: view partition → accumulator
+    partition → log row. Every step before the log append is an
+    idempotent overwrite of the batch's own partition."""
+    _, _, view_name, log_name = names
+    _overwrite_own_partition(
+        spark, view_name, delta.withColumn("src_batch", F.lit(fp))
+    )
+    _overwrite_own_partition(
+        spark, acc_name, b.withColumn("batch_id", F.lit(fp))
+    )
+    side = fp.split("_", 1)[0]
+    spark.createDataFrame([(fp, side)], "batch_id string, side string").write.mode(
+        "append"
+    ).insertInto(log_name)
+    return True
+
+
+def append_left(
+    spark: SparkSession, names: tuple[str, str, str, str], batch: DataFrame
+) -> bool:
+    """Apply an orders batch: view += Δ ⋈ right_acc, accumulate Δ,
+    commit. Returns False on a replayed batch."""
     # foreachBatch hands a frame bound to a CLONED session; every state
     # read must come from THAT session or the delta join mixes plans
     # across sessions (the aggmv refresh note, one step further)
     spark = batch.sparkSession
+    left_name, right_name, view_name, log_name = names
     b = batch.select(*LEFT_COLS)
     fp = _fingerprint(b, LEFT_COLS, "L")
-    if fp in _committed(spark, left_name):
+    if fp in _committed(spark, log_name):
         return False
     spark.catalog.refreshTable(right_name)
     delta = (
@@ -156,45 +195,38 @@ def append_left(
             b["o_custkey"] == F.col("c_custkey"),
         )
         .select(*VIEW_COLS)
-        .withColumn("src_batch", F.lit(fp))
     )
-    _write_view_delta(spark, view_name, delta)
-    b.withColumn("batch_id", F.lit(fp)).write.mode("append").format(
-        "parquet"
-    ).insertInto(left_name)
-    return True
+    return _apply(spark, names, b, fp, left_name, delta)
 
 
 def append_right(
-    spark: SparkSession, names: tuple[str, str, str], batch: DataFrame
+    spark: SparkSession, names: tuple[str, str, str, str], batch: DataFrame
 ) -> bool:
-    """Apply a customer batch: view += left_acc ⋈ Δ, then commit Δ."""
-    left_name, right_name, view_name = names
+    """Apply a customer batch: view += left_acc ⋈ Δ, accumulate Δ,
+    commit."""
     spark = batch.sparkSession  # cloned-session rule, see append_left
+    left_name, right_name, view_name, log_name = names
     b = batch.select(*RIGHT_COLS)
     fp = _fingerprint(b, RIGHT_COLS, "R")
-    if fp in _committed(spark, right_name):
+    if fp in _committed(spark, log_name):
         return False
     spark.catalog.refreshTable(left_name)
     delta = (
         spark.table(left_name)
         .join(b, F.col("o_custkey") == b["c_custkey"])
         .select(*VIEW_COLS)
-        .withColumn("src_batch", F.lit(fp))
     )
-    _write_view_delta(spark, view_name, delta)
-    b.withColumn("batch_id", F.lit(fp)).write.mode("append").format(
-        "parquet"
-    ).insertInto(right_name)
-    return True
+    return _apply(spark, names, b, fp, right_name, delta)
 
 
-def serve_join_mv(spark: SparkSession, names: tuple[str, str, str]) -> DataFrame:
+def serve_join_mv(
+    spark: SparkSession, names: tuple[str, str, str, str]
+) -> DataFrame:
     """The maintained join view, restricted to COMMITTED batches (an IN
     on the partition column → partition-pruned scan), so a crash
-    between a view write and its input commit is invisible."""
-    left_name, right_name, view_name = names
-    committed = _committed(spark, left_name) | _committed(spark, right_name)
+    between a data write and its log commit is invisible."""
+    _, _, view_name, log_name = names
+    committed = _committed(spark, log_name)
     spark.catalog.refreshTable(view_name)
     return (
         spark.table(view_name)
@@ -206,18 +238,17 @@ def serve_join_mv(spark: SparkSession, names: tuple[str, str, str]) -> DataFrame
 def stream_join_mv_updates(
     spark: SparkSession,
     left_stream: DataFrame,
-    names: tuple[str, str, str],
+    names: tuple[str, str, str, str],
     checkpoint_dir: str,
 ):
     """Maintain the join view from a STREAM of left-side inserts: each
     micro-batch runs :func:`append_left` through foreachBatch —
     O(|Δ| + matched buckets) per trigger. A foreachBatch retry
-    redelivers identical rows, hits the same content fingerprint, and
-    is skipped before any write; a retry after the view delta but
-    before the input commit rewrites the SAME view partition (dynamic-
-    partition overwrite), so the fold stays exact under at-least-once
-    delivery — the `stream_agg_mv_updates` contract carried to join
-    views."""
+    redelivers identical rows, hits the same content fingerprint in
+    the log, and is skipped before any write; a retry after a partial
+    apply rewrites the SAME partitions (dynamic-partition overwrite),
+    so the fold stays exact under at-least-once delivery — the
+    `stream_agg_mv_updates` contract carried to join views."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         append_left(spark, names, batch_df)

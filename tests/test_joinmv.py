@@ -52,31 +52,54 @@ def test_replayed_batch_is_skipped(spark, sf_dir):
     assert joinmv.serve_join_mv(spark, names).count() == before
 
 
-def test_crash_window_view_written_but_uncommitted(spark, sf_dir):
-    """A view partition whose input batch never committed must be
-    invisible to serve, and the replayed append must converge (the
-    dynamic-partition overwrite rewrites it, no duplicates)."""
+def test_crash_window_data_written_but_unlogged(spark, sf_dir):
+    """View AND accumulator partitions whose batch never reached the
+    log must be invisible to serve, and the replayed append must
+    converge (the dynamic-partition overwrites rewrite both partitions
+    in place — no duplicates)."""
     t = Tables(spark, sf_dir)
     names = _fresh(spark, sf_dir)
-    left_name, right_name, view_name = names
+    left_name, right_name, view_name, log_name = names
     joinmv.append_right(spark, names, t.customer)
 
     b = t.orders.filter(F.col("o_orderkey") % 2 == 0)
     fp = joinmv._fingerprint(b.select(*joinmv.LEFT_COLS), joinmv.LEFT_COLS, "L")
-    # simulate the crash: the view delta lands, the input commit doesn't
+    # simulate the crash: both data writes land, the log commit doesn't
     delta = (
         b.select(*joinmv.LEFT_COLS)
         .join(spark.table(right_name), F.col("o_custkey") == F.col("c_custkey"))
         .select(*joinmv.VIEW_COLS)
         .withColumn("src_batch", F.lit(fp))
     )
-    joinmv._write_view_delta(spark, view_name, delta)
-    assert joinmv.serve_join_mv(spark, names).count() == 0  # uncommitted → hidden
+    joinmv._overwrite_own_partition(spark, view_name, delta)
+    joinmv._overwrite_own_partition(
+        spark,
+        left_name,
+        b.select(*joinmv.LEFT_COLS).withColumn("batch_id", F.lit(fp)),
+    )
+    assert joinmv.serve_join_mv(spark, names).count() == 0  # unlogged → hidden
 
     assert joinmv.append_left(spark, names, b)  # the at-least-once redelivery
     got = joinmv.serve_join_mv(spark, names)
     expect = _full_join(t).filter(F.col("o_orderkey") % 2 == 0)
     assert _sorted_rows(got) == _sorted_rows(expect)
+    # no duplicates anywhere: the acc partition was rewritten in place
+    acc = spark.table(left_name).filter(F.col("batch_id") == fp)
+    assert acc.count() == b.count()
+
+
+def test_replay_detection_reads_only_the_log(spark, sf_dir):
+    """The log holds exactly one row per applied batch — replay checks
+    and serve filtering are log-sized, never an accumulated-data scan
+    (the round-6 `append_postings` lesson)."""
+    t = Tables(spark, sf_dir)
+    names = _fresh(spark, sf_dir)
+    joinmv.append_right(spark, names, t.customer)
+    joinmv.append_left(spark, names, t.orders.filter(F.col("o_orderkey") % 2 == 0))
+    joinmv.append_left(spark, names, t.orders.filter(F.col("o_orderkey") % 2 == 1))
+    log = spark.table(names[3])
+    assert log.count() == 3
+    assert set(r["side"] for r in log.collect()) == {"L", "R"}
 
 
 def test_accumulators_are_bucketed(spark, sf_dir):
