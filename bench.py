@@ -76,6 +76,11 @@ HEADLINE = [
     "corpus_pack_sequences",
     "dedup_semantic",
     "corpus_curate_e2e",
+    # round 7c: hybrid retrieval over both persisted layouts, the
+    # zone-map point lookup, and the incremental-view folds
+    "retrieval_hybrid_rrf_indexed",
+    "point_lookup_indexed",
+    "join_incremental_mv",
 ]
 
 

@@ -509,3 +509,72 @@ def dq_drift_chi2(t):
         F.col("oc").alias("cur_count"),
         chi2.alias("chi2_ppm"),
     )
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    toks AS (
+      SELECT CAST(doc_id * 10 // m AS BIGINT) AS bucket, tok
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+      ) CROSS JOIN mx
+      WHERE tok <> ''
+    ),
+    firsts AS (SELECT tok, MIN(bucket) AS fb FROM toks GROUP BY tok),
+    new_per AS (
+      SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM firsts GROUP BY fb
+    ),
+    tok_per AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY bucket
+    )
+    SELECT t.bucket, t.n_tokens,
+           COALESCE(n.new_types, 0) AS new_types,
+           CAST(SUM(COALESCE(n.new_types, 0))
+                OVER (ORDER BY t.bucket) AS BIGINT) AS vocab_cum
+    FROM tok_per t LEFT JOIN new_per n ON t.bucket = n.bucket
+    """,
+)
+def corpus_vocab_growth(t):
+    """Vocabulary-growth audit (the Heaps-law curve): split the corpus
+    into 10 ordered slices and report, per slice, total tokens, NEW
+    distinct token types (first occurrence), and the cumulative
+    vocabulary — the curve a data-mixing team reads to see whether a
+    source still contributes novel vocabulary or has saturated.
+
+    Exact everywhere: slice = ``doc_id*10 div (max_id+1)``, first
+    occurrence = MIN(slice) per type, growth = an integer running sum
+    over the 10 slice rows.
+
+    Scale: one token explode feeding two hash aggregates (per-type MIN
+    and per-slice COUNT) — both shuffle (token, small-int) pairs with
+    map-side combine; the cumulative window runs over 10 rows. No
+    corpus-sized window, no distinct-over-window.
+    """
+    from stream_processor_spark.operators import text as tx
+    from pyspark.sql import Window
+
+    d = t.documents.filter(F.col("text").isNotNull())
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    toks = (
+        d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .crossJoin(F.broadcast(mx))
+        .select(F.expr("CAST(doc_id * 10 div m AS BIGINT)").alias("bucket"), "tok")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    new_per = firsts.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    tok_per = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per.join(new_per, "bucket", "left_outer")
+        .withColumn("new_types", F.coalesce(F.col("new_types"), F.lit(0)))
+        .withColumn("vocab_cum", F.sum("new_types").over(w).cast("long"))
+        .select("bucket", "n_tokens", "new_types", "vocab_cum")
+    )

@@ -97,3 +97,54 @@ def join_incremental_mv(t):
         .unionByName(v2.select(*VIEW_COLS))
         .unionByName(v3.select(*VIEW_COLS))
     )
+
+
+@register(
+    "mv_join_agg_incremental",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def mv_join_agg_incremental(t):
+    """CHAINED incremental maintenance: an aggregate view OVER a join
+    view, both maintained from deltas — the composition every real MV
+    stack needs (fact ⋈ dim → segment rollup). Each of the three join
+    deltas (the `join_incremental_mv` schedule) contributes only its
+    PARTIAL aggregate states (count + fixed-point int64 price sum —
+    commutative monoids); the serve-time fold equals the from-scratch
+    join+aggregate bit-for-bit. At 100 TB each delta's state rows are
+    |segments|-sized, so the chained view is maintained without ever
+    rescanning either base table or the join view itself.
+    """
+    o = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t.customer.select("c_custkey", "c_mktsegment")
+    a0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    a1 = o.filter(F.col("o_orderkey") % 2 == 1)
+    b0 = c.filter(F.col("c_custkey") % 2 == 0)
+    b1 = c.filter(F.col("c_custkey") % 2 == 1)
+    on = F.col("o_custkey") == F.col("c_custkey")
+
+    def states(delta):
+        return delta.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            ).alias("s"),
+        )
+
+    merged = (
+        states(a0.join(b0, on))
+        .unionByName(states(a1.join(b0, on)))
+        .unionByName(states(a0.unionByName(a1).join(b1, on)))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "c_mktsegment",
+        F.col("n").alias("n_orders"),
+        (F.col("s").cast("double") / 100.0).alias("sum_price"),
+    )
