@@ -483,6 +483,56 @@ class TxnTable:
             f"races: {last_err}"
         )
 
+    def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Row-level change feed between two committed versions (the
+        Delta CDF read, recovered from the manifest file sets alone):
+        rows are scanned ONLY from files that entered or left the
+        manifest — carried-by-reference files (the untouched bulk of
+        every file-pruned merge/delete) are never read, so diff cost
+        scales with what changed, not table size.
+
+        Returns the columns of the table plus ``_change_type``
+        ('insert' | 'delete'). A row rewritten unchanged into a new
+        file cancels out (multiset ``exceptAll`` both ways); an update
+        appears as its delete+insert pair.
+        """
+        from pyspark.sql import functions as F
+
+        snap_from = self.snapshot(v_from)
+        snap_to = self.snapshot(v_to)
+        f1, f2 = set(snap_from["files"]), set(snap_to["files"])
+        added_files = sorted(f2 - f1)
+        removed_files = sorted(f1 - f2)
+        empty = self.spark.read.parquet(*snap_to["files"]).limit(0)
+        added = (
+            self.spark.read.parquet(*added_files) if added_files else empty
+        )
+        removed = (
+            self.spark.read.parquet(*removed_files) if removed_files else empty
+        )
+        ins = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(dels)
+
+    def restore(self, version: int, txn_id: str | None = None) -> int | None:
+        """Roll the table back to ``version`` by committing that
+        snapshot's FILE LIST as the new latest version — a metadata-only
+        commit (no data is read or written; the files still exist
+        because vacuum keeps every manifest-referenced file). Time
+        travel across the restore stays intact."""
+        snap = self.snapshot(version)
+        if snap["version"] != version:
+            raise ValueError(
+                f"TxnTable at {self.root}: no committed version {version}"
+            )
+        return self._commit(
+            snap["files"], f"restore({version})", txn_id, replace=True
+        )
+
     # ------------------------------------------------------------- cleanup
 
     def vacuum(self, grace_ms: int = 3_600_000) -> int:

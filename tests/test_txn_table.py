@@ -446,3 +446,48 @@ def test_delete_where_concurrent_append_rederives(spark, tmp_path):
     # both copies of k=1 (original AND the racing append's) are gone;
     # the concurrent row survives
     assert rows == [(2, "b"), (99, "concurrent")]
+
+
+def test_changes_feed_scans_only_changed_files(spark, tmp_path):
+    """Round-7 CDC read: the change feed between versions comes from
+    manifest file-set diffs — carried files are never scanned, rows
+    rewritten unchanged cancel out, updates appear as delete+insert."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    v1 = t.append(_df(spark, [(1, "a"), (2, "b")]).repartition(1))
+    v2 = t.append(_df(spark, [(3, "c")]).repartition(1))
+
+    ch = t.changes(v1, v2)
+    assert sorted((r.k, r.v, r._change_type) for r in ch.collect()) == [
+        (3, "c", "insert")
+    ]
+
+    v3 = t.merge(_df(spark, [(2, "B2")]).repartition(1), key_cols=["k"])
+    ch = t.changes(v2, v3)
+    # (1, a) was rewritten unchanged into the merged file — it cancels
+    assert sorted((r.k, r.v, r._change_type) for r in ch.collect()) == [
+        (2, "B2", "insert"),
+        (2, "b", "delete"),
+    ]
+
+    v4 = t.delete_where("k = 3")
+    ch = t.changes(v3, v4)
+    assert sorted((r.k, r.v, r._change_type) for r in ch.collect()) == [
+        (3, "c", "delete")
+    ]
+
+
+def test_restore_is_metadata_only_and_time_travels(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.append(_df(spark, [(3, "c")]))
+    t.delete_where("k >= 2")
+    assert sorted(r.k for r in t.read().collect()) == [1]
+
+    v_restored = t.restore(v2)
+    assert v_restored == t.latest_version()
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    assert t.snapshot()["operation"] == f"restore({v2})"
+    # the rollback is itself a version: the post-delete state is still
+    # addressable, and vacuum keeps every referenced file
+    assert sorted(r.k for r in t.read(version=v_restored - 1).collect()) == [1]
+    assert t.vacuum(grace_ms=0) == 0
