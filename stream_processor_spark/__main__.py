@@ -151,6 +151,35 @@ def cmd_run_pipelines(args) -> int:
     return 0
 
 
+def cmd_route(args) -> int:
+    """The router as a CLI surface: with no NAME, print every semantic
+    route's current resolution; with NAME, resolve (optionally
+    ``--ensure`` the layout first) and optionally ``--run`` it."""
+    from stream_processor_spark.router import ROUTES, Router
+    from stream_processor_spark.session import get_spark
+
+    spark = get_spark("route")
+    spark.sparkContext.setLogLevel("ERROR")
+    r = Router(spark, args.sf_dir)
+    if not args.name:
+        report = {
+            name: {"entry": entry, "plan": how}
+            for name, (entry, how) in sorted(r.plan_report().items())
+        }
+        print(json.dumps(report, indent=1))
+        return 0
+    if args.name not in ROUTES:
+        print(f"unknown route {args.name!r}; routes: {sorted(ROUTES)}", file=sys.stderr)
+        return 2
+    if args.ensure:
+        r.ensure(args.name)
+    entry, how = r.resolve(args.name)
+    print(json.dumps({"route": args.name, "entry": entry, "plan": how}))
+    if args.run:
+        r.query(args.name).show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_bench(_args) -> int:
     import bench
 
@@ -188,12 +217,21 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("bench")
 
+    rt = sub.add_parser("route")
+    rt.add_argument("name", nargs="?", default=None)
+    rt.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    rt.add_argument("--ensure", action="store_true",
+                    help="build the route's layout(s) before resolving")
+    rt.add_argument("--run", action="store_true", help="run the routed query")
+    rt.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
     return {
         "list-queries": cmd_list_queries,
         "run-query": cmd_run_query,
         "run-pipelines": cmd_run_pipelines,
         "bench": cmd_bench,
+        "route": cmd_route,
     }[args.cmd](args)
 
 

@@ -33,21 +33,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def zonemap_names(sf_dir: str) -> tuple[str, str]:
+def zonemap_names(
+    sf_dir: str, table: str = "documents", key: str = "doc_id"
+) -> tuple[str, str]:
     """Deterministic (clustered data, manifest) table names — pure tag
     computation so the router can probe the layout without building."""
-    tag = hashlib.md5(f"{sf_dir}|zonemap".encode()).hexdigest()[:8]
-    return f"zm_docs_{tag}", f"zm_map_{tag}"
+    tag = hashlib.md5(f"{sf_dir}|zonemap|{table}|{key}".encode()).hexdigest()[:8]
+    return f"zm_{table[:4]}_{tag}", f"zm_map_{tag}"
 
 
 def ensure_zonemap(
     spark: SparkSession,
     sf_dir: str,
+    table: str = "documents",
     key: str = "doc_id",
     nfiles: int = 16,
 ) -> tuple[str, str]:
-    """Build (once per sf_dir) the key-clustered copy of ``documents``
-    and its file-stats manifest; return (data_table, manifest_table).
+    """Build (once per sf_dir) the key-clustered copy of ``table``
+    (any `catalog.Tables` name) and its file-stats manifest; return
+    (data_table, manifest_table).
 
     Cached only when BOTH tables exist (a crash between the two writes
     rebuilds — the `ensure_postings` contract); stale directories are
@@ -56,7 +60,7 @@ def ensure_zonemap(
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
-    data_name, map_name = zonemap_names(sf_dir)
+    data_name, map_name = zonemap_names(sf_dir, table, key)
     if spark.catalog.tableExists(data_name) and spark.catalog.tableExists(
         map_name
     ):
@@ -66,7 +70,7 @@ def ensure_zonemap(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
-    docs = Tables(spark, sf_dir).documents
+    docs = getattr(Tables(spark, sf_dir), table)
     (
         docs.repartitionByRange(nfiles, F.col(key))
         .sortWithinPartitions(key)
@@ -126,11 +130,15 @@ def _scan(spark: SparkSession, files: list[str], schema_table: str) -> DataFrame
 
 
 def lookup_by_keys(
-    spark: SparkSession, sf_dir: str, keys, key: str = "doc_id"
+    spark: SparkSession,
+    sf_dir: str,
+    keys,
+    table: str = "documents",
+    key: str = "doc_id",
 ) -> DataFrame:
     """Point lookup through the zone map: scan only files whose key
     range can contain a probe key, residual ``IN`` re-applied inside."""
-    data_name, map_name = ensure_zonemap(spark, sf_dir, key=key)
+    data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
     files = pruned_files_for_keys(spark, map_name, keys)
     return _scan(spark, files, data_name).filter(
         F.col(key).isin([int(k) for k in keys])
@@ -138,10 +146,15 @@ def lookup_by_keys(
 
 
 def lookup_by_range(
-    spark: SparkSession, sf_dir: str, lo: int, hi: int, key: str = "doc_id"
+    spark: SparkSession,
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    table: str = "documents",
+    key: str = "doc_id",
 ) -> DataFrame:
     """Range lookup through the zone map."""
-    data_name, map_name = ensure_zonemap(spark, sf_dir, key=key)
+    data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
     files = pruned_files_for_range(spark, map_name, lo, hi)
     return _scan(spark, files, data_name).filter(
         (F.col(key) >= lo) & (F.col(key) <= hi)

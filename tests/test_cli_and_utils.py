@@ -142,3 +142,20 @@ def test_multimodal_decode_contract_is_honest(spark, sf_dir):
         mm.decode_image_bytes(b"JFIF-ish not really an image")
     with _pytest.raises(Exception, match="unsupported image format"):
         mm.decode_image(with_payload).collect()
+
+
+def test_cli_route_report_and_resolve(capsys, spark, sf_dir):
+    """`route` with no name prints every semantic route's resolution;
+    with a name it resolves that route (probe only, no build)."""
+    import json as _json
+
+    assert cli_main(["route", "--sf-dir", sf_dir]) == 0
+    report = _json.loads(capsys.readouterr().out)
+    assert "bm25" in report and {"entry", "plan"} <= set(report["bm25"])
+
+    assert cli_main(["route", "doc_lookup", "--sf-dir", sf_dir]) == 0
+    one = _json.loads(capsys.readouterr().out)
+    assert one["route"] == "doc_lookup"
+    assert one["plan"] in ("indexed", "scratch")
+
+    assert cli_main(["route", "no-such-route", "--sf-dir", sf_dir]) == 2

@@ -70,3 +70,17 @@ def test_half_built_pair_is_rebuilt(spark, sf_dir):
     assert (d2, m2) == (data_name, map_name)
     assert spark.catalog.tableExists(map_name)
     assert zm.lookup_by_keys(spark, sf_dir, [1]).count() == 1
+
+
+def test_zonemap_generalizes_to_any_table_key(spark, sf_dir):
+    """The layout works for any catalog table/key pair — embeddings by
+    vec_id here — with its own deterministic table names."""
+    d_docs, _ = zm.zonemap_names(sf_dir)
+    d_emb, m_emb = zm.zonemap_names(sf_dir, table="embeddings", key="vec_id")
+    assert d_emb != d_docs
+    zm.ensure_zonemap(spark, sf_dir, table="embeddings", key="vec_id")
+    got = zm.lookup_by_keys(
+        spark, sf_dir, [1, 5], table="embeddings", key="vec_id"
+    )
+    assert sorted(r["vec_id"] for r in got.select("vec_id").collect()) == [1, 5]
+    assert len(got.inputFiles()) < len(zm.manifest_rows(spark, m_emb))
