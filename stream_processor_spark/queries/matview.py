@@ -148,3 +148,50 @@ def mv_join_agg_incremental(t):
         F.col("n").alias("n_orders"),
         (F.col("s").cast("double") / 100.0).alias("sum_price"),
     )
+
+
+@register(
+    "join_incremental_mv_retract",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 3 <> 1
+    """,
+)
+def join_incremental_mv_retract(t):
+    """Join-view maintenance WITH RETRACTIONS (the z-set / DBSP
+    algebra): deltas carry a signed weight (+1 insert, −1 delete), each
+    delta joins the other side as usual, and the view is the rows whose
+    net weight is positive. Here two insert batches land and one of
+    them is then retracted; the fold equals the join of the surviving
+    rows bit-for-bit. This is the general form of `join_incremental_mv`
+    — updates are delete+insert pairs, so the same fold maintains views
+    under arbitrary DML.
+
+    Scale: the weighted union is the same delta-join dataflow; the
+    net-weight aggregate groups on the view's own columns with map-side
+    combine — rows that were never touched by a retraction fold to
+    weight 1 without a comparison against anything corpus-sized.
+    """
+    o = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t.customer.select("c_custkey", "c_name")
+    on = F.col("o_custkey") == F.col("c_custkey")
+    i1 = o.filter(F.col("o_orderkey") % 3 <= 1)   # insert: keys 0,1 (mod 3)
+    i2 = o.filter(F.col("o_orderkey") % 3 == 2)   # insert: keys 2 (mod 3)
+    d1 = o.filter(F.col("o_orderkey") % 3 == 1)   # retract: keys 1 (mod 3)
+    view_cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+    deltas = (
+        i1.join(c, on).select(*view_cols).withColumn("w", F.lit(1))
+        .unionByName(
+            i2.join(c, on).select(*view_cols).withColumn("w", F.lit(1))
+        )
+        .unionByName(
+            d1.join(c, on).select(*view_cols).withColumn("w", F.lit(-1))
+        )
+    )
+    return (
+        deltas.groupBy(*view_cols)
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > 0)
+        .select(*view_cols)
+    )

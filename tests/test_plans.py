@@ -301,3 +301,33 @@ def test_ivfpq_scan_is_partition_pruned_codes_only(spark, sf_dir):
     assert re.search(r"PartitionFilters: \[\w+#\d+L? IN \(([^)]*)\)\]", cplan), (
         cplan[:600]
     )
+
+
+def test_hybrid_indexed_serves_from_both_pruned_layouts(spark, sf_dir):
+    """retrieval_hybrid_rrf_indexed (round 7): the fused plan must keep
+    BOTH legs' pruning — the postings scan bucket-pruned AND the IVF
+    lists scan partition-pruned — and no document text column may
+    appear (both legs serve from write-time layouts)."""
+    import re
+
+    df = REGISTRY["retrieval_hybrid_rrf_indexed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, "hybrid lost the postings bucket pruning"
+    m2 = re.search(r"PartitionFilters: \[\w+#\d+L? IN \(([^)]*)\)\]", plan)
+    assert m2, "hybrid lost the IVF partition pruning"
+    assert len(m2.group(1).split(",")) == 2  # nprobe
+    assert "text" not in re.sub(r"SelectedBucketsCount[^\n]*", "", plan)
+
+
+def test_point_lookup_indexed_reads_only_matching_files(spark, sf_dir):
+    """point_lookup_indexed (round 7): the scan's file set is the
+    zone-map-pruned list — strictly fewer files than the clustered
+    table holds, and every probe key's zone is covered."""
+    from stream_processor_spark.operators import zonemap as zm
+
+    df = REGISTRY["point_lookup_indexed"].fn(spark, sf_dir)
+    _, map_name = zm.zonemap_names(sf_dir)
+    total = len(zm.manifest_rows(spark, map_name))
+    nread = len(df.inputFiles())
+    assert 0 < nread < total
