@@ -391,3 +391,54 @@ def attach_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(lambda d: encode_bmp(fixture_pixels(int(d))))
 
     return df.withColumn("payload", gen_bmp(F.col(id_col)))
+
+
+AHASH_SCHEMA = (
+    "doc_id long, height long, width long, bits_set long, "
+    "hash_lo long, hash_hi long"
+)
+
+
+def ahash_image(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over a binary image column: the
+    standard near-duplicate-image fingerprint — grayscale each decoded
+    pixel, threshold against the image's own mean, pack the bit per
+    pixel. Everything is exact integer arithmetic (gray = (r+g+b) div 3,
+    mean = sum div n, bits packed into two int64 halves by linear pixel
+    index), so the full encode→binary→decode→hash round trip is
+    hash-checkable against the closed-form fixture oracle, like
+    :func:`decode_image`.
+
+    The fixture grid is at most 8×8 (64 px), the classic aHash size; a
+    production variant block-averages larger images down to 8×8 first —
+    same arithmetic, one extra integer mean per block."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    recs.append((doc_id,) + (None,) * 5)
+                    continue
+                px = decode_image_bytes(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+                mean = int(gray.sum()) // gray.size
+                bits = (gray > mean).astype(np.int64)
+                idx = np.arange(gray.size, dtype=np.int64)
+                lo = int((bits[idx < 32] << idx[idx < 32]).sum())
+                hi_idx = idx[idx >= 32]
+                hi = int((bits[hi_idx] << (hi_idx - 32)).sum())
+                recs.append((doc_id, h, w, int(bits.sum()), lo, hi))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "height", "width", "bits_set",
+                    "hash_lo", "hash_hi",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=AHASH_SCHEMA)

@@ -578,3 +578,84 @@ def corpus_vocab_growth(t):
         .withColumn("vocab_cum", F.sum("new_types").over(w).cast("long"))
         .select("bucket", "n_tokens", "new_types", "vocab_cum")
     )
+
+
+def _lcg_px(c: int) -> str:
+    """DuckDB expression for fixture pixel channel ``c`` at (y, x) —
+    mirrors operators/multimodal.fixture_pixels exactly."""
+    return (
+        "((1103515245 * ((d.doc_id % 100000) * 4096 + (y.y * d.w + x.x) * 3 "
+        f"+ {c}) + 12345) % 2147483648) % 256"
+    )
+
+
+@register(
+    "multimodal_ahash_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT d.doc_id, d.h, d.w, y.y * d.w + x.x AS i,
+             CAST(({_lcg_px(0)}) + ({_lcg_px(1)}) + ({_lcg_px(2)})
+                  AS BIGINT) // 3 AS gray
+      FROM d, range(0, 8) y(y), range(0, 8) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    ),
+    m AS (
+      SELECT doc_id, CAST(SUM(gray) AS BIGINT) // COUNT(*) AS mean_g
+      FROM g GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT g.doc_id, g.h, g.w, g.i,
+             CASE WHEN g.gray > m.mean_g THEN 1 ELSE 0 END AS b
+      FROM g JOIN m USING (doc_id)
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(SUM(b) AS BIGINT) AS bits_set,
+             CAST(SUM(CASE WHEN i < 32
+                  THEN b * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                  AS BIGINT) AS hash_lo,
+             CAST(SUM(CASE WHEN i >= 32
+                  THEN b * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+                  AS BIGINT) AS hash_hi
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, height, width, bits_set, hash_lo, hash_hi,
+           CAST(COUNT(*) OVER (
+             PARTITION BY height, width, hash_hi, hash_lo
+           ) AS BIGINT) AS n_same_hash
+    FROM hashes
+    """,
+)
+def multimodal_ahash_dedup(t):
+    """Near-duplicate IMAGE detection by perceptual average-hash: every
+    document's BMP payload is DECODED FROM REAL BYTES (the
+    `multimodal_decode_stats` path), aHashed (grayscale → mean
+    threshold → 64-bit fingerprint, all integer-exact —
+    operators/multimodal.ahash_image), and grouped by fingerprint to
+    count hash-identical images — the first stage of an image dedup
+    funnel (a production pass then verifies candidates by hamming
+    distance ≤ τ within each bucket). The oracle computes the same
+    fingerprints from the fixture's closed-form pixel formula without
+    parsing bytes, so the hash match proves decode + hash end to end.
+
+    Scale: one Arrow map pass to fingerprint, one (16-byte key) hash
+    shuffle to bucket — image bytes never shuffle; identical shape at
+    any corpus size.
+    """
+    from pyspark.sql import Window
+
+    from stream_processor_spark.operators import multimodal as mm
+
+    hashes = mm.ahash_image(
+        mm.attach_image_payload(t.documents.select("doc_id"))
+    )
+    w = Window.partitionBy("height", "width", "hash_hi", "hash_lo")
+    return hashes.withColumn(
+        "n_same_hash", F.count(F.lit(1)).over(w).cast("long")
+    )
