@@ -659,3 +659,58 @@ def multimodal_ahash_dedup(t):
     return hashes.withColumn(
         "n_same_hash", F.count(F.lit(1)).over(w).cast("long")
     )
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::UBIGINT)::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def corpus_train_val_test_split(t):
+    """Deterministic train/val/test assignment (80/10/10): split =
+    salted-md5(doc_id) mod 100 banded — the standard leakage-safe
+    split rule (membership is a pure function of the id, so re-runs,
+    backfills, and different machines agree forever; adding documents
+    never reshuffles existing assignments — the failure mode of
+    `ORDER BY rand()` splits). The salt pins this split's hash stream
+    apart from every other md5 use in the engine.
+
+    Scale: one map pass, no shuffle; pairs with `split_leakage_audit`
+    (verifies no near-dup text crosses the boundary) as the gate a
+    pretraining pipeline runs before materializing the splits.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("split1"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return t.documents.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
