@@ -714,3 +714,95 @@ def corpus_train_val_test_split(t):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "feature_hashing_vectorizer",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE tok <> ''
+    )
+    SELECT doc_id,
+           (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT % 64 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY doc_id, bucket
+    """,
+)
+def feature_hashing_vectorizer(t):
+    """The hashing trick (feature hashing): tokens map to a fixed
+    64-bucket feature space via salt-free md5 — the constant-memory
+    vectorizer batch ML pipelines use when the vocabulary is unbounded
+    (no dictionary to build, ship, or keep consistent across runs).
+    Emits the sparse (doc, bucket, count) triplets; identical bucket
+    arithmetic on both engines (60-bit md5 prefix mod 64).
+
+    Scale: explode → one hash aggregate on (doc_id, int) keys with
+    map-side combine; no vocabulary-sized state anywhere — the whole
+    point of the trick.
+    """
+    from stream_processor_spark.operators import text as tx
+
+    toks = (
+        t.documents.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % 64
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "feature_minmax_scale",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS xc
+      FROM lineitem
+    ),
+    mm AS (
+      SELECT l_returnflag,
+             CAST(MIN(xc) AS BIGINT) AS mn, CAST(MAX(xc) AS BIGINT) AS mx
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag,
+           CAST((c.xc - m.mn) * 1000000 // greatest(m.mx - m.mn, 1)
+                AS BIGINT) AS scaled_ppm
+    FROM c JOIN mm m USING (l_returnflag)
+    """,
+)
+def feature_minmax_scale(t):
+    """Per-group min-max feature scaling to ppm — the normalization
+    step feature pipelines run before gradient methods, kept exact by
+    the engine's fixed-point convention: money → cents int64, then
+    ``(x−min)·1e6 div (max−min)``. No float division anywhere, so the
+    hash matches across engines at any scale.
+
+    Scale: one grouped min/max (tiny), broadcast back, map-only scale —
+    a single fact-table scan plus a |groups|-row join.
+    """
+    l = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("xc"),
+    )
+    mm_ = l.groupBy("l_returnflag").agg(
+        F.min("xc").alias("mn"), F.max("xc").alias("mx")
+    )
+    return l.join(F.broadcast(mm_), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.expr(
+            "CAST((xc - mn) * 1000000 div greatest(mx - mn, 1L) AS BIGINT)"
+        ).alias("scaled_ppm"),
+    )
