@@ -159,3 +159,85 @@ def lookup_by_range(
     return _scan(spark, files, data_name).filter(
         (F.col(key) >= lo) & (F.col(key) <= hi)
     )
+
+
+def append_zonemap(
+    spark: SparkSession,
+    sf_dir: str,
+    batch: DataFrame,
+    table: str = "documents",
+    key: str = "doc_id",
+) -> int:
+    """Append a batch to the zone-mapped table: the batch's rows land
+    as NEW files and only THOSE files are scanned to extend the
+    manifest — O(|Δ|) maintenance, never a table rescan (the engine's
+    append contract, `append_postings`/`append_ivf_index` style).
+
+    Appended files may overlap existing zones (clustering degrades,
+    pruning stays CORRECT — the manifest is exact per file and lookups
+    re-apply the predicate); :func:`recluster_zonemap` is the repair
+    that restores one-zone-per-lookup pruning power. Returns the number
+    of manifest rows added."""
+    data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
+    spark.catalog.refreshTable(data_name)
+    before = {r["path"] for r in manifest_rows(spark, map_name)}
+    batch.write.mode("append").format("parquet").saveAsTable(data_name)
+    spark.catalog.refreshTable(data_name)
+    after = set(spark.table(data_name).inputFiles())
+    new_files = sorted(after - before)
+    if not new_files:
+        return 0
+    new_rows = (
+        spark.read.parquet(*new_files)
+        .withColumn("path", F.input_file_name())
+        .groupBy("path")
+        .agg(
+            F.min(key).cast("long").alias("min_key"),
+            F.max(key).cast("long").alias("max_key"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+    n = new_rows.count()
+    new_rows.write.mode("append").format("parquet").insertInto(map_name)
+    spark.catalog.refreshTable(map_name)
+    return n
+
+
+def recluster_zonemap(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    key: str = "doc_id",
+    nfiles: int = 16,
+) -> tuple[str, str]:
+    """Rewrite the zone-mapped table from its CURRENT contents (base +
+    appends) back into disjoint key ranges and rebuild the manifest —
+    the compaction that restores minimal per-lookup file counts after
+    append churn. Lookups before and after return identical rows."""
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    data_name, map_name = zonemap_names(sf_dir, table, key)
+    spark.catalog.refreshTable(data_name)
+    current = spark.table(data_name).localCheckpoint()
+    for name in (data_name, map_name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        drop_warehouse_dir(spark, name)
+    (
+        current.repartitionByRange(nfiles, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(data_name)
+    )
+    manifest = (
+        spark.table(data_name)
+        .withColumn("path", F.input_file_name())
+        .groupBy("path")
+        .agg(
+            F.min(key).cast("long").alias("min_key"),
+            F.max(key).cast("long").alias("max_key"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+    manifest.write.mode("overwrite").format("parquet").saveAsTable(map_name)
+    return data_name, map_name

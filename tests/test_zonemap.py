@@ -84,3 +84,51 @@ def test_zonemap_generalizes_to_any_table_key(spark, sf_dir):
     )
     assert sorted(r["vec_id"] for r in got.select("vec_id").collect()) == [1, 5]
     assert len(got.inputFiles()) < len(zm.manifest_rows(spark, m_emb))
+
+
+def test_append_extends_manifest_incrementally(spark, sf_dir):
+    """Appends scan only the NEW files for stats (O(batch) maintenance),
+    lookups see appended rows immediately, and recluster restores
+    disjoint zones with identical lookup results."""
+    # a private table/key namespace so the documents layout is untouched
+    zm.ensure_zonemap(spark, sf_dir, table="embeddings", key="vec_id")
+    d_name, m_name = zm.zonemap_names(sf_dir, "embeddings", "vec_id")
+    base_rows = spark.table(d_name).count()
+    base_files = len(zm.manifest_rows(spark, m_name))
+
+    batch = (
+        spark.table(d_name)
+        .limit(3)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    added = zm.append_zonemap(spark, sf_dir, batch, table="embeddings", key="vec_id")
+    assert added >= 1
+    assert len(zm.manifest_rows(spark, m_name)) == base_files + added
+    got = zm.lookup_by_keys(
+        spark, sf_dir, [1_000_000, 1_000_002], table="embeddings", key="vec_id"
+    )
+    assert got.count() == 2
+    # the appended zone is probed alone — old zones don't match 1e6 keys
+    assert len(got.inputFiles()) == added
+
+    # replaying the same append adds new duplicate rows (append is not
+    # idempotent by itself — TxnTable txn_ids are the replay guard);
+    # here we just verify recluster repairs layout with rows intact
+    total = spark.table(d_name).count()
+    zm.recluster_zonemap(spark, sf_dir, table="embeddings", key="vec_id")
+    assert spark.table(d_name).count() == total == base_rows + 3
+    spans = sorted(
+        (r["min_key"], r["max_key"]) for r in zm.manifest_rows(spark, m_name)
+    )
+    for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+        assert amax <= bmin  # disjoint again (<= : duplicate keys allowed)
+    assert (
+        zm.lookup_by_keys(
+            spark, sf_dir, [1_000_001], table="embeddings", key="vec_id"
+        ).count()
+        == 1
+    )
