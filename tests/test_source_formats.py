@@ -54,3 +54,27 @@ def test_lineitem_roundtrip_jsonl_preserves_aggregates(spark, sf_dir, tmp_path):
         )
 
     assert q1(back) == q1(l)
+
+
+def test_documents_roundtrip_orc(spark, sf_dir, tmp_path):
+    """ORC — the other columnar format Spark ships natively — preserves
+    the documents table bit-for-bit, free text included."""
+    d = Tables(spark, sf_dir).documents
+    path = str(tmp_path / "docs_orc")
+    d.write.orc(path)
+    back = spark.read.orc(path)
+    assert _rows(back) == _rows(d)
+
+
+def test_lineitem_roundtrip_orc_preserves_aggregates(spark, sf_dir, tmp_path):
+    l = Tables(spark, sf_dir).lineitem
+    path = str(tmp_path / "li_orc")
+    l.write.orc(path)
+    back = spark.read.orc(path)
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")),
+        F.min("l_shipdate"),
+        F.max("l_shipdate"),
+    ).collect()[0]
+    assert agg(back) == agg(l)
