@@ -210,3 +210,43 @@ def set_except(t):
     a = t.customer.select(F.col("c_custkey").alias("id"))
     b = t.orders.select(F.col("o_custkey").alias("id"))
     return a.exceptAll(b)
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(c_custkey, 3) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_best
+    FROM customer
+    WINDOW w AS (
+      PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+    )
+    """,
+)
+def window_rank_variants(t):
+    """The remaining ANSI rank-family functions in one query:
+    percent_rank ((rank−1)/(n−1)), cume_dist (peers-≤ / n), and
+    nth_value over the full-partition frame — rounding out §2.8 beyond
+    rank/dense_rank/ntile. Both engines define the two ratios
+    identically and the ordering is total (acctbal desc, custkey), so
+    the doubles are the same exact divisions on both sides.
+
+    Scale: one hash-partitioned sort per segment — the canonical window
+    shuffle; nothing beyond the standard exchange.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 3).over(w_full).alias("third_best"),
+    )
