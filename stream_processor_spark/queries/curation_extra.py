@@ -806,3 +806,66 @@ def feature_minmax_scale(t):
             "CAST((xc - mn) * 1000000 div greatest(mx - mn, 1L) AS BIGINT)"
         ).alias("scaled_ppm"),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS fk,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def dq_referential_integrity(t):
+    """Foreign-key orphan audit across the star schema — the
+    referential-integrity check a warehouse DQ suite runs after every
+    load (orders→customer and lineitem→orders here). One row per FK
+    edge with total and orphan counts; zero orphans is the contract the
+    generators promise, and this query is what proves it stays true
+    after any ingest/merge/delete path.
+
+    Scale: each edge is one left join aggregated to a single row —
+    broadcast when the parent is dim-sized, shuffle otherwise; output
+    is edge-count-sized regardless of table size.
+    """
+    o_c = (
+        t.orders.select("o_custkey")
+        .join(
+            F.broadcast(t.customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_outer",
+        )
+        .agg(
+            F.lit("orders->customer").alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_orphans"),
+        )
+        .select("fk", "n_rows", "n_orphans")
+    )
+    l_o = (
+        t.lineitem.select("l_orderkey")
+        .join(
+            t.orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_outer",
+        )
+        .agg(
+            F.lit("lineitem->orders").alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_orphans"),
+        )
+        .select("fk", "n_rows", "n_orphans")
+    )
+    return o_c.unionByName(l_o)
