@@ -32,6 +32,12 @@ QUERIES = [
     "tpch_q21_shape",          # bounded-state decorrelation
     "profile_correlations",    # one-pass moment sums
     "merge_upsert",            # full-outer coalesce
+    # round-7 session B mechanisms
+    "retrieval_hybrid_rrf",    # two top-k legs + integer rank fusion
+    "join_incremental_mv_retract",  # signed-weight delta fold
+    "corpus_vocab_growth",     # MIN-bucket first occurrence + running sum
+    "feature_hashing_vectorizer",   # hashing-trick bucket counts
+    "dq_anomaly_mad",          # interpolated percentiles (dyadic-exact)
 ]
 
 
