@@ -251,11 +251,14 @@ def dedup_semantic(t):
     """
     e = t.embeddings
     cent = kmeans.lloyd_fit_np(e, k=_SEM_K, iters=_SEM_ITERS)
+    # materialize once: `assigned` appears THREE times in the final plan
+    # (both pair sides + the anti-join base) — without the checkpoint the
+    # vectorized assignment pass executes three times per action
     assigned = kmeans.assign_cosine(
         e.select("vec_id", "embedding"),
         kmeans.pack_centroids(cent),
         out_col="cluster_id",
-    ).select("vec_id", "cluster_id")
+    ).select("vec_id", "cluster_id").localCheckpoint()
     cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
     ca = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
