@@ -407,29 +407,96 @@ def dq_anomaly_mad(t):
     `agg_percentile_exact` argument), and 3·MAD is exact binary
     arithmetic.
 
-    Scale: two grouped exact percentiles (two passes by definition —
-    robust statistics are not one-pass) with the tiny per-group
-    medians broadcast back; at extreme scale swap `percentile` for
-    `approx_percentile` and keep the same shape.
+    Scale (the value-histogram formulation): l_quantity is
+    low-cardinality (~50 distinct values), so the ONLY data-sized work
+    is one (group, value) counting aggregate — ONE scan, map-side
+    combined. Medians interpolate from the histogram's running counts,
+    the deviation histogram derives from the value histogram WITHOUT
+    rescanning (|v − med| weighted by count), and the outlier count is
+    a filtered sum over histogram rows. Identical results to the
+    naive `percentile()` form — which buffers every group's values in
+    one aggregation buffer (20M doubles per group at sf10, measured
+    3.3× DuckDB) — with per-group state bounded by |distinct values|
+    at any row count.
     """
+    from pyspark.sql import Window
+
     l = t.lineitem.select("l_returnflag", "l_quantity")
-    med = l.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("med")
+    hist = l.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    dev = l.join(F.broadcast(med), "l_returnflag").withColumn(
-        "adev", F.abs(F.col("l_quantity") - F.col("med"))
+
+    def interp_median(h, grp: str, val: str):
+        """quantile_cont(0.5) from a (grp, val, cnt) histogram: rank
+        h = (n−1)/2 over the sorted values, x_lo/x_hi at floor/ceil of
+        h via running counts, linear interpolation (f ∈ {0, .5} —
+        dyadic-exact over integral/half-integral values)."""
+        w = Window.partitionBy(grp).orderBy(val).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        n = Window.partitionBy(grp)
+        e = (
+            h.withColumn("cum", F.sum("cnt").over(w))
+            .withColumn("n", F.sum("cnt").over(n))
+            .withColumn("h", (F.col("n") - 1).cast("double") / 2.0)
+            .withColumn("pos_lo", F.floor("h"))
+            .withColumn("pos_hi", F.ceil("h"))
+        )
+        return e.groupBy(grp).agg(
+            F.min(F.when(F.col("cum") >= F.col("pos_lo") + 1, F.col(val))).alias(
+                "x_lo"
+            ),
+            F.min(F.when(F.col("cum") >= F.col("pos_hi") + 1, F.col(val))).alias(
+                "x_hi"
+            ),
+            F.min("h").alias("hh"),
+            F.min("pos_lo").alias("pl"),
+            F.min("n").alias("n"),
+        ).select(
+            grp,
+            (
+                F.col("x_lo")
+                + (F.col("hh") - F.col("pl")) * (F.col("x_hi") - F.col("x_lo"))
+            ).alias("med"),
+            "n",
+        )
+
+    med = interp_median(hist, "l_returnflag", "l_quantity")
+    # deviation histogram DERIVED from the value histogram — no rescan;
+    # re-aggregate because v = med±d collide on the same adev
+    dev_hist = (
+        hist.join(F.broadcast(med.select("l_returnflag", "med")), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("l_quantity") - F.col("med")).alias("adev"),
+            "cnt",
+        )
+        .groupBy("l_returnflag", "adev")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = dev.groupBy("l_returnflag").agg(F.percentile("adev", 0.5).alias("mad"))
-    return (
-        dev.join(F.broadcast(mad), "l_returnflag")
+    mad = interp_median(dev_hist, "l_returnflag", "adev").select(
+        "l_returnflag", F.col("med").alias("mad")
+    )
+    out = (
+        dev_hist.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.min("med").alias("med"),
             F.min("mad").alias("mad"),
             F.sum(
-                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+                F.when(F.col("adev") > 3.0 * F.col("mad"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
             ).cast("long").alias("n_outliers"),
-            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return (
+        med.join(out, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "med",
+            "mad",
+            "n_outliers",
+            F.col("n").alias("n_rows"),
         )
     )
 
@@ -856,6 +923,74 @@ def dq_referential_integrity(t):
         t.lineitem.select("l_orderkey")
         .join(
             t.orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_outer",
+        )
+        .agg(
+            F.lit("lineitem->orders").alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_orphans"),
+        )
+        .select("fk", "n_rows", "n_orphans")
+    )
+    return o_c.unionByName(l_o)
+
+
+@register(
+    "dq_referential_integrity_bucketed",
+    # same oracle as the scratch twin: the layout changes the plan only
+    oracle="""
+    SELECT 'orders->customer' AS fk,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def dq_referential_integrity_bucketed(t):
+    """`dq_referential_integrity` with the fact-fact edge served from
+    the persisted co-bucketed (lineitem, orders) layout: the 60M⋈15M
+    lineitem→orders probe is the one FK edge broadcast can't save, and
+    on the bucketed pair it plans with ZERO Exchange (bucket i zips
+    bucket i) — the sf10 rehearsal measured the shuffle-era twin at
+    ~12× DuckDB, dominated entirely by that edge. Same oracle as the
+    scratch twin: the layout can only change the plan, never answers.
+    """
+    from stream_processor_spark.operators.storage import bucketed_pair
+
+    li, o = bucketed_pair(t._spark, t._dir)
+    o_c = (
+        t.orders.select("o_custkey")
+        .join(
+            F.broadcast(t.customer.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_outer",
+        )
+        .agg(
+            F.lit("orders->customer").alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_orphans"),
+        )
+        .select("fk", "n_rows", "n_orphans")
+    )
+    # hint("merge"): Spark's size estimate of the single-column orders
+    # projection tempts it into broadcasting ~15M keys (the round-6 q21
+    # AQE trap — a driver-built 100MB+ hashed relation); the co-bucketed
+    # merge join is exchange-free on both sides
+    l_o = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey").hint("merge"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_outer",
         )
