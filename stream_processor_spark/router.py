@@ -166,6 +166,11 @@ ROUTES = {
     "ann_pq": Route("pq_index", "sim_ann_pq_indexed", "sim_ann_pq_trained"),
     "ann_pq_multi": Route("pq_index", "sim_ann_pq_multiquery", None),
     "doc_lookup": Route("zonemap", "point_lookup_indexed", "point_lookup"),
+    "fk_audit": Route(
+        "bucketed_fact",
+        "dq_referential_integrity_bucketed",
+        "dq_referential_integrity",
+    ),
     "hybrid_search": Route(
         ("bm25_postings", "ivf_index"), "retrieval_hybrid_rrf_indexed", None
     ),
