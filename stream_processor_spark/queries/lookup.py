@@ -77,3 +77,15 @@ def range_lookup_indexed(t):
     from stream_processor_spark.operators.zonemap import lookup_by_range
 
     return _project(lookup_by_range(t._spark, t._dir, _LO, _HI))
+
+
+@register("range_lookup", oracle=_RANGE_ORACLE)
+def range_lookup(t):
+    """Range lookup, full-scan plan (the scratch twin of
+    `range_lookup_indexed` — same oracle, so the zone-map layout can
+    only change the plan). Catalyst pushes the BETWEEN to the parquet
+    scan; every file's footer is still opened, which is the cost the
+    indexed twin removes at planning time."""
+    return _project(
+        t.documents.filter((F.col("doc_id") >= _LO) & (F.col("doc_id") <= _HI))
+    )

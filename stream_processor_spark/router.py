@@ -166,6 +166,9 @@ ROUTES = {
     "ann_pq": Route("pq_index", "sim_ann_pq_indexed", "sim_ann_pq_trained"),
     "ann_pq_multi": Route("pq_index", "sim_ann_pq_multiquery", None),
     "doc_lookup": Route("zonemap", "point_lookup_indexed", "point_lookup"),
+    "doc_range_lookup": Route(
+        "zonemap", "range_lookup_indexed", "range_lookup"
+    ),
     "fk_audit": Route(
         "bucketed_fact",
         "dq_referential_integrity_bucketed",
