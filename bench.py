@@ -235,13 +235,12 @@ def main() -> None:
         "bench_runs": n_runs,
         "pipeline_msgs_per_sec": pipeline_msgs_per_sec,
     }
-    print(json.dumps(result))
-    sys.stdout.flush()
-    # The driver's BENCH_r{N}.json preserves only a ~2000-char tail of
-    # stdout, which truncates the per-query map. Tee the full result to
-    # docs/ so every round's raw record survives verbatim. Round number
-    # comes from $SPARK_GRAFT_ROUND when the driver sets it; otherwise
-    # the file is overwritten in place as the scratch record.
+    # The driver's BENCH_r{N}.json preserves only a ~2000-char TAIL of
+    # stdout. Rounds 4-7 printed the full record (~4 KB) as one line, so
+    # the tail began mid-line and the driver recorded "parsed": null.
+    # Contract now: tee the FULL record to docs/, and print a MINIMAL
+    # compact line (metric/value/unit/queries/sf + scalar extras) as the
+    # very last stdout output, sized to fit inside the tail window.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
@@ -256,6 +255,27 @@ def main() -> None:
     except OSError:
         pass  # bench output on stdout is the contract; the tee is best-effort
     spark.stop()
+
+    minimal = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": timings,
+        "sf": sf_val,
+        "floor_sec": result["floor_sec"],
+        "value_minus_floor": result["value_minus_floor"],
+        "pipeline_msgs_per_sec": pipeline_msgs_per_sec,
+    }
+    line = json.dumps(minimal, separators=(",", ":"))
+    if len(line) > 1800:
+        # Stay inside the driver's tail window: drop per-query detail
+        # before dropping the headline total (full map lives in the tee).
+        minimal["queries"] = {
+            k: timings[k] for k in sorted(timings, key=timings.get, reverse=True)[:24]
+        }
+        line = json.dumps(minimal, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

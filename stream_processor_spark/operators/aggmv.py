@@ -224,16 +224,23 @@ def stream_agg_mv_updates(
 def compact_agg_mv(spark: SparkSession, name: str) -> None:
     """Merge accumulated batch rows back to one base row set (read-
     amplification repair; serves are equivalent before and after by
-    monoid associativity — tested)."""
-    from stream_processor_spark.operators.storage import drop_warehouse_dir
+    monoid associativity — tested).
+
+    The publish uses `storage.swap_tables`: NOT atomic (single-writer,
+    quiesced-reader assumption — round-7 ADVICE), but crash-lossless;
+    `storage.recover_swap` heals any half-swapped state first."""
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+        swap_tables,
+    )
 
     tmp = f"{name}__compact"
+    recover_swap(spark, name, tmp)
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     drop_warehouse_dir(spark, tmp)
     merged = merge_states(spark.table(name)).select(
         F.lit("__base__").alias("batch_id"), *STATE_SCHEMA.names[1:]
     )
     merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    drop_warehouse_dir(spark, name)
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    swap_tables(spark, name, tmp)

@@ -135,13 +135,19 @@ def ensure_postings(
     table names carry the (sf_dir, N) digest, the write is skipped when
     they already exist. The cache check requires BOTH tables: a crash
     between the two writes leaves a half-built pair, which the next
-    call detects and rebuilds from scratch (round-6 ADVICE)."""
+    call detects and rebuilds from scratch (round-6 ADVICE). A crash
+    mid-compaction is healed non-destructively first (`recover_swap`) —
+    rebuilding would discard appended streaming postings."""
     from stream_processor_spark.catalog import Tables
-    from stream_processor_spark.operators.storage import drop_warehouse_dir
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+    )
 
     if num_buckets is None:
         num_buckets = max(8, spark.sparkContext.defaultParallelism)
     post_name, stats_name = postings_names(spark, sf_dir, num_buckets)
+    recover_swap(spark, post_name, f"{post_name}_compacting")
 
     if not (
         spark.catalog.tableExists(post_name)
@@ -394,15 +400,25 @@ def compact_postings(
 
     Every `append_postings` adds one file per touched bucket (the LSM
     trade); this rewrites the table as ONE sorted file per bucket via a
-    staging table + catalog rename (readers never see a partial state —
-    the original table stays queryable until the atomic swap). With
+    staging table + `storage.swap_tables`. The swap is NOT atomic
+    (Spark's catalog has no transaction — round-7 ADVICE): a concurrent
+    reader can hit a missing-table window, so compaction assumes a
+    single writer and quiesced readers; what IS guaranteed is that no
+    crash point loses data — the old table is renamed aside, every
+    intermediate state is healed by `storage.recover_swap`, which this
+    function (and the serve path's ensure) runs first. With
     ``dedup_replays`` (default) duplicate (tok, doc_id) rows from
     at-least-once streaming appends are healed PERMANENTLY here, so
     steady-state serving can drop its per-query dedup aggregate —
     compaction is where replay damage gets repaired for good, exactly
     as in every LSM store. Returns the bucket count."""
-    from stream_processor_spark.operators.storage import drop_warehouse_dir
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+        swap_tables,
+    )
 
+    recover_swap(spark, post_name, f"{post_name}_compacting")
     num_buckets = None
     for r in spark.sql(f"DESCRIBE FORMATTED {post_name}").collect():
         if str(r[0]).strip().startswith("Num Buckets"):
@@ -423,7 +439,5 @@ def compact_postings(
         .format("parquet")
         .saveAsTable(tmp)
     )
-    spark.sql(f"DROP TABLE {post_name}")
-    drop_warehouse_dir(spark, post_name)
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {post_name}")
+    swap_tables(spark, post_name, tmp)
     return num_buckets

@@ -134,6 +134,51 @@ def bucketed_pair_names(
 # ------------------------------------------------------------- compaction ----
 
 
+def swap_tables(spark: SparkSession, published: str, staged: str) -> None:
+    """Publish ``staged`` under ``published``'s catalog name.
+
+    NOT atomic — Spark's catalog has no multi-statement transaction, so
+    a concurrent reader can observe a window where ``published`` is
+    absent (single-writer, quiesced-reader assumption, same as Hive
+    INSERT OVERWRITE; round-7 ADVICE corrected an earlier docstring
+    that over-claimed atomicity). What the protocol DOES guarantee is
+    that no crash point loses data: the old table is RENAMED aside (not
+    dropped) before the staged table takes the name, so every
+    intermediate state still holds a complete copy and
+    :func:`recover_swap` can finish or roll back the publish.
+
+    Rename moves a managed table's warehouse directory with it, which
+    is why the retired slot is cleared first."""
+    retired = f"{published}__retired"
+    spark.sql(f"DROP TABLE IF EXISTS {retired}")
+    drop_warehouse_dir(spark, retired)
+    if spark.catalog.tableExists(published):
+        spark.sql(f"ALTER TABLE {published} RENAME TO {retired}")
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {published}")
+    spark.sql(f"DROP TABLE IF EXISTS {retired}")
+    drop_warehouse_dir(spark, retired)
+
+
+def recover_swap(spark: SparkSession, published: str, staged: str) -> bool:
+    """Heal a crash inside :func:`swap_tables`: if ``published`` is
+    missing, finish the publish from the staged copy when it survived,
+    else roll back to the retired copy. Returns True when the published
+    name exists afterwards. Safe (and cheap — catalog probes only) to
+    call before any read of a swap-maintained table."""
+    if spark.catalog.tableExists(published):
+        return True
+    retired = f"{published}__retired"
+    if spark.catalog.tableExists(staged):
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {published}")
+    elif spark.catalog.tableExists(retired):
+        spark.sql(f"ALTER TABLE {retired} RENAME TO {published}")
+    else:
+        return False
+    spark.sql(f"DROP TABLE IF EXISTS {retired}")
+    drop_warehouse_dir(spark, retired)
+    return True
+
+
 def compact_files(
     spark: SparkSession,
     src_path: str,

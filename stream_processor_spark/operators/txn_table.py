@@ -463,7 +463,15 @@ class TxnTable:
                 return base_version  # nothing matches: snapshot unchanged
             rewrite = [f for f in base_files if _canon_path(f) in touched]
             carried = [f for f in base_files if _canon_path(f) not in touched]
-            survivors = self.spark.read.parquet(*rewrite).filter(~cond)
+            # Survivors are rows where cond is NOT strictly TRUE. A bare
+            # ~cond drops NULL-evaluating rows (3-valued logic: ~NULL is
+            # NULL, filtered out) — but only in files that also contain a
+            # TRUE row, silently and inconsistently erasing them
+            # (round-7 ADVICE). coalesce(cond, FALSE) mirrors the
+            # touched-file detection filter(cond), which keeps only TRUE.
+            survivors = self.spark.read.parquet(*rewrite).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
             staged = self._stage(survivors)
             try:
                 return self._commit(
@@ -523,14 +531,30 @@ class TxnTable:
         snapshot's FILE LIST as the new latest version — a metadata-only
         commit (no data is read or written; the files still exist
         because vacuum keeps every manifest-referenced file). Time
-        travel across the restore stays intact."""
+        travel across the restore stays intact.
+
+        The restored files are passed as ``carried_files`` (kept by
+        reference), NEVER as ``new_files``: ``_commit``'s replay-skip
+        path deletes ``new_files`` (they are freshly staged, invisible
+        data), and a round-7 ADVICE finding showed that an
+        at-least-once redelivery of ``restore(v, txn_id)`` routed
+        through ``new_files`` would delete data files still referenced
+        by committed manifests. Carried files are untouchable by
+        construction; the ``committed_txns`` pre-check just makes the
+        common replay cheap."""
+        if txn_id is not None and txn_id in self.committed_txns():
+            return None
         snap = self.snapshot(version)
         if snap["version"] != version:
             raise ValueError(
                 f"TxnTable at {self.root}: no committed version {version}"
             )
         return self._commit(
-            snap["files"], f"restore({version})", txn_id, replace=True
+            [],
+            f"restore({version})",
+            txn_id,
+            replace=True,
+            carried_files=snap["files"],
         )
 
     # ------------------------------------------------------------- cleanup

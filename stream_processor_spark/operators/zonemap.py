@@ -58,9 +58,15 @@ def ensure_zonemap(
     cleared via the Hadoop FileSystem API (round-6 ADVICE pattern).
     """
     from stream_processor_spark.catalog import Tables
-    from stream_processor_spark.operators.storage import drop_warehouse_dir
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+    )
 
     data_name, map_name = zonemap_names(sf_dir, table, key)
+    # heal a crash mid-recluster non-destructively before the existence
+    # check — a rebuild from source would discard appended rows
+    recover_swap(spark, data_name, f"{data_name}__staged")
     if spark.catalog.tableExists(data_name) and spark.catalog.tableExists(
         map_name
     ):
@@ -98,6 +104,65 @@ def ensure_zonemap(
 def manifest_rows(spark: SparkSession, map_name: str) -> list:
     """The hydrated manifest — one row per data file (KB-scale)."""
     return spark.table(map_name).collect()
+
+
+def _canon(p: str) -> str:
+    for pre in ("file://", "file:"):
+        if p.startswith(pre):
+            p = p[len(pre):]
+            break
+    return "/" + p.lstrip("/")
+
+
+def _file_stats(spark: SparkSession, files: list[str], key: str) -> DataFrame:
+    return (
+        spark.read.parquet(*files)
+        .withColumn("path", F.input_file_name())
+        .groupBy("path")
+        .agg(
+            F.min(key).cast("long").alias("min_key"),
+            F.max(key).cast("long").alias("max_key"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+
+
+def reconcile_zonemap(
+    spark: SparkSession, data_name: str, map_name: str, key: str
+) -> int:
+    """Two-way manifest repair, run on every lookup (driver-side set
+    compare of two KB-scale file listings — round-7 ADVICE).
+
+    The manifest is a CACHE of per-file stats, fully rederivable from
+    the data table, so any half-applied maintenance state is healable:
+
+    - files in the table but NOT in the manifest (crash in
+      :func:`append_zonemap` between the data append and the manifest
+      extend) would silently vanish from pruned lookups — their stats
+      are computed and appended;
+    - manifest rows whose file no longer EXISTS (crash in
+      :func:`recluster_zonemap` between the data swap and the manifest
+      rewrite) would make lookups scan dead paths — the manifest is
+      rebuilt wholesale from the live files (KB-scale write).
+
+    Returns the number of manifest rows added (wholesale rebuild counts
+    every live file)."""
+    spark.catalog.refreshTable(data_name)
+    actual = {_canon(f): f for f in spark.table(data_name).inputFiles()}
+    have = {_canon(r["path"]) for r in manifest_rows(spark, map_name)}
+    missing = [f for c, f in actual.items() if c not in have]
+    if have - set(actual):
+        stats = _file_stats(spark, sorted(actual.values()), key).localCheckpoint()
+        stats.write.mode("overwrite").format("parquet").saveAsTable(map_name)
+        spark.catalog.refreshTable(map_name)
+        return len(actual)
+    if not missing:
+        return 0
+    new_rows = _file_stats(spark, missing, key)
+    n = new_rows.count()
+    new_rows.write.mode("append").format("parquet").insertInto(map_name)
+    spark.catalog.refreshTable(map_name)
+    return n
 
 
 def pruned_files_for_keys(spark: SparkSession, map_name: str, keys) -> list[str]:
@@ -139,6 +204,7 @@ def lookup_by_keys(
     """Point lookup through the zone map: scan only files whose key
     range can contain a probe key, residual ``IN`` re-applied inside."""
     data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
+    reconcile_zonemap(spark, data_name, map_name, key)
     files = pruned_files_for_keys(spark, map_name, keys)
     return _scan(spark, files, data_name).filter(
         F.col(key).isin([int(k) for k in keys])
@@ -155,6 +221,7 @@ def lookup_by_range(
 ) -> DataFrame:
     """Range lookup through the zone map."""
     data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
+    reconcile_zonemap(spark, data_name, map_name, key)
     files = pruned_files_for_range(spark, map_name, lo, hi)
     return _scan(spark, files, data_name).filter(
         (F.col(key) >= lo) & (F.col(key) <= hi)
@@ -187,16 +254,7 @@ def append_zonemap(
     new_files = sorted(after - before)
     if not new_files:
         return 0
-    new_rows = (
-        spark.read.parquet(*new_files)
-        .withColumn("path", F.input_file_name())
-        .groupBy("path")
-        .agg(
-            F.min(key).cast("long").alias("min_key"),
-            F.max(key).cast("long").alias("max_key"),
-            F.count(F.lit(1)).alias("rows"),
-        )
-    )
+    new_rows = _file_stats(spark, new_files, key)
     n = new_rows.count()
     new_rows.write.mode("append").format("parquet").insertInto(map_name)
     spark.catalog.refreshTable(map_name)
@@ -213,31 +271,40 @@ def recluster_zonemap(
     """Rewrite the zone-mapped table from its CURRENT contents (base +
     appends) back into disjoint key ranges and rebuild the manifest —
     the compaction that restores minimal per-lookup file counts after
-    append churn. Lookups before and after return identical rows."""
-    from stream_processor_spark.operators.storage import drop_warehouse_dir
+    append churn. Lookups before and after return identical rows.
+
+    Crash discipline (round-7 ADVICE): the clustered copy is STAGED and
+    published via `storage.swap_tables` (old data renamed aside, never
+    a window holding zero copies — the previous drop-then-rewrite left
+    appended rows only in session memory); the manifest rewrite that
+    follows is healed by :func:`reconcile_zonemap`'s dead-path rebuild
+    if interrupted, because rename moves the warehouse directory and
+    stale manifest paths then point nowhere."""
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+        swap_tables,
+    )
 
     data_name, map_name = zonemap_names(sf_dir, table, key)
+    staged = f"{data_name}__staged"
+    recover_swap(spark, data_name, staged)
     spark.catalog.refreshTable(data_name)
-    current = spark.table(data_name).localCheckpoint()
-    for name in (data_name, map_name):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        drop_warehouse_dir(spark, name)
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    drop_warehouse_dir(spark, staged)
     (
-        current.repartitionByRange(nfiles, F.col(key))
+        spark.table(data_name)
+        .repartitionByRange(nfiles, F.col(key))
         .sortWithinPartitions(key)
         .write.mode("overwrite")
         .format("parquet")
-        .saveAsTable(data_name)
+        .saveAsTable(staged)
     )
-    manifest = (
-        spark.table(data_name)
-        .withColumn("path", F.input_file_name())
-        .groupBy("path")
-        .agg(
-            F.min(key).cast("long").alias("min_key"),
-            F.max(key).cast("long").alias("max_key"),
-            F.count(F.lit(1)).alias("rows"),
-        )
-    )
+    swap_tables(spark, data_name, staged)
+    spark.catalog.refreshTable(data_name)
+    manifest = _file_stats(
+        spark, sorted(spark.table(data_name).inputFiles()), key
+    ).localCheckpoint()
     manifest.write.mode("overwrite").format("parquet").saveAsTable(map_name)
+    spark.catalog.refreshTable(map_name)
     return data_name, map_name

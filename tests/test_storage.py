@@ -231,3 +231,48 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
 
     # layout change must not change content
     assert spark.read.parquet(path).count() == t.events.count()
+
+
+def test_swap_tables_publishes_and_recovers_from_crash_states(spark):
+    """Round-7 ADVICE: the compaction swap is documented as non-atomic
+    (single writer, quiesced readers) but must be crash-LOSSLESS: the
+    old table is renamed aside, and recover_swap finishes or rolls back
+    any half-swapped state."""
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+        swap_tables,
+    )
+
+    pub, staged = "swaptest_pub", "swaptest_pub__staged"
+    retired = f"{pub}__retired"
+    for n in (pub, staged, retired):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        drop_warehouse_dir(spark, n)
+
+    spark.range(3).write.saveAsTable(pub)
+    spark.range(10, 15).write.saveAsTable(staged)
+
+    # happy path: staged content takes the published name
+    swap_tables(spark, pub, staged)
+    assert sorted(r.id for r in spark.table(pub).collect()) == [10, 11, 12, 13, 14]
+    assert not spark.catalog.tableExists(staged)
+    assert not spark.catalog.tableExists(retired)
+
+    # crash state A: old renamed aside, staged not yet published
+    spark.range(20, 22).write.saveAsTable(staged)
+    spark.sql(f"ALTER TABLE {pub} RENAME TO {retired}")
+    assert recover_swap(spark, pub, staged)
+    assert sorted(r.id for r in spark.table(pub).collect()) == [20, 21]
+    assert not spark.catalog.tableExists(retired)
+
+    # crash state B: staged lost, only the retired copy survives —
+    # recovery rolls back to it (no data loss)
+    spark.sql(f"ALTER TABLE {pub} RENAME TO {retired}")
+    assert recover_swap(spark, pub, staged)
+    assert sorted(r.id for r in spark.table(pub).collect()) == [20, 21]
+
+    # nothing to recover → published untouched
+    assert recover_swap(spark, pub, staged)
+    spark.sql(f"DROP TABLE IF EXISTS {pub}")
+    drop_warehouse_dir(spark, pub)

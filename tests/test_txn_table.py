@@ -491,3 +491,56 @@ def test_restore_is_metadata_only_and_time_travels(spark, tmp_path):
     # addressable, and vacuum keeps every referenced file
     assert sorted(r.k for r in t.read(version=v_restored - 1).collect()) == [1]
     assert t.vacuum(grace_ms=0) == 0
+
+
+def test_restore_replay_does_not_destroy_live_files(spark, tmp_path):
+    """Round-7 ADVICE (high): an at-least-once redelivery of
+    restore(v, txn_id) must be a pure no-op. The old code routed the
+    restored snapshot's LIVE files through _commit's new_files, whose
+    replay-skip path deletes them — corrupting every manifest that
+    referenced them. The files are carried by reference now."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v2 = t.append(_df(spark, [(3, "c")]))
+    t.delete_where("k >= 2")
+
+    assert t.restore(v2, txn_id="restore-1") == t.latest_version()
+    # replay — must change nothing and, critically, delete nothing
+    assert t.restore(v2, txn_id="restore-1") is None
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+    # every version is still fully readable (no file was deleted)
+    for v in range(t.latest_version() + 1):
+        t.read(version=v).count()
+    # and a raced replay that slips past the pre-check is equally safe:
+    # the carried files are not new_files, so _commit deletes nothing
+    snap = t.snapshot(v2)
+    assert (
+        t._commit(
+            [],
+            f"restore({v2})",
+            "restore-1",
+            replace=True,
+            carried_files=snap["files"],
+        )
+        is None
+    )
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3]
+
+
+def test_delete_where_keeps_null_condition_rows(spark, tmp_path):
+    """Round-7 ADVICE (medium): rows where the predicate evaluates to
+    NULL are NOT deleted — only strictly-TRUE rows are. The old ~cond
+    survivor filter dropped NULL rows, but only in files co-located
+    with a TRUE match (inconsistent, data-losing)."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    # file 1: a TRUE match (k=3) co-located with a NULL-key row
+    t.append(_df(spark, [(3, "hit"), (None, "null-near-hit")]).repartition(1))
+    # file 2: a NULL-key row with no match in its file
+    t.append(_df(spark, [(None, "null-far"), (7, "keep")]).repartition(1))
+
+    t.delete_where("k = 3")
+    rows = sorted(
+        ((r.k if r.k is not None else -1), r.v) for r in t.read().collect()
+    )
+    # BOTH null rows survive — co-located or not
+    assert rows == [(-1, "null-far"), (-1, "null-near-hit"), (7, "keep")]

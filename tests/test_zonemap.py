@@ -132,3 +132,53 @@ def test_append_extends_manifest_incrementally(spark, sf_dir):
         ).count()
         == 1
     )
+
+
+def test_reconcile_folds_unmanifested_files(spark, sf_dir):
+    """Round-7 ADVICE: a crash in append_zonemap between the data-table
+    append and the manifest extend leaves committed files invisible to
+    pruning. The lookup-path reconcile folds them back in, so indexed
+    lookups never silently under-return."""
+    zm.ensure_zonemap(spark, sf_dir, table="orders", key="o_orderkey")
+    d_name, m_name = zm.zonemap_names(sf_dir, "orders", "o_orderkey")
+    before = len(zm.manifest_rows(spark, m_name))
+
+    # simulate the crash: data lands, manifest never extended
+    batch = (
+        spark.table(d_name)
+        .limit(2)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000)
+    )
+    batch.write.mode("append").format("parquet").saveAsTable(d_name)
+
+    got = zm.lookup_by_keys(
+        spark,
+        sf_dir,
+        [r["o_orderkey"] for r in batch.select("o_orderkey").collect()],
+        table="orders",
+        key="o_orderkey",
+    )
+    assert got.count() == 2  # healed — not silently missing
+    assert len(zm.manifest_rows(spark, m_name)) > before
+
+
+def test_reconcile_rebuilds_on_dead_manifest_paths(spark, sf_dir):
+    """Manifest rows pointing at files that no longer exist (crash in
+    recluster between the data swap and the manifest rewrite) trigger a
+    wholesale manifest rebuild from the live files."""
+    zm.ensure_zonemap(spark, sf_dir, table="orders", key="o_orderkey")
+    d_name, m_name = zm.zonemap_names(sf_dir, "orders", "o_orderkey")
+    spark.sql(
+        f"INSERT INTO {m_name} VALUES "
+        "('file:/nonexistent/dead.parquet', 0, 9223372036854775807, 1)"
+    )
+    got = zm.lookup_by_keys(
+        spark, sf_dir, [1], table="orders", key="o_orderkey"
+    )
+    assert got.count() == 1  # dead path never scanned
+    paths = {r["path"] for r in zm.manifest_rows(spark, m_name)}
+    assert not any("nonexistent" in p for p in paths)
+    # manifest again covers the table exactly
+    assert sum(
+        r["rows"] for r in zm.manifest_rows(spark, m_name)
+    ) == spark.table(d_name).count()
