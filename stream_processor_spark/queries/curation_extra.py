@@ -900,8 +900,14 @@ def dq_referential_integrity(t):
     after any ingest/merge/delete path.
 
     Scale: each edge is one left join aggregated to a single row —
-    broadcast when the parent is dim-sized, shuffle otherwise; output
-    is edge-count-sized regardless of table size.
+    broadcast when the parent is dim-sized, shuffled-hash otherwise
+    (hinted: Spark's size estimate of the single-column orders
+    projection otherwise tempts AQE into a driver-built broadcast of
+    ~15M keys — the round-6 q21 trap, measured 9.4 s vs 3.2 s at sf10 —
+    and SMJ would add two sorts a unique-key build never needs); output
+    is edge-count-sized regardless of table size. The co-bucketed twin
+    (`dq_referential_integrity_bucketed`) remains the zero-Exchange
+    serve when the layout exists.
     """
     o_c = (
         t.orders.select("o_custkey")
@@ -922,7 +928,7 @@ def dq_referential_integrity(t):
     l_o = (
         t.lineitem.select("l_orderkey")
         .join(
-            t.orders.select("o_orderkey"),
+            t.orders.select("o_orderkey").hint("shuffle_hash"),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_outer",
         )

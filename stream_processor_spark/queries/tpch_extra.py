@@ -110,16 +110,18 @@ _Q9_ORACLE = f"""
 
 @register("tpch_q9_shape", oracle=_Q9_ORACLE)
 def tpch_q9_shape(t):
-    """TPC-H Q9, TEACHING ENTRY (shuffle-era; the routed answer is `tpch_q9_bucketed`, 1.51x at sf10 / 0.96x at sf100).
+    """TPC-H Q9, TEACHING ENTRY (shuffle-era; the routed answer is `tpch_q9_bucketed`, 1.79x at sf10 r8 / 0.96x at sf100).
 
     Reclassified round 7 after the knob matrix exhausted the shuffle-era
-    levers (docs/SF10_STRAGGLERS_r7.json): best of {SMJ vs shuffled-hash,
-    AQE skew on/off, 32/64 partitions} is 3.1x DuckDB at sf10 — the gap
-    IS the per-query fact-fact exchange, and the fix is the write-time
-    bucketed layout (`Router("tpch_q9")` selects it automatically when
-    built), not a runtime conf. AQE skew-join is a no-op here (uniform
-    TPC-H keys); storage-partitioned join needs the bucketed relations
-    this entry deliberately avoids.
+    levers (docs/SF10_STRAGGLERS_r7.json); round 8 narrowed the exchange
+    payload (~13% measured) but the residual ~3-4x vs DuckDB at sf10
+    (docs/SF10_STRAGGLERS_r8.json) is the per-query fact-fact exchange
+    plus JVM-vs-native parquet scan speed — the fact pipeline's bare
+    scan alone costs more than DuckDB's whole query locally. The fix is
+    the write-time bucketed layout (`Router("tpch_q9")` selects it
+    automatically when built), not a runtime conf. AQE skew-join is a
+    no-op here (uniform TPC-H keys); storage-partitioned join needs the
+    bucketed relations this entry deliberately avoids.
 
     Product-type profit: multi-dim star join with a LIKE filter on the
     part name and a derived per-row profit measure (supply cost analog:
@@ -128,12 +130,58 @@ def tpch_q9_shape(t):
     `tpch_q9_bucketed` runs the same body zero-Exchange on the
     co-bucketed layout at DuckDB parity.
 
-    Scale notes: part (LIKE-filtered) and supplier/nation broadcast; the
-    only shuffle is lineitem-orders on orderkey plus the final 25x7-group
-    aggregate (map-side collapse). The profit expression is evaluated in
-    one codegen stage with identical association order in both engines;
+    Scale notes: part (LIKE-filtered) and supplier broadcast; the only
+    shuffle is lineitem-orders on orderkey plus the final 25x7-group
+    aggregate (map-side collapse). Round-8 narrowing of that shuffle
+    edge (measured ~13% at sf10): the fact side carries (orderkey,
+    nationkey int, profit) — the 25-char nation NAME attaches to the
+    175-row aggregate, never rides the exchange — the orders side
+    carries (orderkey, year int) with the date already folded, and the
+    join is hinted shuffled-hash (SMJ's two sorts buy nothing for a
+    unique-key build). The profit expression is evaluated in one
+    codegen stage with identical association order in both engines;
     the sum is fixed-point (dsum scale 4)."""
-    return _q9_from(t.lineitem, t.orders, t)
+    p, s, o, l = t.part, t.supplier, t.orders, t.lineitem
+    pw = p.filter(p.p_name.like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.05
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    fact = (
+        l.join(F.broadcast(pw), l.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            l.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "l_orderkey",
+            F.col("s_nationkey").cast("int").alias("nk"),
+            profit.alias("profit"),
+        )
+    )
+    ord2 = o.select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    agg = (
+        fact.join(
+            ord2.hint("shuffle_hash"), fact.l_orderkey == ord2.o_orderkey
+        )
+        .groupBy("nk", "yr")
+        .agg(dsum(F.col("profit"), 4).alias("sum_profit"))
+    )
+    return (
+        agg.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("nk") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("yr").cast("long").alias("o_year"),
+            "sum_profit",
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
 
 
 def _q9_from(l, o, t, merge_hint: bool = False):
@@ -390,15 +438,17 @@ _Q21_ORACLE = """
 
 @register("tpch_q21_shape", oracle=_Q21_ORACLE)
 def tpch_q21_shape(t):
-    """TPC-H Q21, TEACHING ENTRY (shuffle-era; the routed answer is `tpch_q21_bucketed`, 0.93x at sf10).
+    """TPC-H Q21, TEACHING ENTRY (shuffle-era; the routed answer is `tpch_q21_bucketed`, 1.27x at sf10 r8).
 
     Reclassified round 7 after the knob matrix exhausted the shuffle-era
-    levers (docs/SF10_STRAGGLERS_r7.json): best of {SMJ vs shuffled-hash,
-    AQE skew on/off, 32/64 partitions} is 3.44x DuckDB at sf10 — three
-    self-joins of the fact table each pay the exchange this plan exists
-    to demonstrate; the co-bucketed twin replaces all of them with
-    zero-Exchange merge joins (`Router("tpch_q21")` selects it when the
-    layout exists). AQE skew-join is a no-op (uniform keys).
+    levers (docs/SF10_STRAGGLERS_r7.json); the round-8 rework (narrowed
+    fact projection via `_q21_narrow` + shuffled-hash semi) brought the
+    layout-free plan from 3.44x to 2.93x DuckDB at sf10
+    (docs/SF10_STRAGGLERS_r8.json) — the residual is the one fact
+    exchange this plan exists to demonstrate; the co-bucketed twin
+    replaces it with zero-Exchange merge joins (`Router("tpch_q21")`
+    selects it when the layout exists). AQE skew-join is a no-op
+    (uniform keys).
 
     Suppliers who kept orders waiting: the classic
     EXISTS + NOT-EXISTS self-join pair on lineitem, decorrelated into
@@ -425,26 +475,47 @@ def tpch_q21_shape(t):
     return _q21_from(t.lineitem, t)
 
 
-def _q21_semi_f_orders(frame, t):
-    """Keep only rows of orders with status 'F' (semi join on orderkey)."""
+def _q21_semi_f_orders(frame, t, join_hint: str | None = None):
+    """Keep only rows of orders with status 'F' (semi join on orderkey).
+    ``join_hint``: 'shuffle_hash' for the layout-free plan (the 'F'
+    filter passes ~half the order keys — far too many for a broadcast,
+    and SMJ pays a sort neither side needs for a semi probe), 'merge'
+    for the co-bucketed layout (exchange-free on both sides)."""
     o = t.orders
+    fo = o.filter(o.o_orderstatus == "F").select("o_orderkey")
+    if join_hint:
+        fo = fo.hint(join_hint)
     return frame.join(
-        o.filter(o.o_orderstatus == "F").select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-        "left_semi",
+        fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
 
 
-def _q21_waiting(lineitem_frame):
+def _q21_narrow(lineitem_frame):
+    """Pre-shuffle projection of the only three facts Q21 needs, in the
+    narrowest codegen-friendly encoding: suppkey as int32 (TPC-H
+    suppkey = 10k x SF — int covers every practical scale factor) and
+    the returnflag as ONE boolean instead of a shuffled string. At sf10
+    this cut the semi join's fact-side exchange payload ~40% (measured
+    5.9 -> 4.2 s with the SHJ semi). A projection never disturbs an
+    existing (bucketed) distribution on l_orderkey."""
+    return lineitem_frame.select(
+        "l_orderkey",
+        F.col("l_suppkey").cast("int").alias("supp"),
+        (F.col("l_returnflag") == "R").alias("is_r"),
+    )
+
+
+def _q21_waiting(narrow_frame):
     """Per-order bounded-state existence facts -> (l_orderkey,
     wait_suppkey) for orders with >=2 suppliers and exactly one
-    R-supplier (who is the waiting supplier)."""
-    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    R-supplier (who is the waiting supplier). Input is the
+    `_q21_narrow` projection."""
+    r_supp = F.when(F.col("is_r"), F.col("supp"))
     return (
-        lineitem_frame.groupBy("l_orderkey")
+        narrow_frame.groupBy("l_orderkey")
         .agg(
-            F.min("l_suppkey").alias("min_s"),
-            F.max("l_suppkey").alias("max_s"),
+            F.min("supp").alias("min_s"),
+            F.max("supp").alias("max_s"),
             F.min(r_supp).alias("min_r"),
             F.max(r_supp).alias("max_r"),
         )
@@ -453,7 +524,9 @@ def _q21_waiting(lineitem_frame):
             & F.col("min_r").isNotNull()
             & (F.col("min_r") == F.col("max_r"))
         )
-        .select("l_orderkey", F.col("min_r").alias("wait_suppkey"))
+        .select(
+            "l_orderkey", F.col("min_r").cast("long").alias("wait_suppkey")
+        )
     )
 
 
@@ -474,11 +547,11 @@ def _q21_report(waiting, t):
 
 
 def _q21_from(lineitem, t):
-    """Portable Q21 body: semi join to 'F' orders FIRST (pre-shrinks the
-    aggregate's shuffle), then the bounded-state facts."""
-    pre = _q21_semi_f_orders(
-        lineitem.select("l_orderkey", "l_suppkey", "l_returnflag"), t
-    )
+    """Portable Q21 body: narrow the fact projection, semi join to 'F'
+    orders FIRST (pre-shrinks the aggregate's shuffle; shuffled-hash —
+    a semi probe never needs SMJ's sorts), then the bounded-state
+    facts."""
+    pre = _q21_semi_f_orders(_q21_narrow(lineitem), t, join_hint="shuffle_hash")
     return _q21_report(_q21_waiting(pre), t)
 
 
@@ -567,7 +640,7 @@ def tpch_q21_bucketed(t):
     li, o = bucketed_pair(t._spark, t._dir)
     # agg-first: exchange-free over the bucketed layout; qualifying
     # orders semi join the co-bucketed 'F' orders (merge, not broadcast)
-    waiting = _q21_waiting(li).join(
+    waiting = _q21_waiting(_q21_narrow(li)).join(
         o.filter(o.o_orderstatus == "F").select("o_orderkey").hint("merge"),
         F.col("l_orderkey") == F.col("o_orderkey"),
         "left_semi",
