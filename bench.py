@@ -81,6 +81,8 @@ HEADLINE = [
     "retrieval_hybrid_rrf_indexed",
     "point_lookup_indexed",
     "join_incremental_mv",
+    # round 8: the persisted SemDeDup layout's serve path
+    "dedup_semantic_indexed",
 ]
 
 

@@ -227,6 +227,44 @@ assign AS (
 )
 
 
+def _sem_dropped(t, cand, assigned):
+    """Shared pairwise tail of both semantic-dedup twins: same-cluster
+    filter -> exact scaled-int64 cosine over the candidate pairs ->
+    the DISTINCT dropped (higher-id) side.
+
+    The pair frame is explicitly repartitioned to cluster parallelism
+    first: AQE's size estimate of the slim (id, id) pairs coalesces the
+    downstream stage to ~3 partitions, and the embedding joins plus the
+    higher-order-function cosine (interpreted, not codegen) then run
+    nearly serial — measured 3.7 s -> 1.2 s at sf0.1 from this one
+    repartition. The shuffled rows are two longs each; the cost is
+    noise at any scale."""
+    e = t.embeddings
+    ca = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
+    )
+    cb = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("cl_b")
+    )
+    same = (
+        cand.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("cl_a") == F.col("cl_b"))
+        .select("id_a", "id_b")
+        .repartition(t._spark.sparkContext.defaultParallelism, "id_a")
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        same.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", sim.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") > _SEM_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+
+
 @register("dedup_semantic", oracle=_SEMANTIC_ORACLE)
 def dedup_semantic(t):
     """SemDeDup-style semantic deduplication: cluster the embedding
@@ -260,25 +298,36 @@ def dedup_semantic(t):
         out_col="cluster_id",
     ).select("vec_id", "cluster_id").localCheckpoint()
     cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
-    ca = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
+    dropped = _sem_dropped(t, cand, assigned)
+    return assigned.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "cluster_id"
     )
-    cb = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("cl_b")
+
+
+@register("dedup_semantic_indexed", oracle=_SEMANTIC_ORACLE)
+def dedup_semantic_indexed(t):
+    """`dedup_semantic` served from the persisted SemDeDup layout
+    (`operators/semindex.ensure_semantic_index`, built on first use —
+    the registered behavior of every *_indexed entry): the Lloyd fit,
+    the cluster assignment, and the capped LSH band keys are pure
+    corpus functions paid at WRITE time; the request path is one
+    co-bucketed band self-join + the exact-cosine check over candidate
+    pairs + the anti join. Same deterministic trainer and band
+    derivation, hence the same oracle — the layout can only change the
+    plan, never answers. Router route: `semantic_dedup`.
+
+    Scale: the ~10 fixed training stages that kept the from-scratch
+    twin >2x at sf0.1 disappear from serving; what remains is bounded
+    by the capped candidate count and the survivors' anti join."""
+    from stream_processor_spark.operators.semindex import (
+        candidate_pairs_from_index,
+        ensure_semantic_index,
     )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    dropped = (
-        cand.join(ca, "id_a")
-        .join(cb, "id_b")
-        .filter(F.col("cl_a") == F.col("cl_b"))
-        .join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cos", sim.cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") > _SEM_TAU)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
+
+    asn_name, band_name = ensure_semantic_index(t._spark, t._dir)
+    assigned = t._spark.table(asn_name)
+    cand = candidate_pairs_from_index(t._spark, band_name)
+    dropped = _sem_dropped(t, cand, assigned)
     return assigned.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster_id"
     )

@@ -122,6 +122,20 @@ def _build_pq(spark: SparkSession, sf_dir: str) -> None:
     ensure_pq_index(spark, sf_dir)
 
 
+def _semantic_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.semindex import semantic_names
+
+    return semantic_names(sf_dir)
+
+
+def _build_semantic(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.semindex import (
+        ensure_semantic_index,
+    )
+
+    ensure_semantic_index(spark, sf_dir)
+
+
 def _zonemap_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
     from stream_processor_spark.operators.zonemap import zonemap_names
 
@@ -142,6 +156,7 @@ LAYOUTS = {
     "ivf_trained": (_ivf_trained_tables, _build_ivf_trained),
     "pq_index": (_pq_tables, _build_pq),
     "zonemap": (_zonemap_tables, _build_zonemap),
+    "semantic_index": (_semantic_tables, _build_semantic),
 }
 
 # semantic name -> Route. Both registry entries of a route share result
@@ -176,6 +191,9 @@ ROUTES = {
     ),
     "hybrid_search": Route(
         ("bm25_postings", "ivf_index"), "retrieval_hybrid_rrf_indexed", None
+    ),
+    "semantic_dedup": Route(
+        "semantic_index", "dedup_semantic_indexed", "dedup_semantic"
     ),
 }
 

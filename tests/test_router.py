@@ -91,3 +91,19 @@ def test_plan_report_covers_every_route(spark, routed_dir):
         from stream_processor_spark.queries import REGISTRY
 
         assert entry in REGISTRY
+
+
+def test_semantic_dedup_route_flips_and_matches(spark, routed_dir):
+    """Round-8 semantic-dedup layout: the route resolves scratch before
+    the index exists, indexed after `ensure`, and both plans return the
+    identical survivor set (they share the deterministic trainer and
+    band derivation)."""
+    r = Router(spark, routed_dir)
+    assert r.resolve("semantic_dedup") == ("dedup_semantic", "scratch")
+    before = _rows(r.query("semantic_dedup"))
+    r.ensure("semantic_dedup")
+    assert r.resolve("semantic_dedup") == (
+        "dedup_semantic_indexed",
+        "indexed",
+    )
+    assert _rows(r.query("semantic_dedup")) == before
