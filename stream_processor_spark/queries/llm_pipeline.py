@@ -475,6 +475,136 @@ def text_bpe_pair_counts(t):
     )
 
 
+# BPE trainer: number of merge iterations. The symbol-string encoding
+# ("_h _e _l _l _o") makes one merge a plain `replace(s, '_a _b',
+# '_ab')` — SQL replace scans left-to-right over non-overlapping
+# occurrences, which is EXACTLY the greedy merge order Sennrich-style
+# BPE applies, and the '_' marker removes cross-symbol false matches
+# (a pattern can only match where a symbol starts). Identical builtin
+# in Spark SQL and DuckDB, so the oracle replays the whole trajectory.
+_BPE_MERGES = 50
+
+_BPE_WF_SQL = """
+    wf AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        WHERE text IS NOT NULL
+      ) WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok
+    ),
+    v0 AS MATERIALIZED (
+      SELECT rtrim(regexp_replace(tok, '(.)', '_\\1 ', 'g')) AS s, freq
+      FROM wf
+    )"""
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-CTE replay of the full BPE training trajectory (the
+    `lloyd_oracle_ctes` pattern): per iteration, pair counts over the
+    current symbol strings -> deterministic argmax (cnt DESC, pair) ->
+    one replace() merge pass. Output: the merge table."""
+    ctes = ["WITH " + _BPE_WF_SQL]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f""",
+    p{i} AS MATERIALIZED (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                      j -> syms[j] || ' ' || syms[j+1])) AS pair, freq
+        FROM (SELECT string_split(s, ' ') AS syms, freq FROM v{i-1})
+        WHERE len(syms) >= 2
+      ) GROUP BY pair
+    ),
+    m{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
+    v{i} AS MATERIALIZED (
+      SELECT replace(v.s, m.pair, replace(m.pair, ' _', '')) AS s, v.freq
+      FROM v{i-1} v, m{i} m
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_idx, replace(pair, '_', '') AS pair, cnt "
+        f"FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "".join(ctes) + f" SELECT * FROM ({selects}) ORDER BY merge_idx"
+
+
+@register("text_bpe_train", oracle=_bpe_train_oracle(_BPE_MERGES))
+def text_bpe_train(t):
+    """Full BPE tokenizer training over the corpus vocabulary: {50}
+    greedy merges, each picking the corpus-weighted most frequent
+    adjacent symbol pair (deterministic tie-break: count DESC, pair
+    ASC) and fusing it everywhere — the complete Sennrich training
+    loop, not just the single step `text_bpe_pair_counts` demonstrates.
+    Output: the learned merge table (merge_idx, pair, cnt), the
+    artifact a tokenizer ships.
+
+    Training runs on word counts, so every per-iteration stage is
+    VOCABULARY-sized regardless of corpus size (the corpus is touched
+    once, by the token-count aggregate). The driver iterates like the
+    Lloyd trainer: per merge, a vocab-sized pair aggregate, a 1-row
+    argmax collect, and a whole-stage-codegen replace() pass;
+    `localCheckpoint` per iteration caps lineage (the round-7 O(iters²)
+    replay lesson). The oracle replays the entire 50-merge trajectory
+    as unrolled CTEs — trainer and replay are hash-compared end to end.
+
+    Scale: vocab at 100 TB is still vocabulary-sized (cap with a
+    min-frequency filter as real trainers do); 50 sequential
+    vocab-sized jobs dominate wall-clock, not data volume.
+    """
+    spark = t._spark
+    d = t.documents
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").rlike("^[a-z]+$"))
+    )
+    wf = toks.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    vocab = wf.select(
+        F.rtrim(F.regexp_replace(F.col("tok"), "(.)", "_$1 ")).alias("s"),
+        "freq",
+    ).localCheckpoint()
+
+    merges: list[tuple[int, str, int]] = []
+    for i in range(1, _BPE_MERGES + 1):
+        syms = F.split(F.col("s"), " ")
+        pairs = (
+            vocab.filter(F.size(syms) >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1),
+                        lambda j: F.concat_ws(
+                            " ",
+                            F.element_at(syms, j),
+                            F.element_at(syms, j + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        pair, cnt = pairs[0]["pair"], pairs[0]["cnt"]
+        merges.append((i, pair.replace("_", ""), int(cnt)))
+        merged = pair.replace(" _", "")
+        vocab = vocab.select(
+            F.expr(
+                "replace(s, "
+                f"'{pair}', '{merged}')"
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_idx long, pair string, cnt long"
+    ).orderBy("merge_idx")
+
+
 # Mixing recipe: per-language token-share targets (percent) and the
 # global budget as a fraction of corpus tokens — both scale-free, so the
 # operator is meaningful at every sf.

@@ -147,3 +147,19 @@ def test_boilerplate_pct_bounds(spark, sf_dir):
         | (F.col("boiler_pct") > 10000)
     ).count()
     assert bad == 0
+
+
+def test_bpe_train_merge_table_properties(spark, sf_dir):
+    """Round-8 full BPE trainer: 50 merges, counts non-increasing is NOT
+    required (later merges can create new frequent pairs), but every
+    merge must be well-formed: two space-separated symbols, each either
+    a single char or the concatenation produced by an earlier merge."""
+    rows = REGISTRY["text_bpe_train"].fn(spark, sf_dir).collect()
+    assert [r["merge_idx"] for r in rows] == list(range(1, 51))
+    known = set()
+    for r in rows:
+        a, b = r["pair"].split(" ")
+        for s in (a, b):
+            assert len(s) == 1 or s in known, (r["merge_idx"], s)
+        known.add(a + b)
+        assert r["cnt"] >= 1
