@@ -151,6 +151,118 @@ def text_substring_dup_spans(t):
 
 
 @register(
+    "text_dup_spans_merged",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, u.i AS pos,
+             (('0x' || substr(md5(array_to_string(tk[u.i:u.i+{_WIN - 1}], ' ')),
+                       1, 15))::UBIGINT)::BIGINT AS gh
+      FROM toks, unnest(generate_series(1, len(tk) - {_WIN - 1})) AS u(i)
+      WHERE len(tk) >= {_WIN}
+    ),
+    dupg AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1
+    ),
+    dw AS (
+      SELECT doc_id, pos FROM g JOIN dupg USING (gh)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CAST(SUM(CASE WHEN prev IS NULL
+                           OR pos > prev + {_WIN} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dw
+      )
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_WIN - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {_WIN - 1} - MIN(pos) + 1 AS BIGINT)
+             AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def text_dup_spans_merged(t):
+    """MAXIMAL duplicated spans (the actual Lee et al. 2021 output):
+    `text_substring_dup_spans` marks which 10-token windows are
+    duplicated; this merges overlapping-or-adjacent duplicated windows
+    into maximal (doc_id, span_start, span_end, span_tokens) intervals
+    via gaps-and-islands — the span list a substring-dedup pass would
+    actually cut from each document. Token positions are 1-based
+    inclusive; two windows merge when their coverage intervals touch
+    (next start ≤ previous start + window length).
+
+    All windows share one length, so the running coverage end is
+    monotone in the start position and the island break reduces to a
+    single lag() comparison — one narrow window pass over DUPLICATED
+    window starts only (never the corpus), partitioned by doc_id.
+
+    Scale: identical cost class to the coverage audit — the only
+    corpus-sized shuffle is the 16-byte gram-hash aggregate; the
+    islands pass is per-document and bounded by duplicated windows.
+    """
+    d = t.documents.filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    g = (
+        toks.filter(F.size("tk") >= _WIN)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - (_WIN - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, _WIN)),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    dupg = (
+        g.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("gh")
+    )
+    from pyspark.sql.window import Window
+
+    dw = g.join(dupg, "gh").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dw.withColumn("prev", F.lag("pos").over(w_ord))
+        .withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("pos") > F.col("prev") + _WIN),
+                    1,
+                ).otherwise(0)
+            ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (_WIN - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + (_WIN - 1) - F.min("pos") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+@register(
     "dedup_fuzzy_survivors",
     oracle=f"""
     WITH {MINHASH_PAIRS_CTES},

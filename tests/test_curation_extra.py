@@ -82,3 +82,32 @@ def test_surprisal_floor_and_coverage(spark, sf_dir):
     for r in rows:
         assert r.mean_surprisal >= _SURP_SCALE - 1
         assert r.n_tokens >= 1
+
+
+def test_dup_spans_merged_equals_coverage_and_is_maximal(spark, sf_dir):
+    """Round-8 maximal spans: per-doc span token sums must equal the
+    coverage audit's dup_tokens (interval union), and consecutive spans
+    must be separated by a real gap (maximality)."""
+    from pyspark.sql import functions as F
+
+    spans = REGISTRY["text_dup_spans_merged"].fn(spark, sf_dir)
+    cov = REGISTRY["text_substring_dup_spans"].fn(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("tok_sum")
+    )
+    joined = per_doc.join(cov, "doc_id")
+    assert joined.filter(F.col("tok_sum") != F.col("dup_tokens")).count() == 0
+    # no doc with dup_tokens > 0 is missing from the span list
+    assert (
+        cov.filter(F.col("dup_tokens") > 0)
+        .join(per_doc, "doc_id", "left_anti")
+        .count()
+        == 0
+    )
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spans.collect()
+    )
+    for (d1, s1, e1), (d2, s2, e2) in zip(rows, rows[1:]):
+        if d1 == d2:
+            assert s2 > e1 + 1  # a merge would have joined them
