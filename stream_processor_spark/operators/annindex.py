@@ -620,9 +620,12 @@ def ivfpq_names(
     n_sub: int = 8, sub_dim: int = 8, pq_k: int = 16, pq_iters: int = 2,
 ) -> tuple[str, str, str]:
     """Deterministic (codes, coarse-centroids, codebooks) table names for
-    the combined IVF+PQ layout."""
+    the combined IVF+PQ layout. The tag says 'ivfpqr': round 8 switched
+    the codebooks to RESIDUAL training (codes encode v - c_list), so the
+    layout is semantically new and must not collide with stale raw-code
+    tables from earlier sessions."""
     tag = hashlib.md5(
-        f"{sf_dir}|ivfpq|{k}|{iters}|{n_sub}|{sub_dim}|{pq_k}|{pq_iters}".encode()
+        f"{sf_dir}|ivfpqr|{k}|{iters}|{n_sub}|{sub_dim}|{pq_k}|{pq_iters}".encode()
     ).hexdigest()[:8]
     return f"ivfpq_codes_{tag}", f"ivfpq_cent_{tag}", f"ivfpq_books_{tag}"
 
@@ -643,10 +646,19 @@ def ensure_ivfpq_index(
     vectors are stored as PQ codeword ids — so a query prunes to its
     probed list partitions AND scans 8 ids/vector instead of 64 floats.
     Three tables: codes (vec_id, codes) PARTITIONED BY list_id, the
-    coarse centroids, and the PQ codebooks. Coarse assignment and PQ
-    encoding happen in ONE corpus pass (`npkernel` bit-exact kernels),
-    so build cost is the two fits plus a single encode scan.
-    """
+    coarse centroids, and the PQ codebooks.
+
+    Round 8: the codebooks train on RESIDUALS (v - assigned coarse
+    centroid), the true IndexIVFPQ formulation — after subtracting the
+    list centroid the sub-quantizers cover one Voronoi cell instead of
+    the whole space, so the same 8-byte budget quantizes far more
+    finely (`sim_ann_pq_residual` measured recall@10 0.7 vs 0.5 at
+    matched shortlists; the compound-pruning recall floor test now
+    pins ≥0.7). Serving scores decompose exactly:
+    <q, v> ≈ <q, c_list> + <q, r_v>; the base term is a per-list
+    literal map, the residual term the standard ADC sum — both exact
+    int64, so the shortlist boundary stays deterministic and
+    oracle-replayable."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators import kmeans
     from stream_processor_spark.operators.storage import drop_warehouse_dir
@@ -670,8 +682,44 @@ def ensure_ivfpq_index(
         F.col("pos").cast("int").alias("pos"),
         F.col("c").cast("double").alias("c"),
     ).write.mode("overwrite").format("parquet").saveAsTable(cent_name)
+
+    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
+
+    def residualize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            assigned, _sxx = npk.assign_labels(E, labels, C, scc)
+            R = E - C[np.searchsorted(labels, assigned)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "rv": list(R),
+                    "list_id": assigned,
+                }
+            )
+
+    # one materialized residual pass feeds BOTH the PQ fit (iterative —
+    # without the checkpoint every fit stage re-runs the assignment)
+    # and the final encode
+    res = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            residualize,
+            schema="vec_id long, rv array<double>, list_id long",
+        )
+        .localCheckpoint()
+    )
     books_frame = kmeans.lloyd_fit_pq(
-        e, n_sub=n_sub, sub_dim=sub_dim, k=pq_k, iters=pq_iters
+        res.select("vec_id", "rv"),
+        n_sub=n_sub,
+        sub_dim=sub_dim,
+        k=pq_k,
+        iters=pq_iters,
+        vec_col="rv",
     )
     books_frame.select(
         F.col("m").cast("long").alias("m"),
@@ -680,31 +728,27 @@ def ensure_ivfpq_index(
         F.col("c").cast("double").alias("c"),
     ).write.mode("overwrite").format("parquet").saveAsTable(books_name)
 
-    labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
     books = npk.hydrate_codebooks(spark.table(books_name))
 
-    def assign_encode(batches):
+    def encode(batches):
         import pandas as pd
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            E = npk.stack_embeddings(pdf["embedding"])
-            assigned, _sxx = npk.assign_labels(E, labels, C, scc)
-            codes = npk.pq_code_cids(E, books, sub_dim)
+            R = npk.stack_embeddings(pdf["rv"])
+            codes = npk.pq_code_cids(R, books, sub_dim)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "codes": list(codes),
-                    "list_id": assigned,
+                    "list_id": pdf["list_id"].to_numpy(),
                 }
             )
 
     (
-        e.select("vec_id", "embedding")
-        .mapInPandas(
-            assign_encode,
-            schema="vec_id long, codes array<long>, list_id long",
+        res.mapInPandas(
+            encode, schema="vec_id long, codes array<long>, list_id long"
         )
         .write.mode("overwrite")
         .partitionBy("list_id")
@@ -712,6 +756,18 @@ def ensure_ivfpq_index(
         .saveAsTable(codes_name)
     )
     return codes_name, cent_name, books_name
+
+
+def _base_score_col(labels: np.ndarray, C: np.ndarray, q: np.ndarray):
+    """Literal-map column of the IVF+PQ base term: list_id -> the exact
+    scaled-int dot <q, c_list> (`sum(round(q_i*c_i*1e16))`, the same
+    fold as the oracle's qbase CTE). k entries — model-sized."""
+    base = npk.dot_scaled(q[None, :], C)[0]
+    entries = []
+    for lab, b in zip(labels, base):
+        entries.append(F.lit(int(lab)).cast("long"))
+        entries.append(F.lit(int(b)).cast("long"))
+    return F.create_map(*entries)[F.col("list_id")]
 
 
 def ivfpq_query_indexed(
@@ -728,11 +784,13 @@ def ivfpq_query_indexed(
     """Serve one ANN query from the combined layout: probe selection is
     the exact trained-IVF ordering (cos DESC, label DESC, driver-side);
     the shortlist scan reads ONLY the probed list partitions of the
-    codes table (`PartitionFilters` pruning) with the query's ADC
-    tables folded in as literal maps (JVM int64 sums — zero Python);
-    the exact cosine rerank reads just the shortlist ids from the float
-    table. Scan cost per query: (nprobe/k of the corpus) × (8 ids
-    instead of 64 floats) — both prunings compound."""
+    codes table (`PartitionFilters` pruning), scoring each row as the
+    exact int64 sum of the per-list base term <q, c_list> (literal map
+    on the partition column) plus the residual ADC lookups — all JVM
+    codegen, zero Python; the exact cosine rerank reads just the
+    shortlist ids from the float table. Scan cost per query: (nprobe/k
+    of the corpus) × (8 ids instead of 64 floats) — both prunings
+    compound."""
     import pandas as pd
 
     labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
@@ -752,7 +810,12 @@ def ivfpq_query_indexed(
         int(r[0])
         for r in spark.table(codes_name)
         .filter(F.col("list_id").isin(probe))
-        .select("vec_id", _adc_score_col(tables).alias("s"))
+        .select(
+            "vec_id",
+            (_base_score_col(labels, C, q) + _adc_score_col(tables)).alias(
+                "s"
+            ),
+        )
         .orderBy(F.col("s").desc(), F.col("vec_id"))
         .limit(shortlist)
         .select("vec_id")
@@ -828,7 +891,8 @@ def ivfpq_multi_query_indexed(
         *[
             F.when(
                 F.col("list_id").isin(probes[qid]),
-                _adc_score_col(npk.pq_adc_tables(books, sub_dim, Q[qid])),
+                _base_score_col(labels, C, Q[qid])
+                + _adc_score_col(npk.pq_adc_tables(books, sub_dim, Q[qid])),
             ).alias(f"s_{qid}")
             for qid in qids
         ],
@@ -909,7 +973,8 @@ def append_ivfpq_index(
 ) -> None:
     """Incremental maintenance for the COMBINED layout: assign AND
     encode only the new vectors against the FROZEN coarse model and
-    codebooks (the exact build kernels) and append them to their list
+    codebooks (the exact build kernels — residual encoding since round
+    8: codes quantize v - c_list) and append them to their list
     partitions. Same contract as every other layout: append-then-query
     equals rebuild-then-query EXACTLY while both models are unchanged
     (tested); model drift is a periodic `ensure_ivfpq_index` rebuild."""
@@ -924,7 +989,8 @@ def append_ivfpq_index(
                 continue
             E = npk.stack_embeddings(pdf["embedding"])
             assigned, _sxx = npk.assign_labels(E, labels, C, scc)
-            codes = npk.pq_code_cids(E, books, sub_dim)
+            R = E - C[np.searchsorted(labels, assigned)]
+            codes = npk.pq_code_cids(R, books, sub_dim)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),

@@ -4132,8 +4132,6 @@ _IVFPQ_NPROBE = 3
 _IVFPQ_ORACLE = (
     "WITH "
     + kmeans.lloyd_oracle_ctes(k=10, iters=2)
-    + ",\n"
-    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq")
     + f""",
 asn_terms AS (
   SELECT e.vec_id, c.clabel,
@@ -4157,6 +4155,21 @@ assign AS (
                               ORDER BY cos DESC, clabel DESC) AS rn
     FROM asn_sims) WHERE rn = 1
 ),
+rsub_long AS (
+  SELECT e.vec_id AS vid,
+         CAST(floor((i.i - 1) / {_PQ_SUB}) AS INT) AS m,
+         (i.i - 1) % {_PQ_SUB} + 1 AS pos,
+         CAST(e.embedding[i.i] AS DOUBLE) - c.c AS v
+  FROM embeddings e
+  CROSS JOIN generate_series(1, 64) AS i(i)
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cent c ON c.clabel = a.list_id AND c.pos = i.i
+),
+"""
+    + kmeans.pq_oracle_ctes(
+        _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq", sub_long="rsub_long"
+    )
+    + f""",
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 q_terms AS (
   SELECT c.clabel,
@@ -4178,7 +4191,6 @@ qprobe AS (
     SELECT clabel, row_number() OVER (ORDER BY cos DESC, clabel DESC) AS rn
     FROM q_sims) WHERE rn <= {_IVFPQ_NPROBE}
 ),
-probed AS (SELECT a.vec_id FROM assign a JOIN qprobe USING (list_id)),
 codes AS (
   SELECT vid, m, cid FROM (
     SELECT vid, m, cid, row_number() OVER (PARTITION BY vid, m
@@ -4186,18 +4198,25 @@ codes AS (
       SELECT l.vid, l.m, c.cid,
              CAST(SUM(CAST(round((l.v - c.c) * (l.v - c.c) * 1e16) AS BIGINT))
                   AS BIGINT) AS dist
-      FROM pqsub_long l JOIN pqcent c ON c.m = l.m AND c.pos = l.pos
+      FROM rsub_long l JOIN pqcent c ON c.m = l.m AND c.pos = l.pos
       GROUP BY l.vid, l.m, c.cid)) WHERE rn = 1),
 q_adc AS (
   SELECT c.m, c.cid,
          CAST(SUM(CAST(round(CAST(q.qv[c.m * {_PQ_SUB} + c.pos] AS DOUBLE) * c.c
                              * 1e16) AS BIGINT)) AS BIGINT) AS t
   FROM pqcent c CROSS JOIN q GROUP BY c.m, c.cid),
+qbase AS (
+  SELECT a.vec_id AS vid,
+         CAST(SUM(CAST(round(CAST(q.qv[c.pos] AS DOUBLE) * c.c * 1e16)
+                       AS BIGINT)) AS BIGINT) AS b
+  FROM assign a JOIN qprobe USING (list_id)
+  JOIN cent c ON c.clabel = a.list_id CROSS JOIN q
+  GROUP BY a.vec_id),
 scores AS (
-  SELECT k.vid, CAST(SUM(a.t) AS BIGINT) AS s
-  FROM codes k JOIN probed pr ON pr.vec_id = k.vid
+  SELECT k.vid, CAST(qb.b + SUM(a.t) AS BIGINT) AS s
+  FROM codes k JOIN qbase qb ON qb.vid = k.vid
   JOIN q_adc a ON a.m = k.m AND a.cid = k.cid
-  GROUP BY k.vid),
+  GROUP BY k.vid, qb.b),
 short AS (
   SELECT vid AS vec_id FROM (
     SELECT vid, row_number() OVER (ORDER BY s DESC, vid ASC) AS rn
@@ -4270,8 +4289,6 @@ def sim_ann_ivfpq_indexed(t):
 _IVFPQ_MULTI_ORACLE = (
     "WITH "
     + kmeans.lloyd_oracle_ctes(k=10, iters=2)
-    + ",\n"
-    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq")
     + f""",
 asn_terms AS (
   SELECT e.vec_id, c.clabel,
@@ -4295,6 +4312,21 @@ assign AS (
                               ORDER BY cos DESC, clabel DESC) AS rn
     FROM asn_sims) WHERE rn = 1
 ),
+rsub_long AS (
+  SELECT e.vec_id AS vid,
+         CAST(floor((i.i - 1) / {_PQ_SUB}) AS INT) AS m,
+         (i.i - 1) % {_PQ_SUB} + 1 AS pos,
+         CAST(e.embedding[i.i] AS DOUBLE) - c.c AS v
+  FROM embeddings e
+  CROSS JOIN generate_series(1, 64) AS i(i)
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN cent c ON c.clabel = a.list_id AND c.pos = i.i
+),
+"""
+    + kmeans.pq_oracle_ctes(
+        _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq", sub_long="rsub_long"
+    )
+    + f""",
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
       WHERE vec_id IN (0, 1, 2)),
 q_terms AS (
@@ -4318,10 +4350,6 @@ qprobe AS (
              ORDER BY cos DESC, clabel DESC) AS rn
     FROM q_sims) WHERE rn <= {_IVFPQ_NPROBE}
 ),
-probed AS (
-  SELECT qp.query_id, a.vec_id
-  FROM assign a JOIN qprobe qp ON a.list_id = qp.list_id
-),
 codes AS (
   SELECT vid, m, cid FROM (
     SELECT vid, m, cid, row_number() OVER (PARTITION BY vid, m
@@ -4329,19 +4357,28 @@ codes AS (
       SELECT l.vid, l.m, c.cid,
              CAST(SUM(CAST(round((l.v - c.c) * (l.v - c.c) * 1e16) AS BIGINT))
                   AS BIGINT) AS dist
-      FROM pqsub_long l JOIN pqcent c ON c.m = l.m AND c.pos = l.pos
+      FROM rsub_long l JOIN pqcent c ON c.m = l.m AND c.pos = l.pos
       GROUP BY l.vid, l.m, c.cid)) WHERE rn = 1),
 q_adc AS (
   SELECT q.query_id, c.m, c.cid,
          CAST(SUM(CAST(round(CAST(q.qv[c.m * {_PQ_SUB} + c.pos] AS DOUBLE) * c.c
                              * 1e16) AS BIGINT)) AS BIGINT) AS t
   FROM pqcent c CROSS JOIN q GROUP BY q.query_id, c.m, c.cid),
+qbase AS (
+  SELECT qp.query_id, a.vec_id AS vid,
+         CAST(SUM(CAST(round(CAST(q.qv[c.pos] AS DOUBLE) * c.c * 1e16)
+                       AS BIGINT)) AS BIGINT) AS b
+  FROM assign a
+  JOIN qprobe qp ON qp.list_id = a.list_id
+  JOIN cent c ON c.clabel = a.list_id
+  JOIN q ON q.query_id = qp.query_id
+  GROUP BY qp.query_id, a.vec_id),
 scores AS (
-  SELECT pr.query_id, k.vid, CAST(SUM(a.t) AS BIGINT) AS s
+  SELECT qb.query_id, k.vid, CAST(qb.b + SUM(a.t) AS BIGINT) AS s
   FROM codes k
-  JOIN probed pr ON pr.vec_id = k.vid
-  JOIN q_adc a ON a.query_id = pr.query_id AND a.m = k.m AND a.cid = k.cid
-  GROUP BY pr.query_id, k.vid),
+  JOIN qbase qb ON qb.vid = k.vid
+  JOIN q_adc a ON a.query_id = qb.query_id AND a.m = k.m AND a.cid = k.cid
+  GROUP BY qb.query_id, k.vid, qb.b),
 short AS (
   SELECT query_id, vid AS vec_id FROM (
     SELECT query_id, vid, row_number() OVER (PARTITION BY query_id

@@ -439,7 +439,10 @@ def test_ivfpq_append_assigns_and_encodes_against_frozen_models(spark, tmp_path)
     E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     ids = np.asarray([r[0] for r in rows])
     assigned, sxx = npk.assign_labels(E, labels, C, scc)
-    codes = npk.pq_code_cids(E, books, 8)
+    # round-8 residual encoding: codes quantize v - c_list, and the
+    # serve score adds the per-list base term <q, c_list>
+    R = E - C[np.searchsorted(labels, assigned)]
+    codes = npk.pq_code_cids(R, books, 8)
     sqq = npk.self_norms_scaled(qvec[None, :])[0]
     qp = npk.dot_scaled(qvec[None, :], C)[0]
     qcos = qp.astype("float64") / (
@@ -449,9 +452,11 @@ def test_ivfpq_append_assigns_and_encodes_against_frozen_models(spark, tmp_path)
     probe = set(int(x) for x in labels[order[:3]])
     keep = np.isin(assigned, list(probe))
     tables = npk.pq_adc_tables(books, 8, qvec)
+    base_by_label = {int(l): int(b) for l, b in zip(labels, qp)}
     s = np.array(
         [
-            sum(tables[m][int(codes[i, m])] for m in range(codes.shape[1]))
+            base_by_label[int(assigned[i])]
+            + sum(tables[m][int(codes[i, m])] for m in range(codes.shape[1]))
             for i in range(len(ids))
         ],
         dtype=np.int64,
