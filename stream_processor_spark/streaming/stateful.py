@@ -66,6 +66,17 @@ def running_counts(grouped_stream: DataFrame, key_col: str) -> DataFrame:
 
 
 # -- transformWithStateInPandas (Spark 4 StatefulProcessor API) -------------
+#
+# The state-server protocol serializes google.protobuf messages inside
+# the Python WORKER; environments without the protobuf wheel get the
+# vendored pure-Python shim. Activated at import (before the session
+# exists in any sane program order) so workers inherit $PYTHONPATH;
+# requires the RocksDB state store provider
+# (spark.sql.streaming.stateStore.providerClass) — multiple column
+# families are unsupported by the HDFS-backed default.
+from stream_processor_spark.vendor import ensure_protobuf as _ensure_protobuf
+
+_ensure_protobuf()
 
 RUNNING_STATS_OUTPUT = StructType(
     [

@@ -7,6 +7,12 @@ import os
 import pytest
 
 from stream_processor_spark.session import get_spark
+from stream_processor_spark.vendor import ensure_protobuf
+
+# Activate the vendored google.protobuf shim (transformWithStateInPandas
+# state protocol) BEFORE any SparkSession exists: the worker processes
+# inherit $PYTHONPATH captured at JVM launch.
+ensure_protobuf()
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"

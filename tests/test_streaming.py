@@ -456,14 +456,28 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     across restarts via the checkpointed state store — the successor API
     to applyInPandasWithState, exercised end-to-end.
 
-    Env-gated: the transformWithState protocol serializes its state
-    messages with google.protobuf, which this container does not ship
-    (same class as PIL/Kafka — the operator is real, the dependency is
-    environmental)."""
+    Un-gated in round 8: the transformWithState protocol serializes its
+    state messages with google.protobuf, which this container does not
+    ship — the vendored pure-Python shim
+    (stream_processor_spark/vendor/protobuf_shim, activated by
+    conftest before the session starts so workers inherit it) provides
+    the wire runtime the state clients need."""
     pytest.importorskip("google.protobuf")
     from pyspark.sql.types import DoubleType
 
     from stream_processor_spark.streaming.stateful import running_stats
+
+    # transformWithState requires a multi-column-family state store:
+    # RocksDB (the rocksdbjni jar ships inside pyspark), not the
+    # HDFS-backed default the other stateful tests use
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
 
     broker = FileBroker(str(tmp_path / "broker"))
     schema = StructType(
@@ -476,19 +490,37 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     def collect(batch_df, _):
         out.extend((r.key, r.n, r.total_cents) for r in batch_df.collect())
 
-    topic.produce_rows(
-        spark,
-        [{"key": "a", "value": 1.25}, {"key": "a", "value": 2.50},
-         {"key": "b", "value": 0.99}],
-    )
-    _run_available_now(running_stats(topic.read_stream(spark), "key"), ckpt, collect, "update")
-    assert sorted(out) == [("a", 2, 375), ("b", 1, 99)]
+    try:
+        topic.produce_rows(
+            spark,
+            [{"key": "a", "value": 1.25}, {"key": "a", "value": 2.50},
+             {"key": "b", "value": 0.99}],
+        )
+        _run_available_now(
+            running_stats(topic.read_stream(spark), "key"),
+            ckpt,
+            collect,
+            "update",
+        )
+        assert sorted(out) == [("a", 2, 375), ("b", 1, 99)]
 
-    # state survives the restart: totals continue, not reset
-    topic.produce_rows(spark, [{"key": "a", "value": 0.25}])
-    out.clear()
-    _run_available_now(running_stats(topic.read_stream(spark), "key"), ckpt, collect, "update")
-    assert out == [("a", 3, 400)]
+        # state survives the restart: totals continue, not reset
+        topic.produce_rows(spark, [{"key": "a", "value": 0.25}])
+        out.clear()
+        _run_available_now(
+            running_stats(topic.read_stream(spark), "key"),
+            ckpt,
+            collect,
+            "update",
+        )
+        assert out == [("a", 3, 400)]
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
 
 
 def test_apply_in_pandas_with_state_zscore_alerts(spark, tmp_path):
