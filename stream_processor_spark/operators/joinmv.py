@@ -174,49 +174,72 @@ def _apply(
     return True
 
 
-def append_left(
-    spark: SparkSession, names: tuple[str, str, str, str], batch: DataFrame
-) -> bool:
-    """Apply an orders batch: view += Δ ⋈ right_acc, accumulate Δ,
-    commit. Returns False on a replayed batch."""
+def _committed_acc(
+    spark: SparkSession, acc_name: str, committed: set[str]
+) -> DataFrame:
+    """The accumulated side restricted to COMMITTED batch partitions.
+
+    Reading the acc table raw would include partitions from a crashed,
+    not-yet-logged append of the OTHER side's stream; the other side's
+    delta join would then emit those pairs, and the crashed batch's
+    at-least-once replay emits them AGAIN (its recomputed delta joins
+    the by-then-advanced accumulator) — duplicated pairs in the served
+    view (round-8 crash-matrix finding). ``batch_id`` is the partition
+    column, so the IN filter is partition-pruned, and the committed set
+    is log-sized."""
+    spark.catalog.refreshTable(acc_name)
+    return spark.table(acc_name).filter(
+        F.col("batch_id").isin(sorted(committed))
+    )
+
+
+def _append_side(
+    spark: SparkSession,
+    names: tuple[str, str, str, str],
+    batch: DataFrame,
+    side: str,
+) -> tuple[bool, str]:
+    """Shared append protocol for either side; returns (applied, fp)."""
     # foreachBatch hands a frame bound to a CLONED session; every state
     # read must come from THAT session or the delta join mixes plans
     # across sessions (the aggmv refresh note, one step further)
     spark = batch.sparkSession
     left_name, right_name, view_name, log_name = names
-    b = batch.select(*LEFT_COLS)
-    fp = _fingerprint(b, LEFT_COLS, "L")
-    if fp in _committed(spark, log_name):
-        return False
-    spark.catalog.refreshTable(right_name)
-    delta = (
-        b.join(
-            spark.table(right_name),
-            b["o_custkey"] == F.col("c_custkey"),
+    cols = LEFT_COLS if side == "L" else RIGHT_COLS
+    b = batch.select(*cols)
+    fp = _fingerprint(b, cols, side)
+    committed = _committed(spark, log_name)
+    if fp in committed:
+        return False, fp
+    if side == "L":
+        other = _committed_acc(spark, right_name, committed)
+        delta = b.join(
+            other, b["o_custkey"] == F.col("c_custkey")
+        ).select(*VIEW_COLS)
+        acc_name = left_name
+    else:
+        other = _committed_acc(spark, left_name, committed)
+        delta = other.join(b, F.col("o_custkey") == b["c_custkey"]).select(
+            *VIEW_COLS
         )
-        .select(*VIEW_COLS)
-    )
-    return _apply(spark, names, b, fp, left_name, delta)
+        acc_name = right_name
+    return _apply(spark, names, b, fp, acc_name, delta), fp
+
+
+def append_left(
+    spark: SparkSession, names: tuple[str, str, str, str], batch: DataFrame
+) -> bool:
+    """Apply an orders batch: view += Δ ⋈ right_acc(committed),
+    accumulate Δ, commit. Returns False on a replayed batch."""
+    return _append_side(spark, names, batch, "L")[0]
 
 
 def append_right(
     spark: SparkSession, names: tuple[str, str, str, str], batch: DataFrame
 ) -> bool:
-    """Apply a customer batch: view += left_acc ⋈ Δ, accumulate Δ,
-    commit."""
-    spark = batch.sparkSession  # cloned-session rule, see append_left
-    left_name, right_name, view_name, log_name = names
-    b = batch.select(*RIGHT_COLS)
-    fp = _fingerprint(b, RIGHT_COLS, "R")
-    if fp in _committed(spark, log_name):
-        return False
-    spark.catalog.refreshTable(left_name)
-    delta = (
-        spark.table(left_name)
-        .join(b, F.col("o_custkey") == b["c_custkey"])
-        .select(*VIEW_COLS)
-    )
-    return _apply(spark, names, b, fp, right_name, delta)
+    """Apply a customer batch: view += left_acc(committed) ⋈ Δ,
+    accumulate Δ, commit."""
+    return _append_side(spark, names, batch, "R")[0]
 
 
 def serve_join_mv(
@@ -232,6 +255,74 @@ def serve_join_mv(
         spark.table(view_name)
         .filter(F.col("src_batch").isin(sorted(committed)))
         .drop("src_batch")
+    )
+
+
+def append_with_txn_sink(
+    spark: SparkSession,
+    names: tuple[str, str, str, str],
+    table,
+    batch: DataFrame,
+    side: str,
+) -> bool:
+    """IVM composed with the transactional table (round-8 VERDICT item):
+    apply a maintenance batch AND append its delta to a ``TxnTable``
+    keyed by the same content fingerprint, so a downstream consumer
+    reads the view through manifest-commit snapshots with time travel.
+
+    The two transactional layers converge INDEPENDENTLY under
+    at-least-once redelivery — joinmv by idempotent partition
+    overwrites + the log commit, TxnTable by its txn_id replay-skip —
+    so a crash in ANY window (mid-joinmv, between the joinmv commit and
+    the txn append, mid-txn-append) heals on replay:
+
+    - the delta handed to the TxnTable is read back FROM THE VIEW's own
+      ``src_batch`` partition, never recomputed — after the joinmv
+      commit the accumulators may have advanced (the other side kept
+      appending), and a recomputed delta would double-count pairs the
+      other side's deltas already cover;
+    - the txn append runs even when joinmv says 'replayed': that is
+      exactly the crash-between-layers window, and ``append(df,
+      txn_id)`` is a no-op when the transaction already committed.
+    """
+    applied, fp = _append_side(spark, names, batch, side)
+    bspark = batch.sparkSession
+    view_name = names[2]
+    if fp not in _committed(bspark, names[3]):
+        return applied  # joinmv itself did not commit: nothing to sink
+    bspark.catalog.refreshTable(view_name)
+    delta = (
+        bspark.table(view_name)
+        .filter(F.col("src_batch") == fp)
+        .drop("src_batch")
+    )
+    table.append(delta, txn_id=fp)
+    return applied
+
+
+def stream_join_mv_updates_txn(
+    spark: SparkSession,
+    left_stream: DataFrame,
+    names: tuple[str, str, str, str],
+    table_root: str,
+    checkpoint_dir: str,
+):
+    """`stream_join_mv_updates` with the per-batch deltas additionally
+    committed to a TxnTable at ``table_root`` — the runner's
+    ``Sink("txn_table")`` exactly-once discipline applied to the IVM
+    output stream (each micro-batch is one manifest commit; foreachBatch
+    retries replay-skip on the fingerprint txn_id)."""
+    from stream_processor_spark.operators.txn_table import TxnTable
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        table = TxnTable(batch_df.sparkSession, table_root)
+        append_with_txn_sink(spark, names, table, batch_df, "L")
+
+    return (
+        left_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
