@@ -492,7 +492,7 @@ _BPE_WF_SQL = """
       ) WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY tok
     ),
     v0 AS MATERIALIZED (
-      SELECT rtrim(regexp_replace(tok, '(.)', '_\\1 ', 'g')) AS s, freq
+      SELECT tok, rtrim(regexp_replace(tok, '(.)', '_\\1 ', 'g')) AS s, freq
       FROM wf
     )"""
 
@@ -516,7 +516,8 @@ def _bpe_train_oracle(n_merges: int) -> str:
     ),
     m{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
     v{i} AS MATERIALIZED (
-      SELECT replace(v.s, m.pair, replace(m.pair, ' _', '')) AS s, v.freq
+      SELECT v.tok, replace(v.s, m.pair, replace(m.pair, ' _', '')) AS s,
+             v.freq
       FROM v{i-1} v, m{i} m
     )"""
         )
@@ -551,7 +552,17 @@ def text_bpe_train(t):
     min-frequency filter as real trainers do); 50 sequential
     vocab-sized jobs dominate wall-clock, not data volume.
     """
-    spark = t._spark
+    merges, _vocab = _bpe_fit(t)
+    return t._spark.createDataFrame(
+        merges, "merge_idx long, pair string, cnt long"
+    ).orderBy("merge_idx")
+
+
+def _bpe_fit(t):
+    """The shared BPE training loop: returns (merge records, final
+    vocab frame (tok, s, freq)) — `s` is the marker-joined symbol
+    string after all merges, so `size(split(s, ' '))` is the word's
+    BPE piece count. Carried `tok` keys the encode join."""
     d = t.documents
     toks = (
         d.filter(F.col("text").isNotNull())
@@ -560,6 +571,7 @@ def text_bpe_train(t):
     )
     wf = toks.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
     vocab = wf.select(
+        "tok",
         F.rtrim(F.regexp_replace(F.col("tok"), "(.)", "_$1 ")).alias("s"),
         "freq",
     ).localCheckpoint()
@@ -594,15 +606,73 @@ def text_bpe_train(t):
         merges.append((i, pair.replace("_", ""), int(cnt)))
         merged = pair.replace(" _", "")
         vocab = vocab.select(
-            F.expr(
-                "replace(s, "
-                f"'{pair}', '{merged}')"
-            ).alias("s"),
+            "tok",
+            F.expr(f"replace(s, '{pair}', '{merged}')").alias("s"),
             "freq",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "merge_idx long, pair string, cnt long"
-    ).orderBy("merge_idx")
+    return merges, vocab
+
+
+_BPE_ENCODE_TAIL = f""",
+enc AS MATERIALIZED (
+  SELECT tok, CAST(len(string_split(s, ' ')) AS BIGINT) AS pieces
+  FROM v{_BPE_MERGES}
+),
+dtk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(e.pieces, 1)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, tok FROM dtk WHERE tok <> '') d
+LEFT JOIN enc e USING (tok)
+GROUP BY d.doc_id"""
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_train_oracle(_BPE_MERGES).split(" SELECT * FROM (")[0]
+    + _BPE_ENCODE_TAIL,
+)
+def text_bpe_encode(t):
+    """The SERVING half of BPE: apply the 50 learned merges
+    (`text_bpe_train`) to the corpus and report each document's token
+    count under the trained tokenizer — (doc_id, n_words,
+    n_bpe_tokens). Alphabetic words take their trained piece count
+    (every alpha word is in the training vocabulary by construction);
+    non-alpha tokens count as one unknown piece.
+
+    Plan shape: the trainer's vocab frame already holds every word's
+    final symbol string, so encoding is ONE vocabulary-sized piece-count
+    projection joined to the corpus token stream (slim (doc_id, tok)
+    shuffle) — per-document work never re-runs merges. The oracle
+    replays the training CTE chain and the same left join.
+
+    Scale: corpus-sized work is the token explode + one aggregate; the
+    vocab join's build side is vocabulary-sized (broadcastable in
+    practice; left as a shuffle join so the plan survives 100 TB
+    vocabularies)."""
+    _merges, vocab = _bpe_fit(t)
+    enc = vocab.select(
+        "tok", F.size(F.split(F.col("s"), " ")).cast("long").alias("pieces")
+    )
+    d = t.documents
+    dtk = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return (
+        dtk.join(enc, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.coalesce(F.col("pieces"), F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
 
 
 # Mixing recipe: per-language token-share targets (percent) and the

@@ -163,3 +163,34 @@ def test_bpe_train_merge_table_properties(spark, sf_dir):
             assert len(s) == 1 or s in known, (r["merge_idx"], s)
         known.add(a + b)
         assert r["cnt"] >= 1
+
+
+def test_bpe_encode_compresses_and_bounds(spark, sf_dir):
+    """Encoding under the trained merges: every document's BPE token
+    count is at least its word count (pieces >= 1 per word) and at most
+    its character count + words (each piece is >= 1 char); documents
+    with repeated common words compress (n_bpe_tokens < sum of word
+    lengths)."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["text_bpe_encode"].fn(spark, sf_dir)
+    bad = out.filter(F.col("n_bpe_tokens") < F.col("n_words")).count()
+    assert bad == 0
+    # merges actually fire: the corpus-wide piece total is strictly
+    # below the char-level total (sum of word lengths)
+    from stream_processor_spark.catalog import Tables
+
+    d = Tables(spark, sf_dir).documents.filter(F.col("text").isNotNull())
+    char_level = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(
+            F.when(
+                F.col("tok").rlike("^[a-z]+$"), F.length("tok")
+            ).otherwise(1).alias("pieces")
+        )
+        .agg(F.sum("pieces"))
+        .collect()[0][0]
+    )
+    total = out.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    assert total < char_level
