@@ -320,6 +320,39 @@ def dedup_near(t):
 
 
 @register(
+    "dedup_near_indexed",
+    # same oracle as the from-scratch twin: the persisted layout can
+    # only change the plan, never answers
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+)
+def dedup_near_indexed(t):
+    """`dedup_near` served from the persisted MinHash layout
+    (`operators/dedup.ensure_minhash_index`, built on first use):
+    shingling, shingle hashing, and the 8 pinned MinHashes are pure
+    corpus functions paid at WRITE time into two bucketed tables (band
+    keys on band_key, hash sets on doc_id); the request path is the
+    hot-bucket guard, one co-bucketed band self-join, and the exact
+    hash-set Jaccard from the persisted sets. Router route:
+    `near_dedup`. The guard stays serve-side — bucket sizes change
+    under appends, so baking it into the layout would freeze a stale
+    cutoff.
+
+    Scale: the text column is read once at build time and never again;
+    serving cost is bounded by the capped candidate count, and both
+    join legs arrive pre-bucketed on their join keys."""
+    from stream_processor_spark.operators.dedup import (
+        ensure_minhash_index,
+        minhash_pairs_from_index,
+    )
+
+    bands_name, hset_name = ensure_minhash_index(t._spark, t._dir)
+    return minhash_pairs_from_index(t._spark, bands_name, hset_name)
+
+
+@register(
     "dedup_simhash",
     # Full SQL reimplementation of the md5-based SimHash (engine-portable
     # by construction): token → first-8-bytes-of-md5 as uint64 → per-bit

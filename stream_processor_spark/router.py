@@ -122,6 +122,18 @@ def _build_pq(spark: SparkSession, sf_dir: str) -> None:
     ensure_pq_index(spark, sf_dir)
 
 
+def _minhash_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.dedup import minhash_names
+
+    return minhash_names(sf_dir)
+
+
+def _build_minhash(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.dedup import ensure_minhash_index
+
+    ensure_minhash_index(spark, sf_dir)
+
+
 def _semantic_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
     from stream_processor_spark.operators.semindex import semantic_names
 
@@ -157,6 +169,7 @@ LAYOUTS = {
     "pq_index": (_pq_tables, _build_pq),
     "zonemap": (_zonemap_tables, _build_zonemap),
     "semantic_index": (_semantic_tables, _build_semantic),
+    "minhash_index": (_minhash_tables, _build_minhash),
 }
 
 # semantic name -> Route. Both registry entries of a route share result
@@ -195,6 +208,7 @@ ROUTES = {
     "semantic_dedup": Route(
         "semantic_index", "dedup_semantic_indexed", "dedup_semantic"
     ),
+    "near_dedup": Route("minhash_index", "dedup_near_indexed", "dedup_near"),
 }
 
 

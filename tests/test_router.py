@@ -107,3 +107,15 @@ def test_semantic_dedup_route_flips_and_matches(spark, routed_dir):
         "indexed",
     )
     assert _rows(r.query("semantic_dedup")) == before
+
+
+def test_near_dedup_route_flips_and_matches(spark, routed_dir):
+    """Round-8 MinHash layout: scratch before the index exists, indexed
+    after ensure, identical pair sets either way (same pinned hashes and
+    serve-side hot-bucket guard)."""
+    r = Router(spark, routed_dir)
+    assert r.resolve("near_dedup") == ("dedup_near", "scratch")
+    before = _rows(r.query("near_dedup"))
+    r.ensure("near_dedup")
+    assert r.resolve("near_dedup") == ("dedup_near_indexed", "indexed")
+    assert _rows(r.query("near_dedup")) == before
