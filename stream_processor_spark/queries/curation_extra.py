@@ -389,6 +389,105 @@ def text_unigram_surprisal(t):
 
 
 @register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nb AS (
+      SELECT doc_id, CAST(len(tk) - 1 AS BIGINT) AS n_bigrams
+      FROM toks WHERE len(tk) >= 2
+    ),
+    big AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(tk) - 1),
+                 i -> [tk[i], tk[i+1]])) AS p
+        FROM toks WHERE len(tk) >= 2
+      )
+    ),
+    per AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM big GROUP BY doc_id, w1, w2
+    ),
+    bg AS (
+      SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cnt FROM per GROUP BY w1, w2
+    ),
+    hd AS (
+      SELECT w1, CAST(SUM(cnt) AS BIGINT) AS hc FROM bg GROUP BY w1
+    ),
+    ds AS (
+      SELECT p.doc_id,
+             CAST(SUM(((h.hc * {_SURP_SCALE}) // b.cnt) * p.c) AS BIGINT) AS s
+      FROM per p
+      JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN hd h ON h.w1 = p.w1
+      GROUP BY p.doc_id
+    )
+    SELECT n.doc_id, n.n_bigrams, ds.s // n.n_bigrams AS mean_surprisal
+    FROM nb n JOIN ds USING (doc_id)
+    """,
+)
+def text_bigram_surprisal(t):
+    """Bigram-LM mean CONDITIONAL surprisal per document — the next
+    step up from `text_unigram_surprisal`'s frequency prior: a bigram
+    occurrence (w1, w2) scores the integer-scaled inverse conditional
+    probability ``(count(w1 ·) * 1e6) div count(w1 w2)`` (monotone in
+    -log p(w2|w1), bit-exact across engines), and a document reports
+    the mean over its bigram occurrences. Predictable continuations
+    (boilerplate, templated text) score LOW even when their unigrams
+    are rare; incoherent token soup scores HIGH even over common words
+    — exactly the two failure modes the unigram filter can't separate.
+    Documents with fewer than two tokens have no bigram distribution
+    and are excluded.
+
+    Scale: per-doc bigram counts aggregate map-side before the
+    bigram-keyed shuffle; the model joins are bigram-/head-keyed (the
+    collocations cost class); no driver state, no Python.
+    """
+    d = t.documents.filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    nb = toks.select(
+        "doc_id", (F.size("tk") - 1).cast("long").alias("n_bigrams")
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tk"), i).alias("w1"),
+                    F.element_at(F.col("tk"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    per = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bg = per.groupBy("w1", "w2").agg(F.sum("c").cast("long").alias("cnt"))
+    hd = bg.groupBy("w1").agg(F.sum("cnt").cast("long").alias("hc"))
+    ds = (
+        per.join(bg, ["w1", "w2"])
+        .join(hd, "w1")
+        .select(
+            "doc_id",
+            F.expr(f"((hc * {_SURP_SCALE}) div cnt) * c").alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").cast("long").alias("s"))
+    )
+    return nb.join(ds, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("s div n_bigrams").alias("mean_surprisal"),
+    )
+
+
+@register(
     "text_collocations_lift",
     oracle="""
     WITH docs AS (

@@ -111,3 +111,15 @@ def test_dup_spans_merged_equals_coverage_and_is_maximal(spark, sf_dir):
     for (d1, s1, e1), (d2, s2, e2) in zip(rows, rows[1:]):
         if d1 == d2:
             assert s2 > e1 + 1  # a merge would have joined them
+
+
+def test_bigram_surprisal_separates_repetition_from_soup(spark, sf_dir):
+    """Conditional surprisal sanity: every score is >= 1e6 * 1 (a
+    bigram can't be more frequent than its head), docs with < 2 tokens
+    are absent, and perfectly repetitive docs (all bigrams identical)
+    sit at their head's minimum."""
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["text_bigram_surprisal"].fn(spark, sf_dir)
+    assert out.filter(F.col("mean_surprisal") < 1_000_000).count() == 0
+    assert out.filter(F.col("n_bigrams") < 1).count() == 0
