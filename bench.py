@@ -81,8 +81,9 @@ HEADLINE = [
     "retrieval_hybrid_rrf_indexed",
     "point_lookup_indexed",
     "join_incremental_mv",
-    # round 8: the persisted SemDeDup layout's serve path
+    # round 8: the persisted SemDeDup and MinHash layouts' serve paths
     "dedup_semantic_indexed",
+    "dedup_near_indexed",
 ]
 
 
