@@ -615,6 +615,14 @@ def pq_multi_query_indexed(
     )
 
 
+# PQ codebooks train on a deterministic 1-in-MOD sample when the corpus
+# exceeds THRESHOLD vectors (see ensure_ivfpq_index docstring). 15000
+# puts the sf1 fixture (20k) on the sampled branch so the branch itself
+# is oracle-verified; 7 keeps >= 28k training vectors at sf10.
+_PQFIT_THRESHOLD = 15_000
+_PQFIT_MOD = 7
+
+
 def ivfpq_names(
     sf_dir: str, k: int = 10, iters: int = 2,
     n_sub: int = 8, sub_dim: int = 8, pq_k: int = 16, pq_iters: int = 2,
@@ -625,7 +633,7 @@ def ivfpq_names(
     layout is semantically new and must not collide with stale raw-code
     tables from earlier sessions."""
     tag = hashlib.md5(
-        f"{sf_dir}|ivfpqr|{k}|{iters}|{n_sub}|{sub_dim}|{pq_k}|{pq_iters}".encode()
+        f"{sf_dir}|ivfpqr2|{k}|{iters}|{n_sub}|{sub_dim}|{pq_k}|{pq_iters}".encode()
     ).hexdigest()[:8]
     return f"ivfpq_codes_{tag}", f"ivfpq_cent_{tag}", f"ivfpq_books_{tag}"
 
@@ -658,7 +666,18 @@ def ensure_ivfpq_index(
     <q, v> ≈ <q, c_list> + <q, r_v>; the base term is a per-list
     literal map, the residual term the standard ADC sum — both exact
     int64, so the shortlist boundary stays deterministic and
-    oracle-replayable."""
+    oracle-replayable.
+
+    PQ-fit sampling: above `_PQFIT_THRESHOLD` corpus vectors the
+    codebooks train on the deterministic 1-in-`_PQFIT_MOD` slice
+    (vec_id % mod == 0) — the standard production practice (FAISS
+    trains PQ on a sample); ENCODING always covers the full corpus.
+    The rule is a pure function of the corpus count, so the oracle
+    mirrors it with a scalar-subquery CASE, and the sf1 fixture (20k
+    vectors) exercises the sampled branch under hash verification.
+    The sf10 rehearsal measured the unsampled full-corpus fit at
+    654 s build — the sample is what makes build-once economics hold
+    as the corpus grows."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators import kmeans
     from stream_processor_spark.operators.storage import drop_warehouse_dir
@@ -713,8 +732,11 @@ def ensure_ivfpq_index(
         )
         .localCheckpoint()
     )
+    fit_mod = _PQFIT_MOD if e.count() > _PQFIT_THRESHOLD else 1
     books_frame = kmeans.lloyd_fit_pq(
-        res.select("vec_id", "rv"),
+        res.select("vec_id", "rv").filter(
+            F.col("vec_id") % fit_mod == 0
+        ),
         n_sub=n_sub,
         sub_dim=sub_dim,
         k=pq_k,

@@ -4160,6 +4160,11 @@ def sim_ann_sq8_multiquery(t):
 
 # ------------------------------------------------ combined IVF+PQ index ----
 
+from stream_processor_spark.operators.annindex import (  # noqa: E402
+    _PQFIT_MOD,
+    _PQFIT_THRESHOLD,
+)
+
 _IVFPQ_NPROBE = 3
 
 _IVFPQ_ORACLE = (
@@ -4198,9 +4203,21 @@ rsub_long AS (
   JOIN assign a ON a.vec_id = e.vec_id
   JOIN cent c ON c.clabel = a.list_id AND c.pos = i.i
 ),
+fitmod AS (
+  SELECT CASE WHEN COUNT(*) > {_PQFIT_THRESHOLD} THEN {_PQFIT_MOD}
+              ELSE 1 END AS m
+  FROM embeddings
+),
+efit AS (
+  SELECT e.vec_id FROM embeddings e, fitmod f WHERE e.vec_id % f.m = 0
+),
+rfit_long AS (
+  SELECT l.* FROM rsub_long l, fitmod f WHERE l.vid % f.m = 0
+),
 """
     + kmeans.pq_oracle_ctes(
-        _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq", sub_long="rsub_long"
+        _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq", sub_long="rfit_long",
+        table="efit",
     )
     + f""",
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -4355,9 +4372,21 @@ rsub_long AS (
   JOIN assign a ON a.vec_id = e.vec_id
   JOIN cent c ON c.clabel = a.list_id AND c.pos = i.i
 ),
+fitmod AS (
+  SELECT CASE WHEN COUNT(*) > {_PQFIT_THRESHOLD} THEN {_PQFIT_MOD}
+              ELSE 1 END AS m
+  FROM embeddings
+),
+efit AS (
+  SELECT e.vec_id FROM embeddings e, fitmod f WHERE e.vec_id % f.m = 0
+),
+rfit_long AS (
+  SELECT l.* FROM rsub_long l, fitmod f WHERE l.vid % f.m = 0
+),
 """
     + kmeans.pq_oracle_ctes(
-        _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq", sub_long="rsub_long"
+        _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, prefix="pq", sub_long="rfit_long",
+        table="efit",
     )
     + f""",
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
