@@ -476,12 +476,15 @@ def text_bpe_pair_counts(t):
 
 
 # BPE trainer: number of merge iterations. The symbol-string encoding
-# ("_h _e _l _l _o") makes one merge a plain `replace(s, '_a _b',
-# '_ab')` — SQL replace scans left-to-right over non-overlapping
+# ("_h _e _l _l _o") makes one merge a plain `replace(s || ' ', '_a _b ',
+# '_ab ')` — SQL replace scans left-to-right over non-overlapping
 # occurrences, which is EXACTLY the greedy merge order Sennrich-style
-# BPE applies, and the '_' marker removes cross-symbol false matches
-# (a pattern can only match where a symbol starts). Identical builtin
-# in Spark SQL and DuckDB, so the oracle replays the whole trajectory.
+# BPE applies. Both symbol boundaries are anchored: '_' only occurs at
+# symbol starts (so the pattern can only begin where a symbol begins)
+# and the appended ' ' sentinel plus the trailing space in the pattern
+# pins the SECOND symbol's end (without it, pattern '_t _h' would also
+# match inside '_t _he' and over-merge to '_the'). Identical builtin in
+# Spark SQL and DuckDB, so the oracle replays the whole trajectory.
 _BPE_MERGES = 50
 
 _BPE_WF_SQL = """
@@ -516,7 +519,9 @@ def _bpe_train_oracle(n_merges: int) -> str:
     ),
     m{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
     v{i} AS MATERIALIZED (
-      SELECT v.tok, replace(v.s, m.pair, replace(m.pair, ' _', '')) AS s,
+      SELECT v.tok,
+             rtrim(replace(v.s || ' ', m.pair || ' ',
+                           replace(m.pair, ' _', '') || ' ')) AS s,
              v.freq
       FROM v{i-1} v, m{i} m
     )"""
@@ -605,9 +610,13 @@ def _bpe_fit(t):
         pair, cnt = pairs[0]["pair"], pairs[0]["cnt"]
         merges.append((i, pair.replace("_", ""), int(cnt)))
         merged = pair.replace(" _", "")
+        # Anchor BOTH symbol boundaries: '_' pins the start, the
+        # sentinel space pins the end (else '_t _h' matches '_t _he').
         vocab = vocab.select(
             "tok",
-            F.expr(f"replace(s, '{pair}', '{merged}')").alias("s"),
+            F.expr(f"rtrim(replace(s || ' ', '{pair} ', '{merged} '))").alias(
+                "s"
+            ),
             "freq",
         ).localCheckpoint()
     return merges, vocab

@@ -194,3 +194,69 @@ def test_bpe_encode_compresses_and_bounds(spark, sf_dir):
     )
     total = out.agg(F.sum("n_bpe_tokens")).collect()[0][0]
     assert total < char_level
+
+
+def test_bpe_merge_anchored_prefix_collision(spark):
+    """Round-9 ADVICE regression: the merge replace must anchor the
+    SECOND symbol's end. Corpus crafted so merge 1 fuses '_h _e' ->
+    '_he' and merge 2 fuses '_t _h'; the word 'the' then holds
+    '_t _he', which the unanchored pattern '_t _h' would over-merge to
+    '_the' (wrong: pair was (t,h), not (t,he)). With the trailing-space
+    anchor 'the' survives as '_t _he' and merge 4 is ('t he') — the
+    whole 4-merge trajectory is checked against a pure-Python greedy
+    Sennrich reference."""
+    from stream_processor_spark.queries.llm_pipeline import _bpe_fit
+
+    words = ["he"] * 8 + ["tha"] * 4 + ["th"] * 2 + ["the"] * 3
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+
+    class _T:
+        def __init__(self):
+            self._spark = spark
+            self.documents = df
+
+    import stream_processor_spark.queries.llm_pipeline as lp
+
+    old_n = lp._BPE_MERGES
+    lp._BPE_MERGES = 6  # more than the corpus supports; loop breaks
+    try:
+        merges, vocab = _bpe_fit(_T())
+    finally:
+        lp._BPE_MERGES = old_n
+
+    # Pure-Python greedy BPE (word-count formulation, same symbol
+    # marker representation and tie-break: cnt DESC, pair-string ASC).
+    freqs = {"he": 8, "tha": 4, "th": 2, "the": 3}
+    vocab_py = {w: ["_" + c for c in w] for w in freqs}
+    ref = []
+    for i in range(1, 7):
+        cnt: dict = {}
+        for w, syms in vocab_py.items():
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + freqs[w]
+        if not cnt:
+            break
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        ref.append((i, f"{a} {b}".replace("_", ""), c))
+        for w, syms in vocab_py.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b[1:])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            vocab_py[w] = out
+
+    assert merges == ref
+    # The collision witness: 4 merges, the 4th is (t, he) — the buggy
+    # unanchored replace produced only 3 merges ('the' over-merged away).
+    assert len(merges) == 4
+    assert merges[3] == (4, "t he", 3)
+    final = {r["tok"]: r["s"] for r in vocab.collect()}
+    assert final == {w: " ".join(s) for w, s in vocab_py.items()}
