@@ -628,10 +628,12 @@ def ivfpq_names(
     n_sub: int = 8, sub_dim: int = 8, pq_k: int = 16, pq_iters: int = 2,
 ) -> tuple[str, str, str]:
     """Deterministic (codes, coarse-centroids, codebooks) table names for
-    the combined IVF+PQ layout. The tag says 'ivfpqr': round 8 switched
-    the codebooks to RESIDUAL training (codes encode v - c_list), so the
-    layout is semantically new and must not collide with stale raw-code
-    tables from earlier sessions."""
+    the combined IVF+PQ layout. The tag hashes 'ivfpqr2': round 8 first
+    switched the codebooks to RESIDUAL training (codes encode
+    v - c_list, 'ivfpqr'), then bumped to 'ivfpqr2' when the sampled
+    codebook fit (vec_id % _PQFIT_MOD above _PQFIT_THRESHOLD) changed
+    the trained codebooks again — each semantic change must not collide
+    with stale code tables from earlier sessions."""
     tag = hashlib.md5(
         f"{sf_dir}|ivfpqr2|{k}|{iters}|{n_sub}|{sub_dim}|{pq_k}|{pq_iters}".encode()
     ).hexdigest()[:8]

@@ -165,9 +165,15 @@ def recover_swap(spark: SparkSession, published: str, staged: str) -> bool:
     else roll back to the retired copy. Returns True when the published
     name exists afterwards. Safe (and cheap — catalog probes only) to
     call before any read of a swap-maintained table."""
-    if spark.catalog.tableExists(published):
-        return True
     retired = f"{published}__retired"
+    if spark.catalog.tableExists(published):
+        # A crash after 'staged -> published' but before the retired
+        # drop leaves a full '__retired' copy (and its warehouse dir)
+        # on disk; clean it here so the orphan can't persist until the
+        # next swap of this table.
+        spark.sql(f"DROP TABLE IF EXISTS {retired}")
+        drop_warehouse_dir(spark, retired)
+        return True
     if spark.catalog.tableExists(staged):
         spark.sql(f"ALTER TABLE {staged} RENAME TO {published}")
     elif spark.catalog.tableExists(retired):

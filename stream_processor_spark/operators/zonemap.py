@@ -127,11 +127,37 @@ def _file_stats(spark: SparkSession, files: list[str], key: str) -> DataFrame:
     )
 
 
+# Zonemaps verified consistent this process, keyed by
+# (applicationId, data_name, map_name). Lookups skip the repair probe
+# (refreshTable + inputFiles + manifest collect = a fixed latency tax on
+# the point-lookup serve path — round-8 ADVICE) once a reconcile has
+# run; maintenance ops invalidate their entry. A fresh process (the
+# crash-recovery case the probe exists for) starts with an empty memo,
+# so the FIRST lookup after a crash still heals.
+_RECONCILED: set = set()
+
+
+def _memo_key(spark: SparkSession, data_name: str, map_name: str) -> tuple:
+    return (spark.sparkContext.applicationId, data_name, map_name)
+
+
+def reconcile_zonemap_once(
+    spark: SparkSession, data_name: str, map_name: str, key: str
+) -> int:
+    """Steady-state guard for the lookup path: full reconcile the first
+    time a (session, table) pair is seen, no-op afterwards."""
+    mk = _memo_key(spark, data_name, map_name)
+    if mk in _RECONCILED:
+        return 0
+    return reconcile_zonemap(spark, data_name, map_name, key)
+
+
 def reconcile_zonemap(
     spark: SparkSession, data_name: str, map_name: str, key: str
 ) -> int:
-    """Two-way manifest repair, run on every lookup (driver-side set
-    compare of two KB-scale file listings — round-7 ADVICE).
+    """Two-way manifest repair (driver-side set compare of two KB-scale
+    file listings — round-7 ADVICE), memoized per session+table for the
+    lookup path (round-8 ADVICE; see :func:`reconcile_zonemap_once`).
 
     The manifest is a CACHE of per-file stats, fully rederivable from
     the data table, so any half-applied maintenance state is healable:
@@ -155,13 +181,16 @@ def reconcile_zonemap(
         stats = _file_stats(spark, sorted(actual.values()), key).localCheckpoint()
         stats.write.mode("overwrite").format("parquet").saveAsTable(map_name)
         spark.catalog.refreshTable(map_name)
+        _RECONCILED.add(_memo_key(spark, data_name, map_name))
         return len(actual)
     if not missing:
+        _RECONCILED.add(_memo_key(spark, data_name, map_name))
         return 0
     new_rows = _file_stats(spark, missing, key)
     n = new_rows.count()
     new_rows.write.mode("append").format("parquet").insertInto(map_name)
     spark.catalog.refreshTable(map_name)
+    _RECONCILED.add(_memo_key(spark, data_name, map_name))
     return n
 
 
@@ -204,7 +233,7 @@ def lookup_by_keys(
     """Point lookup through the zone map: scan only files whose key
     range can contain a probe key, residual ``IN`` re-applied inside."""
     data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
-    reconcile_zonemap(spark, data_name, map_name, key)
+    reconcile_zonemap_once(spark, data_name, map_name, key)
     files = pruned_files_for_keys(spark, map_name, keys)
     return _scan(spark, files, data_name).filter(
         F.col(key).isin([int(k) for k in keys])
@@ -221,7 +250,7 @@ def lookup_by_range(
 ) -> DataFrame:
     """Range lookup through the zone map."""
     data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
-    reconcile_zonemap(spark, data_name, map_name, key)
+    reconcile_zonemap_once(spark, data_name, map_name, key)
     files = pruned_files_for_range(spark, map_name, lo, hi)
     return _scan(spark, files, data_name).filter(
         (F.col(key) >= lo) & (F.col(key) <= hi)
@@ -246,6 +275,7 @@ def append_zonemap(
     that restores one-zone-per-lookup pruning power. Returns the number
     of manifest rows added."""
     data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
+    _RECONCILED.discard(_memo_key(spark, data_name, map_name))
     spark.catalog.refreshTable(data_name)
     before = {r["path"] for r in manifest_rows(spark, map_name)}
     batch.write.mode("append").format("parquet").saveAsTable(data_name)
@@ -253,11 +283,13 @@ def append_zonemap(
     after = set(spark.table(data_name).inputFiles())
     new_files = sorted(after - before)
     if not new_files:
+        _RECONCILED.add(_memo_key(spark, data_name, map_name))
         return 0
     new_rows = _file_stats(spark, new_files, key)
     n = new_rows.count()
     new_rows.write.mode("append").format("parquet").insertInto(map_name)
     spark.catalog.refreshTable(map_name)
+    _RECONCILED.add(_memo_key(spark, data_name, map_name))
     return n
 
 
@@ -287,6 +319,7 @@ def recluster_zonemap(
     )
 
     data_name, map_name = zonemap_names(sf_dir, table, key)
+    _RECONCILED.discard(_memo_key(spark, data_name, map_name))
     staged = f"{data_name}__staged"
     recover_swap(spark, data_name, staged)
     spark.catalog.refreshTable(data_name)
@@ -307,4 +340,5 @@ def recluster_zonemap(
     ).localCheckpoint()
     manifest.write.mode("overwrite").format("parquet").saveAsTable(map_name)
     spark.catalog.refreshTable(map_name)
+    _RECONCILED.add(_memo_key(spark, data_name, map_name))
     return data_name, map_name

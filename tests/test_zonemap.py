@@ -172,6 +172,10 @@ def test_reconcile_rebuilds_on_dead_manifest_paths(spark, sf_dir):
         f"INSERT INTO {m_name} VALUES "
         "('file:/nonexistent/dead.parquet', 0, 9223372036854775807, 1)"
     )
+    # the corruption happened 'in a crashed process'; a restarted
+    # process starts with an empty reconcile memo (round-9: steady-state
+    # lookups skip the repair probe, so clear the memo to model restart)
+    zm._RECONCILED.clear()
     got = zm.lookup_by_keys(
         spark, sf_dir, [1], table="orders", key="o_orderkey"
     )
