@@ -138,9 +138,18 @@ def tpch_q9_shape(t):
     175-row aggregate, never rides the exchange — the orders side
     carries (orderkey, year int) with the date already folded, and the
     join is hinted shuffled-hash (SMJ's two sorts buy nothing for a
-    unique-key build). The profit expression is evaluated in one
-    codegen stage with identical association order in both engines;
-    the sum is fixed-point (dsum scale 4)."""
+    unique-key build). Round 9 moved the shuffle_hash hint to the FACT
+    side so the hash table builds on the ~12.5% part-filtered rows and
+    probes stream from full orders (was: build on 1.5M-per-sf orders)
+    — warm sf10 2.37 -> 1.91 s. The residual >2x vs DuckDB is the
+    scan floor, now PINNED with a same-day record
+    (docs/SF10_Q9_FLOOR_r9.json, scripts/q9_floor_record.py): the bare
+    JVM parquet scan of just this query's input columns costs ~1.9x
+    DuckDB's ENTIRE query locally, so no shuffle-era plan can reach
+    <=2x; the routed bucketed twin is the production answer. The profit
+    expression is evaluated in one codegen stage with identical
+    association order in both engines; the sum is fixed-point (dsum
+    scale 4)."""
     p, s, o, l = t.part, t.supplier, t.orders, t.lineitem
     pw = p.filter(p.p_name.like("%widget%")).select(
         "p_partkey", "p_retailprice"
@@ -164,9 +173,8 @@ def tpch_q9_shape(t):
         "o_orderkey", F.year("o_orderdate").cast("int").alias("yr")
     )
     agg = (
-        fact.join(
-            ord2.hint("shuffle_hash"), fact.l_orderkey == ord2.o_orderkey
-        )
+        fact.hint("shuffle_hash")
+        .join(ord2, fact.l_orderkey == ord2.o_orderkey)
         .groupBy("nk", "yr")
         .agg(dsum(F.col("profit"), 4).alias("sum_profit"))
     )
