@@ -86,6 +86,19 @@ the bucketed twins measure 0.93x-1.51x) and `agg_groupby_decimal`
 (decimal aggregation off the codegen path; `agg_groupby_wide` is the
 0.99x exact answer). The router resolves each to its fast twin when
 the layout exists — the correctness oracles still hash-check all five.
+
+Round 9 pinned the `tpch_q9_shape` scan floor with a same-day record
+(docs/SF10_Q9_FLOOR_r9.json, regenerate with
+`python scripts/q9_floor_record.py`): Spark's bare noop-sink scan of
+exactly the query's input columns costs >= DuckDB's ENTIRE q9 locally,
+so no shuffle-era plan reaches <=2x and the bucketed twin is the
+production answer. The round-9 hint change (shuffle_hash on the
+part-filtered FACT side, building the hash table on ~12.5% of lineitem
+instead of full orders) still improved the teaching entry 2.37 ->
+1.91 s warm at sf10. For `dq_referential_integrity` the round-8
+VERDICT's key-count rewrite was implemented and measured ~2x SLOWER
+(docs/SF10_FK_AUDIT_r9.json) — the fact-fact left join stays, with the
+bucketed twin as the routed answer.
 """
 
 
