@@ -257,19 +257,59 @@ def ensure_minhash_index(
     return bands_name, hset_name
 
 
+def append_minhash_index(
+    spark, bands_name: str, hset_name: str, new_docs: DataFrame,
+    min_tokens: int = 3,
+) -> None:
+    """Incremental maintenance (round 9, the `append_postings`
+    discipline): shingle/hash/MinHash ONLY the new documents and insert
+    their rows into both bucketed tables — `insertInto` routes rows
+    through the bucket hash, so band-bucket co-location and doc_id
+    bucketing stay sound; each append adds one file per touched bucket
+    (compaction = re-running `ensure_minhash_index` or
+    `storage.compact_files`).
+
+    append(B) onto an index built from A ≡ build from A∪B EXACTLY and
+    unconditionally (tested): every persisted row is a pure
+    per-document function (pinned shingle hashes + MinHash
+    coefficients), with no corpus-level model or cap baked into the
+    layout — the hot-bucket guard is applied per query at serve time
+    precisely so bucket growth under appends can't stale it. Replayed
+    batches (foreachBatch retry) insert byte-identical rows; the serve
+    path heals them (``dedup_replays`` in
+    :func:`minhash_pairs_from_index`). O(batch): the append never
+    reads either index table."""
+    hs, bands_h = lsh_band_frame(new_docs, "doc_id", "text", min_tokens)
+    bands_h.select("doc_id", "band_idx", "band_key").write.mode(
+        "append"
+    ).insertInto(bands_name)
+    hs.write.mode("append").insertInto(hset_name)
+
+
 def minhash_pairs_from_index(
     spark,
     bands_name: str,
     hset_name: str,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 64,
+    dedup_replays: bool = True,
 ) -> DataFrame:
     """`minhash_det_near_dup_pairs`' serving half over the persisted
     layout: hot-bucket guard → co-bucketed band self-join → exact
     hash-set Jaccard from the persisted sets. No shingling, hashing, or
-    MinHash aggregation in the request path."""
+    MinHash aggregation in the request path.
+
+    ``dedup_replays`` heals byte-identical rows left by redelivered
+    appends (the at-least-once contract shared with
+    `postings.query_bm25_from_postings`): band duplicates are absorbed
+    by the candidate `distinct` already; hset duplicates would fan out
+    the verify join, so the hset side drops duplicate doc_ids — a
+    per-bucket aggregate on the table's own bucket/sort key, no
+    exchange."""
     bands = spark.table(bands_name)
     hs = spark.table(hset_name)
+    if dedup_replays:
+        hs = hs.dropDuplicates(["doc_id"])
     if max_bucket_size is not None:
         sizes = (
             bands.groupBy("band_idx", "band_key")

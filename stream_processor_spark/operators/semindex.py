@@ -45,13 +45,18 @@ def semantic_names(
     n_bands: int = 4,
     bits: int = 4,
     max_bucket: int = 256,
-) -> tuple[str, str]:
-    """Deterministic (assignment, band-keys) table names — pure tag
-    computation so the router can probe the layout without building."""
+) -> tuple[str, str, str]:
+    """Deterministic (assignment, band-keys, centroids) table names —
+    pure tag computation so the router can probe the layout without
+    building. Tag history: 'sem' (round 8, two tables) → 'sem2'
+    (round 9, adds the persisted centroid model so `append_semantic_
+    index` can assign new vectors against the FROZEN trainer — the
+    IVF append discipline); the bump keeps round-8 two-table layouts
+    from masquerading as complete."""
     tag = hashlib.md5(
-        f"{sf_dir}|sem|{k}|{iters}|{n_bands}|{bits}|{max_bucket}".encode()
+        f"{sf_dir}|sem2|{k}|{iters}|{n_bands}|{bits}|{max_bucket}".encode()
     ).hexdigest()[:8]
-    return f"sem_asn_{tag}", f"sem_band_{tag}"
+    return f"sem_asn_{tag}", f"sem_band_{tag}", f"sem_cent_{tag}"
 
 
 def ensure_semantic_index(
@@ -62,10 +67,13 @@ def ensure_semantic_index(
     n_bands: int = 4,
     bits: int = 4,
     max_bucket: int = 256,
-) -> tuple[str, str]:
+) -> tuple[str, str, str]:
     """Build (once per sf_dir/params) the semantic-dedup layout; return
-    (asn_table, band_table). Same caching contract as `ensure_postings`:
-    cached only when BOTH tables exist, stale warehouse dirs cleared.
+    (asn_table, band_table, cent_table). Same caching contract as
+    `ensure_postings`: cached only when EVERY table exists, stale
+    warehouse dirs cleared. The centroid table persists the frozen
+    Lloyd model (label, pos, c) so appends assign against it without
+    retraining (round 9).
 
     Build cost = the exact stages `dedup_semantic` pays per query:
     ``iters`` Lloyd passes (driver-iterated, k·dim model collects), one
@@ -80,22 +88,30 @@ def ensure_semantic_index(
         write_bucketed,
     )
 
-    asn_name, band_name = semantic_names(
+    asn_name, band_name, cent_name = semantic_names(
         sf_dir, k, iters, n_bands, bits, max_bucket
     )
-    if spark.catalog.tableExists(asn_name) and spark.catalog.tableExists(
-        band_name
+    if all(
+        spark.catalog.tableExists(n)
+        for n in (asn_name, band_name, cent_name)
     ):
-        return asn_name, band_name
-    for name in (asn_name, band_name):
+        return asn_name, band_name, cent_name
+    for name in (asn_name, band_name, cent_name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
     e = Tables(spark, sf_dir).embeddings
     cent = kmeans.lloyd_fit_np(e, k=k, iters=iters)
+    # persist the frozen model FIRST (k·dim rows): appends re-pack it
+    (
+        cent.write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(cent_name)
+    )
+    cent_rows = spark.table(cent_name)
     assigned = kmeans.assign_cosine(
         e.select("vec_id", "embedding"),
-        kmeans.pack_centroids(cent),
+        kmeans.pack_centroids(cent_rows),
         out_col="cluster_id",
     ).select("vec_id", "cluster_id")
     write_bucketed(assigned, asn_name, "vec_id", 32, sort_col="vec_id")
@@ -113,7 +129,78 @@ def ensure_semantic_index(
         .drop("__rk")
     )
     write_bucketed(capped, band_name, "band_key", 32, sort_col="band_key")
-    return asn_name, band_name
+    return asn_name, band_name, cent_name
+
+
+def append_semantic_index(
+    spark: SparkSession,
+    asn_name: str,
+    band_name: str,
+    cent_name: str,
+    new_vecs,
+    n_bands: int = 4,
+    bits: int = 4,
+    max_bucket: int = 256,
+) -> None:
+    """Incremental maintenance (round 9, the `append_ivf_index`
+    discipline): assign ONLY the new vectors against the FROZEN
+    persisted Lloyd model and insert their rows into the bucketed
+    assignment and band tables — O(batch) work, no retraining, no
+    corpus re-scan. Model drift is a periodic `ensure_` rebuild, as
+    with every layout.
+
+    Band-cap maintenance: the layout's hot-bucket cap keeps the
+    ``max_bucket`` SMALLEST vec_ids per (band_idx, band_key). For the
+    buckets this batch touches, remaining capacity is read from the
+    band table with a ``band_key IN (...)`` filter (sorted bucketed
+    parquet → bucket + row-group pruning, cost ∝ touched buckets, not
+    corpus) and new rows enter only up to capacity. Under the
+    append-only contract (new vec_ids exceed existing ones — the
+    ingest pattern every other layout's append assumes) this equals
+    the from-scratch cap applied to the grown corpus under the same
+    frozen model, which is the append≡rebuild parity
+    `tests/test_index_maintenance.py` pins."""
+    from stream_processor_spark.operators import kmeans
+    from stream_processor_spark.operators import similarity as sim
+
+    assigned = kmeans.assign_cosine(
+        new_vecs.select("vec_id", "embedding"),
+        kmeans.pack_centroids(spark.table(cent_name)),
+        out_col="cluster_id",
+    ).select("vec_id", "cluster_id")
+    assigned.write.mode("append").insertInto(asn_name)
+
+    bands = new_vecs.select(
+        F.col("vec_id"),
+        F.explode(sim.sign_bands(F.col("embedding"), n_bands, bits)).alias(
+            "b"
+        ),
+    ).select("vec_id", "b.band_idx", "b.band_key")
+    bands = bands.persist()
+    try:
+        touched = [
+            r["band_key"]
+            for r in bands.select("band_key").distinct().collect()
+        ]
+        existing = (
+            spark.table(band_name)
+            .filter(F.col("band_key").isin(touched))
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__have"))
+        )
+        w = Window.partitionBy("band_idx", "band_key").orderBy("vec_id")
+        capped = (
+            bands.withColumn("__rk", F.row_number().over(w))
+            .join(existing, ["band_idx", "band_key"], "left")
+            .filter(
+                F.col("__rk") + F.coalesce(F.col("__have"), F.lit(0))
+                <= max_bucket
+            )
+            .select("vec_id", "band_idx", "band_key")
+        )
+        capped.write.mode("append").insertInto(band_name)
+    finally:
+        bands.unpersist()
 
 
 def candidate_pairs_from_index(

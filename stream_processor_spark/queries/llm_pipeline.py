@@ -324,7 +324,9 @@ def dedup_semantic_indexed(t):
         ensure_semantic_index,
     )
 
-    asn_name, band_name = ensure_semantic_index(t._spark, t._dir)
+    asn_name, band_name, _cent_name = ensure_semantic_index(
+        t._spark, t._dir
+    )
     assigned = t._spark.table(asn_name)
     cand = candidate_pairs_from_index(t._spark, band_name)
     dropped = _sem_dropped(t, cand, assigned)

@@ -471,3 +471,98 @@ def test_ivfpq_append_assigns_and_encodes_against_frozen_models(spark, tmp_path)
     pairs = sorted(zip(-cos, ids[mask]))[:10]
     want = [(int(v), round(-c, 12)) for c, v in pairs]
     assert got == want
+
+
+def test_minhash_append_equals_full_rebuild(spark, tmp_path):
+    """Round-9: append(B) onto a MinHash layout built from A must equal
+    the layout built from A∪B EXACTLY — every persisted row is a pure
+    per-document function (pinned hashes), no corpus model or cap in
+    the layout. A replayed append (byte-identical rows) must not change
+    served pairs with dedup_replays=True."""
+    from stream_processor_spark.operators.dedup import (
+        append_minhash_index,
+        ensure_minhash_index,
+        minhash_pairs_from_index,
+    )
+
+    a_dir, full_dir = _docs_dirs(tmp_path, spark)
+    bands_a, hset_a = ensure_minhash_index(spark, a_dir)
+    new_docs = spark.read.parquet(
+        os.path.join(full_dir, "documents.parquet")
+    ).filter("doc_id >= 300")
+    append_minhash_index(spark, bands_a, hset_a, new_docs)
+
+    bands_f, hset_f = ensure_minhash_index(spark, full_dir)
+
+    def pairs(b, h):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in minhash_pairs_from_index(spark, b, h).collect()
+        )
+
+    got, want = pairs(bands_a, hset_a), pairs(bands_f, hset_f)
+    assert got == want and len(want) > 0
+
+    # foreachBatch retry: identical rows re-inserted, serve heals them
+    append_minhash_index(spark, bands_a, hset_a, new_docs)
+    assert pairs(bands_a, hset_a) == want
+
+
+def test_semantic_append_assigns_against_frozen_model(spark, tmp_path):
+    """Round-9: append(B) onto the semantic layout assigns new vectors
+    against the FROZEN persisted Lloyd model (no retraining) and
+    maintains the band cap's smallest-vec_id semantics — final tables
+    equal a from-scratch derivation over A∪B under model(A)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from stream_processor_spark.operators import kmeans
+    from stream_processor_spark.operators import similarity as sim
+    from stream_processor_spark.operators.semindex import (
+        append_semantic_index,
+        ensure_semantic_index,
+    )
+
+    full_dir, a_dir = tmp_path / "sfull", tmp_path / "sa"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    shutil.copy(src, full_dir / "embeddings.parquet")
+
+    # small cap so the capacity arithmetic actually binds on sf0.001
+    asn, band, cent = ensure_semantic_index(spark, str(a_dir), max_bucket=4)
+    new_vecs = emb.filter("vec_id >= 300")
+    append_semantic_index(
+        spark, asn, band, cent, new_vecs, max_bucket=4
+    )
+
+    # expected assignment: FULL corpus against the frozen model(A)
+    want_asn = sorted(
+        tuple(r)
+        for r in kmeans.assign_cosine(
+            emb.select("vec_id", "embedding"),
+            kmeans.pack_centroids(spark.table(cent)),
+            out_col="cluster_id",
+        )
+        .select("vec_id", "cluster_id")
+        .collect()
+    )
+    got_asn = sorted(tuple(r) for r in spark.table(asn).collect())
+    assert got_asn == want_asn and len(got_asn) == emb.count()
+
+    # expected bands: full-corpus band keys, cap keeps 4 smallest ids
+    bands_full = emb.select(
+        F.col("vec_id"),
+        F.explode(sim.sign_bands(F.col("embedding"), 4, 4)).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_key")
+    w = Window.partitionBy("band_idx", "band_key").orderBy("vec_id")
+    want_band = sorted(
+        tuple(r)
+        for r in bands_full.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 4)
+        .select("vec_id", "band_idx", "band_key")
+        .collect()
+    )
+    got_band = sorted(tuple(r) for r in spark.table(band).collect())
+    assert got_band == want_band and len(got_band) > 0
