@@ -33,7 +33,6 @@ HEADLINE = [
     "agg_groupby_basic",
     "agg_rollup",
     "join_broadcast",
-    "join_star_3way",
     "join_range",
     "window_rank",
     "window_running_sum",
@@ -44,7 +43,6 @@ HEADLINE = [
     "agg_salted_skew",
     "sim_topk",
     "sim_ann_bucketed",
-    "sim_ann_ivf",
     "sim_centroids",
     "dedup_token_jaccard",
     "dedup_shingle_jaccard",
@@ -53,17 +51,15 @@ HEADLINE = [
     "text_fingerprint",
     "join_asof",
     "agg_pivot",
-    "join_star_5way",
     "join_star_3way_bucketed",
     "tpch_q6_shape",
     "udf_scalar",
     # round 6: the measured at-parity scale answers, promoted to the
     # headline record (VERDICT r5 item 1) — write-time layouts and the
-    # wide-accumulator Q1 run alongside their shuffle-era teaching twins
+    # wide-accumulator Q1
     "tpch_q9_bucketed",
     "tpch_q21_bucketed",
     "agg_groupby_wide",
-    "text_bm25",
     "text_bm25_postings",
     "join_star_5way_bucketed",
     "sim_ann_ivf_indexed",
@@ -74,7 +70,6 @@ HEADLINE = [
     # operators (packing, semantic dedup, end-to-end curation)
     "sim_ann_ivfpq_indexed",
     "corpus_pack_sequences",
-    "dedup_semantic",
     "corpus_curate_e2e",
     # round 7c: hybrid retrieval over both persisted layouts, the
     # zone-map point lookup, and the incremental-view folds
@@ -84,6 +79,23 @@ HEADLINE = [
     # round 8: the persisted SemDeDup and MinHash layouts' serve paths
     "dedup_semantic_indexed",
     "dedup_near_indexed",
+    # round 9: the single-pass xxhash64 dup-spans production twin
+    "text_dup_spans_merged_fast",
+]
+
+# Teaching twins (round 9, VERDICT r8 #6): the from-scratch forms of
+# routed queries. They stay hash-oracled registry entries and are still
+# MEASURED here every run — but in their own record (`teaching_queries`
+# in the full tee / `teaching_value` on the compact line), not in the
+# headline aggregate, which now measures only the plans the Router
+# actually serves. A user who never calls `ensure_*` gets these plans;
+# docs/COVERAGE.md carries each one's documented sf10 ratio.
+TEACHING = [
+    "text_bm25",
+    "join_star_3way",
+    "join_star_5way",
+    "sim_ann_ivf",
+    "dedup_semantic",
 ]
 
 
@@ -152,7 +164,8 @@ def main() -> None:
     # `value_build_inclusive` is the honest end-to-end total. Neither
     # number hides the other.
     builds: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def measure(name: str) -> tuple[float, float, float]:
         spec = REGISTRY[name]
         runs: list[float] = []
         bruns: list[float] = []
@@ -164,9 +177,19 @@ def main() -> None:
             bruns.append(t1 - t0)
             runs.append(time.perf_counter() - t1)
         steady = runs[1:]  # drop the compile-paying first run
-        timings[name] = round(min(steady), 3)
-        builds[name] = round(min(bruns[1:]), 3)
-        spreads[name] = round(max(steady) / max(min(steady), 1e-9), 2)
+        return (
+            round(min(steady), 3),
+            round(min(bruns[1:]), 3),
+            round(max(steady) / max(min(steady), 1e-9), 2),
+        )
+
+    for name in HEADLINE:
+        timings[name], builds[name], spreads[name] = measure(name)
+
+    # teaching twins: measured, recorded apart from the headline
+    teaching: dict[str, float] = {}
+    for name in TEACHING:
+        teaching[name], _, _ = measure(name)
 
     # Reference-pipeline throughput envelope (BASELINE.md): full wire
     # path — JSON wire frame → decode(incoming) → 3-step chain with DLQ
@@ -237,6 +260,8 @@ def main() -> None:
         "run_spread": spreads,
         "bench_runs": n_runs,
         "pipeline_msgs_per_sec": pipeline_msgs_per_sec,
+        "teaching_queries": teaching,
+        "teaching_value": round(sum(teaching.values()), 3),
     }
     # The driver's BENCH_r{N}.json preserves only a ~2000-char TAIL of
     # stdout. Rounds 4-7 printed the full record (~4 KB) as one line, so
@@ -268,6 +293,7 @@ def main() -> None:
         "floor_sec": result["floor_sec"],
         "value_minus_floor": result["value_minus_floor"],
         "pipeline_msgs_per_sec": pipeline_msgs_per_sec,
+        "teaching_value": result["teaching_value"],
     }
     line = json.dumps(minimal, separators=(",", ":"))
     if len(line) > 1800:

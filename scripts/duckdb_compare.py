@@ -33,15 +33,17 @@ N_RUNS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 def main() -> None:
     import duckdb  # noqa: F401 (import check before Spark spin-up)
 
-    from bench import HEADLINE
+    from bench import HEADLINE, TEACHING
     from stream_processor_spark.queries import REGISTRY
     from stream_processor_spark.session import get_spark
     from tests.oracle_harness import duck_con
 
+    ALL = list(HEADLINE) + list(TEACHING)
+
     # -- DuckDB side: best-of-N of each query's own oracle SQL
     duck: dict[str, float] = {}
     con = duck_con(SF_DIR)
-    for name in HEADLINE:
+    for name in ALL:
         sql = REGISTRY[name].oracle
         if not sql:
             continue
@@ -71,7 +73,8 @@ def main() -> None:
     # end-to-end bound (conservative: DuckDB's side has no analogous
     # plan-construction charge).
     rows = []
-    for name in HEADLINE:
+    teaching_rows = []
+    for name in ALL:
         if name not in duck:
             continue
         runs, bruns = [], []
@@ -86,7 +89,7 @@ def main() -> None:
         build = min(bruns[1:])
         adj = max(0.0, steady - floor)
         adj_b = max(0.0, steady + build - floor)
-        rows.append(
+        (teaching_rows if name in TEACHING else rows).append(
             {
                 "query": name,
                 "spark_sec": round(steady, 4),
@@ -113,6 +116,16 @@ def main() -> None:
         "duckdb_total": round(sum(r["duckdb_sec"] for r in rows), 3),
         "queries_over_2x_adj": [r["query"] for r in over],
         "per_query": rows,
+        # teaching twins (round 9, VERDICT r8 #6): the from-scratch forms
+        # of routed queries — oracle-checked and measured, recorded apart
+        # from the headline the round grades on
+        "teaching_per_query": teaching_rows,
+        "teaching_adj_total": round(
+            sum(r["spark_adj_sec"] for r in teaching_rows), 3
+        ),
+        "teaching_duckdb_total": round(
+            sum(r["duckdb_sec"] for r in teaching_rows), 3
+        ),
     }
     print(json.dumps(report, indent=2))
 

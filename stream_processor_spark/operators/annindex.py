@@ -71,7 +71,10 @@ def ensure_ivf_index(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
-    e = Tables(spark, sf_dir).embeddings
+    # build-job parallelism pinned; scan splits must not cap the map work
+    e = Tables(spark, sf_dir).embeddings.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cent_rows = kmeans._mean_update(
         e.select("label", "embedding"), "label", "embedding"
     )
@@ -321,7 +324,10 @@ def ensure_ivf_trained_index(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
-    e = Tables(spark, sf_dir).embeddings
+    # build-job parallelism pinned; scan splits must not cap the map work
+    e = Tables(spark, sf_dir).embeddings.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cent = kmeans.lloyd_fit_np(e, k=k, iters=iters)
     cent.select(
         F.col("label").cast("long").alias("label"),
@@ -401,7 +407,10 @@ def ensure_pq_index(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
-    e = Tables(spark, sf_dir).embeddings
+    # build-job parallelism pinned; scan splits must not cap the map work
+    e = Tables(spark, sf_dir).embeddings.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     books_frame = kmeans.lloyd_fit_pq(
         e, n_sub=n_sub, sub_dim=sub_dim, k=k, iters=iters
     )
@@ -696,7 +705,10 @@ def ensure_ivfpq_index(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
-    e = Tables(spark, sf_dir).embeddings
+    # build-job parallelism pinned; scan splits must not cap the map work
+    e = Tables(spark, sf_dir).embeddings.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cent = kmeans.lloyd_fit_np(e, k=k, iters=iters)
     cent.select(
         F.col("label").cast("long").alias("label"),

@@ -244,16 +244,30 @@ def ensure_minhash_index(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
-    docs = Tables(spark, sf_dir).documents
+    # Repartition BEFORE the shingle/MinHash derivation: the expensive
+    # md5-per-shingle map work otherwise runs inside the scan stage,
+    # whose parallelism is capped by parquet splits (sf10 documents is
+    # ~2 splits at 128 MiB — a 16x parallelism loss on a 32-core box,
+    # measured as a 15+ min single-task build stage in round 9). Build
+    # jobs pin their own parallelism; serve paths never pay this.
+    par = spark.sparkContext.defaultParallelism
+    docs = Tables(spark, sf_dir).documents.repartition(par, "doc_id")
     hs, bands_h = lsh_band_frame(docs, "doc_id", "text", min_tokens)
-    write_bucketed(
-        bands_h.select("doc_id", "band_idx", "band_key"),
-        bands_name,
-        "band_key",
-        32,
-        sort_col="band_key",
-    )
-    write_bucketed(hs, hset_name, "doc_id", 32, sort_col="doc_id")
+    # cache the shingle sets: both table writes consume them, and the
+    # cache-manager subtree match means bands_h reads the cached hs
+    # instead of re-shingling the corpus a second time
+    hs.persist()
+    try:
+        write_bucketed(
+            bands_h.select("doc_id", "band_idx", "band_key"),
+            bands_name,
+            "band_key",
+            32,
+            sort_col="band_key",
+        )
+        write_bucketed(hs, hset_name, "doc_id", 32, sort_col="doc_id")
+    finally:
+        hs.unpersist()
     return bands_name, hset_name
 
 

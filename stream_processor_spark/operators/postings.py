@@ -156,7 +156,10 @@ def ensure_postings(
         for name in (post_name, stats_name):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             drop_warehouse_dir(spark, name)
-        docs = Tables(spark, sf_dir).documents
+        # build-job parallelism pinned; scan splits must not cap tokenize
+        docs = Tables(spark, sf_dir).documents.repartition(
+            num_buckets, "doc_id"
+        )
         postings = build_postings_frame(docs)
         (
             postings.repartition(num_buckets, F.col("tok"))

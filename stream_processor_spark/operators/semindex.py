@@ -100,7 +100,12 @@ def ensure_semantic_index(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         drop_warehouse_dir(spark, name)
 
-    e = Tables(spark, sf_dir).embeddings
+    # build-job parallelism is pinned explicitly — the scan-split count
+    # (2 splits for sf10 embeddings) must not cap the assignment and
+    # band-derivation map work (the round-9 ensure_minhash lesson)
+    e = Tables(spark, sf_dir).embeddings.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     cent = kmeans.lloyd_fit_np(e, k=k, iters=iters)
     # persist the frozen model FIRST (k·dim rows): appends re-pack it
     (

@@ -322,6 +322,14 @@ def text_dup_spans_merged_fast(t):
     collect_list for a spilling window count over gh
     (`COUNT(*) OVER (PARTITION BY gh)`, measured 10.5 s — the
     streaming-safe fallback, same results)."""
+    return _spans_from_dup_windows(_dup_windows_fast(t))
+
+
+def _dup_windows_fast(t):
+    """Duplicated 10-token window starts (doc_id, pos) via the
+    single-pass token-prehash/slice-hash pipeline (the fast twin's
+    engine; see `text_dup_spans_merged_fast` for the full rationale
+    and measured numbers)."""
     d = t.documents.filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.split("text", " ").alias("tk"))
     g = (
@@ -338,14 +346,132 @@ def text_dup_spans_merged_fast(t):
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
     )
-    dw = (
+    return (
         g.groupBy("gh")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("ws"))
         .filter(F.size("ws") > 1)
         .select(F.explode("ws").alias("w"))
         .select("w.doc_id", "w.pos")
     )
-    return _spans_from_dup_windows(dw)
+
+
+@register(
+    "text_dup_spans_removed",
+    # Reuses the span CTEs (md5 replay — hashes are internal, see the
+    # fast twin's oracle note), then rebuilds each document WITHOUT the
+    # tokens any maximal duplicated span covers. Spans per doc are
+    # disjoint by construction (islands merge anything closer than the
+    # window length), so the coverage probe matches at most one span.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT doc_id, u.i AS pos,
+             (('0x' || substr(md5(array_to_string(tk[u.i:u.i+{_WIN - 1}], ' ')),
+                       1, 15))::UBIGINT)::BIGINT AS gh
+      FROM toks, unnest(generate_series(1, len(tk) - {_WIN - 1})) AS u(i)
+      WHERE len(tk) >= {_WIN}
+    ),
+    dupg AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+    dw AS (SELECT doc_id, pos FROM g JOIN dupg USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CAST(SUM(CASE WHEN prev IS NULL
+                           OR pos > prev + {_WIN} THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dw
+      )
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_WIN - 1} AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tok AS (
+      SELECT doc_id, u.i AS pos, tk[u.i] AS tok
+      FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+    ),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             EXISTS (SELECT 1 FROM spans s
+                     WHERE s.doc_id = t.doc_id
+                       AND t.pos BETWEEN s.s AND s.e) AS dup
+      FROM tok t
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT dup), '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE NOT dup) AS BIGINT) AS kept_tokens,
+           CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS removed_tokens
+    FROM cov GROUP BY doc_id
+    """,
+)
+def text_dup_spans_removed(t):
+    """The substring-dedup CUT (Lee et al. 2021 §4.2 applied): rebuild
+    every document with the tokens covered by ANY maximal duplicated
+    span removed — the transform a dedup pass actually performs, where
+    `text_dup_spans_merged` only reports the span list. This is the
+    aggressive variant (every occurrence of a duplicated span is cut,
+    not all-but-one); the conservative keep-first variant is a
+    policy-flag away (exclude each span group's min doc_id from the dup
+    windows) and shares this plan shape.
+
+    Per doc: (doc_id, clean_text, kept_tokens, removed_tokens) — docs
+    with nothing duplicated come through verbatim, fully-duplicated
+    docs come through with clean_text = ''.
+
+    Scale: spans come from the fast twin's single-pass pipeline (token
+    pre-hash + slice hash, one corpus-sized shuffle); the coverage probe
+    is a doc_id-keyed range join where spans per doc are FEW and
+    DISJOINT (islands merge anything within the window length), so the
+    join fans out at most one span per token; the rebuild is one
+    per-doc aggregate (sorted struct collect, bounded by doc length —
+    the same bound the tokenizer already carries)."""
+    spans = _spans_from_dup_windows(_dup_windows_fast(t)).select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        F.col("span_end").alias("e"),
+    )
+    d = t.documents.filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    cov = tok.join(spans, ["doc_id"], "left").withColumn(
+        "dup",
+        F.col("s").isNotNull()
+        & F.col("pos").between(F.col("s"), F.col("e")),
+    )
+    # a token may match several span rows of its doc (all but at most
+    # one with dup=false) — reduce to one row per token with an OR
+    per_tok = cov.groupBy("doc_id", "pos", "tok").agg(
+        F.max(F.col("dup").cast("int")).alias("dup")
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("dup") == 0, F.struct("pos", "tok")
+                        )
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("dup") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum(F.when(F.col("dup") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("removed_tokens"),
+    )
 
 
 @register(

@@ -2263,9 +2263,10 @@ def _cc_unrolled_sql(rounds: int = 30) -> str:
     return ",\n    ".join(s)
 
 
-@register(
-    "dedup_cc_clusters",
-    oracle=f"""
+# Shared by `dedup_cc_clusters` (the labeling) and `dedup_cluster_stats`
+# (the size profile) — one WITH chain: banded candidates -> exact-cosine
+# pairs -> 30-round unrolled min-label propagation into c30.
+_CC_ORACLE_CTES = f"""
     WITH
     {_band_cand_sql(4, 4).lstrip()},
     terms AS (
@@ -2292,6 +2293,13 @@ def _cc_unrolled_sql(rounds: int = 30) -> str:
       UNION ALL SELECT vb, va FROM pairs
     ),
     {_cc_unrolled_sql(30)}
+    """
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=_CC_ORACLE_CTES
+    + """
     SELECT v AS vec_id, comp AS component
     FROM c30
     """,
@@ -2328,6 +2336,39 @@ def dedup_cc_clusters(t):
     return connected_components(
         vertices, pairs, id_col="id", src_col="va", dst_col="vb"
     ).withColumnRenamed("id", "vec_id")
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=_CC_ORACLE_CTES
+    + """
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM c30 GROUP BY comp
+    ) GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_stats(t):
+    """Cluster-size profile of the near-dup similarity graph: the
+    histogram (cluster_size, n_clusters) over `dedup_cc_clusters`'
+    components. This is the number an operator actually watches before
+    committing a dedup pass: the singleton row says how much of the
+    corpus is untouched, the tail rows catch a degenerate giant
+    component (a too-loose threshold collapsing the corpus into one
+    cluster) BEFORE any document is dropped.
+
+    Scale: two slim aggregates on top of the component labels — a
+    (component)-keyed count (vertex-sized shuffle of two longs), then a
+    (size)-keyed count over one row per cluster. Nothing here touches
+    embeddings or text."""
+    comp = dedup_cc_clusters(t)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
 
 
 # ---------------------------------------------- round-4 corpus operators ----
