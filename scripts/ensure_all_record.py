@@ -6,8 +6,11 @@ ensure_all call, then times each route's scratch twin vs its indexed
 serve. Writes docs/ENSURE_ALL_r9.json.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from stream_processor_spark.session import get_spark
 from stream_processor_spark.router import LAYOUTS, ROUTES, Router

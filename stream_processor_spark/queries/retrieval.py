@@ -253,3 +253,162 @@ def retrieval_hybrid_rrf_indexed(t):
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --- MMR diversity rerank (round 9) ---------------------------------------
+
+_MMR_C = 30   # candidate pool (top-C by relevance)
+_MMR_K = 10   # selections
+_MMR_LAM = 0.75  # relevance weight; (1-λ) penalizes redundancy
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR replay: candidate pool + exact-int pairwise
+    cosines, then K-1 MATERIALIZED pick/accumulate steps (each step's
+    accumulator is referenced three times — the engine's standard
+    unrolled-trajectory oracle discipline)."""
+    head = (
+        sim.ORACLE_COSINE_CTE.format(query_filter="vec_id = 0", dim=64).rstrip()
+        + f""",
+    cand AS MATERIALIZED (
+      SELECT vec_id, cosine AS rel FROM scored
+      ORDER BY cosine DESC, vec_id LIMIT {_MMR_C}
+    ),
+    cterms AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(round(CAST(ea.embedding[i.i] AS DOUBLE)
+                        * CAST(eb.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS p,
+             CAST(round(CAST(ea.embedding[i.i] AS DOUBLE)
+                        * CAST(ea.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS aa,
+             CAST(round(CAST(eb.embedding[i.i] AS DOUBLE)
+                        * CAST(eb.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS bb
+      FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      CROSS JOIN generate_series(1, 64) AS i(i)
+    ),
+    psim0 AS (
+      SELECT va, vb,
+             CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(SUM(bb) AS BIGINT) AS DOUBLE))) AS s
+      FROM cterms GROUP BY va, vb
+    ),
+    pairsim AS MATERIALIZED (
+      SELECT va AS a, vb AS b, s FROM psim0
+      UNION ALL SELECT vb, va, s FROM psim0
+    ),
+    acc1 AS MATERIALIZED (
+      SELECT vec_id, 1 AS rnk, rel, rel AS mmr FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    )
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+    pick{i} AS MATERIALIZED (
+      SELECT c.vec_id, {i} AS rnk, c.rel,
+             {_MMR_LAM} * c.rel - {round(1 - _MMR_LAM, 10)} * (
+               SELECT MAX(s.s) FROM pairsim s
+               JOIN acc{i - 1} t ON s.b = t.vec_id
+               WHERE s.a = c.vec_id
+             ) AS mmr
+      FROM cand c LEFT JOIN acc{i - 1} x ON c.vec_id = x.vec_id
+      WHERE x.vec_id IS NULL
+      ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    acc{i} AS MATERIALIZED (
+      SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM pick{i}
+    )""")
+    tail = f"""
+    SELECT CAST(rnk AS BIGINT) AS mmr_rank, vec_id,
+           round(rel, 6) AS relevance, round(mmr, 6) AS mmr
+    FROM acc{_MMR_K}
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@register("retrieval_mmr", oracle=_mmr_oracle())
+def retrieval_mmr(t):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): greedily pick K=10 results from the top-C=30 relevance pool,
+    each pick maximizing λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s) —
+    the standard redundancy-suppressing rerank between retrieval and a
+    training-data or RAG consumer (near-duplicate hits waste the slot
+    budget that diversity would spend on coverage).
+
+    Split of labor at scale: the CORPUS-sized work is the relevance
+    top-C (one TakeOrderedAndProject scan — served from the IVF/PQ
+    layouts via the router in production); the greedy loop then runs on
+    the driver over the C-row pool with the same scaled-int64 cosine
+    kernels the distributed plans use (`operators/npkernel` —
+    C²·dim ≈ 58k multiplies, constant in corpus size, the same bounded
+    driver-model pattern as the Lloyd/BPE argmax steps). The oracle
+    replays the whole greedy trajectory as K−1 unrolled MATERIALIZED
+    pick/accumulate CTEs over exact-int pairwise cosines, so every
+    selection (not just the final list) is hash-verified.
+
+    Determinism: relevance and pair similarities are the engine's
+    pinned scaled-int64 cosine (int sums; IEEE sqrt/div), the MMR
+    combination is the same two multiplies and subtract on both sides,
+    ties break on vec_id, and doubles are rounded to 6 dp only at the
+    output boundary."""
+    import numpy as np
+
+    from stream_processor_spark.operators import npkernel as npk
+
+    e = t.embeddings
+    pool = (
+        sim.cosine_vs_query(e, _query_vec(t))
+        .select("vec_id", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(_MMR_C)
+    )
+    rows = (
+        pool.join(e.select("vec_id", "embedding"), "vec_id")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .collect()
+    )
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    rel = np.asarray([r["cosine"] for r in rows], dtype=np.float64)
+    E = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    # exact-int pairwise cosines (C x C), same kernel as the oracle
+    P = npk.dot_scaled(E, E)  # int64 pair dot sums
+    n = npk.self_norms_scaled(E).astype(np.float64)
+    S = P.astype(np.float64) / (np.sqrt(n)[:, None] * np.sqrt(n)[None, :])
+
+    c = len(ids)
+    picked: list[int] = []
+    out = []
+    # pick 1: pure relevance (rows already sorted rel desc, id asc)
+    picked.append(0)
+    out.append((1, int(ids[0]), float(rel[0]), float(rel[0])))
+    for rnk in range(2, min(_MMR_K, c) + 1):
+        best_i, best_score = -1, None
+        for i in range(c):
+            if i in picked:
+                continue
+            ms = max(float(S[i, j]) for j in picked)
+            score = _MMR_LAM * float(rel[i]) - (1 - _MMR_LAM) * ms
+            # oracle tie-break: mmr DESC, vec_id ASC (exact-tie floats
+            # are real here — the corpus contains duplicate embeddings)
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        picked.append(best_i)
+        out.append((rnk, int(ids[best_i]), float(rel[best_i]), float(best_score)))
+
+    res = t._spark.createDataFrame(
+        out, "mmr_rank long, vec_id long, relevance double, mmr double"
+    )
+    return res.select(
+        "mmr_rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr"),
+    )
