@@ -1409,3 +1409,140 @@ def tpch_q13_shape(t):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS roll_median
+    FROM events
+    """,
+)
+def window_rolling_median(t):
+    """Rolling median of `value` over each user's trailing 5 events —
+    the robust smoother dashboards and anomaly baselines use where a
+    rolling mean would chase every spike. Spark has no built-in
+    windowed median, so the frame's values are collected and sorted
+    per row (bounded: the frame is 5 rows) and the median read out with
+    DuckDB `median`'s exact semantics: NULLs ignored, odd count → the
+    middle element, even count → lower + 0.5·(upper − lower)
+    (quantile_cont interpolation order, mirrored operation-for-
+    operation so the doubles agree bit-for-bit before the 6 dp output
+    rounding).
+
+    Scale: one window pass, state bounded by the 5-row frame — no
+    per-user full-history buffering."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise(lo + (hi - lo) * 0.5)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(med, 6).alias("roll_median"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    ),
+    f AS (
+      SELECT c.event_id, p.ts AS fts, p.value AS fval
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN f.fts IS NULL
+                  OR (b.bts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.bts)
+                          <= epoch_us(f.fts) - epoch_us(b.ts))
+                THEN b.bts ELSE f.fts END AS ts_nearest,
+           CASE WHEN f.fts IS NULL
+                  OR (b.bts IS NOT NULL
+                      AND epoch_us(b.ts) - epoch_us(b.bts)
+                          <= epoch_us(f.fts) - epoch_us(b.ts))
+                THEN b.bval ELSE f.fval END AS value_nearest
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(t):
+    """Nearest-event as-of join: for each click, the user's purchase
+    with the SMALLEST time distance in either direction (ties prefer
+    the backward match — the sensor-fusion / feature-alignment
+    variant; pandas `merge_asof(direction='nearest')`). Composed from
+    the engine's two directional as-of passes (operators/asof.py — one
+    union-tag window shuffle each) joined on the click id, then an
+    integer microsecond-distance pick; the oracle mirrors with two
+    native ASOF joins and the same epoch_us arithmetic.
+
+    Scale: two key-partitioned window passes + one click-keyed join of
+    two already-slim result sets; no range explosion anywhere."""
+    e = t.events
+    clicks = e.filter(e.event_type == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(e.event_type == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    b = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["pts", "value"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("pts_asof").alias("bts"), F.col("value_asof").alias("bval"),
+    )
+    f = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="pts",
+        value_cols=["pts", "value"], direction="forward",
+    ).select(
+        "event_id",
+        F.col("pts_asof").alias("fts"), F.col("value_asof").alias("fval"),
+    )
+    j = b.join(f, "event_id")
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast
+    # is a deterministic relabel under the engine's pinned UTC session
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    pick_back = F.col("fts").isNull() | (
+        F.col("bts").isNotNull()
+        & (_us("ts") - _us("bts") <= _us("fts") - _us("ts"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_back, F.col("bts")).otherwise(F.col("fts")).alias(
+            "ts_nearest"
+        ),
+        F.when(pick_back, F.col("bval")).otherwise(F.col("fval")).alias(
+            "value_nearest"
+        ),
+    )

@@ -1441,3 +1441,115 @@ def dq_referential_integrity_bucketed(t):
         .select("fk", "n_rows", "n_orphans")
     )
     return o_c.unionByName(l_o)
+
+
+@register(
+    "feature_robust_scale",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS xc
+      FROM lineitem
+    ),
+    st AS (
+      SELECT l_returnflag,
+             quantile_cont(xc, 0.5) AS med,
+             quantile_cont(xc, 0.75) - quantile_cont(xc, 0.25) AS iqr
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_orderkey, c.l_linenumber, c.l_returnflag,
+           round((c.xc - s.med) / greatest(s.iqr, 1.0), 6) AS robust
+    FROM c JOIN st s USING (l_returnflag)
+    """,
+)
+def feature_robust_scale(t):
+    """Per-group ROBUST feature scaling ((x − median) / IQR) — the
+    outlier-resistant companion to `feature_minmax_scale` (a single
+    extreme value shifts min/max arbitrarily but moves median/IQR not
+    at all), which is why it's the default scaler for long-tailed
+    training features. Money is first fixed to cents int64 (the engine
+    convention), the quantiles are the exact continuous-interpolation
+    definition Spark `percentile` and DuckDB `quantile_cont` share
+    (the `agg_percentile_exact` parity argument: dyadic q over integer
+    values interpolates exactly), and the one float division is rounded
+    at the output boundary only.
+
+    Scale: one grouped exact-quantile aggregate (per-group value
+    buffers — same caveat as `agg_percentile_exact`: prefer
+    approx_percentile when groups are few and huge), broadcast back,
+    map-only scale."""
+    l = t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("xc"),
+    )
+    st = l.groupBy("l_returnflag").agg(
+        F.percentile("xc", 0.5).alias("med"),
+        (F.percentile("xc", 0.75) - F.percentile("xc", 0.25)).alias("iqr"),
+    )
+    return l.join(F.broadcast(st), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            (F.col("xc") - F.col("med"))
+            / F.greatest(F.col("iqr"), F.lit(1.0)),
+            6,
+        ).alias("robust"),
+    )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    k AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM cnt),
+    r AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                         ::UBIGINT)::BIGINT, vec_id
+             ) AS rn
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label
+    FROM r CROSS JOIN k WHERE rn <= k.k
+    """,
+)
+def sample_balanced_classes(t):
+    """Class-balanced downsampling: keep exactly min-class-count rows
+    per label, chosen by the deterministic md5-order shuffle (the
+    engine's salted-hash sampling convention — pseudo-random but
+    replayable in any engine, no RNG seed). The classifier-training
+    counterpart of `sample_stratified` (which PRESERVES proportions;
+    this EQUALIZES them).
+
+    Scale: one tiny per-class count aggregate + a broadcast scalar +
+    one row_number window partitioned by label. The window shuffles the
+    id/label pairs once; a pathologically dominant class serializes its
+    own partition — at that skew swap the exact head-of-order cut for
+    `df.sampleBy` fractions (approximate counts, no window)."""
+    from pyspark.sql.window import Window
+
+    e = t.embeddings
+    k = e.groupBy("label").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").cast("long").alias("k")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        "vec_id",
+    )
+    r = (
+        e.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        r.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("vec_id", F.col("label").cast("long").alias("label"))
+    )
