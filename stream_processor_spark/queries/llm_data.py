@@ -1582,9 +1582,57 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+from stream_processor_spark.operators.annindex import (  # noqa: E402
+    _PQFIT_MOD,
+    _PQFIT_THRESHOLD,
+)
+
+
+def _pq_sampled_fit_ctes() -> str:
+    """PQ-fit CTEs with the PRODUCTION sampling rule (round 9 — the
+    round-8 IVFPQ treatment extended to the plain-PQ family): above
+    `_PQFIT_THRESHOLD` corpus vectors the codebooks train on the
+    deterministic 1-in-`_PQFIT_MOD` slice (vec_id % mod = 0); ENCODING
+    always covers the full corpus. The rule is a pure function of the
+    corpus count (the `fitmod` scalar CTE), so the oracle replays both
+    branches and the small fixtures keep exercising the unsampled one.
+    Emits the full-corpus `sub_long` for the encode/serve CTEs and ends
+    in `cent(m, cid, pos, c)`."""
+    dim = _PQ_M * _PQ_SUB
+    return (
+        f"""fitmod AS (
+  SELECT CASE WHEN COUNT(*) > {_PQFIT_THRESHOLD} THEN {_PQFIT_MOD}
+              ELSE 1 END AS m
+  FROM embeddings),
+efit AS (
+  SELECT e.vec_id FROM embeddings e, fitmod f WHERE e.vec_id % f.m = 0),
+sub_long AS (
+  SELECT vec_id AS vid, CAST(floor((i.i - 1) / {_PQ_SUB}) AS INT) AS m,
+         (i.i - 1) % {_PQ_SUB} + 1 AS pos,
+         CAST(embedding[i.i] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN generate_series(1, {dim}) AS i(i)),
+fit_long AS (
+  SELECT l.* FROM sub_long l, fitmod f WHERE l.vid % f.m = 0),
+"""
+        + kmeans.pq_oracle_ctes(
+            _PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS, table="efit",
+            sub_long="fit_long",
+        )
+    )
+
+
+def _pq_fit_input(e):
+    """The trainer's input under the sampling rule — shared by the
+    fit-per-query serve and `annindex.ensure_pq_index` so the scratch
+    and indexed route twins stay row-identical at every scale."""
+    n = e.count()
+    fit_mod = _PQFIT_MOD if n > _PQFIT_THRESHOLD else 1
+    return e.filter(F.col("vec_id") % fit_mod == 0)
+
+
 _PQ_TRAINED_ORACLE = (
     "WITH "
-    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS)
+    + _pq_sampled_fit_ctes()
     + ",\n"
     + _pq_serve_sql()
 )
@@ -1606,7 +1654,9 @@ def _pq_trained_frame(t, shortlist=_PQ_SHORTLIST):
     e = t.embeddings
     M, SUB, K = _PQ_M, _PQ_SUB, _PQ_K
     books = npk.hydrate_codebooks(
-        kmeans.lloyd_fit_pq(e, n_sub=M, sub_dim=SUB, k=K, iters=_PQ_ITERS)
+        kmeans.lloyd_fit_pq(
+            _pq_fit_input(e), n_sub=M, sub_dim=SUB, k=K, iters=_PQ_ITERS
+        )
     )
     q = npk.hydrate_query(e)
     sqq = npk.self_norms_scaled(q[None, :])[0]
@@ -3992,7 +4042,7 @@ SELECT query_id, vec_id, cosine FROM (
 
 _PQ_MULTI_ORACLE = (
     "WITH "
-    + kmeans.pq_oracle_ctes(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS)
+    + _pq_sampled_fit_ctes()
     + ",\n"
     + _pq_serve_multi_sql([0, 1, 2])
 )
@@ -4200,11 +4250,6 @@ def sim_ann_sq8_multiquery(t):
 
 
 # ------------------------------------------------ combined IVF+PQ index ----
-
-from stream_processor_spark.operators.annindex import (  # noqa: E402
-    _PQFIT_MOD,
-    _PQFIT_THRESHOLD,
-)
 
 _IVFPQ_NPROBE = 3
 
