@@ -1546,3 +1546,79 @@ def join_asof_nearest(t):
             "value_nearest"
         ),
     )
+
+
+@register(
+    "window_hampel_outliers",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE abs(value - median(value) OVER w)
+                     > 3.0 * 1.4826 * (mad(value) OVER w) END AS is_outlier
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_hampel_outliers(t):
+    """Hampel filter over each user's trailing 5 events: flag a value
+    whose deviation from the rolling median exceeds 3·1.4826·MAD — the
+    robust outlier detector that, unlike z-scores, a single previous
+    spike cannot blind (both the center and the spread are medians).
+
+    Spark has neither windowed median nor MAD, so both derive from the
+    sorted 5-value frame array in two projections (the array and its
+    median materialize FIRST; the deviations transform then references
+    materialized columns — a higher-order lambda re-evaluates any
+    inlined expression per element). Median/MAD interpolation mirrors
+    DuckDB's quantile_cont order (lower + 0.5·(upper − lower)) so the
+    doubles agree bit-for-bit at the comparison boundary.
+
+    Scale: one window pass, 5-row bounded state, map-only afterwards."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+
+    def med_of(a):
+        n = F.size(a)
+        lo = F.element_at(a, (n / 2).cast("int"))
+        hi = F.element_at(a, (n / 2 + 1).cast("int"))
+        return (
+            F.when(n == 0, F.lit(None).cast("double"))
+            .when(n % 2 == 1, F.element_at(a, ((n + 1) / 2).cast("int")))
+            .otherwise(lo + (hi - lo) * 0.5)
+        )
+
+    staged = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.array_sort(F.collect_list(F.col("value")).over(w)).alias("__fr"),
+    ).withColumn("__med", med_of(F.col("__fr")))
+    staged = staged.withColumn(
+        "__mad",
+        med_of(
+            F.array_sort(
+                F.transform(
+                    F.col("__fr"), lambda x: F.abs(x - F.col("__med"))
+                )
+            )
+        ),
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("value").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(
+            F.abs(F.col("value") - F.col("__med"))
+            > 3.0 * 1.4826 * F.col("__mad")
+        )
+        .alias("is_outlier"),
+    )

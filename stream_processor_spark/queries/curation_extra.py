@@ -1553,3 +1553,40 @@ def sample_balanced_classes(t):
         .filter(F.col("rn") <= F.col("k"))
         .select("vec_id", F.col("label").cast("long").alias("label"))
     )
+
+
+@register(
+    "dq_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+           CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+)
+def dq_dup_rate_by_source(t):
+    """Per-source exact-duplicate profile: how much of each ingest
+    source is verbatim-repeated text — the triage number that decides
+    WHERE to point the dedup pass (a crawler with 40% dup_ppm gets
+    fixed at the source; a clean corpus skips the pass entirely).
+    Exact-integer output (counts + ppm integer division).
+
+    Scale: text never shuffles — the distinct runs on the md5
+    fingerprint (the `dedup_exact` convention), one grouped aggregate
+    keyed by (source, fingerprint) then by source."""
+    d = t.documents.filter(F.col("text").isNotNull())
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("dup_docs"),
+        F.expr(
+            "CAST((count(1) - count(DISTINCT md5(text))) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
