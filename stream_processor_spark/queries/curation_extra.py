@@ -1590,3 +1590,59 @@ def dq_dup_rate_by_source(t):
             " div count(1) AS BIGINT)"
         ).alias("dup_ppm"),
     )
+
+
+@register(
+    "agg_benford_profile",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS xc
+      FROM orders
+    ),
+    dig AS (
+      SELECT CAST(substr(CAST(xc AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents WHERE xc > 0
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+             AS obs_ppm,
+           CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS benford_ppm
+    FROM dig GROUP BY digit
+    """,
+)
+def agg_benford_profile(t):
+    """First-digit (Benford) profile of order totals — the classic DQ
+    screen for fabricated or truncated numeric columns: natural
+    multi-scale amounts follow P(d) = log10(1 + 1/d); a synthetic or
+    clipped column shows up as a flat or spiked digit histogram next to
+    the printed Benford expectation. (TPC-H totals are uniform-ish, so
+    THIS corpus visibly deviates — which is exactly what the gauge is
+    for.) Exact-integer observed ppm (integer division against the
+    window total); the expected ppm is the same constant-folded
+    round(log10·1e6) on both engines.
+
+    Scale: money fixed to cents int64 first (engine convention), one
+    9-group aggregate — a map-side-combined scan, nothing else."""
+    cents = t.orders.select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("xc")
+    ).filter(F.col("xc") > 0)
+    dig = cents.select(
+        F.substring(F.col("xc").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    from pyspark.sql.window import Window
+
+    counts = dig.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.select(
+        "digit",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 div SUM(n) OVER () AS BIGINT)"
+        ).alias("obs_ppm"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")) * 1000000)
+        .cast("long")
+        .alias("benford_ppm"),
+    )

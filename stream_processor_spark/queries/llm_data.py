@@ -4601,3 +4601,123 @@ def sim_ann_ivfpq_multiquery(t):
         nprobe=_IVFPQ_NPROBE,
         shortlist=_PQ_SHORTLIST,
     )
+
+
+# ------------------------------------------------- index quality report ----
+
+def _ivf_recall_oracle() -> str:
+    """Recall@10 of the IVF probe (nprobe=2) against brute force —
+    both pipelines replayed in one WITH chain: the IVF serve CTEs are
+    spliced up to `cand_terms`, its final SELECT re-expressed as a CTE,
+    and the brute-force leg computed over the full corpus with the same
+    exact-int cosine."""
+    body = _ivf_serve_sql(2)
+    head = body[: body.index("\nSELECT vec_id,")]
+    return (
+        "WITH "
+        + _IVF_CENT_SQL
+        + ",\n"
+        + head
+        + """,
+ivf_scored AS (
+  SELECT vec_id,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+  FROM cand_terms GROUP BY vec_id
+),
+ivf10 AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+    FROM ivf_scored) WHERE rn <= 10
+),
+brute_terms AS (
+  SELECT e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS p,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS aa,
+         CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                    * 1e16) AS BIGINT) AS qq
+  FROM embeddings e CROSS JOIN q CROSS JOIN generate_series(1, 64) AS i(i)
+),
+brute_scored AS (
+  SELECT vec_id,
+         CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+  FROM brute_terms GROUP BY vec_id
+),
+brute10 AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+    FROM brute_scored) WHERE rn <= 10
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+FROM ivf10 JOIN brute10 USING (vec_id)
+"""
+    )
+
+
+@register("sim_recall_report", oracle=_ivf_recall_oracle())
+def sim_recall_report(t):
+    """Index-quality monitoring AS an operator: recall@10 of the IVF
+    probe (nprobe=2) against exact brute force, for the standard query
+    (vec_id 0). One row: (hits, recall_at_10). This is the number an
+    ingest pipeline alerts on after index rebuilds — recall decay means
+    the quantizer has drifted from the corpus and `ensure_*` needs a
+    retrain; `tests/test_ann_quality.py` pins floors at fixture scale,
+    this makes the same measurement a runnable production probe.
+
+    Both legs are the engine's own deterministic pipelines (shared
+    kernels with `sim_ann_ivf` / `sim_topk`), so the oracle replays the
+    ENTIRE comparison — probe, brute force, and the intersection —
+    in one WITH chain.
+
+    Scale: the brute leg is the expensive half (one full scan); on a
+    real corpus, run it over a deterministic sample of queries and
+    vectors (the rule `_pq_fit_input` uses) — the report is an
+    estimate either way, the sample just makes it a cheap one."""
+    e = t.embeddings
+    cent_rows = kmeans._mean_update(
+        e.select("label", "embedding"), "label", "embedding"
+    )
+    ivf10 = _ivf_serve(e, cent_rows).select("vec_id")
+    brute10 = sim.topk_vs_query(e, _query_vec(t), k=10).select("vec_id")
+    return ivf10.join(brute10, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10"),
+    )
+
+
+@register(
+    "sample_hard_negatives",
+    oracle=sim.ORACLE_COSINE_CTE.format(query_filter="vec_id = 0", dim=64)
+    + """
+    SELECT CAST(rn AS BIGINT) AS neg_rank, vec_id, cosine FROM (
+      SELECT vec_id, cosine,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored) WHERE rn BETWEEN 11 AND 50
+    """,
+)
+def sample_hard_negatives(t):
+    """Hard-negative mining for retrieval/embedding training: for the
+    query (vec_id 0), the vectors ranked 11-50 by exact cosine — close
+    enough to be informative negatives, far enough to (probably) be
+    actual negatives; the contrastive-training counterpart of
+    `sim_topk` (whose top-10 would be positives/near-dups).
+
+    Scale: one TakeOrderedAndProject scan to rank 50 (no global sort),
+    then a 50-row window — per query the same cost as the top-k it
+    extends; at 100 TB serve the ranking leg from the IVF/PQ layouts
+    via the router, exactly as for positives."""
+    from pyspark.sql.window import Window
+
+    top50 = sim.topk_vs_query(t.embeddings, _query_vec(t), k=50)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        top50.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") >= 11)
+        .select("neg_rank", "vec_id", "cosine")
+    )
