@@ -144,6 +144,24 @@ def sim_ann_bucketed(t):
     )
 
 
+def _exact_pair_cosines(e, cand):
+    """Attach both embeddings to candidate pairs and score the exact
+    scaled-int cosine. The candidate frame REPARTITIONS first: AQE
+    coalesces the slim (id_a, id_b) shuffle to a handful of partitions,
+    which then serializes the expensive array joins + interpreted-HOF
+    cosine stage (the round-8 dedup_semantic lesson, re-measured in
+    round 9 on dedup_cc_clusters: 45 s -> ~16 s at sf10)."""
+    par = e.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(par, "id_a")
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -183,12 +201,8 @@ def dedup_embedding_cosine(t):
     """
     e = t.embeddings
     cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
+        _exact_pair_cosines(e, cand)
         .filter(F.col("cosine") > 0.35)
         .select(
             F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
@@ -2373,12 +2387,8 @@ def dedup_cc_clusters(t):
 
     e = t.embeddings
     cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
+        _exact_pair_cosines(e, cand)
         .filter(F.col("cosine") > 0.2)
         .select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
     )
