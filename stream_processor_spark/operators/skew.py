@@ -91,3 +91,46 @@ def salted_shuffle_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return probe.join(build, [key, "__salt"], how).drop("__salt")
+
+
+def auto_salted_join(
+    fact: DataFrame,
+    other: DataFrame,
+    key: str,
+    hot_threshold: int,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-ADAPTIVE fact-fact equi-join (round 9): detect the hot keys
+    at runtime and salt ONLY them, instead of paying salt_buckets×
+    build-side replication across the whole table the way a blanket
+    `salted_shuffle_join` does.
+
+    Phase 1 — detect: one map-side-combined count of fact rows per key;
+    keys above ``hot_threshold`` form the hot set (broadcast — by
+    definition of "hot" there are few of them; if the hot set were
+    large, the keys wouldn't be outliers and AQE's block-granular
+    skew split would already cope).
+    Phase 2 — split: both sides split hot/cold by a broadcast
+    semi/anti join (no shuffle). The cold majority joins normally; the
+    hot slice goes through the salted join, replicating only the hot
+    build rows.
+
+    Results are identical to the plain join for probe-side-preserving
+    join types (the `salted_shuffle_join` argument, applied per slice;
+    every fact row lands in exactly one slice), so the plain-join SQL
+    remains the oracle. This is the production middle ground the two
+    existing operators bracket: `replicate_broadcast_join` when the dim
+    fits memory, `salted_shuffle_join` when skew is so pervasive that
+    everything is hot."""
+    counts = fact.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    hot = counts.filter(F.col("__n") > hot_threshold).select(key)
+    fact_hot = fact.join(F.broadcast(hot), key, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot), key, "left_anti")
+    other_hot = other.join(F.broadcast(hot), key, "left_semi")
+    other_cold = other.join(F.broadcast(hot), key, "left_anti")
+    cold = fact_cold.join(other_cold, key, how)
+    hotj = salted_shuffle_join(
+        fact_hot, other_hot, key, salt_buckets=salt_buckets, how=how
+    )
+    return cold.unionByName(hotj)

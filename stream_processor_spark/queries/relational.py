@@ -596,3 +596,44 @@ def agg_percentile_exact(t):
         F.percentile("l_quantity", 0.75).alias("q75"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "join_salted_auto",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, p.n_events
+    FROM events e JOIN profile p USING (user_id)
+    """,
+)
+def join_salted_auto(t):
+    """Skew-ADAPTIVE join (operators/skew.py:auto_salted_join): count
+    fact rows per key at runtime, salt ONLY the keys above the hot
+    threshold (the busiest users here), and join the cold majority
+    normally — the production middle ground between broadcasting (dim
+    fits memory) and blanket salting (everything replicated 16×). The
+    hot threshold (75 events) genuinely splits this corpus, so BOTH
+    paths execute and the hash checks their union.
+
+    The oracle is the PLAIN join: per slice the salted join is
+    result-identical to the unsalted one and every fact row lands in
+    exactly one slice, so auto-salting can only reshape the shuffle,
+    never the answer.
+
+    Scale: one map-side-combined key count + a broadcast hot set +
+    one normal join over the cold ~everything + a salted join over the
+    hot sliver. At 100 TB this is what you reach for when ONE entity
+    (a bot user, a null-like default key) holds >1 shuffle block and
+    the build side is too big to broadcast."""
+    from stream_processor_spark.operators.skew import auto_salted_join
+
+    ev = t.events.select("event_id", "user_id")
+    profile = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return auto_salted_join(
+        ev, profile, key="user_id", hot_threshold=75, salt_buckets=8
+    ).select("event_id", "user_id", "n_events")
