@@ -132,3 +132,31 @@ def test_rolling_median_matches_pandas(spark):
     want = m["expect"].round(6)
     both_nan = got.isna() & want.isna()
     assert ((got == want) | both_nan).all()
+
+
+def test_bpe_vocab_roundtrip_both_trainers(spark):
+    """Lossless-merge invariant for BOTH BPE trainers: a word's final
+    symbol string, with piece separators and char markers stripped,
+    reconstructs the word exactly — any over-merge or pattern-anchoring
+    bug (the round-8 ADVICE '_t _h' prefix collision) breaks this for
+    some vocab row before it would show in piece counts."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.queries.llm_pipeline import (
+        _bpe_fit,
+        _bpe_fit_batched,
+    )
+
+    class _T:
+        pass
+
+    t = _T()
+    t._spark = spark
+    t._dir = SF_SMALL
+    t.documents = Tables(spark, SF_SMALL).documents
+    for fit in (_bpe_fit, _bpe_fit_batched):
+        _merges, vocab = fit(t)
+        bad = vocab.filter(
+            F.regexp_replace(F.regexp_replace(F.col("s"), " ", ""), "_", "")
+            != F.col("tok")
+        ).count()
+        assert bad == 0, fit.__name__
