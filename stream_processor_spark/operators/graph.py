@@ -49,15 +49,28 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
-    bidir = (
-        edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("u"))
-        .union(edges.select(F.col(dst_col).alias("v"), F.col(src_col).alias("u")))
-        .localCheckpoint(eager=True)
-    )
+    # materialize the edge frame ONCE before the two-direction union:
+    # the union's branches are separate consumers of the edges lineage,
+    # so an expensive upstream (LSH candidate generation + exact-cosine
+    # verify) would otherwise execute twice inside the bidir checkpoint
+    # (measured at sf10: dedup_cc_clusters 37 → ~21 s, the CC loop
+    # itself being only ~4 s / ~5 rounds on the shallow near-dup graph)
+    edges = edges.select(
+        F.col(src_col).alias("v"), F.col(dst_col).alias("u")
+    ).localCheckpoint(eager=True)
+    bidir = edges.union(
+        edges.select(F.col("u").alias("v"), F.col("v").alias("u"))
+    ).localCheckpoint(eager=True)
 
     prev_sum = None
     converged = False
     for _ in range(max_iter):
+        # plain min-label step. Pointer jumping (comp(v) ← comp(comp(v)))
+        # was measured at sf10 and REJECTED: near-dup graphs are shallow
+        # (5 rounds to fixpoint at 1M vertices), so the extra
+        # vertex-sized self-join per round costs more than the one round
+        # it saves (6.1 s vs 4.1 s loop total) — revisit only if a
+        # deep-diameter graph ever shows up here.
         msgs = bidir.join(labels, "v").select(F.col("u").alias("v"), "comp")
         labels = (
             labels.union(msgs)
