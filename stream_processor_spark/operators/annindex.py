@@ -104,8 +104,19 @@ def ensure_ivf_index(
     assigned = e.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, embedding array<float>, list_id long"
     )
+    # Re-cluster on list_id BEFORE the partitioned write: the build-
+    # parallelism repartition above otherwise makes EVERY writer task
+    # hold rows of EVERY list, fragmenting each list partition into
+    # n_tasks files (measured 32 files/list at sf0.1 = the round-9
+    # 3.1x serve regression on sim_ann_ivf_indexed — nprobe pruned
+    # reads paid nprobe*32 scan tasks instead of nprobe). Hash-
+    # clustering on list_id routes each list to exactly one writer =
+    # one file per list; the assign map still runs in the WIDE stage
+    # before this exchange, so build parallelism is unchanged. Reads
+    # stay parallel at any list size (parquet row-group splits).
     (
-        assigned.write.mode("overwrite")
+        assigned.repartition(F.col("list_id"))
+        .write.mode("overwrite")
         .partitionBy("list_id")
         .format("parquet")
         .saveAsTable(lists_name)
@@ -354,6 +365,9 @@ def ensure_ivf_trained_index(
         .mapInPandas(
             assign, schema="vec_id long, embedding array<float>, list_id long"
         )
+        # one file per list (see ensure_ivf_index): cluster on list_id
+        # after the wide assign stage, before the partitioned write
+        .repartition(F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .format("parquet")
@@ -800,6 +814,9 @@ def ensure_ivfpq_index(
         res.mapInPandas(
             encode, schema="vec_id long, codes array<long>, list_id long"
         )
+        # one file per list (see ensure_ivf_index): cluster on list_id
+        # after the wide encode stage, before the partitioned write
+        .repartition(F.col("list_id"))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .format("parquet")
