@@ -122,6 +122,53 @@ def sign_bands(a: Column, n_bands: int = 4, bits: int = 4) -> Column:
     return F.array(*bands)
 
 
+def _capped_bands(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    bits: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Exploded LSH band rows with the hot-bucket cap applied: each
+    (band_idx, band_key) bucket keeps its ``max_bucket`` smallest ids
+    (deterministic rank, one narrow-row window shuffle). Shared by the
+    quadratic pair join and the slim membership-id projection."""
+    bands = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.explode(sign_bands(F.col(vec_col), n_bands, bits)).alias("b"),
+    ).select("__id", "b.band_idx", "b.band_key")
+    w = Window.partitionBy("band_idx", "band_key").orderBy("__id")
+    return (
+        bands.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_bucket)
+        .drop("__rk")
+    )
+
+
+def capped_band_member_ids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    bits: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """The distinct ids that can appear in ANY banded candidate pair —
+    exactly the capped band membership, structurally bounded at
+    ``n_bands * 2^bits * max_bucket`` rows (16,384 at the defaults) at
+    any corpus size. Computable WITHOUT the quadratic self-join, so the
+    exact-verify stage can bound (and broadcast) its embedding fetch
+    without re-executing pair generation (round 10: kills the two
+    full-table embedding-attach shuffles that dominated
+    dedup_cc_clusters at sf10)."""
+    return (
+        _capped_bands(embeddings, id_col, vec_col, n_bands, bits, max_bucket)
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+
+
 def banded_candidate_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -151,18 +198,7 @@ def banded_candidate_pairs(
     band_dedup cap; production tunes ``bits`` up (more, smaller
     buckets — dim permitting) before relying on the cap.
     """
-    bands = embeddings.select(
-        F.col(id_col).alias("__id"),
-        F.explode(sign_bands(F.col(vec_col), n_bands, bits)).alias("b"),
-    ).select("__id", "b.band_idx", "b.band_key")
-    w = (
-        Window.partitionBy("band_idx", "band_key").orderBy("__id")
-    )
-    bands = (
-        bands.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= max_bucket)
-        .drop("__rk")
-    )
+    bands = _capped_bands(embeddings, id_col, vec_col, n_bands, bits, max_bucket)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(

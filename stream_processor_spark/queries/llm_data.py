@@ -144,22 +144,88 @@ def sim_ann_bucketed(t):
     )
 
 
-def _exact_pair_cosines(e, cand):
-    """Attach both embeddings to candidate pairs and score the exact
-    scaled-int cosine. The candidate frame REPARTITIONS first: AQE
-    coalesces the slim (id_a, id_b) shuffle to a handful of partitions,
-    which then serializes the expensive array joins + interpreted-HOF
-    cosine stage (the round-8 dedup_semantic lesson, re-measured in
-    round 9 on dedup_cc_clusters: 45 s -> ~16 s at sf10)."""
-    par = e.sparkSession.sparkContext.defaultParallelism
-    cand = cand.repartition(par, "id_a")
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cosine", sim.cosine(F.col("ea"), F.col("eb")))
+def _exact_pair_cosines(e, cand, cand_ids=None):
+    """Score candidate pairs with the exact scaled-int cosine — WITHOUT
+    ever attaching (or shuffling) an embedding array to a pair row.
+
+    The candidates come from capped banded LSH, so the DISTINCT ids that
+    can appear in any pair are structurally bounded at
+    ``n_bands * 2^bits * max_bucket`` (16,384 at the defaults, 4,489
+    measured at sf10's 1M vectors) at ANY corpus size — the hot-bucket
+    cap keeps only that many band members. Round 9 attached embeddings
+    with two full-table shuffle joins and scored with the interpreted
+    zip_with/aggregate fold; a round-10 same-session profile showed the
+    INTERPRETED FOLD over ~1.9M pairs, not the shuffles, was the 15 s
+    residual at sf10 (a broadcast-attach variant with the same HOF
+    scored in the same 17.5 s). So the fix is the `npkernel` pattern
+    already carrying IVF rerank: hydrate the bounded (vec_id, embedding)
+    set driver-side (<= 16k rows, ~4 MiB — model-sized, the
+    KMeansModel.clusterCenters discipline), ship it in the task closure,
+    and score the SLIM (id_a, id_b) pair frame in one vectorized
+    Arrow-batched pass (`round_half_up((a*b)*1e16)` summed as int64 —
+    bit-identical to the JVM fold and the DuckDB oracle, pinned in
+    tests/test_npkernel.py).
+
+    ``cand_ids``: slim one-column (vec_id) frame bounding the ids in
+    ``cand`` — callers pass the capped band membership
+    (`sim.capped_band_member_ids`, computable WITHOUT the quadratic
+    self-join); derived from ``cand`` itself when omitted. A superset is
+    harmless (lookup rows that never appear in a pair are dead weight,
+    nothing more).
+
+    The candidate frame still REPARTITIONS first: AQE coalesces the slim
+    (id_a, id_b) shuffle to a handful of partitions, which would
+    serialize the scoring stage (the round-8 dedup_semantic lesson).
+
+    Returns (id_a, id_b, cosine)."""
+    import numpy as np
+
+    from stream_processor_spark.operators import npkernel as npk
+
+    spark = e.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    cand = cand.select("id_a", "id_b").repartition(par, "id_a")
+    if cand_ids is None:
+        cand_ids = (
+            cand.select(F.col("id_a").alias("vec_id"))
+            .union(cand.select(F.col("id_b").alias("vec_id")))
+            .distinct()
+        )
+    # bounded hydration: one corpus scan, broadcast-filtered map-side
+    rows = (
+        e.join(F.broadcast(cand_ids.select("vec_id")), "vec_id")
+        .select("vec_id", "embedding")
+        .collect()
     )
+    out_schema = "id_a long, id_b long, cosine double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    E = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, E = ids[order], E[order]
+    sxx = npk.self_norms_scaled(E)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ia = np.searchsorted(ids, pdf["id_a"].to_numpy())
+            ib = np.searchsorted(ids, pdf["id_b"].to_numpy())
+            A, B = E[ia], E[ib]
+            p = npk.round_half_up((A * B) * npk.SCALE).sum(axis=-1)
+            cos = npk.cosine_from_scaled(p, sxx[ia], sxx[ib])
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "cosine": cos,
+                }
+            )
+
+    return cand.mapInPandas(score, schema=out_schema)
 
 
 @register(
@@ -201,8 +267,9 @@ def dedup_embedding_cosine(t):
     """
     e = t.embeddings
     cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
+    cids = sim.capped_band_member_ids(e, n_bands=4, bits=4)
     return (
-        _exact_pair_cosines(e, cand)
+        _exact_pair_cosines(e, cand, cand_ids=cids)
         .filter(F.col("cosine") > 0.35)
         .select(
             F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
@@ -2387,8 +2454,9 @@ def dedup_cc_clusters(t):
 
     e = t.embeddings
     cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
+    cids = sim.capped_band_member_ids(e, n_bands=4, bits=4)
     pairs = (
-        _exact_pair_cosines(e, cand)
+        _exact_pair_cosines(e, cand, cand_ids=cids)
         .filter(F.col("cosine") > 0.2)
         .select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
     )
