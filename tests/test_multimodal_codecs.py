@@ -69,8 +69,12 @@ def test_decode_dispatch_and_unsupported_formats():
     np.testing.assert_array_equal(
         mm.decode_image_bytes(mm.encode_ppm(img)), img
     )
+    np.testing.assert_array_equal(
+        mm.decode_image_bytes(mm.encode_png(img)), img
+    )
+    # JPEG magic: honestly gated (libjpeg absent)
     with pytest.raises(NotImplementedError, match="unsupported image format"):
-        mm.decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+        mm.decode_image_bytes(b"\xff\xd8\xff\xe0....")
     # BMP container but a sub-format needing a real library
     bad = bytearray(mm.encode_bmp(img))
     bad[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP
@@ -109,3 +113,33 @@ def test_decode_image_dataframe_null_payload(spark):
     assert rows[1].height == img.shape[0]
     assert rows[1].sum_r == int(img[:, :, 0].sum())
     assert rows[2].height is None and rows[2].sum_r is None
+
+
+@pytest.mark.parametrize("w", [1, 3, 5, 8])
+@pytest.mark.parametrize("h", [1, 5, 11])
+def test_png_roundtrip_all_filters(h, w):
+    """Round-10 real PNG decode: the cycling encoder assigns row r
+    filter r % 5, so any h >= 5 image exercises every scanline filter
+    (None/Sub/Up/Average/Paeth); byte-exact round trip required."""
+    img = _rand_img(h, w, seed=h * 100 + w)
+    raw = mm.encode_png(img)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    np.testing.assert_array_equal(mm.decode_png(raw), img)
+    # filter-0-only stream decodes identically
+    np.testing.assert_array_equal(
+        mm.decode_png(mm.encode_png(img, filter_mode="none")), img
+    )
+
+
+def test_png_unsupported_profiles_and_corruption():
+    img = _rand_img(4, 4, seed=9)
+    raw = bytearray(mm.encode_png(img))
+    # IHDR begins at offset 16 (sig 8 + len 4 + tag 4); color type is
+    # IHDR byte 9 -> flip RGB(2) to RGBA(6)
+    raw[16 + 9] = 6
+    with pytest.raises(NotImplementedError, match="truecolor"):
+        mm.decode_png(bytes(raw))
+    with pytest.raises(ValueError, match="missing IHDR"):
+        mm.decode_png(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"NOPE")
