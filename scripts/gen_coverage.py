@@ -74,18 +74,27 @@ knowing two names (`tests/test_router.py` pins both directions):
 
 {routes_table}
 
-### Teaching entries (reclassified round 7)
+### Teaching entries (reclassified rounds 7 and 10)
 
-Five entries exist to DEMONSTRATE the shuffle-era / decimal cost their
+Six entries exist to DEMONSTRATE the shuffle-era / decimal cost their
 registered twins eliminate, and are documented teaching entries rather
 than performance claims: `tpch_q9_shape`, `tpch_q21_shape`,
 `join_star_3way`, `join_star_5way` (per-query fact-fact exchange — the
 round-7 knob matrix over SMJ/shuffled-hash x AQE-skew x partitions,
 docs/SF10_STRAGGLERS_r7.json, bottoms out at 3.1x/3.4x DuckDB at sf10;
-the bucketed twins measure 0.93x-1.51x) and `agg_groupby_decimal`
+the bucketed twins measure 0.93x-1.51x), `agg_groupby_decimal`
 (decimal aggregation off the codegen path; `agg_groupby_wide` is the
-0.99x exact answer). The router resolves each to its fast twin when
-the layout exists — the correctness oracles still hash-check all five.
+0.99x exact answer), and — round 10 — `dq_referential_integrity`
+(layout-free FK audit: the dense 60M⋈15M left-outer probe is
+join-bound with EVERY alternative now measured and falsified — the
+key-count rewrite ~2x slower (docs/SF10_FK_AUDIT_r9.json) and the
+runtime bloom-filter join never injects: the probe is the PRESERVED
+side of an outer join and there is no selective build-side predicate,
+and with zero orphans every probe row would pass any filter anyway
+(docs/SF10_FK_BLOOM_r10.json: conf on/off identical plans, layout-free
+~4.2x same-run DuckDB; the routed `dq_referential_integrity_bucketed`
+is 1.8x)). The router resolves each to its fast twin when the layout
+exists — the correctness oracles still hash-check all six.
 
 Round 9 pinned the `tpch_q9_shape` scan floor with a same-day record
 (docs/SF10_Q9_FLOOR_r9.json, regenerate with
