@@ -316,18 +316,25 @@ def minhash_pairs_from_index(
     ``dedup_replays`` heals byte-identical rows left by redelivered
     appends (the at-least-once contract shared with
     `postings.query_bm25_from_postings`): band duplicates are absorbed
-    by the candidate `distinct` already; hset duplicates would fan out
-    the verify join, so the hset side drops duplicate doc_ids — a
-    per-bucket aggregate on the table's own bucket/sort key, no
-    exchange."""
+    by the candidate `distinct` already — but they must ALSO not count
+    toward the hot-bucket guard, which sizes buckets on DISTINCT docs
+    (round-10 ADVICE: raw row counts let a replayed append inflate a
+    bucket past ``max_bucket_size`` and silently drop its pairs vs a
+    full rebuild; countDistinct is the same per-bucket aggregate on the
+    table's own bucket/sort key). hset duplicates would fan out the
+    verify join, so the hset side drops duplicate doc_ids."""
     bands = spark.table(bands_name)
     hs = spark.table(hset_name)
     if dedup_replays:
         hs = hs.dropDuplicates(["doc_id"])
     if max_bucket_size is not None:
+        size_agg = (
+            F.countDistinct("doc_id") if dedup_replays
+            else F.count(F.lit(1))
+        )
         sizes = (
             bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("__bn"))
+            .agg(size_agg.alias("__bn"))
             .filter(F.col("__bn") <= max_bucket_size)
             .drop("__bn")
         )

@@ -127,27 +127,55 @@ def _file_stats(spark: SparkSession, files: list[str], key: str) -> DataFrame:
     )
 
 
-# Zonemaps verified consistent this process, keyed by
-# (applicationId, data_name, map_name). Lookups skip the repair probe
+# Zonemaps verified consistent this process: memo key
+# (applicationId, data_name, map_name) -> the DATA-directory snapshot
+# (file count, max mtime, total bytes from ONE Hadoop listStatus) the
+# manifest was last verified against. Lookups skip the full repair probe
 # (refreshTable + inputFiles + manifest collect = a fixed latency tax on
-# the point-lookup serve path — round-8 ADVICE) once a reconcile has
-# run; maintenance ops invalidate their entry. A fresh process (the
-# crash-recovery case the probe exists for) starts with an empty memo,
-# so the FIRST lookup after a crash still heals.
-_RECONCILED: set = set()
+# the point-lookup serve path — round-8 ADVICE) while the snapshot still
+# matches; a changed snapshot — including appends from ANOTHER process
+# sharing the warehouse, the round-9 ADVICE gap where a memo keyed only
+# by (applicationId, table) served stale pruned file lists until restart
+# — re-runs the reconcile. The listStatus is one FS metadata call (no
+# Spark job, no file-footer reads), so the steady-state lookup tax the
+# round-8 fix removed stays removed. A fresh process (the crash-recovery
+# case the probe exists for) starts with an empty memo, so the FIRST
+# lookup after a crash still heals.
+_RECONCILED: dict = {}
 
 
 def _memo_key(spark: SparkSession, data_name: str, map_name: str) -> tuple:
     return (spark.sparkContext.applicationId, data_name, map_name)
 
 
+def _dir_snapshot(spark: SparkSession, table_name: str) -> tuple:
+    """(file count, max mtime, total bytes) of a managed table's
+    warehouse directory — one Hadoop FileSystem listStatus, correct on
+    HDFS/S3A/GCS as well as file:// (the `drop_warehouse_dir`
+    rationale). Any append/compact/swap changes at least one component."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table_name)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return (0, 0, 0)
+    n = mt = ln = 0
+    for st in fs.listStatus(jpath):
+        n += 1
+        mt = max(mt, st.getModificationTime())
+        ln += st.getLen()
+    return (n, mt, ln)
+
+
 def reconcile_zonemap_once(
     spark: SparkSession, data_name: str, map_name: str, key: str
 ) -> int:
-    """Steady-state guard for the lookup path: full reconcile the first
-    time a (session, table) pair is seen, no-op afterwards."""
+    """Steady-state guard for the lookup path: full reconcile when the
+    (session, table) pair is new OR the data directory changed since
+    the last verification (cross-process appends included), no-op
+    otherwise."""
     mk = _memo_key(spark, data_name, map_name)
-    if mk in _RECONCILED:
+    if _RECONCILED.get(mk) == _dir_snapshot(spark, data_name):
         return 0
     return reconcile_zonemap(spark, data_name, map_name, key)
 
@@ -173,6 +201,10 @@ def reconcile_zonemap(
 
     Returns the number of manifest rows added (wholesale rebuild counts
     every live file)."""
+    mk = _memo_key(spark, data_name, map_name)
+    # snapshot BEFORE the probe: a concurrent append racing this
+    # reconcile then mismatches on the next lookup and heals there
+    snap = _dir_snapshot(spark, data_name)
     spark.catalog.refreshTable(data_name)
     actual = {_canon(f): f for f in spark.table(data_name).inputFiles()}
     have = {_canon(r["path"]) for r in manifest_rows(spark, map_name)}
@@ -181,16 +213,16 @@ def reconcile_zonemap(
         stats = _file_stats(spark, sorted(actual.values()), key).localCheckpoint()
         stats.write.mode("overwrite").format("parquet").saveAsTable(map_name)
         spark.catalog.refreshTable(map_name)
-        _RECONCILED.add(_memo_key(spark, data_name, map_name))
+        _RECONCILED[mk] = snap
         return len(actual)
     if not missing:
-        _RECONCILED.add(_memo_key(spark, data_name, map_name))
+        _RECONCILED[mk] = snap
         return 0
     new_rows = _file_stats(spark, missing, key)
     n = new_rows.count()
     new_rows.write.mode("append").format("parquet").insertInto(map_name)
     spark.catalog.refreshTable(map_name)
-    _RECONCILED.add(_memo_key(spark, data_name, map_name))
+    _RECONCILED[mk] = snap
     return n
 
 
@@ -275,21 +307,25 @@ def append_zonemap(
     that restores one-zone-per-lookup pruning power. Returns the number
     of manifest rows added."""
     data_name, map_name = ensure_zonemap(spark, sf_dir, table=table, key=key)
-    _RECONCILED.discard(_memo_key(spark, data_name, map_name))
+    mk = _memo_key(spark, data_name, map_name)
+    _RECONCILED.pop(mk, None)
     spark.catalog.refreshTable(data_name)
     before = {r["path"] for r in manifest_rows(spark, map_name)}
     batch.write.mode("append").format("parquet").saveAsTable(data_name)
     spark.catalog.refreshTable(data_name)
+    # snapshot after OUR append lands; a racing foreign append after
+    # this point mismatches on the next lookup and heals there
+    snap = _dir_snapshot(spark, data_name)
     after = set(spark.table(data_name).inputFiles())
     new_files = sorted(after - before)
     if not new_files:
-        _RECONCILED.add(_memo_key(spark, data_name, map_name))
+        _RECONCILED[mk] = snap
         return 0
     new_rows = _file_stats(spark, new_files, key)
     n = new_rows.count()
     new_rows.write.mode("append").format("parquet").insertInto(map_name)
     spark.catalog.refreshTable(map_name)
-    _RECONCILED.add(_memo_key(spark, data_name, map_name))
+    _RECONCILED[mk] = snap
     return n
 
 
@@ -319,7 +355,8 @@ def recluster_zonemap(
     )
 
     data_name, map_name = zonemap_names(sf_dir, table, key)
-    _RECONCILED.discard(_memo_key(spark, data_name, map_name))
+    mk = _memo_key(spark, data_name, map_name)
+    _RECONCILED.pop(mk, None)
     staged = f"{data_name}__staged"
     recover_swap(spark, data_name, staged)
     spark.catalog.refreshTable(data_name)
@@ -340,5 +377,5 @@ def recluster_zonemap(
     ).localCheckpoint()
     manifest.write.mode("overwrite").format("parquet").saveAsTable(map_name)
     spark.catalog.refreshTable(map_name)
-    _RECONCILED.add(_memo_key(spark, data_name, map_name))
+    _RECONCILED[mk] = _dir_snapshot(spark, data_name)
     return data_name, map_name

@@ -600,3 +600,53 @@ def test_ivf_build_writes_one_file_per_list(spark, tmp_path):
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, (table, part, files)
+
+
+def test_minhash_replay_does_not_inflate_hot_bucket_guard(spark, tmp_path):
+    """Round-10 ADVICE: the hot-bucket guard must size buckets on
+    DISTINCT docs when healing replays — raw band-row counts let a
+    replayed append double a bucket's apparent size past
+    max_bucket_size and silently drop its pairs vs a full rebuild.
+    Construct a bucket exactly AT the cap (identical texts share every
+    band), replay the append, and require the served pairs to still
+    equal the fresh rebuild's."""
+    from stream_processor_spark.operators.dedup import (
+        append_minhash_index,
+        ensure_minhash_index,
+        minhash_pairs_from_index,
+    )
+
+    n = 10  # bucket size == cap: any replay inflation would drop it
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    a_dir = tmp_path / "hot_a"
+    full_dir = tmp_path / "hot_full"
+    a_dir.mkdir(), full_dir.mkdir()
+    rows = [(i, text) for i in range(n)]
+    spark.createDataFrame(rows[: n // 2], "doc_id long, text string").write.parquet(
+        str(a_dir / "documents.parquet")
+    )
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(full_dir / "documents.parquet")
+    )
+
+    bands_a, hset_a = ensure_minhash_index(spark, str(a_dir))
+    new_docs = spark.createDataFrame(
+        rows[n // 2 :], "doc_id long, text string"
+    )
+    append_minhash_index(spark, bands_a, hset_a, new_docs)
+    # foreachBatch retry: the SAME batch lands twice (byte-identical)
+    append_minhash_index(spark, bands_a, hset_a, new_docs)
+
+    bands_f, hset_f = ensure_minhash_index(spark, str(full_dir))
+
+    def pairs(b, h):
+        return sorted(
+            (r.doc_a, r.doc_b)
+            for r in minhash_pairs_from_index(
+                spark, b, h, max_bucket_size=n
+            ).collect()
+        )
+
+    want = pairs(bands_f, hset_f)
+    assert len(want) == n * (n - 1) // 2  # identical docs: all pairs
+    assert pairs(bands_a, hset_a) == want

@@ -60,3 +60,43 @@ def test_packed_repeated_scalars_raise():
     )
     with pytest.raises(NotImplementedError, match="packed"):
         Outer().ParseFromString(bytes(packed))
+
+
+def test_pure_read_does_not_change_equality_or_wire():
+    """Round-10 ADVICE: auto-vivifying a sub-message (or repeated list)
+    on a PURE READ must not make two semantically identical messages
+    unequal, and must not emit the field on the wire — while an
+    EXPLICITLY assigned empty sub-message keeps real presence (the
+    oneof Exists() case: the tag itself carries the information) and a
+    vivified-then-MUTATED one still counts everywhere."""
+    reg = _classes()
+    Outer, Sub = reg[".t.Outer"], reg[".t.Sub"]
+    a, b = Outer(), Outer()
+    assert a == b
+    wire_before = a.SerializeToString()
+
+    _ = a.sub          # read-only touch: vivifies + caches
+    _ = a.nums         # same for the repeated field
+    assert a == b and b == a                      # equality unaffected
+    assert a.SerializeToString() == wire_before   # wire unaffected
+    # nested pure read inside the vivified sub stays effectively empty
+    assert a._effective_values() == {}
+
+    # explicit assignment of an EMPTY sub-message = presence
+    a.sub = Sub()
+    assert a != b
+    assert a.SerializeToString() != wire_before   # tag emitted
+
+    # vivified then MUTATED = real content, counts everywhere
+    c = Outer()
+    c.sub.x = 7
+    assert c != Outer()
+    assert c.SerializeToString() != wire_before
+    c2 = Outer()
+    c2.ParseFromString(c.SerializeToString())
+    assert c2.sub.x == 7 and c2 == c
+
+    # vivified repeated list that GAINS an element counts too
+    d = Outer()
+    d.nums.append(4)
+    assert d != Outer() and d.SerializeToString() != wire_before

@@ -186,3 +186,36 @@ def test_reconcile_rebuilds_on_dead_manifest_paths(spark, sf_dir):
     assert sum(
         r["rows"] for r in zm.manifest_rows(spark, m_name)
     ) == spark.table(d_name).count()
+
+
+def test_foreign_append_invalidates_memo_snapshot(spark, sf_dir):
+    """Round-10 ADVICE: the reconcile memo is keyed by a DATA-directory
+    snapshot, so appends from ANOTHER process sharing the warehouse
+    (modeled here by appending to the managed table after a lookup has
+    already populated the memo, with NO in-process invalidation) are
+    detected and healed on the next lookup — previously the memo served
+    stale pruned file lists until restart."""
+    zm.ensure_zonemap(spark, sf_dir, table="orders", key="o_orderkey")
+    d_name, m_name = zm.zonemap_names(sf_dir, "orders", "o_orderkey")
+
+    # populate the memo: steady-state lookup path
+    assert zm.lookup_by_keys(
+        spark, sf_dir, [1], table="orders", key="o_orderkey"
+    ).count() == 1
+    mk = zm._memo_key(spark, d_name, m_name)
+    assert mk in zm._RECONCILED
+
+    # 'another process' appends: direct table write, memo NOT touched
+    batch = (
+        spark.table(d_name)
+        .limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 7_000_000)
+    )
+    keys = [r["o_orderkey"] for r in batch.select("o_orderkey").collect()]
+    batch.write.mode("append").format("parquet").saveAsTable(d_name)
+    assert mk in zm._RECONCILED  # no in-process invalidation happened
+
+    got = zm.lookup_by_keys(
+        spark, sf_dir, keys, table="orders", key="o_orderkey"
+    )
+    assert got.count() == 3  # snapshot mismatch -> reconcile -> healed
