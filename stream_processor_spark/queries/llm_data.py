@@ -1204,26 +1204,62 @@ def sim_centroids(t):
     """Per-label centroid vectors (semantic-dedup / IVF training building
     block), as (label, pos, component) rows.
 
-    Fixed-point int64 accumulation per dimension → bit-deterministic means
-    under any partitioning. One explode + one shuffle on (label, pos); at
-    100 TB the explode factor (×dim) is traded against exact parallel
-    reduction — the standard centroid shape.
+    Fixed-point int64 accumulation per dimension → bit-deterministic
+    means under any partitioning. Round 10 replaced the ×dim posexplode
+    (6.4M codegen rows through a decimal hash aggregate at sf0.1; one
+    of the two chronic >2× compare-run residents) with the `npkernel`
+    partial-sum pass: each Arrow batch computes per-label per-dimension
+    EXACT column sums (`round_half_up(v*1e16)` int64, block-summed in
+    ≤512-row chunks — each chunk bounded at 512·1e16 < 2^63 — and
+    accumulated into arbitrary-precision Python ints, emitted as
+    DECIMAL(38,0) partials), so the shuffle carries labels×dim partial
+    rows per task instead of rows×dim exploded terms. The final
+    decimal sum and single division are the same exact operands as
+    before — bit-identical to the oracle at any scale.
     """
-    e = t.embeddings.select(
-        "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    import numpy as np
+
+    from stream_processor_spark.operators import npkernel as npk
+
+    def partials(batches):
+        from decimal import Decimal
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = npk.stack_embeddings(pdf["embedding"])
+            SV = npk.round_half_up(E * npk.SCALE)
+            labs = pdf["label"].to_numpy()
+            recs = []
+            for lab in np.unique(labs):
+                M = SV[labs == lab]
+                tot = [0] * M.shape[1]
+                for i in range(0, M.shape[0], 512):
+                    c = M[i : i + 512].sum(axis=0)  # ≤512·1e16: no overflow
+                    tot = [a + int(b) for a, b in zip(tot, c)]
+                n = int(M.shape[0])
+                recs.extend(
+                    (int(lab), p + 1, Decimal(s), n)
+                    for p, s in enumerate(tot)
+                )
+            yield pd.DataFrame(
+                recs, columns=["label", "pos", "psum", "n"]
+            )
+
+    part = sim.fan_out(t.embeddings.select("label", "embedding")).mapInPandas(
+        partials, schema="label long, pos int, psum decimal(38,0), n long"
     )
-    scaled = F.round(F.col("v").cast("double") * F.lit(1e16), 0).cast("long")
     return (
-        e.select("label", (F.col("pos0") + 1).alias("pos"), scaled.alias("sv"))
-        .groupBy("label", "pos")
+        part.groupBy("label", "pos")
         .agg(
             (
-                # DECIMAL(38,0) sum: exact and overflow-proof for any
-                # group size (int64 would overflow past ~900 worst-case
-                # rows per group at the 1e16 scale); the single division
-                # rounds the same exact operand → engine-identical
-                F.sum(F.col("sv").cast("decimal(38,0)")).cast("double")
-                / (F.lit(1e16) * F.count(F.lit(1)))
+                # DECIMAL(38,0) sum of exact integer partials; the
+                # single division rounds the same exact operand the
+                # explode form produced → engine-identical
+                F.sum("psum").cast("double")
+                / (F.lit(1e16) * F.sum("n"))
             ).alias("centroid_component")
         )
     )
