@@ -619,3 +619,167 @@ def ahash_image(
             )
 
     return df.select(id_col, payload_col).mapInPandas(gen, schema=AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------- WAV/PCM ----
+#
+# Round-10: REAL audio decode with no external codec — RIFF/WAVE PCM is
+# a pure container format (headers + raw little-endian samples), fully
+# parseable with stdlib struct arithmetic + numpy, exactly like BMP/PPM
+# on the image side. Supports the canonical profile (PCM format 1,
+# 16-bit, any channel count / sample rate). Compressed audio (MP3/AAC/
+# Opus) stays honestly gated — entropy codecs need real libraries.
+
+
+def encode_wav(samples, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Encode an int16 sample array (frames × channels, interleaved) as
+    a PCM16 RIFF/WAVE file. Pure stdlib + numpy."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    n_bytes = a.size * 2
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    hdr = (
+        b"RIFF"
+        + (36 + n_bytes).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")           # bits per sample
+        + b"data"
+        + n_bytes.to_bytes(4, "little")
+    )
+    return hdr + a.tobytes()
+
+
+def decode_wav(raw: bytes):
+    """Decode a PCM16 RIFF/WAVE payload → (sample_rate, channels,
+    int16 numpy array of interleaved samples). Walks the chunk list
+    (fmt may be followed by LIST/fact chunks before data — the spec's
+    layout, not an assumption about byte offsets)."""
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, fmt = 12, None, None, None, None
+    data = None
+    while pos + 8 <= len(raw):
+        tag = raw[pos : pos + 4]
+        ln = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+        body = raw[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV supported (format {fmt}, {bits}-bit) — "
+            "compressed audio needs a real codec library"
+        )
+    return rate, channels, np.frombuffer(data, dtype="<i2").copy()
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, n_samples long, "
+    "sum_abs long, peak long, zero_crossings long"
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode over a binary column: parse each PCM16 WAV
+    payload and emit integer-exact sample statistics — rate, channels,
+    sample count, sum(|s|), peak |s|, and zero crossings (sign flips
+    between consecutive samples, zeros keeping the previous sign). All
+    int64 — no float path — so the encode→binary→decode→stats round
+    trip hash-checks against a closed-form fixture oracle, the
+    `decode_image` discipline applied to audio. NULL payload → NULL
+    stats (SQL semantics)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    recs.append((doc_id,) + (None,) * 6)
+                    continue
+                rate, ch, s = decode_wav(bytes(payload))
+                a = s.astype(np.int64)
+                # sign with zeros inheriting the previous sign: a zero
+                # sample never creates a crossing by itself
+                sg = np.sign(a)
+                prev = 1
+                for i in range(sg.size):  # small fixture arrays; a real
+                    if sg[i] == 0:        # corpus vectorizes this with
+                        sg[i] = prev      # np.where over ffill — same math
+                    else:
+                        prev = sg[i]
+                zc = int((sg[1:] != sg[:-1]).sum()) if sg.size > 1 else 0
+                recs.append(
+                    (
+                        doc_id,
+                        rate,
+                        ch,
+                        int(a.size),
+                        int(np.abs(a).sum()),
+                        int(np.abs(a).max()) if a.size else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "sum_abs", "peak", "zero_crossings",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+# Deterministic audio fixture: sample(d, i) from the same pinned LCG as
+# the image fixture, mapped to int16 via (v % 2001) - 1000 — closed form,
+# so a SQL oracle recomputes the stats without parsing WAV bytes.
+_AUD_N_BASE, _AUD_N_MOD = 40, 17  # n_samples = 40 + doc_id % 17
+
+
+def audio_fixture_samples(doc_id: int):
+    import numpy as np
+
+    n = _AUD_N_BASE + doc_id % _AUD_N_MOD
+    idx = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE + np.arange(
+        n, dtype=np.int64
+    )
+    v = (_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M
+    return ((v % 2001) - 1000).astype(np.int16)
+
+
+def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL PCM16 WAV binary payload per row from the
+    deterministic fixture formula (16 kHz mono)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def gen_wav(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: encode_wav(audio_fixture_samples(int(d)))
+        )
+
+    return df.withColumn("payload", gen_wav(F.col(id_col)))

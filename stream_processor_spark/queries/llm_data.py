@@ -4857,3 +4857,66 @@ def sample_hard_negatives(t):
         .filter(F.col("neg_rank") >= 11)
         .select("neg_rank", "vec_id", "cosine")
     )
+
+
+@register(
+    "multimodal_wav_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 40 + doc_id % 17 AS n FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, i.i,
+             (((1103515245 * ((d.doc_id % 100000) * 4096 + i.i) + 12345)
+               % 2147483648) % 2001) - 1000 AS v
+      FROM d, range(0, 57) i(i) WHERE i.i < d.n
+    ),
+    sg AS (
+      SELECT doc_id, i, v,
+             COALESCE(
+               last_value(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1) AS sgn
+      FROM s
+    ),
+    zc AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM (
+        SELECT doc_id, sgn,
+               lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev_sgn
+        FROM sg
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           z.zero_crossings
+    FROM s JOIN zc z USING (doc_id)
+    GROUP BY s.doc_id, z.zero_crossings
+    """,
+)
+def multimodal_wav_stats(t):
+    """REAL audio decode, hash-verified end to end (round 10): every
+    document gets a deterministic PCM16 RIFF/WAVE payload (samples from
+    the engine's pinned LCG, lengths 40..56 so chunk parsing sees varied
+    data sizes), the engine decodes the actual WAV bytes — RIFF chunk
+    walk, fmt validation, little-endian int16 samples
+    (operators/multimodal.py:decode_wav) — and emits integer-exact
+    audio statistics (sum |s|, peak, zero crossings with zeros
+    inheriting the previous sign). The oracle recomputes the same
+    statistics from the closed-form sample formula without seeing the
+    bytes, so a hash match proves the container round trip byte-perfect.
+    Compressed audio (MP3/AAC/Opus) stays honestly gated — entropy
+    codecs need real libraries; PCM is the training-corpus landing
+    format this engine would actually scan. Scale: one Arrow crossing,
+    map-only, stats fold inside the batch."""
+    return mm.decode_audio(
+        mm.attach_audio_payload(t.documents.select("doc_id"))
+    )

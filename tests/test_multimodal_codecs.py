@@ -143,3 +143,50 @@ def test_png_unsupported_profiles_and_corruption():
         mm.decode_png(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError, match="not a PNG"):
         mm.decode_png(b"NOPE")
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """Round-10 real WAV/PCM decode: byte-exact sample round trip, and
+    the chunk walk must skip non-data chunks (LIST metadata between fmt
+    and data — the spec's layout) and odd-length word alignment."""
+    s = (np.arange(-50, 50, dtype=np.int16) * 137).astype(np.int16)
+    raw = mm.encode_wav(s, sample_rate=8000)
+    rate, ch, back = mm.decode_wav(raw)
+    assert (rate, ch) == (8000, 1)
+    np.testing.assert_array_equal(back, s)
+
+    # splice a LIST chunk (odd payload length -> pad byte) before data
+    hdr, data = raw[:36], raw[36:]
+    assert data[:4] == b"data"
+    listed = hdr + b"LIST" + (5).to_bytes(4, "little") + b"INFOx\x00" + data
+    rate2, ch2, back2 = mm.decode_wav(listed)
+    np.testing.assert_array_equal(back2, s)
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        mm.decode_wav(b"nope")
+    # non-PCM format code: honestly gated
+    bad = bytearray(raw)
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE float
+    with pytest.raises(NotImplementedError, match="only PCM16"):
+        mm.decode_wav(bytes(bad))
+
+
+def test_audio_fixture_matches_decoded_stats(spark):
+    """The closed-form sample generator and the decode path agree —
+    the invariant the multimodal_wav_stats oracle checks via SQL,
+    pinned here with the DataFrame path (incl. a NULL payload row)."""
+    df = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in mm.decode_audio(mm.attach_audio_payload(df)).collect()
+    }
+    for d in (7, 123):
+        s = mm.audio_fixture_samples(d).astype("int64")
+        assert out[d].n_samples == s.size
+        assert out[d].sum_abs == int(abs(s).sum())
+        assert out[d].peak == int(abs(s).max())
+    null_df = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    )
+    r = mm.decode_audio(null_df).collect()[0]
+    assert r.n_samples is None and r.sum_abs is None
