@@ -4920,3 +4920,102 @@ def multimodal_wav_stats(t):
     return mm.decode_audio(
         mm.attach_audio_payload(t.documents.select("doc_id"))
     )
+
+
+def _sign_sig_sql(col: str, start: int, nbits: int) -> str:
+    """The 32-term CASE sum packing sign bits — textual twin of
+    similarity.sign_signature, shared by both Hamming oracles."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST({col}[{start + i}] AS DOUBLE) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_HAMMING_CTES = f"""
+    WITH sigs AS (
+      SELECT vec_id,
+             {_sign_sig_sql('embedding', 1, 32)} AS sig_lo,
+             {_sign_sig_sql('embedding', 33, 32)} AS sig_hi
+      FROM embeddings
+    ),
+    qsig AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi FROM sigs WHERE vec_id = 0),
+    ham AS (
+      SELECT s.vec_id,
+             CAST(bit_count(xor(s.sig_lo, q.q_lo))
+                + bit_count(xor(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM sigs s CROSS JOIN qsig q
+    )
+    """
+
+
+@register(
+    "sim_ann_hamming",
+    oracle=_HAMMING_CTES
+    + "SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 20",
+)
+def sim_ann_hamming(t):
+    """Binary-quantized ANN, stage 1: pack each embedding's sign bits
+    into two int64 halves (1 bit/dim — 32x smaller than SQ8, the
+    coarsest rung of the quantization ladder) and take the Hamming
+    top-20 against the query signature via XOR + bit_count. Entirely
+    whole-stage-codegen (a 32-term CASE sum per half, then two bit_count
+    calls) — no Python, no shuffle before TakeOrderedAndProject; at
+    100 TB the signature table is 16 bytes/vector and this scan is the
+    cheap shortlist pass in front of an exact rerank
+    (`sim_ann_hamming_rerank`)."""
+    q = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return sim.hamming_topk(t.embeddings, q, k=20)
+
+
+@register(
+    "sim_ann_hamming_rerank",
+    oracle=_HAMMING_CTES
+    + f""",
+    short AS (
+      SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 50
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    terms AS (
+      SELECT e.vec_id,
+             CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                        * 1e16) AS BIGINT) AS p,
+             CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                        * 1e16) AS BIGINT) AS aa,
+             CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                        * 1e16) AS BIGINT) AS qq
+      FROM embeddings e JOIN short s ON e.vec_id = s.vec_id
+      CROSS JOIN qv q CROSS JOIN generate_series(1, 64) AS i(i)
+    ),
+    scored AS (
+      SELECT vec_id,
+             CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+      FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ann_hamming_rerank(t):
+    """Binary-quantized ANN, both stages: Hamming top-50 shortlist over
+    the 16-byte sign signatures (stage 1, pure bit arithmetic), then the
+    exact scaled-int cosine rerank of only those 50 vectors (stage 2,
+    the same JVM fold every exact operator uses) — the classic
+    two-stage search at its cheapest memory point. The shortlist is
+    LIMIT-bounded, so the rerank side is broadcast-sized by construction
+    at any corpus scale; the oracle replays both stages exactly."""
+    e = t.embeddings
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    short = sim.hamming_topk(e, q, k=50).select("vec_id")
+    cand = e.join(F.broadcast(short), "vec_id").crossJoin(F.broadcast(q))
+    return (
+        cand.select(
+            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

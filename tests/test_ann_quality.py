@@ -130,3 +130,20 @@ def test_ivfpq_compound_pruning_recall(spark, rankings):
     assert len(got) == 10
     assert 0 in got
     assert len(got & top10) / 10 >= 0.7
+
+
+def test_hamming_rerank_query_found_and_recall(spark, rankings):
+    """Binary sign-signature ANN (1 bit/dim, 32x below SQ8): the
+    two-stage Hamming-50 shortlist + exact rerank must find the query
+    (Hamming 0 to itself) and hold a 0.5 recall floor vs the exact
+    top-10 — the coarsest quantizer in the ladder, so the floor sits
+    below PQ's 0.6 by design; a packing/bit_count regression would
+    drop it to near-random (~0.01) long before the floor."""
+    top10, _, _ = rankings
+    ham = {
+        r.vec_id
+        for r in REGISTRY["sim_ann_hamming_rerank"].fn(spark, SF).collect()
+    }
+    assert len(ham) == 10
+    assert 0 in ham
+    assert len(ham & top10) / 10 >= 0.5
