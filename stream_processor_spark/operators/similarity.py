@@ -226,27 +226,69 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+# Input-bytes threshold above which the brute-force scorers switch from
+# the JVM column fold to the npkernel Arrow pass. Both forms are
+# bit-identical (tests/test_npkernel.py pins the arithmetic), so this is
+# a pure COST choice — the AQE discipline applied at plan-construction
+# time: the Arrow pass pays a ~0.5 s fixed worker/transfer floor but has
+# ~3x lower per-row cost (docs/SIM_NPK_AB_r10.json: 2.7x faster at sf10's
+# 1M vectors, slower below ~300k). Parquet compresses the fixture floats
+# ~6x (1M 64-dim vectors = 44 MiB on disk), so 16 MiB ≈ the ~350k-vector
+# crossover where the Arrow floor amortizes.
+_NPK_BYTES_THRESHOLD = 16 * 1024 * 1024
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Driver-side size estimate: sum of the frame's input file sizes
+    (no Spark job — file metadata only). None when the frame is not
+    file-backed (in-memory test frames) or listing fails."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
+            total += os.path.getsize(p)
+        return total
+    except Exception:
+        return None
+
+
 def cosine_vs_query(embeddings: DataFrame, query: DataFrame,
                     vec_col: str = "embedding", qvec_col: str = "qv",
                     id_col: str = "vec_id") -> DataFrame:
     """Score every row against a single query vector. Returns
     (id_col, cosine) — the columns every caller consumes.
 
-    Round 10: the scoring moved from the interpreted zip_with/aggregate
-    column fold to the `npkernel` vectorized pass (the IVF-rerank
-    pattern): the one query row is hydrated driver-side (model-sized,
-    eager — like the IVF family's centroid hydration) and each Arrow
-    batch is scored with one matrix-vector `round_half_up((e*q)*1e16)`
-    int64 fold — bit-identical to the JVM expression and the DuckDB
-    ORACLE_COSINE_CTE (pinned in tests/test_npkernel.py), ~10x the
-    interpreted HOF's throughput on the brute-force corpus scan
-    (sim_topk / sim_cosine_pairs were 4.6-7.7x DuckDB in both r9
-    compare runs; the HOF fold was the gap). The corpus never leaves
-    the executors; `fan_out` keeps the map stage parallel on
-    single-split local fixtures."""
+    SIZE-ADAPTIVE (round 10): small inputs (< ~128 MiB, or non-file
+    frames) score with the interpreted zip_with/aggregate column fold —
+    no Python worker, lowest fixed cost; large inputs score with the
+    `npkernel` vectorized Arrow pass (the IVF-rerank pattern: the one
+    query row hydrates driver-side and each batch takes one
+    matrix-vector `round_half_up((e*q)*1e16)` int64 fold, ~3x lower
+    per-row cost — 2.7x faster at sf10's 1M vectors,
+    docs/SIM_NPK_AB_r10.json). The two forms are bit-identical (pinned
+    in tests/test_npkernel.py and by the shared DuckDB oracles), so the
+    switch is pure cost, the AQE discipline applied at plan time. The
+    corpus never leaves the executors; `fan_out` keeps the map stage
+    parallel on single-split local fixtures."""
     import numpy as np
 
     from stream_processor_spark.operators import npkernel as npk
+
+    nbytes = _input_bytes(embeddings)
+    if nbytes is None or nbytes < _NPK_BYTES_THRESHOLD:
+        return (
+            fan_out(embeddings.select(id_col, vec_col))
+            .crossJoin(F.broadcast(query.select(qvec_col)))
+            .select(
+                id_col,
+                cosine(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+            )
+        )
 
     out_schema = f"{id_col} long, cosine double"
     qrow = query.select(qvec_col).head()

@@ -1205,21 +1205,45 @@ def sim_centroids(t):
     block), as (label, pos, component) rows.
 
     Fixed-point int64 accumulation per dimension → bit-deterministic
-    means under any partitioning. Round 10 replaced the ×dim posexplode
-    (6.4M codegen rows through a decimal hash aggregate at sf0.1; one
-    of the two chronic >2× compare-run residents) with the `npkernel`
-    partial-sum pass: each Arrow batch computes per-label per-dimension
-    EXACT column sums (`round_half_up(v*1e16)` int64, block-summed in
-    ≤512-row chunks — each chunk bounded at 512·1e16 < 2^63 — and
-    accumulated into arbitrary-precision Python ints, emitted as
-    DECIMAL(38,0) partials), so the shuffle carries labels×dim partial
-    rows per task instead of rows×dim exploded terms. The final
-    decimal sum and single division are the same exact operands as
-    before — bit-identical to the oracle at any scale.
+    means under any partitioning. SIZE-ADAPTIVE (round 10, the
+    `cosine_vs_query` discipline — both forms bit-identical, so the
+    switch is pure cost): small inputs keep the ×dim posexplode through
+    a decimal hash aggregate (no Python worker); large inputs use the
+    `npkernel` partial-sum pass — each Arrow batch computes per-label
+    per-dimension EXACT column sums (`round_half_up(v*1e16)` int64,
+    block-summed in ≤512-row chunks — each chunk bounded at
+    512·1e16 < 2^63 — and accumulated into arbitrary-precision Python
+    ints, emitted as DECIMAL(38,0) partials), so the shuffle carries
+    labels×dim partial rows per task instead of rows×dim exploded
+    terms (1.3x at sf10, lower per-row constant beyond —
+    docs/SIM_NPK_AB_r10.json). The final decimal sum and single
+    division are the same exact operands either way.
     """
     import numpy as np
 
     from stream_processor_spark.operators import npkernel as npk
+
+    if (
+        sim._input_bytes(t.embeddings) or 0
+    ) < sim._NPK_BYTES_THRESHOLD:
+        e = t.embeddings.select(
+            "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+        )
+        scaled = F.round(
+            F.col("v").cast("double") * F.lit(1e16), 0
+        ).cast("long")
+        return (
+            e.select(
+                "label", (F.col("pos0") + 1).alias("pos"), scaled.alias("sv")
+            )
+            .groupBy("label", "pos")
+            .agg(
+                (
+                    F.sum(F.col("sv").cast("decimal(38,0)")).cast("double")
+                    / (F.lit(1e16) * F.count(F.lit(1)))
+                ).alias("centroid_component")
+            )
+        )
 
     def partials(batches):
         from decimal import Decimal
