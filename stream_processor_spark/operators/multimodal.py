@@ -783,3 +783,178 @@ def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
 
     return df.withColumn("payload", gen_wav(F.col(id_col)))
+
+
+# ------------------------------------------------------------------- Y4M ----
+#
+# Round-10: REAL video container demux with no external codec — YUV4MPEG2
+# (Y4M) is a pure container: a text stream header ("YUV4MPEG2 W... H...
+# F...  C444\n"), then per frame a "FRAME\n" marker followed by raw
+# planar YUV bytes. The C444 profile carries W*H bytes per plane (no
+# chroma subsampling arithmetic), so demux is header parsing + slicing —
+# the same honesty class as BMP/PPM/WAV. Compressed video (H.264/VP9/AV1)
+# stays gated: entropy decoding needs real libraries.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """Encode a list of (H, W, 3) uint8 YUV444 frames as a Y4M stream.
+    Pure stdlib + numpy; planar layout (all Y, all U, all V)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = np.asarray(frames[0]).shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for fr in frames:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.shape != (h, w, 3):
+            raise ValueError(f"frame shape {a.shape} != {(h, w, 3)}")
+        out.append(b"FRAME\n")
+        # planar: Y plane, U plane, V plane
+        out.append(np.ascontiguousarray(a.transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(raw: bytes):
+    """Decode a C444 Y4M stream → (fps, [ (H, W, 3) uint8 frames ]).
+    Parses the parameter list (tokens may appear in any order, unknown
+    tokens skipped — the spec's contract), then walks FRAME markers."""
+    import numpy as np
+
+    nl = raw.index(b"\n")
+    header = raw[:nl].split(b" ")
+    if header[0] != _Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    colorspace = b"C420"  # the format's default when absent
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps = int(tok[1:].split(b":")[0])
+        elif tok[:1] == b"C":
+            colorspace = tok
+    if w is None or h is None:
+        raise ValueError("Y4M missing W/H parameters")
+    if not colorspace.startswith(b"C444"):
+        raise NotImplementedError(
+            f"only C444 Y4M supported (got {colorspace.decode()}) — "
+            "subsampled/compressed video needs a real codec"
+        )
+    frame_bytes = w * h * 3
+    pos, frames = nl + 1, []
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = fnl + 1
+        plane = np.frombuffer(raw, np.uint8, frame_bytes, pos)
+        frames.append(
+            plane.reshape(3, h, w).transpose(1, 2, 0).copy()
+        )
+        pos += frame_bytes
+    return fps, frames
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, height long, width long, "
+    "sum_y long, sum_u long, sum_v long, px_min long, px_max long"
+)
+
+
+def demux_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every: int = 2,
+) -> DataFrame:
+    """REAL video frame sampling over a binary column: demux each Y4M
+    payload (container parse, not byte-slicing — this retires
+    `sample_frames`' stand-in contract for the formats a codec-free
+    container admits), keep every ``every``-th frame, and emit
+    integer-exact per-frame plane statistics. flatMap shape (one row →
+    0..k frame rows) through the same Arrow-batched ``mapInPandas``
+    boundary; NULL payloads contribute no rows (flatMap semantics,
+    matching the oracle's inner generate_series join)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                _fps, frames = decode_y4m(bytes(payload))
+                for idx in range(0, len(frames), every):
+                    fr = frames[idx].astype(np.int64)
+                    recs.append(
+                        (
+                            doc_id,
+                            idx,
+                            fr.shape[0],
+                            fr.shape[1],
+                            int(fr[:, :, 0].sum()),
+                            int(fr[:, :, 1].sum()),
+                            int(fr[:, :, 2].sum()),
+                            int(fr.min()),
+                            int(fr.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "frame_idx", "height", "width",
+                    "sum_y", "sum_u", "sum_v", "px_min", "px_max",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+# Deterministic video fixture: n_frames = 3 + doc_id % 4, 4x5 frames,
+# plane value (d, frame, plane, y, x) from the pinned LCG over a linear
+# index — closed form, so the SQL oracle recomputes per-frame stats
+# without parsing container bytes.
+_VID_H, _VID_W = 4, 5
+_VID_N_BASE, _VID_N_MOD = 3, 4
+
+
+def video_fixture_frames(doc_id: int):
+    import numpy as np
+
+    n = _VID_N_BASE + doc_id % _VID_N_MOD
+    per = _VID_H * _VID_W * 3
+    idx = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE + np.arange(
+        n * per, dtype=np.int64
+    )
+    v = (((_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M) % 256).astype(np.uint8)
+    # linear index order = (frame, plane, y, x): matches the planar
+    # container layout, so the oracle's index arithmetic is direct
+    return [
+        v[f * per : (f + 1) * per]
+        .reshape(3, _VID_H, _VID_W)
+        .transpose(1, 2, 0)
+        .copy()
+        for f in range(n)
+    ]
+
+
+def attach_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL Y4M binary payload per row from the deterministic
+    fixture formula (3..6 frames of 4x5 C444)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def gen_y4m(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: encode_y4m(video_fixture_frames(int(d)))
+        )
+
+    return df.withColumn("payload", gen_y4m(F.col(id_col)))

@@ -190,3 +190,46 @@ def test_audio_fixture_matches_decoded_stats(spark):
     )
     r = mm.decode_audio(null_df).collect()[0]
     assert r.n_samples is None and r.sum_abs is None
+
+
+def test_y4m_roundtrip_and_gates():
+    """Round-10 real Y4M demux: byte-exact frame round trip through the
+    planar container; header tokens in any order; non-C444 colorspaces
+    and broken FRAME markers raise."""
+    frames = [_rand_img(4, 5, seed=s) for s in (1, 2, 3)]
+    raw = mm.encode_y4m(frames, fps=30)
+    fps, back = mm.decode_y4m(raw)
+    assert fps == 30 and len(back) == 3
+    for a, b in zip(frames, back):
+        np.testing.assert_array_equal(a, b)
+    # reordered header params are legal
+    reordered = raw.replace(
+        b"YUV4MPEG2 W5 H4 F30:1 Ip A1:1 C444",
+        b"YUV4MPEG2 C444 F30:1 H4 W5",
+    )
+    fps2, back2 = mm.decode_y4m(reordered)
+    assert fps2 == 30 and len(back2) == 3
+    with pytest.raises(NotImplementedError, match="C444"):
+        mm.decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420jpeg\n")
+    with pytest.raises(ValueError, match="FRAME"):
+        mm.decode_y4m(b"YUV4MPEG2 W1 H1 C444\nBOGUS\n" + b"\x00" * 3)
+
+
+def test_video_fixture_matches_demux(spark):
+    """Fixture formula and demux agree through the DataFrame path,
+    including the every-2nd-frame sampling and NULL-payload flatMap."""
+    df = spark.createDataFrame([(3,), (10,)], "doc_id long")
+    rows = mm.demux_video(mm.attach_video_payload(df)).collect()
+    by_key = {(r.doc_id, r.frame_idx): r for r in rows}
+    for d in (3, 10):
+        frames = mm.video_fixture_frames(d)
+        kept = list(range(0, len(frames), 2))
+        assert [k for (dd, k) in by_key if dd == d] == kept or \
+               sorted(k for (dd, k) in by_key if dd == d) == kept
+        for k in kept:
+            fr = frames[k].astype("int64")
+            r = by_key[(d, k)]
+            assert r.sum_y == int(fr[:, :, 0].sum())
+            assert r.px_min == int(fr.min()) and r.px_max == int(fr.max())
+    null_df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
+    assert mm.demux_video(null_df).count() == 0
