@@ -81,6 +81,11 @@ HEADLINE = [
     "dedup_near_indexed",
     # round 9: the single-pass xxhash64 dup-spans production twin
     "text_dup_spans_merged_fast",
+    # round 10: the binary-quantization serve (Hamming shortlist + exact
+    # rerank, pure JVM bit arithmetic) and a real multimodal decode
+    # (PCM16 WAV chunk walk + integer-exact audio stats)
+    "sim_ann_hamming_rerank",
+    "multimodal_wav_stats",
 ]
 
 # Teaching twins (round 9, VERDICT r8 #6): the from-scratch forms of
