@@ -5092,3 +5092,68 @@ def multimodal_video_frames(t):
     return mm.demux_video(
         mm.attach_video_payload(t.documents.select("doc_id"))
     )
+
+
+@register(
+    "corpus_split_by_cluster",
+    oracle=_CC_ORACLE_CTES
+    + """
+    , b AS (
+      SELECT v AS vec_id, comp AS component,
+             (('0x' || substr(md5('csplit1|' || CAST(comp AS VARCHAR)), 1, 15))
+              ::UBIGINT)::BIGINT % 100 AS bucket
+      FROM c30
+    )
+    SELECT vec_id, component, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def corpus_split_by_cluster(t):
+    """CLUSTER-GRANULAR train/val/test split (80/10/10): assignment is a
+    salted-md5 hash of the near-dup CLUSTER id (`dedup_cc_clusters`'
+    connected components), not the document id — so near-duplicates can
+    NEVER straddle a split boundary, by construction. This is the
+    leakage-safe upgrade of `corpus_train_val_test_split` (whose
+    per-doc hash `split_leakage_audit` must then police): the pipeline
+    runs dedup clustering once, splits by component, and the audit
+    becomes a tautology for every duplicate the clustering caught.
+    Deterministic forever: membership is a pure function of the corpus
+    (pinned LSH + exact cosine + min-label CC), so re-runs and
+    backfills agree, and appends only reshuffle components they touch.
+
+    Scale: the CC labeling is the bounded banded-LSH + bounded-model
+    exact-verify pass (docs/SF10_CC_SLIM_r10.json: ~9 s at 1M vectors);
+    the split itself is a map over (vec_id, component) pairs — two
+    longs — with the salted-hash arithmetic mirrored in the oracle
+    (same ``csplit1`` salt on both sides)."""
+    comp = dedup_cc_clusters(t)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("csplit1"),
+                        F.col("component").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return comp.select(
+        "vec_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
