@@ -1109,3 +1109,92 @@ def append_pq_codes(
         .write.mode("append")
         .insertInto(codes_name)
     )
+
+
+# ------------------------------------------------------- binary sign index ----
+
+
+def sign_names(sf_dir: str) -> tuple[str]:
+    """Deterministic table name for the binary sign-signature layout."""
+    tag = hashlib.md5(f"{sf_dir}|sign".encode()).hexdigest()[:8]
+    return (f"sig_{tag}",)
+
+
+def ensure_sign_index(spark: SparkSession, sf_dir: str) -> tuple[str]:
+    """Persist the binary sign-signature layout once per sf_dir:
+    (vec_id, sig_lo, sig_hi) — 16 bytes of payload per vector, the
+    cheapest serving table in the quantization ladder (32x below SQ8).
+    The packing is a pure per-vector function (axis-aligned sign bits),
+    so appends are trivially exact (`append_sign_index`), the
+    `append_minhash_index` discipline. Build repartitions for map
+    parallelism; the output is a slim full-scan table (Hamming serve
+    reads every row by design), so no partition clustering is needed —
+    32 right-sized files, not a pruning layout."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators import similarity as sim
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    (sig_name,) = sign_names(sf_dir)
+    if spark.catalog.tableExists(sig_name):
+        return (sig_name,)
+    spark.sql(f"DROP TABLE IF EXISTS {sig_name}")
+    drop_warehouse_dir(spark, sig_name)
+    e = Tables(spark, sf_dir).embeddings.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
+    lo, hi = sim.sign_signature(F.col("embedding"))
+    (
+        e.select("vec_id", lo.alias("sig_lo"), hi.alias("sig_hi"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(sig_name)
+    )
+    return (sig_name,)
+
+
+def append_sign_index(
+    spark: SparkSession, sig_name: str, new_vectors: DataFrame
+) -> None:
+    """Incremental maintenance: pack ONLY the new vectors' signatures
+    and insert them — O(batch), never a corpus re-scan. append(B) onto
+    an index built from A ≡ build from A∪B EXACTLY (per-row pure
+    function, no corpus model), the `append_minhash_index` contract."""
+    from stream_processor_spark.operators import similarity as sim
+
+    lo, hi = sim.sign_signature(F.col("embedding"))
+    (
+        new_vectors.select(
+            "vec_id", lo.alias("sig_lo"), hi.alias("sig_hi")
+        )
+        .write.mode("append")
+        .insertInto(sig_name)
+    )
+
+
+def hamming_query_indexed(
+    spark: SparkSession,
+    sig_name: str,
+    query_vec_id: int = 0,
+    k: int = 50,
+) -> DataFrame:
+    """Hamming shortlist served from the persisted signature table: the
+    query's own signature comes from the SAME table (one-row filter,
+    broadcast), then XOR + bit_count over 16-byte rows — per-query cost
+    is one slim-table scan regardless of embedding width."""
+    sigs = spark.table(sig_name)
+    qs = (
+        sigs.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
+        )
+    )
+    ham = (
+        F.bit_count(F.expr("sig_lo ^ q_lo"))
+        + F.bit_count(F.expr("sig_hi ^ q_hi"))
+    ).cast("long")
+    return (
+        sigs.crossJoin(F.broadcast(qs))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -5157,3 +5157,64 @@ def corpus_split_by_cluster(t):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "sim_ann_hamming_indexed",
+    oracle=_HAMMING_CTES
+    + f""",
+    short AS (
+      SELECT vec_id FROM ham ORDER BY hamming, vec_id LIMIT 50
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    terms AS (
+      SELECT e.vec_id,
+             CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                        * 1e16) AS BIGINT) AS p,
+             CAST(round(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)
+                        * 1e16) AS BIGINT) AS aa,
+             CAST(round(CAST(q.qv[i.i] AS DOUBLE) * CAST(q.qv[i.i] AS DOUBLE)
+                        * 1e16) AS BIGINT) AS qq
+      FROM embeddings e JOIN short s ON e.vec_id = s.vec_id
+      CROSS JOIN qv q CROSS JOIN generate_series(1, 64) AS i(i)
+    ),
+    scored AS (
+      SELECT vec_id,
+             CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(CAST(SUM(aa) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cosine
+      FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ann_hamming_indexed(t):
+    """`sim_ann_hamming_rerank` served from the PERSISTED sign-signature
+    layout (operators/annindex.ensure_sign_index): the Hamming shortlist
+    scans a 16-byte-per-vector table — never touching the 64-float
+    embedding column — and only the LIMIT-bounded shortlist joins back
+    to embeddings for the exact rerank. The query's own signature comes
+    from the same table (one-row broadcast). Same oracle as the scratch
+    twin — the layout changes the plan only. At 100 TB the signature
+    scan is ~1/16th the bytes of the embedding scan; appends are
+    per-row pure (`append_sign_index`, append ≡ rebuild exact)."""
+    from stream_processor_spark.operators.annindex import (
+        ensure_sign_index,
+        hamming_query_indexed,
+    )
+
+    spark = t._spark
+    (sig_name,) = ensure_sign_index(spark, t._dir)
+    short = hamming_query_indexed(spark, sig_name, query_vec_id=0, k=50).select(
+        "vec_id"
+    )
+    e = t.embeddings
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = e.join(F.broadcast(short), "vec_id").crossJoin(F.broadcast(q))
+    return (
+        cand.select(
+            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

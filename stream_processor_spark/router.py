@@ -160,6 +160,18 @@ def _build_ivfpq(spark: SparkSession, sf_dir: str) -> None:
     ensure_ivfpq_index(spark, sf_dir)
 
 
+def _sign_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.annindex import sign_names
+
+    return sign_names(sf_dir)
+
+
+def _build_sign(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.annindex import ensure_sign_index
+
+    ensure_sign_index(spark, sf_dir)
+
+
 def _zonemap_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
     from stream_processor_spark.operators.zonemap import zonemap_names
 
@@ -183,6 +195,7 @@ LAYOUTS = {
     "semantic_index": (_semantic_tables, _build_semantic),
     "minhash_index": (_minhash_tables, _build_minhash),
     "ivfpq_index": (_ivfpq_tables, _build_ivfpq),
+    "sign_index": (_sign_tables, _build_sign),
 }
 
 # semantic name -> Route. Both registry entries of a route share result
@@ -223,6 +236,9 @@ ROUTES = {
     ),
     "near_dedup": Route("minhash_index", "dedup_near_indexed", "dedup_near"),
     "ann_ivfpq": Route("ivfpq_index", "sim_ann_ivfpq_indexed", None),
+    "ann_binary": Route(
+        "sign_index", "sim_ann_hamming_indexed", "sim_ann_hamming_rerank"
+    ),
     "ann_ivfpq_multi": Route(
         "ivfpq_index", "sim_ann_ivfpq_multiquery", None
     ),

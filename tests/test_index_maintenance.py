@@ -650,3 +650,42 @@ def test_minhash_replay_does_not_inflate_hot_bucket_guard(spark, tmp_path):
     want = pairs(bands_f, hset_f)
     assert len(want) == n * (n - 1) // 2  # identical docs: all pairs
     assert pairs(bands_a, hset_a) == want
+
+
+def test_sign_index_append_equals_full_rebuild(spark, tmp_path):
+    """Round-10: append(B) onto a sign-signature layout built from A
+    must equal the layout built from A∪B EXACTLY (per-row pure packing,
+    no corpus model), and the indexed Hamming shortlist must match the
+    from-scratch computation row for row."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators import similarity as sim
+    from stream_processor_spark.operators.annindex import (
+        append_sign_index,
+        ensure_sign_index,
+        hamming_query_indexed,
+    )
+
+    full_dir, a_dir = tmp_path / "sfull", tmp_path / "sa"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    shutil.copy(src, full_dir / "embeddings.parquet")
+
+    (sig_a,) = ensure_sign_index(spark, str(a_dir))
+    append_sign_index(
+        spark, sig_a, spark.read.parquet(src).filter("vec_id >= 300")
+    )
+    (sig_f,) = ensure_sign_index(spark, str(full_dir))
+
+    rows_a = sorted(tuple(r) for r in spark.table(sig_a).collect())
+    rows_f = sorted(tuple(r) for r in spark.table(sig_f).collect())
+    assert rows_a == rows_f and len(rows_a) == emb.count()
+
+    got = [
+        tuple(r) for r in hamming_query_indexed(spark, sig_a, 0, k=20).collect()
+    ]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    want = [tuple(r) for r in sim.hamming_topk(emb, q, k=20).collect()]
+    assert got == want and got[0] == (0, 0)

@@ -147,3 +147,15 @@ def test_near_dedup_route_flips_and_matches(spark, routed_dir):
     r.ensure("near_dedup")
     assert r.resolve("near_dedup") == ("dedup_near_indexed", "indexed")
     assert _rows(r.query("near_dedup")) == before
+
+
+def test_binary_ann_route_flips_on_sign_layout(spark, routed_dir):
+    """Round-10: the ann_binary route serves the scratch Hamming rerank
+    until the 16-byte sign-signature layout exists, then flips to the
+    indexed twin with identical rows."""
+    r = Router(spark, routed_dir)
+    assert r.resolve("ann_binary") == ("sim_ann_hamming_rerank", "scratch")
+    scratch_rows = _rows(r.query("ann_binary"))
+    r.ensure("ann_binary")
+    assert r.resolve("ann_binary") == ("sim_ann_hamming_indexed", "indexed")
+    assert _rows(r.query("ann_binary")) == scratch_rows
