@@ -5218,3 +5218,73 @@ def sim_ann_hamming_indexed(t):
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "sim_ann_hamming_multiquery",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id,
+             {_sign_sig_sql('embedding', 1, 32)} AS sig_lo,
+             {_sign_sig_sql('embedding', 33, 32)} AS sig_hi
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+      FROM sigs WHERE vec_id IN (0, 1, 2)
+    ),
+    ham AS (
+      SELECT q.query_id, s.vec_id,
+             CAST(bit_count(xor(s.sig_lo, q.q_lo))
+                + bit_count(xor(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM sigs s CROSS JOIN qs q
+    ),
+    rk AS (
+      SELECT query_id, vec_id, hamming,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+      FROM ham
+    )
+    SELECT query_id, vec_id, hamming FROM rk WHERE rn <= 10
+    """,
+)
+def sim_ann_hamming_multiquery(t):
+    """Batched binary ANN: THREE query signatures (vec_id 0/1/2) served
+    in ONE pass over the persisted 16-byte sign layout — N queries add
+    two bit_count terms per row each, never another scan. All-JVM
+    (broadcast the 3-row query-signature frame, XOR + bit_count per
+    pair, one query_id-partitioned window for the per-query top-10);
+    no scratch twin, like every batched serve — the layout builds on
+    first use (router route `ann_binary_multi`). Completes multi-query
+    serving across BM25, IVF, PQ, SQ8, IVFPQ and now binary."""
+    from pyspark.sql import Window
+
+    from stream_processor_spark.operators.annindex import (
+        ensure_sign_index,
+    )
+
+    spark = t._spark
+    (sig_name,) = ensure_sign_index(spark, t._dir)
+    sigs = spark.table(sig_name)
+    qs = (
+        sigs.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sig_lo").alias("q_lo"),
+            F.col("sig_hi").alias("q_hi"),
+        )
+    )
+    ham = (
+        F.bit_count(F.expr("sig_lo ^ q_lo"))
+        + F.bit_count(F.expr("sig_hi ^ q_hi"))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    return (
+        sigs.crossJoin(F.broadcast(qs))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", "hamming")
+    )

@@ -239,6 +239,9 @@ ROUTES = {
     "ann_binary": Route(
         "sign_index", "sim_ann_hamming_indexed", "sim_ann_hamming_rerank"
     ),
+    "ann_binary_multi": Route(
+        "sign_index", "sim_ann_hamming_multiquery", None
+    ),
     "ann_ivfpq_multi": Route(
         "ivfpq_index", "sim_ann_ivfpq_multiquery", None
     ),
