@@ -5288,3 +5288,91 @@ def sim_ann_hamming_multiquery(t):
         .filter(F.col("rn") <= 10)
         .select("query_id", "vec_id", "hamming")
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(iters: int = _LPA_ROUNDS) -> str:
+    """Unrolled synchronous label-propagation CTEs (self-vote variant).
+
+    The `_cc_unrolled_sql` formulation rules apply (DuckDB 1.0): every
+    stage references its predecessor exactly ONCE and is AS MATERIALIZED.
+    Self-loops give every node a vote for its own label, which (a) makes
+    the per-round update a single grouped join — no second
+    keep-old-label reference — and (b) damps the oscillation classic
+    synchronous LPA exhibits on bipartite structures."""
+    ctes = [
+        f"WITH {_band_cand_sql(4, 4).lstrip()}",
+        """nodes AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
+    edges AS MATERIALIZED (
+      SELECT va AS src, vb AS dst FROM cand
+      UNION ALL SELECT vb AS src, va AS dst FROM cand
+      UNION ALL SELECT node AS src, node AS dst FROM nodes),
+    lab0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""lab{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               row_number() OVER (
+                 PARTITION BY e.dst
+                 ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN lab{i - 1} l ON l.node = e.src
+        GROUP BY e.dst, l.label) WHERE rn = 1)""")
+    return (
+        ",\n    ".join(ctes)
+        + f"\n    SELECT node AS vec_id, label AS community FROM lab{iters}"
+    )
+
+
+@register("graph_lpa", oracle=_lpa_oracle())
+def graph_lpa(t):
+    """Label-propagation communities over the LSH candidate graph
+    (4 synchronous rounds, self-vote variant): each node adopts the
+    most frequent label among its neighbors AND itself, ties to the
+    smallest label — the near-linear community detector that, unlike
+    connected components (`dedup_cc_clusters`), respects edge DENSITY:
+    two clusters joined by one spurious LSH edge stay separate
+    communities while CC would merge them. The standard domain/topic
+    grouping signal for corpus curation. Deterministic: synchronous
+    updates + total-order tie-break, so the 4-round trajectory is
+    bit-replayable (the oracle unrolls it; self-loops make every stage
+    reference its predecessor once — the `_cc_unrolled_sql` discipline).
+
+    Scale: the canonical BSP shape — per round ONE (node, label) count
+    aggregate over edges (hash-partitioned on the destination, AQE
+    handles hub skew) and one per-node window over label counts
+    (bounded by each node's distinct neighbor labels); localCheckpoint
+    caps lineage per round, as in `connected_components`."""
+    from pyspark.sql import Window
+
+    e = t.embeddings
+    cand = sim.banded_candidate_pairs(e)
+    nodes = e.select(F.col("vec_id").alias("node"))
+    edges = (
+        cand.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            cand.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .unionByName(nodes.select(F.col("node").alias("src"),
+                                  F.col("node").alias("dst")))
+        .localCheckpoint()
+    )
+    lab = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(_LPA_ROUNDS):
+        lab = (
+            edges.join(lab, edges.src == lab.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return lab.select(
+        F.col("node").alias("vec_id"), F.col("label").alias("community")
+    )
