@@ -958,3 +958,53 @@ def attach_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
 
     return df.withColumn("payload", gen_y4m(F.col(id_col)))
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_idx long, n_samples long, sum_abs long, peak long"
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window: int = 16,
+) -> DataFrame:
+    """Windowed audio features over a binary WAV column: decode each
+    PCM16 payload and emit per-window integer-exact energy stats
+    (sum |s|, peak |s|) for consecutive ``window``-sample frames — the
+    voice-activity / energy-gating pass a speech pipeline runs before
+    segment selection. flatMap shape (one row → ceil(n/window) rows)
+    through the Arrow boundary; the trailing partial window is emitted
+    with its true sample count (never padded — padding would corrupt
+    energy stats). NULL payloads contribute no rows."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                _rate, _ch, s = decode_wav(bytes(payload))
+                a = np.abs(s.astype(np.int64))
+                for w0 in range(0, a.size, window):
+                    chunk = a[w0 : w0 + window]
+                    recs.append(
+                        (
+                            doc_id,
+                            w0 // window,
+                            int(chunk.size),
+                            int(chunk.sum()),
+                            int(chunk.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "win_idx", "n_samples", "sum_abs", "peak"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=AUDIO_WINDOW_SCHEMA
+    )

@@ -5376,3 +5376,38 @@ def graph_lpa(t):
     return lab.select(
         F.col("node").alias("vec_id"), F.col("label").alias("community")
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 40 + doc_id % 17 AS n FROM documents
+    ),
+    s AS (
+      SELECT d.doc_id, i.i, i.i // 16 AS win_idx,
+             ABS((((1103515245 * ((d.doc_id % 100000) * 4096 + i.i) + 12345)
+               % 2147483648) % 2001) - 1000) AS a
+      FROM d, range(0, 57) i(i) WHERE i.i < d.n
+    )
+    SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(a) AS BIGINT) AS sum_abs,
+           CAST(MAX(a) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, win_idx
+    """,
+)
+def multimodal_audio_windows(t):
+    """Windowed audio energy features over REAL decoded WAV bytes: the
+    voice-activity-detection / energy-gating pass a speech-data pipeline
+    runs before segment selection — per 16-sample window, exact
+    sum |s| and peak |s| (trailing partial window kept with its true
+    count, never padded). flatMap through the same Arrow-batched
+    boundary as the other decoders; the oracle recomputes every window
+    from the closed-form sample formula (window index = i // 16), so a
+    hash match proves decode + windowing end to end. Scale: map-only,
+    one Arrow crossing; a real corpus shards by file and scales
+    linearly with cores."""
+    return mm.audio_windows(
+        mm.attach_audio_payload(t.documents.select("doc_id"))
+    )
