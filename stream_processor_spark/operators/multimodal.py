@@ -1008,3 +1008,48 @@ def audio_windows(
     return df.select(id_col, payload_col).mapInPandas(
         gen, schema=AUDIO_WINDOW_SCHEMA
     )
+
+
+SCENE_DELTA_SCHEMA = (
+    "doc_id long, frame_idx long, y_delta long, is_cut boolean"
+)
+
+
+def scene_deltas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    cut_threshold: int = 1500,
+) -> DataFrame:
+    """Scene-cut detection over a binary Y4M column: demux each video,
+    compute the exact frame-to-frame luma delta (sum over Y-plane pixels
+    of |Y_f - Y_{f-1}|, int64) and flag frames whose delta exceeds
+    ``cut_threshold`` — the standard keyframe/scene-boundary heuristic a
+    video curation pipeline runs to pick representative frames. One row
+    per frame AFTER the first (a delta needs a predecessor); NULL
+    payloads contribute no rows. All-integer, so the oracle recomputes
+    every delta from the closed-form pixel formula."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                _fps, frames = decode_y4m(bytes(payload))
+                for f in range(1, len(frames)):
+                    ya = frames[f][:, :, 0].astype(np.int64)
+                    yb = frames[f - 1][:, :, 0].astype(np.int64)
+                    delta = int(np.abs(ya - yb).sum())
+                    recs.append(
+                        (doc_id, f, delta, delta > cut_threshold)
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "frame_idx", "y_delta", "is_cut"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=SCENE_DELTA_SCHEMA
+    )

@@ -5411,3 +5411,45 @@ def multimodal_audio_windows(t):
     return mm.audio_windows(
         mm.attach_audio_payload(t.documents.select("doc_id"))
     )
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, f.f AS frame_idx, i.i,
+             ((1103515245 * ((d.doc_id % 100000) * 4096
+                 + f.f * 60 + i.i) + 12345)
+               % 2147483648) % 256 AS y
+      FROM d, range(0, 6) f(f), range(0, 20) i(i)
+      WHERE f.f < d.nf
+    ),
+    delta AS (
+      SELECT a.doc_id, a.frame_idx,
+             CAST(SUM(ABS(a.y - b.y)) AS BIGINT) AS y_delta
+      FROM px a JOIN px b
+        ON a.doc_id = b.doc_id AND a.i = b.i
+       AND b.frame_idx = a.frame_idx - 1
+      GROUP BY a.doc_id, a.frame_idx
+    )
+    SELECT doc_id, frame_idx, y_delta, y_delta > 1500 AS is_cut
+    FROM delta
+    """,
+)
+def multimodal_scene_cuts(t):
+    """Scene-cut detection over REAL demuxed Y4M bytes: exact
+    frame-to-frame luma deltas (sum |Y_f − Y_{f−1}| over the Y plane,
+    int64) with a threshold flag — the keyframe/scene-boundary
+    heuristic a video curation pipeline runs to pick representative
+    frames (the intelligent upgrade of every-Nth sampling). The oracle
+    recomputes every delta from the closed-form pixel formula (Y plane
+    = plane 0 = linear indices 0..19 per frame), so a hash match proves
+    demux + differencing end to end. Scale: map-only flatMap, one Arrow
+    crossing; consecutive frames live in the same payload so no shuffle
+    ever touches pixels."""
+    return mm.scene_deltas(
+        mm.attach_video_payload(t.documents.select("doc_id"))
+    )
