@@ -157,6 +157,16 @@ def append_ivf_index(
             assign,
             schema="vec_id long, embedding array<float>, list_id long",
         )
+        # Cluster the batch on list_id BEFORE the partitioned insert
+        # (round-11: the same one-writer-per-list discipline the build
+        # path applies) — otherwise every append adds up-to-n_tasks
+        # files per touched list and regrows exactly the fragmentation
+        # the round-10 layout fix removed (docs/IVF_LAYOUT_AB_r10.json:
+        # 32 files/list made pruned serves pay nprobe*32 scan tasks).
+        # With this, append cost is ONE file per touched list per
+        # batch; residual growth across many appends is repaired by
+        # `compact_ivf_lists`.
+        .repartition(F.col("list_id"))
         .write.mode("append")
         .insertInto(lists_name)
     )
@@ -1072,6 +1082,8 @@ def append_ivfpq_index(
             assign_encode,
             schema="vec_id long, codes array<long>, list_id long",
         )
+        # one file per touched list per append (see append_ivf_index)
+        .repartition(F.col("list_id"))
         .write.mode("append")
         .insertInto(codes_name)
     )
@@ -1188,6 +1200,18 @@ def hamming_query_indexed(
             F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
         )
     )
+    # Round-11 ADVICE: an absent query id would make the broadcast side
+    # of the crossJoin empty and the serve silently return ZERO results
+    # — indistinguishable from "no neighbors" to the caller. A stale
+    # index or a typo'd id must fail loudly instead. The head(1) probe
+    # is a one-row broadcast-filter job against the slim table.
+    if not qs.head(1):
+        raise ValueError(
+            f"hamming_query_indexed: query_vec_id={query_vec_id} not found "
+            f"in signature table {sig_name!r} — the index is stale or the "
+            "id is wrong; rebuild with build_sign_index or append the "
+            "vector with append_sign_index"
+        )
     ham = (
         F.bit_count(F.expr("sig_lo ^ q_lo"))
         + F.bit_count(F.expr("sig_hi ^ q_hi"))
@@ -1197,4 +1221,116 @@ def hamming_query_indexed(
         .select("vec_id", ham.alias("hamming"))
         .orderBy(F.col("hamming").asc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+# ----------------------------------------------------- index compaction ----
+
+
+def _partition_file_counts(
+    spark: SparkSession, table_name: str
+) -> dict[str, int]:
+    """data-file count per `list_id=N` partition directory of a managed
+    table, via the Hadoop FileSystem API (scheme-agnostic, the
+    `drop_warehouse_dir` rationale). Hidden/_SUCCESS files excluded."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table_name)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[str, int] = {}
+    if not fs.exists(jpath):
+        return out
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith("list_id="):
+            continue
+        n = 0
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if f.isFile() and not fname.startswith(("_", ".")):
+                n += 1
+        out[name] = n
+    return out
+
+
+def compact_ivf_lists(
+    spark: SparkSession, lists_name: str, dedup_replays: bool = True
+) -> int:
+    """Restore the ONE-file-per-list read profile after appends — the
+    IVF/IVF-PQ twin of `postings.compact_postings` (round-11 VERDICT:
+    the layouts had append paths but no recluster/compact maintenance
+    op, so long-lived indexes would regrow the fragmentation the
+    round-10 layout fix removed).
+
+    Works on ANY `list_id`-partitioned index table (the IVF inverted
+    lists AND the IVF-PQ codes table share the layout): rewrites the
+    table as one file per list via a staging table + `swap_tables`.
+    Same non-atomicity contract as compact_postings — single writer,
+    quiesced readers; every crash point is healed by `recover_swap`,
+    which this function runs first. With ``dedup_replays`` (default)
+    duplicate vec_id rows from at-least-once streaming appends are
+    healed permanently here (LSM discipline: compaction is where
+    replay damage gets repaired for good). Returns the list count."""
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+        swap_tables,
+    )
+
+    recover_swap(spark, lists_name, f"{lists_name}_compacting")
+    rows = spark.table(lists_name)
+    if "list_id" not in rows.columns:
+        raise ValueError(f"{lists_name} is not a list_id-partitioned index")
+    if dedup_replays:
+        rows = rows.dropDuplicates(["vec_id"])
+    tmp = f"{lists_name}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    drop_warehouse_dir(spark, tmp)
+    (
+        rows.repartition(F.col("list_id"))
+        .write.partitionBy("list_id")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    swap_tables(spark, lists_name, tmp)
+    return len(_partition_file_counts(spark, lists_name))
+
+
+def compact_flat_index(
+    spark: SparkSession, table_name: str, dedup_replays: bool = True
+) -> int:
+    """Compaction for the UNPARTITIONED slim index tables (sign
+    signatures, flat PQ codes): every append adds task-count files, and
+    though serves full-scan these tables by design, thousands of tiny
+    files still cost a scheduler task each. Rewrites to
+    defaultParallelism right-sized files via the same staging+swap
+    protocol; dedups replayed vec_ids like `compact_ivf_lists`.
+    Returns the file count after compaction."""
+    from stream_processor_spark.operators.storage import (
+        drop_warehouse_dir,
+        recover_swap,
+        swap_tables,
+    )
+
+    recover_swap(spark, table_name, f"{table_name}_compacting")
+    rows = spark.table(table_name)
+    if dedup_replays:
+        rows = rows.dropDuplicates(["vec_id"])
+    tmp = f"{table_name}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    drop_warehouse_dir(spark, tmp)
+    (
+        rows.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .write.format("parquet")
+        .saveAsTable(tmp)
+    )
+    swap_tables(spark, table_name, tmp)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table_name)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
     )

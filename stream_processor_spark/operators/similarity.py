@@ -240,18 +240,25 @@ _NPK_BYTES_THRESHOLD = 16 * 1024 * 1024
 
 def _input_bytes(df: DataFrame) -> int | None:
     """Driver-side size estimate: sum of the frame's input file sizes
-    (no Spark job — file metadata only). None when the frame is not
-    file-backed (in-memory test frames) or listing fails."""
-    import os
-
+    (no Spark job — file metadata only). Resolves sizes through the
+    Hadoop FileSystem API so it is scheme-agnostic (file://, HDFS, S3A,
+    GCS — round-11 ADVICE: the previous os.path.getsize form threw off
+    local disk and silently disabled the size-adaptive npkernel fast
+    path on the object stores the 100-TB deployment reads). None when
+    the frame is not file-backed (in-memory test frames) or listing
+    fails — callers treat None as "small" and take the safe JVM fold."""
     try:
         files = df.inputFiles()
         if not files:
             return None
+        spark = df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
         total = 0
         for f in files:
-            p = f[7:] if f.startswith("file://") else f[5:] if f.startswith("file:") else f
-            total += os.path.getsize(p)
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            fs = jpath.getFileSystem(hconf)
+            total += fs.getFileStatus(jpath).getLen()
         return total
     except Exception:
         return None
@@ -263,8 +270,9 @@ def cosine_vs_query(embeddings: DataFrame, query: DataFrame,
     """Score every row against a single query vector. Returns
     (id_col, cosine) — the columns every caller consumes.
 
-    SIZE-ADAPTIVE (round 10): small inputs (< ~128 MiB, or non-file
-    frames) score with the interpreted zip_with/aggregate column fold —
+    SIZE-ADAPTIVE (round 10): small inputs (< _NPK_BYTES_THRESHOLD =
+    16 MiB on-disk, or non-file frames) score with the interpreted
+    zip_with/aggregate column fold —
     no Python worker, lowest fixed cost; large inputs score with the
     `npkernel` vectorized Arrow pass (the IVF-rerank pattern: the one
     query row hydrates driver-side and each batch takes one

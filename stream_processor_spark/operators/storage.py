@@ -148,15 +148,39 @@ def swap_tables(spark: SparkSession, published: str, staged: str) -> None:
     :func:`recover_swap` can finish or roll back the publish.
 
     Rename moves a managed table's warehouse directory with it, which
-    is why the retired slot is cleared first."""
+    is why the retired slot is cleared first. For PARTITIONED tables
+    the rename moves the directory but the catalog keeps each
+    partition's OLD location (measured: a renamed partitioned table
+    reads 0 rows while its files sit under the new path — round 11,
+    hit by `compact_ivf_lists`), so the publish ends with a partition-
+    location repair."""
     retired = f"{published}__retired"
     spark.sql(f"DROP TABLE IF EXISTS {retired}")
     drop_warehouse_dir(spark, retired)
     if spark.catalog.tableExists(published):
-        spark.sql(f"ALTER TABLE {published} RENAME TO {retired}")
-    spark.sql(f"ALTER TABLE {staged} RENAME TO {published}")
+        _rename_table(spark, published, retired)
+    _rename_table(spark, staged, published)
     spark.sql(f"DROP TABLE IF EXISTS {retired}")
     drop_warehouse_dir(spark, retired)
+
+
+def _rename_table(spark: SparkSession, src: str, dst: str) -> None:
+    """ALTER TABLE RENAME plus, for PARTITIONED tables, an immediate
+    partition-location repair. Rename moves a managed table's directory
+    but the catalog keeps each partition's OLD location (measured:
+    a renamed partitioned table reads 0 rows, and a later DROP of the
+    renamed-aside copy deletes the NEW owner's partition directories
+    through those dangling locations — round 11, hit by
+    `compact_ivf_lists`). Repairing right after every rename keeps each
+    table's partition metadata inside its own directory at all times,
+    so reads see the data and drops can never reach across."""
+    spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+    parted = any(
+        str(r[0]).strip() == "# Partition Information"
+        for r in spark.sql(f"DESCRIBE FORMATTED {dst}").collect()
+    )
+    if parted:
+        spark.sql(f"MSCK REPAIR TABLE {dst} SYNC PARTITIONS")
 
 
 def recover_swap(spark: SparkSession, published: str, staged: str) -> bool:
@@ -170,14 +194,26 @@ def recover_swap(spark: SparkSession, published: str, staged: str) -> bool:
         # A crash after 'staged -> published' but before the retired
         # drop leaves a full '__retired' copy (and its warehouse dir)
         # on disk; clean it here so the orphan can't persist until the
-        # next swap of this table.
+        # next swap of this table. If the crash fell between the
+        # retired RENAME and its partition repair, the retired copy's
+        # partition locations may still dangle into the published dir —
+        # repair it first so the drop can only reach its own files.
+        if spark.catalog.tableExists(retired):
+            parted = any(
+                str(r[0]).strip() == "# Partition Information"
+                for r in spark.sql(
+                    f"DESCRIBE FORMATTED {retired}"
+                ).collect()
+            )
+            if parted:
+                spark.sql(f"MSCK REPAIR TABLE {retired} SYNC PARTITIONS")
         spark.sql(f"DROP TABLE IF EXISTS {retired}")
         drop_warehouse_dir(spark, retired)
         return True
     if spark.catalog.tableExists(staged):
-        spark.sql(f"ALTER TABLE {staged} RENAME TO {published}")
+        _rename_table(spark, staged, published)
     elif spark.catalog.tableExists(retired):
-        spark.sql(f"ALTER TABLE {retired} RENAME TO {published}")
+        _rename_table(spark, retired, published)
     else:
         return False
     spark.sql(f"DROP TABLE IF EXISTS {retired}")

@@ -212,8 +212,28 @@ def _exact_pair_cosines(e, cand, cand_ids=None):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ia = np.searchsorted(ids, pdf["id_a"].to_numpy())
-            ib = np.searchsorted(ids, pdf["id_b"].to_numpy())
+            a_ids = pdf["id_a"].to_numpy()
+            b_ids = pdf["id_b"].to_numpy()
+            ia = np.searchsorted(ids, a_ids)
+            ib = np.searchsorted(ids, b_ids)
+            # Membership validation (round-11 ADVICE): searchsorted
+            # returns an INSERTION index, so an id absent from the
+            # hydrated set would silently score against a neighboring
+            # vector (or index past the end). Today's callers derive
+            # cand_ids and cand from the same banding parameters, but
+            # that sync is by hand — fail loudly if it ever diverges.
+            ia_c = np.minimum(ia, ids.size - 1)
+            ib_c = np.minimum(ib, ids.size - 1)
+            if not (np.all(ids[ia_c] == a_ids) and np.all(ids[ib_c] == b_ids)):
+                missing = set(a_ids[ids[ia_c] != a_ids][:5].tolist()) | set(
+                    b_ids[ids[ib_c] != b_ids][:5].tolist()
+                )
+                raise ValueError(
+                    "_exact_pair_cosines: candidate pair references vec_ids "
+                    f"absent from the hydrated embedding set (e.g. {sorted(missing)}); "
+                    "cand and cand_ids were derived with divergent banding parameters"
+                )
+            ia, ib = ia_c, ib_c
             A, B = E[ia], E[ib]
             p = npk.round_half_up((A * B) * npk.SCALE).sum(axis=-1)
             cos = npk.cosine_from_scaled(p, sxx[ia], sxx[ib])
@@ -1223,7 +1243,17 @@ def sim_centroids(t):
 
     from stream_processor_spark.operators import npkernel as npk
 
-    if (
+    # The npkernel partials path carries the label through an int64
+    # Arrow column (schema `label long`), so it is only semantically
+    # equivalent to the explode form for integral labels. Gate the fast
+    # path on the label type (round-11 ADVICE): a string-labeled frame
+    # must take the explode branch at ANY size rather than crash or
+    # mangle labels above the byte threshold — the switch stays pure
+    # cost, never behavior.
+    _label_integral = dict(t.embeddings.dtypes).get("label") in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    if not _label_integral or (
         sim._input_bytes(t.embeddings) or 0
     ) < sim._NPK_BYTES_THRESHOLD:
         e = t.embeddings.select(
