@@ -240,3 +240,96 @@ def dlq_split(t):
     ]
     routed = apply_chain(e, steps)
     return routed.select("event_id", "route", "out_k", "out_value_str")
+
+
+# ---------------------------------------------- ingest-time extraction ----
+
+
+def _ensure_events_extracted(spark, sf_dir: str) -> str:
+    """Persist (once per sf_dir) the events stream with `k` ALREADY
+    extracted from the `props` JSON — the ingest-time-extraction layout
+    a production pipeline writes so that serving never re-parses JSON.
+
+    Round-11 A/B (docs/DLQ_PARSE_AB_r11_sf10ev.json, 10M rows,
+    same-session best-of-4): per-query JSON parse is the entire gap on
+    this operator — get_json_object 1.55 s (9.0x execute-only DuckDB),
+    from_json 1.54 s, Spark-4 variant_get 1.28 s, while the extracted
+    layout serves in 0.20 s (1.14x). regexp_extract hits 0.34 s but is
+    NOT a JSON parser (diverges on quoted numbers / nested keys), so
+    the faithful per-query operator keeps get_json_object and THIS
+    layout is the scale answer — the same build-once/serve-many split
+    as `annindex.ensure_ivf_index`."""
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}|evx".encode()).hexdigest()[:8]
+    name = f"events_extracted_{tag}"
+    if spark.catalog.tableExists(name):
+        return name
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators.storage import drop_warehouse_dir
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    drop_warehouse_dir(spark, name)
+    (
+        Tables(spark, sf_dir)
+        .events.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "event_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return name
+
+
+@register(
+    "dlq_split_extracted",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN k >= 90 THEN 'dlq_parse_k'
+                WHEN event_type = 'error' THEN 'dlq_capitalize'
+                ELSE 'ok' END AS route,
+           CASE WHEN k < 90 AND event_type <> 'error'
+                THEN k + 10 END AS out_k,
+           CASE WHEN k < 90 AND event_type <> 'error'
+                THEN upper(event_type) || '_appended' END AS out_value_str
+    FROM e
+    """,
+)
+def dlq_split_extracted(t):
+    """`dlq_split` served from the ingest-extracted layout: identical
+    routing semantics (same oracle), zero JSON parse per query — the
+    extraction ran ONCE at `_ensure_events_extracted` build time with
+    the same get_json_object semantics the per-query twin uses.
+    Measured 7.9x faster than the per-query parse at 10M rows and
+    1.14x execute-only DuckDB (docs/DLQ_PARSE_AB_r11_sf10ev.json)."""
+    name = _ensure_events_extracted(t._spark, t._dir)
+    e = t._spark.table(name)
+    steps = [
+        Step(
+            name="parse_k",
+            fail_when=lambda c: c["k"] >= 90,
+            transform=lambda c: {"k": c["k"] + F.lit(10)},
+            dlq="dlq-topic-1",
+        ),
+        Step(
+            name="capitalize",
+            fail_when=lambda c: c["event_type"] == "error",
+            transform=lambda c: {"value_str": F.upper(c["event_type"])},
+            dlq="dlq-topic-2",
+        ),
+        Step(
+            name="append",
+            transform=lambda c: {"value_str": F.concat(c["value_str"], F.lit("_appended"))},
+        ),
+    ]
+    routed = apply_chain(e, steps)
+    return routed.select("event_id", "route", "out_k", "out_value_str")
