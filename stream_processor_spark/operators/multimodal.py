@@ -461,9 +461,14 @@ def decode_image_bytes(raw: bytes):
         return decode_ppm(raw)
     if raw[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        from stream_processor_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(raw)
     raise NotImplementedError(
-        f"unsupported image format (magic {raw[:4]!r}): only BMP, PPM and "
-        "8-bit truecolor PNG decode without external libraries"
+        f"unsupported image format (magic {raw[:4]!r}): only BMP, PPM, "
+        "8-bit truecolor PNG and baseline JPEG decode without external "
+        "libraries (progressive JPEG stays gated inside decode_jpeg)"
     )
 
 
@@ -550,6 +555,32 @@ def fixture_pixels(doc_id: int):
     return v.reshape(h, w, 3).astype(np.uint8)
 
 
+def jpeg_fixture_dims(doc_id: int) -> tuple[int, int]:
+    """(H, W) of the JPEG fixture: one MCU row, 1-3 MCUs wide — exact
+    16x16 macroblock multiples so 4:2:0 padding never enters the math."""
+    return 16, 16 * (1 + doc_id % 3)
+
+
+def jpeg_fixture_pixels(doc_id: int):
+    """(H, W, 3) uint8 array, CONSTANT per 16x16 macroblock, colors from
+    the pinned LCG on (doc_id, macroblock, channel). Constant blocks
+    encode to DC-only coefficients, so the lossy decode has the exact
+    closed form the `multimodal_jpeg_stats` oracle replays in SQL."""
+    import numpy as np
+
+    h, w = jpeg_fixture_dims(doc_id)
+    n_mb = w // 16
+    idx = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE + np.arange(
+        n_mb * 3, dtype=np.int64
+    )
+    v = (((_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M) % 256).astype(
+        np.uint8
+    ).reshape(n_mb, 3)
+    return np.repeat(v[None, :, :], h, axis=0).repeat(16, axis=1).reshape(
+        h, w, 3
+    )
+
+
 def attach_image_payload(
     df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
 ) -> DataFrame:
@@ -560,6 +591,22 @@ def attach_image_payload(
     every decode exercises all five scanline filters."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
+
+    if fmt == "jpeg":
+        # JPEG is LOSSY, so its fixture is macroblock-constant (DC-only
+        # blocks) — the decode has the closed form the registry oracle
+        # replays; random per-pixel fixtures would not be verifiable.
+        from stream_processor_spark.operators.jpeg import encode_jpeg
+
+        @pandas_udf(BinaryType())
+        def gen_jpg(ids: pd.Series) -> pd.Series:
+            return ids.map(
+                lambda d: encode_jpeg(
+                    jpeg_fixture_pixels(int(d)), subsampling="420"
+                )
+            )
+
+        return df.withColumn("payload", gen_jpg(F.col(id_col)))
 
     enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
 
