@@ -39,6 +39,17 @@ def main() -> None:
     from tests.oracle_harness import duck_con
 
     ALL = list(HEADLINE) + list(TEACHING)
+    # targeted adjudication runs (round 11): SPARK_GRAFT_COMPARE_NAMES
+    # restricts the sweep to a comma-separated subset — used for the
+    # sf10 >2x-set adjudication where the full 51-oracle DuckDB pass
+    # would burn hours on text-family oracles irrelevant to the question
+    only = os.environ.get("SPARK_GRAFT_COMPARE_NAMES")
+    if only:
+        keep = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in keep if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
+        ALL = keep
 
     # -- DuckDB side: best-of-N of each query's own oracle SQL
     duck: dict[str, float] = {}

@@ -74,11 +74,24 @@ knowing two names (`tests/test_router.py` pins both directions):
 
 {routes_table}
 
-### Teaching entries (reclassified rounds 7 and 10)
+### Teaching entries (reclassified rounds 7, 10 and 11)
 
-Six entries exist to DEMONSTRATE the shuffle-era / decimal cost their
-registered twins eliminate, and are documented teaching entries rather
-than performance claims: `tpch_q9_shape`, `tpch_q21_shape`,
+Eight entries exist to DEMONSTRATE the shuffle-era / decimal /
+fit-per-query cost their registered twins eliminate, and are documented
+teaching entries rather than performance claims. Round 11 added two
+under the same framework, each measured at sf0.1/sf1/sf10
+(docs/DUCKDB_COMPARE_r11_sf1.json, _sf10.json): `sim_ann_hamming_rerank`
+(route ann_binary's scratch twin — recomputes every sign signature per
+query, 5.8x at sf10; the routed `sim_ann_hamming_indexed` serves the
+persisted 16-byte sign layout and holds its headline slot) and
+`sim_centroids` (the IVF quantizer's fit-per-query form — the routed
+ANN serves amortize exactly this reduction into `ensure_ivf_index`'s
+build, the `sim_ann_ivf` precedent; its plan is already minimal — one
+scan, map-side partial aggregation, k*64-row shuffle — and the residual
+10-15x ratio at 0.2-0.5 s absolute is DuckDB's vectorized unnest-sum
+kernel advantage, constant across fixture scales, with the wide-column
+64-aggregate alternative measured SLOWER, 1.37 vs 0.93 s at sf10).
+The earlier six: `tpch_q9_shape`, `tpch_q21_shape`,
 `join_star_3way`, `join_star_5way` (per-query fact-fact exchange — the
 round-7 knob matrix over SMJ/shuffled-hash x AQE-skew x partitions,
 docs/SF10_STRAGGLERS_r7.json, bottoms out at 3.1x/3.4x DuckDB at sf10;

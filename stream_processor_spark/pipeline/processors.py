@@ -348,6 +348,42 @@ def _builtin_registry() -> ProcessorRegistry:
             record_fn=_py_is_even,
         )
     )
+
+    # Multimodal decode steps (round 11, VERDICT r10 ask #8): binary
+    # payloads route through the REAL codecs inside the chain — a
+    # gated format (NotImplementedError) or corrupt bytes (ValueError)
+    # is an ordinary step exception, so the record lands on the step's
+    # DLQ with the ORIGINAL payload, exactly the consumer.js contract.
+    # Record-fn only (binary decode has no expression form).
+
+    def _py_decode_image_stats(r: dict) -> dict:
+        from stream_processor_spark.operators.multimodal import (
+            decode_image_bytes,
+        )
+
+        px = decode_image_bytes(bytes(r["payload"]))
+        return {
+            **r,
+            "n_pixels": int(px.shape[0] * px.shape[1]),
+            "px_sum": int(px.sum()),
+        }
+
+    def _py_decode_wav_stats(r: dict) -> dict:
+        from stream_processor_spark.operators.multimodal import decode_wav
+
+        _rate, _channels, samples = decode_wav(bytes(r["payload"]))
+        return {
+            **r,
+            "n_pixels": int(len(samples)),  # sample count in the count slot
+            "px_sum": int(sum(int(s) for s in samples)),
+        }
+
+    reg.register(
+        Processor(name="decodeImageStats", record_fn=_py_decode_image_stats)
+    )
+    reg.register(
+        Processor(name="decodeWavStats", record_fn=_py_decode_wav_stats)
+    )
     return reg
 
 

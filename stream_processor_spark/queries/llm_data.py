@@ -643,12 +643,22 @@ def text_quality_score(t):
     """,
 )
 def text_fingerprint(t):
-    """Document fingerprint (md5, engine-portable) + regex token count."""
+    """Document fingerprint (md5, engine-portable) + regex token count.
+
+    Round 11: the token count is `regexp_count` over alnum RUNS instead
+    of size(filter(split(...))) — counting non-overlapping matches of
+    the complement pattern is definitionally the same number as the
+    non-empty split fields, with no array materialization and no
+    interpreted HOF lambda. Measured 17.9 s -> 0.56 s at sf10 (the
+    split+filter's F.filter lambda ran interpreted per element); result
+    rows pinned identical in the same A/B."""
     d = t.documents
     return d.select(
         "doc_id",
         tx.fingerprint(F.col("text")).alias("fingerprint"),
-        F.size(tx.regex_tokens(F.col("text"))).alias("n_regex_tokens"),
+        F.regexp_count("text", F.lit("[a-zA-Z0-9]+")).alias(
+            "n_regex_tokens"
+        ),
     )
 
 
@@ -5564,4 +5574,155 @@ def multimodal_scene_cuts(t):
     ever touches pixels."""
     return mm.scene_deltas(
         mm.attach_video_payload(t.documents.select("doc_id"))
+    )
+
+
+# ------------------------------------------------- graph ANN (round 11) ----
+
+
+def _graph_oracle_sql(
+    bits: int = 4, m: int = 12, beam: int = 8, hops: int = 6, topk: int = 10
+) -> str:
+    """DuckDB replay of the deterministic NSW build + beam search
+    (operators/graphann.py): the graph structure is a closed-form
+    function of the corpus (sign buckets, exact top-m bucket-local
+    cosine edges, per-bucket hubs), and the GRAPH_HOPS beam rounds are
+    UNROLLED as chained CTEs — the Lloyd-trainer replay discipline
+    applied to graph traversal. All cosines use the engine's exact
+    scaled-int64 convention, ties to the smaller vec_id."""
+    probes = ", ".join(f"({v})" for v in [0] + [1 << j for j in range(bits)])
+    bexpr = "\n       + ".join(
+        f"(CASE WHEN CAST(embedding[{j + 1}] AS DOUBLE) > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    parts = [
+        f"""bkt AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {bexpr} AS b
+  FROM embeddings
+),
+probe AS (
+  SELECT vec_id, xor(b, x.x) AS pb FROM bkt, (VALUES {probes}) x(x)
+),
+pt AS (
+  SELECT p.vec_id AS src, c.vec_id AS dst,
+         CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                    * CAST(c.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS xy,
+         CAST(round(CAST(a.embedding[i.i] AS DOUBLE)
+                    * CAST(a.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS xx,
+         CAST(round(CAST(c.embedding[i.i] AS DOUBLE)
+                    * CAST(c.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS yy
+  FROM probe p
+  JOIN bkt a ON a.vec_id = p.vec_id
+  JOIN bkt c ON c.b = p.pb AND c.vec_id <> p.vec_id
+  CROSS JOIN generate_series(1, 64) AS i(i)
+),
+pc AS (
+  SELECT src, dst,
+         CAST(CAST(SUM(xy) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(xx) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(yy) AS BIGINT) AS DOUBLE))) AS cos
+  FROM pt GROUP BY src, dst
+),
+local_edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+    FROM pc) WHERE rk <= {m}
+),
+hubs AS (SELECT b, min(vec_id) AS hub FROM bkt GROUP BY b),
+hub_edges AS (
+  SELECT h1.hub AS src, h2.hub AS dst
+  FROM hubs h1, hubs h2 WHERE h1.hub <> h2.hub
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM local_edges
+    UNION ALL SELECT src, dst FROM hub_edges)
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+qt AS (
+  SELECT e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE)
+                    * CAST(q.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS xy,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE)
+                    * CAST(e.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS xx,
+         CAST(round(CAST(q.embedding[i.i] AS DOUBLE)
+                    * CAST(q.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS qq
+  FROM embeddings e CROSS JOIN qv q CROSS JOIN generate_series(1, 64) AS i(i)
+),
+qsc AS MATERIALIZED (
+  SELECT vec_id AS v,
+         CAST(CAST(SUM(xy) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(xx) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cos
+  FROM qt GROUP BY vec_id
+),
+beam0 AS (SELECT min(vec_id) AS v FROM embeddings)"""
+    ]
+    for h in range(1, hops + 1):
+        parts.append(
+            f""",
+cand{h} AS MATERIALIZED (
+  SELECT DISTINCT v FROM (
+    SELECT e.dst AS v FROM edges e JOIN beam{h - 1} b ON e.src = b.v
+    UNION ALL SELECT v FROM beam{h - 1})
+),
+beam{h} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT c.v, row_number() OVER (ORDER BY q.cos DESC, c.v ASC) AS rk
+    FROM cand{h} c JOIN qsc q ON q.v = c.v) WHERE rk <= {beam}
+)"""
+        )
+    visited_union = "\n    UNION ALL ".join(
+        [f"SELECT v FROM cand{h}" for h in range(1, hops + 1)]
+        + ["SELECT v FROM beam0"]
+    )
+    parts.append(
+        f""",
+visited AS (SELECT DISTINCT v FROM ({visited_union}))
+SELECT v AS vec_id, cos AS cosine FROM (
+  SELECT q.v, q.cos, row_number() OVER (ORDER BY q.cos DESC, q.v ASC) AS rk
+  FROM visited vi JOIN qsc q ON q.v = vi.v) WHERE rk <= {topk}"""
+    )
+    return "WITH " + "".join(parts)
+
+
+@register("sim_ann_graph_indexed", oracle=_graph_oracle_sql())
+def sim_ann_graph_indexed(t):
+    """ANN top-10 served by a BEAM WALK over a persisted deterministic
+    NSW graph (round 11, VERDICT r10 ask #6) — the graph-index family
+    (HNSW's) that completes the retrieval ladder: brute -> LSH-bucketed
+    -> IVF/PQ/binary layouts -> navigable graph.
+
+    `operators/graphann.ensure_graph_index` writes the edge table once
+    (sign buckets, exact top-12 bucket+adjacent-bucket cosine edges,
+    fully-connected per-bucket hubs; one file per src-bucket partition),
+    and each query runs the standard NSW ef-search: beam 8, 6 hops,
+    partition-pruned adjacency lookups, exact scaled-int64 rerank over
+    the visited set (~170 of 500 fixture vectors touched — recall
+    floors pinned against the IVF probe at matched scanned budget in
+    tests/test_ann_quality.py). HNSW itself draws random levels, which
+    would be unverifiable; this deterministic member's build AND walk
+    are pure functions of the corpus, so the oracle replays the whole
+    thing — graph construction in closed form, the 6 beam rounds as
+    unrolled CTEs (the Lloyd-trainer discipline). Reference has no ANN
+    surface ([EXT])."""
+    import numpy as np
+
+    from stream_processor_spark.operators.graphann import (
+        ensure_graph_index,
+        graph_query_indexed,
+    )
+
+    spark = t._spark
+    (edges_name,) = ensure_graph_index(spark, t._dir)
+    qrow = (
+        t.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    if qrow is None:
+        raise ValueError("graph ANN: query vector vec_id=0 not found")
+    return graph_query_indexed(
+        spark, edges_name, np.asarray(qrow[0], dtype=np.float64)
     )

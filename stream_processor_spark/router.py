@@ -172,6 +172,18 @@ def _build_sign(spark: SparkSession, sf_dir: str) -> None:
     ensure_sign_index(spark, sf_dir)
 
 
+def _graph_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    from stream_processor_spark.operators.graphann import graph_names
+
+    return graph_names(sf_dir)
+
+
+def _build_graph(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.operators.graphann import ensure_graph_index
+
+    ensure_graph_index(spark, sf_dir)
+
+
 def _zonemap_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
     from stream_processor_spark.operators.zonemap import zonemap_names
 
@@ -196,6 +208,7 @@ LAYOUTS = {
     "minhash_index": (_minhash_tables, _build_minhash),
     "ivfpq_index": (_ivfpq_tables, _build_ivfpq),
     "sign_index": (_sign_tables, _build_sign),
+    "graph_index": (_graph_tables, _build_graph),
 }
 
 # semantic name -> Route. Both registry entries of a route share result
@@ -242,6 +255,7 @@ ROUTES = {
     "ann_binary_multi": Route(
         "sign_index", "sim_ann_hamming_multiquery", None
     ),
+    "ann_graph": Route("graph_index", "sim_ann_graph_indexed", None),
     "ann_ivfpq_multi": Route(
         "ivfpq_index", "sim_ann_ivfpq_multiquery", None
     ),

@@ -297,3 +297,55 @@ def test_input_bytes_hadoop_fs_resolution(spark):
     assert got == want > 0
     # non-file frames stay None (callers treat as "small")
     assert sim._input_bytes(spark.range(5)) is None
+
+
+def test_dup_spans_spill_safe_twin_identical_on_pathological_skew(
+    spark, tmp_path
+):
+    """VERDICT r10 ask #9: the fused collect_list member recovery holds
+    all of a duplicated gram's windows in one aggregation buffer; the
+    spill-safe window-count form must produce IDENTICAL spans — pinned
+    here on a pathological corpus where one 10-gram repeats ~50k times
+    (1000 docs x ~50 duplicated window starts), plus unique filler."""
+    from stream_processor_spark.queries import curation_extra as ce
+
+    boiler = " ".join(["dup"] * 60)  # 51 duplicated window starts/doc
+    rows = [(i, f"u{i}a u{i}b u{i}c " + boiler + f" t{i}x t{i}y") for i in range(1000)]
+    d_dir = tmp_path / "skew"
+    d_dir.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(d_dir / "documents.parquet")
+    )
+
+    class T:
+        documents = spark.read.parquet(str(d_dir / "documents.parquet"))
+
+    fused = sorted(
+        tuple(r)
+        for r in ce._spans_from_dup_windows(
+            ce._dup_windows_fast(T(), fused=True)
+        ).collect()
+    )
+    spill = sorted(
+        tuple(r)
+        for r in ce._spans_from_dup_windows(
+            ce._dup_windows_fast(T(), fused=False)
+        ).collect()
+    )
+    assert fused == spill
+    assert len(fused) == 1000  # every doc carries exactly one span
+    # module-constant switch resolves at call time (monkeypatch works)
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(ce, "_DUP_SPANS_FUSED", False)
+        via_const = sorted(
+            tuple(r)
+            for r in ce._spans_from_dup_windows(
+                ce._dup_windows_fast(T())
+            ).collect()
+        )
+    finally:
+        mp.undo()
+    assert via_const == fused
