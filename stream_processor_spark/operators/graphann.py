@@ -194,9 +194,24 @@ def graph_query_indexed(
     }
     visited[entry] = float(cos_of(emb_of[entry][None, :])[0])
     beam = [entry]
+    bits = GRAPH_BITS
+
+    def bucket_of(node: int) -> int:
+        # src_b is a pure function of the node's embedding (sign of the
+        # first GRAPH_BITS dims) — recomputed driver-side so every hop's
+        # adjacency read carries the PARTITION filter, not just the
+        # row-level src filter (round-11 fix: without src_b in the
+        # predicate the partitioned layout was scanned in full per hop)
+        emb = emb_of[node]
+        return int(sum((1 << j) for j in range(bits) if emb[j] > 0))
+
     for _ in range(hops):
+        beam_bs = sorted({bucket_of(x) for x in beam})
         rows = (
-            edges.filter(F.col("src").isin([int(x) for x in beam]))
+            edges.filter(
+                F.col("src_b").isin(beam_bs)
+                & F.col("src").isin([int(x) for x in beam])
+            )
             .select("dst", "dst_emb")
             .collect()
         )

@@ -72,9 +72,18 @@ def test_decode_dispatch_and_unsupported_formats():
     np.testing.assert_array_equal(
         mm.decode_image_bytes(mm.encode_png(img)), img
     )
-    # JPEG magic: honestly gated (libjpeg absent)
-    with pytest.raises(NotImplementedError, match="unsupported image format"):
+    # JPEG magic dispatches to the REAL baseline decoder (round 11);
+    # a truncated frame is a parse error, not a format gate
+    from stream_processor_spark.operators.jpeg import encode_jpeg
+
+    const = np.full((16, 16, 3), 90, np.uint8)
+    out = mm.decode_image_bytes(encode_jpeg(const))
+    assert out.shape == const.shape and (out == out[0, 0]).all()
+    with pytest.raises(ValueError, match="no SOS marker"):
         mm.decode_image_bytes(b"\xff\xd8\xff\xe0....")
+    # an honestly-gated format still raises NotImplementedError
+    with pytest.raises(NotImplementedError, match="unsupported image format"):
+        mm.decode_image_bytes(b"GIF89a" + b"\x00" * 16)
     # BMP container but a sub-format needing a real library
     bad = bytearray(mm.encode_bmp(img))
     bad[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP

@@ -331,3 +331,41 @@ def test_point_lookup_indexed_reads_only_matching_files(spark, sf_dir):
     total = len(zm.manifest_rows(spark, map_name))
     nread = len(df.inputFiles())
     assert 0 < nread < total
+
+
+def test_graph_hop_read_is_partition_pruned(spark, sf_dir):
+    """Round-11 fix: every beam hop's adjacency lookup must carry the
+    src_b PARTITION filter (the partitioned-layout read discipline) —
+    with only the row-level src predicate the edge table was scanned in
+    full per hop. Pinned on the hop-shaped read the serve issues."""
+    import re
+
+    import numpy as np
+
+    from stream_processor_spark.operators.graphann import (
+        ensure_graph_index,
+        graph_query_indexed,
+    )
+    from pyspark.sql import functions as F
+
+    (edges_name,) = ensure_graph_index(spark, sf_dir)
+    edges = spark.table(edges_name)
+    hop = edges.filter(
+        F.col("src_b").isin([0, 3]) & F.col("src").isin([0, 1, 2])
+    ).select("dst", "dst_emb")
+    plan = hop._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*src_b[^\]]*IN \(0,\s*3\)", plan)
+    assert m, f"hop read lost src_b partition pruning: {plan[:600]}"
+    # and the serve itself still returns the exact top-10
+    from stream_processor_spark.catalog import Tables
+
+    qrow = (
+        Tables(spark, sf_dir)
+        .embeddings.filter("vec_id = 0")
+        .select("embedding")
+        .head()
+    )
+    got = graph_query_indexed(
+        spark, edges_name, np.asarray(qrow[0], dtype=np.float64)
+    ).collect()
+    assert len(got) == 10 and got[0].vec_id == 0
