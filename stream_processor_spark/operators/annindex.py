@@ -1228,11 +1228,13 @@ def hamming_query_indexed(
 
 
 def _partition_file_counts(
-    spark: SparkSession, table_name: str
+    spark: SparkSession, table_name: str, part_col: str = "list_id"
 ) -> dict[str, int]:
-    """data-file count per `list_id=N` partition directory of a managed
-    table, via the Hadoop FileSystem API (scheme-agnostic, the
-    `drop_warehouse_dir` rationale). Hidden/_SUCCESS files excluded."""
+    """data-file count per `{part_col}=N` partition directory of a
+    managed table, via the Hadoop FileSystem API (scheme-agnostic, the
+    `drop_warehouse_dir` rationale). Hidden/_SUCCESS files excluded.
+    Round 11: part_col parameterized so the graph layout's `src_b=`
+    partitions profile through the same probe."""
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table_name)
@@ -1240,9 +1242,10 @@ def _partition_file_counts(
     out: dict[str, int] = {}
     if not fs.exists(jpath):
         return out
+    prefix = f"{part_col}="
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if not st.isDirectory() or not name.startswith("list_id="):
+        if not st.isDirectory() or not name.startswith(prefix):
             continue
         n = 0
         for f in fs.listStatus(st.getPath()):

@@ -61,8 +61,11 @@ GRAPH_BEAM = 8
 GRAPH_HOPS = 6
 
 
-def graph_names(sf_dir: str) -> tuple[str]:
-    tag = hashlib.md5(f"{sf_dir}|graph".encode()).hexdigest()[:8]
+def graph_names(sf_dir: str, bits: int = GRAPH_BITS, m: int = GRAPH_M) -> tuple[str]:
+    key = f"{sf_dir}|graph" if (bits, m) == (GRAPH_BITS, GRAPH_M) else (
+        f"{sf_dir}|graph|{bits}|{m}"
+    )
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
     return (f"gr_edges_{tag}",)
 
 
@@ -77,20 +80,36 @@ def _bucket_col(emb, bits: int):
     return b.cast("long")
 
 
-def ensure_graph_index(spark: SparkSession, sf_dir: str) -> tuple[str]:
+def ensure_graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int | None = None,
+    m: int | None = None,
+) -> tuple[str]:
     """Build (once per sf_dir) the NSW edge table:
     (src, dst, dst_emb) partitioned by src_b = src's bucket, one file
-    per partition. Deterministic; same-corpus rebuilds are byte-stable."""
+    per partition. Deterministic; same-corpus rebuilds are byte-stable.
+
+    SCALING RULE for ``bits``: the construction pair join scores
+    ~5·N²/2^bits candidate pairs (each node against its home + `bits`
+    Hamming-1 buckets), so bits must GROW with the corpus — pick
+    bits ≈ log2(5·N²/budget) for a pair budget the cluster absorbs
+    (e.g. N=20k → bits 8 keeps it at ~8M pairs; N=2M → bits ~15).
+    The registered `sim_ann_graph_indexed` pins bits=4 (the fixture
+    scale its unrolled-CTE oracle replays); larger corpora call this
+    builder directly with scaled parameters — the serve and oracle
+    structure are bits-generic (docs/GRAPH_SF1_r11.json rehearses
+    bits=8 at 20k vectors)."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
-    (edges_name,) = graph_names(sf_dir)
+    bits = GRAPH_BITS if bits is None else bits
+    m = GRAPH_M if m is None else m
+    (edges_name,) = graph_names(sf_dir, bits, m)
     if spark.catalog.tableExists(edges_name):
         return (edges_name,)
     spark.sql(f"DROP TABLE IF EXISTS {edges_name}")
     drop_warehouse_dir(spark, edges_name)
-
-    bits, m = GRAPH_BITS, GRAPH_M
     e = Tables(spark, sf_dir).embeddings.repartition(
         spark.sparkContext.defaultParallelism, "vec_id"
     )
@@ -159,6 +178,7 @@ def graph_query_indexed(
     beam_width: int | None = None,
     hops: int | None = None,
     stats_out: dict | None = None,
+    bits: int | None = None,
 ) -> DataFrame:
     """NSW beam search over the persisted edge table. Each hop reads
     ONLY the beam nodes' src_b partitions (partition-pruned adjacency
@@ -194,7 +214,7 @@ def graph_query_indexed(
     }
     visited[entry] = float(cos_of(emb_of[entry][None, :])[0])
     beam = [entry]
-    bits = GRAPH_BITS
+    bits = GRAPH_BITS if bits is None else bits  # must match the build
 
     def bucket_of(node: int) -> int:
         # src_b is a pure function of the node's embedding (sign of the
