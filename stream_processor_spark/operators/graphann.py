@@ -265,3 +265,114 @@ def graph_query_indexed(
     return spark.createDataFrame(
         [(int(v), float(c)) for v, c in top], "vec_id long, cosine double"
     )
+
+
+def graph_multi_query_indexed(
+    spark: SparkSession,
+    edges_name: str,
+    queries: dict,
+    topk: int = 10,
+    beam_width: int | None = None,
+    hops: int | None = None,
+    bits: int | None = None,
+) -> DataFrame:
+    """Serve MANY ANN queries in ONE walk over the persisted graph —
+    the batched twin of `graph_query_indexed` (the
+    `ivf_multi_query_indexed` pattern applied to beam search).
+
+    Each hop issues a SINGLE partition-pruned adjacency read for the
+    UNION of all queries' beams (src_b ∪ src filters), then updates
+    every query's beam driver-side from the shared candidate rows —
+    per-hop I/O is one pruned scan instead of |queries| scans, and a
+    node expanded by several queries is read once. For any query_id the
+    returned rows are IDENTICAL to the single-query serve (pinned in
+    tests/test_round11_ops.py): the beams never interact, they only
+    share reads. Returns (query_id, vec_id, cosine), exact top-k per
+    query over that query's visited set."""
+    beam_width = GRAPH_BEAM if beam_width is None else beam_width
+    hops = GRAPH_HOPS if hops is None else hops
+    bits = GRAPH_BITS if bits is None else bits
+    edges = spark.table(edges_name)
+
+    qids = sorted(queries)
+    Q = {q: np.asarray(queries[q], dtype=np.float64) for q in qids}
+    sqq = {
+        q: float(npk.self_norms_scaled(Q[q][None, :])[0]) for q in qids
+    }
+
+    entry_row = edges.agg(F.min("src")).head()
+    if entry_row is None or entry_row[0] is None:
+        raise ValueError(f"graph index {edges_name!r} is empty")
+    entry = int(entry_row[0])
+    erow = edges.filter(F.col("dst") == entry).select("dst_emb").head()
+    if erow is None:
+        raise ValueError(f"graph index {edges_name!r}: entry has no in-edges")
+    entry_emb = np.asarray(erow[0], dtype=np.float64)
+
+    emb_of: dict[int, np.ndarray] = {entry: entry_emb}
+
+    def cos_of(q: int, embs: np.ndarray) -> np.ndarray:
+        p = npk.round_half_up((embs * Q[q]) * npk.SCALE).sum(axis=-1)
+        saa = npk.self_norms_scaled(embs)
+        return p.astype(np.float64) / (
+            np.sqrt(saa.astype(np.float64)) * np.sqrt(sqq[q])
+        )
+
+    def bucket_of(node: int) -> int:
+        emb = emb_of[node]
+        return int(sum((1 << j) for j in range(bits) if emb[j] > 0))
+
+    visited = {
+        q: {entry: float(cos_of(q, entry_emb[None, :])[0])} for q in qids
+    }
+    beams = {q: [entry] for q in qids}
+    active = set(qids)
+    for _ in range(hops):
+        if not active:
+            break
+        union_beam = sorted({x for q in active for x in beams[q]})
+        union_bs = sorted({bucket_of(x) for x in union_beam})
+        rows = (
+            edges.filter(
+                F.col("src_b").isin(union_bs)
+                & F.col("src").isin(union_beam)
+            )
+            .select("src", "dst", "dst_emb")
+            .collect()
+        )
+        adj: dict[int, list[int]] = {}
+        for r in rows:
+            d = int(r[1])
+            adj.setdefault(int(r[0]), []).append(d)
+            if d not in emb_of:
+                emb_of[d] = np.asarray(r[2], dtype=np.float64)
+        still = set()
+        for q in active:
+            cand_ids = list(beams[q])
+            seen = set(beams[q])
+            for s in beams[q]:
+                for d in adj.get(s, ()):  # shared read, per-query walk
+                    if d not in seen:
+                        seen.add(d)
+                        cand_ids.append(d)
+            new_ids = [d for d in cand_ids if d not in visited[q]]
+            if new_ids:
+                cs = cos_of(q, np.stack([emb_of[d] for d in new_ids]))
+                for i, d in enumerate(new_ids):
+                    visited[q][d] = float(cs[i])
+            cand_ids.sort(key=lambda d: (-visited[q][d], d))
+            new_beam = cand_ids[:beam_width]
+            if new_beam != beams[q]:
+                beams[q] = new_beam
+                still.add(q)
+        active = still
+
+    out = []
+    for q in qids:
+        top = sorted(visited[q].items(), key=lambda kv: (-kv[1], kv[0]))[
+            :topk
+        ]
+        out.extend((int(q), int(v), float(c)) for v, c in top)
+    return spark.createDataFrame(
+        out, "query_id long, vec_id long, cosine double"
+    )

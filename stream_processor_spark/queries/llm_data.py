@@ -5726,3 +5726,104 @@ def sim_ann_graph_indexed(t):
     return graph_query_indexed(
         spark, edges_name, np.asarray(qrow[0], dtype=np.float64)
     )
+
+
+def _graph_oracle_multi_sql(
+    qids=(0, 1, 2), bits: int = 4, m: int = 12, beam: int = 8,
+    hops: int = 6, topk: int = 10,
+) -> str:
+    """Multi-query twin of `_graph_oracle_sql`: ONE shared graph build
+    (identical CTEs), then an independent unrolled beam chain per
+    query_id, unioned with the id column — mirroring the engine's
+    shared-read walk, whose per-query rows equal the single-query serve
+    by construction."""
+    base = _graph_oracle_sql(bits=bits, m=m, beam=beam, hops=hops, topk=topk)
+    # keep everything up to (and incl.) the edges CTE; rebuild per-query
+    build_end = base.index("qv AS (SELECT embedding")
+    parts = [base[:build_end].rstrip().rstrip(",")]
+    for q in qids:
+        parts.append(
+            f""",
+qv{q} AS (SELECT embedding FROM embeddings WHERE vec_id = {q}),
+qt{q} AS (
+  SELECT e.vec_id,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE)
+                    * CAST(q.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS xy,
+         CAST(round(CAST(e.embedding[i.i] AS DOUBLE)
+                    * CAST(e.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS xx,
+         CAST(round(CAST(q.embedding[i.i] AS DOUBLE)
+                    * CAST(q.embedding[i.i] AS DOUBLE) * 1e16) AS BIGINT) AS qq
+  FROM embeddings e CROSS JOIN qv{q} q
+  CROSS JOIN generate_series(1, 64) AS i(i)
+),
+qsc{q} AS MATERIALIZED (
+  SELECT vec_id AS v,
+         CAST(CAST(SUM(xy) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(CAST(SUM(xx) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE))) AS cos
+  FROM qt{q} GROUP BY vec_id
+),
+beam{q}_0 AS (SELECT min(vec_id) AS v FROM embeddings)"""
+        )
+        for h in range(1, hops + 1):
+            parts.append(
+                f""",
+cand{q}_{h} AS MATERIALIZED (
+  SELECT DISTINCT v FROM (
+    SELECT e.dst AS v FROM edges e JOIN beam{q}_{h - 1} b ON e.src = b.v
+    UNION ALL SELECT v FROM beam{q}_{h - 1})
+),
+beam{q}_{h} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT c.v, row_number() OVER (ORDER BY q.cos DESC, c.v ASC) AS rk
+    FROM cand{q}_{h} c JOIN qsc{q} q ON q.v = c.v) WHERE rk <= {beam}
+)"""
+            )
+        vis = "\n    UNION ALL ".join(
+            [f"SELECT v FROM cand{q}_{h}" for h in range(1, hops + 1)]
+            + [f"SELECT v FROM beam{q}_0"]
+        )
+        parts.append(
+            f""",
+visited{q} AS (SELECT DISTINCT v FROM ({vis})),
+top{q} AS (
+  SELECT CAST({q} AS BIGINT) AS query_id, v AS vec_id, cos AS cosine
+  FROM (
+    SELECT q.v, q.cos,
+           row_number() OVER (ORDER BY q.cos DESC, q.v ASC) AS rk
+    FROM visited{q} vi JOIN qsc{q} q ON q.v = vi.v) WHERE rk <= {topk}
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM top{q}" for q in qids)
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+@register("sim_ann_graph_multiquery", oracle=_graph_oracle_multi_sql())
+def sim_ann_graph_multiquery(t):
+    """Batched graph-ANN serve: MANY queries share ONE beam walk over
+    the persisted NSW edge table — each hop issues a single
+    partition-pruned adjacency read for the union of all beams, nodes
+    expanded by several queries are read once, and per-query results
+    are IDENTICAL to `sim_ann_graph_indexed`'s single serve (the
+    batched-retrieval pattern every other ANN layout already has:
+    ivf/pq/ivfpq/hamming multiquery). Oracle: one shared graph build +
+    an independent unrolled 6-hop CTE chain per query id."""
+    import numpy as np
+
+    from stream_processor_spark.operators.graphann import (
+        ensure_graph_index,
+        graph_multi_query_indexed,
+    )
+
+    spark = t._spark
+    (edges_name,) = ensure_graph_index(spark, t._dir)
+    qrows = (
+        t.embeddings.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if len(qrows) < 3:
+        raise ValueError("graph multiquery: query vectors 0..2 not found")
+    queries = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
+    return graph_multi_query_indexed(spark, edges_name, queries)

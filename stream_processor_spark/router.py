@@ -256,6 +256,9 @@ ROUTES = {
         "sign_index", "sim_ann_hamming_multiquery", None
     ),
     "ann_graph": Route("graph_index", "sim_ann_graph_indexed", None),
+    "ann_graph_multi": Route(
+        "graph_index", "sim_ann_graph_multiquery", None
+    ),
     "ann_ivfpq_multi": Route(
         "ivfpq_index", "sim_ann_ivfpq_multiquery", None
     ),

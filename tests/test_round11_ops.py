@@ -349,3 +349,37 @@ def test_dup_spans_spill_safe_twin_identical_on_pathological_skew(
     finally:
         mp.undo()
     assert via_const == fused
+
+
+def test_graph_multiquery_rows_equal_single_serves(spark):
+    """The batched walk shares READS, never beams: for every query_id
+    the rows must equal the single-query serve exactly."""
+    import numpy as np
+
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators.graphann import (
+        ensure_graph_index,
+        graph_multi_query_indexed,
+        graph_query_indexed,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    (edges_name,) = ensure_graph_index(spark, sf)
+    t = Tables(spark, sf)
+    qrows = (
+        t.embeddings.filter("vec_id in (0, 1, 2)")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
+    multi = graph_multi_query_indexed(spark, edges_name, queries).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    assert set(by_q) == {0, 1, 2}
+    for q, qv in queries.items():
+        single = [
+            (r.vec_id, r.cosine)
+            for r in graph_query_indexed(spark, edges_name, qv).collect()
+        ]
+        assert by_q[q] == single and len(single) == 10
