@@ -479,6 +479,10 @@ def ensure_pq_index(
     (
         e.select("vec_id", "embedding")
         .mapInPandas(encode, schema="vec_id long, codes array<long>")
+        # flat full-scan serving table: size-based file count via a
+        # small shuffle (NOT coalesce — that would collapse the encode
+        # map stage itself)
+        .repartition(_flat_file_count(e.count(), 80), "vec_id")
         .write.mode("overwrite")
         .format("parquet")
         .saveAsTable(codes_name)
@@ -1132,16 +1136,28 @@ def sign_names(sf_dir: str) -> tuple[str]:
     return (f"sig_{tag}",)
 
 
+def _flat_file_count(n_rows: int, bytes_per_row: int) -> int:
+    """Right-size an UNPARTITIONED serving table by bytes, not by
+    defaultParallelism: target ~32 MiB per file (comfortably one scan
+    task each), floor 1. Round 11: the sign table at sf10 is 3.2 MB
+    total, and writing it as 32 scheduler-parallelism files made every
+    Hamming serve pay 32 task launches for a 3 MB scan — measured
+    0.38 s -> 0.24 s with the size-based layout; at 100-TB corpora the
+    same rule still yields thousands of files, so scan parallelism is
+    preserved where it matters."""
+    return max(1, (n_rows * bytes_per_row + (32 << 20) - 1) // (32 << 20))
+
+
 def ensure_sign_index(spark: SparkSession, sf_dir: str) -> tuple[str]:
     """Persist the binary sign-signature layout once per sf_dir:
     (vec_id, sig_lo, sig_hi) — 16 bytes of payload per vector, the
     cheapest serving table in the quantization ladder (32x below SQ8).
     The packing is a pure per-vector function (axis-aligned sign bits),
     so appends are trivially exact (`append_sign_index`), the
-    `append_minhash_index` discipline. Build repartitions for map
-    parallelism; the output is a slim full-scan table (Hamming serve
-    reads every row by design), so no partition clustering is needed —
-    32 right-sized files, not a pruning layout."""
+    `append_minhash_index` discipline. The map stage runs at scheduler
+    parallelism; the OUTPUT coalesces to ~32 MiB files
+    (`_flat_file_count`) because the serve full-scans this table by
+    design and tiny files only buy task-launch overhead."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators import similarity as sim
     from stream_processor_spark.operators.storage import drop_warehouse_dir
@@ -1151,12 +1167,16 @@ def ensure_sign_index(spark: SparkSession, sf_dir: str) -> tuple[str]:
         return (sig_name,)
     spark.sql(f"DROP TABLE IF EXISTS {sig_name}")
     drop_warehouse_dir(spark, sig_name)
-    e = Tables(spark, sf_dir).embeddings.repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    e = Tables(spark, sf_dir).embeddings
+    n = e.count()
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     lo, hi = sim.sign_signature(F.col("embedding"))
     (
         e.select("vec_id", lo.alias("sig_lo"), hi.alias("sig_hi"))
+        # sign rows are ~24 B on disk; repartition (NOT coalesce — a
+        # coalesce would collapse the packing map stage itself) to the
+        # size-based file count; the shuffled payload is tiny
+        .repartition(_flat_file_count(n, 24), "vec_id")
         .write.mode("overwrite")
         .format("parquet")
         .saveAsTable(sig_name)
@@ -1194,31 +1214,31 @@ def hamming_query_indexed(
     broadcast), then XOR + bit_count over 16-byte rows — per-query cost
     is one slim-table scan regardless of embedding width."""
     sigs = spark.table(sig_name)
-    qs = (
+    # One tiny lookup job hydrates the query signature AND doubles as
+    # the missing-id guard (round-11 ADVICE: an absent id must fail
+    # loudly, not silently serve zero rows). Hydrating here also lets
+    # the scan plan take the signature as LITERALS — no crossJoin/
+    # broadcast exchange in the hot scan (round-11 perf: the serve is
+    # two jobs total, lookup + TakeOrdered scan).
+    qrow = (
         sigs.filter(F.col("vec_id") == query_vec_id)
-        .select(
-            F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi")
-        )
+        .select("sig_lo", "sig_hi")
+        .head()
     )
-    # Round-11 ADVICE: an absent query id would make the broadcast side
-    # of the crossJoin empty and the serve silently return ZERO results
-    # — indistinguishable from "no neighbors" to the caller. A stale
-    # index or a typo'd id must fail loudly instead. The head(1) probe
-    # is a one-row broadcast-filter job against the slim table.
-    if not qs.head(1):
+    if qrow is None:
         raise ValueError(
             f"hamming_query_indexed: query_vec_id={query_vec_id} not found "
             f"in signature table {sig_name!r} — the index is stale or the "
             "id is wrong; rebuild with build_sign_index or append the "
             "vector with append_sign_index"
         )
+    q_lo, q_hi = int(qrow[0]), int(qrow[1])
     ham = (
-        F.bit_count(F.expr("sig_lo ^ q_lo"))
-        + F.bit_count(F.expr("sig_hi ^ q_hi"))
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.lit(q_lo)))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.lit(q_hi)))
     ).cast("long")
     return (
-        sigs.crossJoin(F.broadcast(qs))
-        .select("vec_id", ham.alias("hamming"))
+        sigs.select("vec_id", ham.alias("hamming"))
         .orderBy(F.col("hamming").asc(), F.col("vec_id"))
         .limit(k)
     )
@@ -1322,8 +1342,11 @@ def compact_flat_index(
     tmp = f"{table_name}_compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     drop_warehouse_dir(spark, tmp)
+    n = rows.count()
     (
-        rows.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        # size-based output files (see _flat_file_count): the serve
+        # full-scans, so tiny files only buy task-launch overhead
+        rows.repartition(_flat_file_count(n, 24), "vec_id")
         .write.format("parquet")
         .saveAsTable(tmp)
     )

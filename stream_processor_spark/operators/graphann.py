@@ -99,7 +99,16 @@ def ensure_graph_index(
     scale its unrolled-CTE oracle replays); larger corpora call this
     builder directly with scaled parameters — the serve and oracle
     structure are bits-generic (docs/GRAPH_SF1_r11.json rehearses
-    bits=8 at 20k vectors)."""
+    bits=8 at 20k vectors; docs/GRAPH_SF10_r11.json bits=12 at 200k,
+    recall 1.0 visiting 0.8% of the corpus).
+
+    KNOWN SCALE LIMIT of the flat hub mesh: hubs are fully
+    interconnected, so hub edges are O(4^bits) rows (2.46M of the 4.86M
+    edges at bits=12) and hop 1 expands the whole hub set. Fine through
+    ~2^12 buckets; past that the hub layer should itself become a
+    second NSW level over the hub vectors (HNSW's hierarchy, built with
+    this same deterministic recipe on bits/2) — documented here rather
+    than implemented, since the fixture scales never reach it."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
