@@ -1,0 +1,247 @@
+"""GIF87a codec in pure Python/numpy — REAL LZW, no external libraries.
+
+Round-11 continuation of the real-codec ladder (BMP/PPM → PNG → baseline
+JPEG → G.711): GIF is the remaining classic raster format whose
+compression (LZW, GIF variant) is honestly reimplementable with stdlib
+integer ops. The encoder is a REAL dictionary LZW compressor (variable
+code width 9→12 bits, LSB-first packing, clear-code table reset at
+4096); the decoder implements the full inverse — code-width growth,
+CLEAR/EOI handling, and the KwKwK first-use case — so any conforming
+GIF87a stream with a global color table decodes, not just our own
+output (round-tripping our encoder is the test floor, not the
+capability ceiling).
+
+Scope gates (honest NotImplementedError, same contract as decode_png):
+interlaced images, local color tables, GIF89a extension blocks beyond
+plain skipping, and multi-image animations decode only their first
+frame. Transparency (GCE) is ignored — stats operate on the palette
+RGB, matching how a curation pipeline treats stills.
+
+The fixture/oracle design mirrors the BMP/PNG twins
+(queries/multimodal_extra.py): pixels are palette INDICES from the
+pinned LCG; the 256-entry palette is itself closed-form
+(r=i, g=(7i+13)%256, b=(31i+5)%256), so the DuckDB oracle composes two
+integer formulas and never sees the bytes. A hash match therefore
+proves the LZW bitstream round trip bit-perfect.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_GIF87A = b"GIF87a"
+_GIF89A = b"GIF89a"
+
+
+# ----------------------------------------------------------------- LZW ----
+
+
+def lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emit CLEAR, then dictionary-compress ``data``
+    (symbols < 2**min_code_size), growing the code width from
+    min_code_size+1 up to 12 bits; reset with CLEAR when the table is
+    full; terminate with EOI. Returns the raw code bitstream (LSB-first
+    packed), NOT yet wrapped in GIF sub-blocks."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table():
+        return {(None, s): s for s in range(clear)}
+
+    width = min_code_size + 1
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear, width)
+
+    prefix: int | None = None
+    for b in data:
+        key = (prefix, b)
+        if key in table:
+            prefix = table[key]
+            continue
+        emit(prefix, width)  # prefix is never None here: (None, b) always hits
+        table[key] = next_code
+        next_code += 1
+        # GIF "non-early-change": widen when the NEXT code to assign
+        # no longer fits the current width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 0xFFF:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = b
+    if prefix is not None:
+        emit(prefix, width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def lzw_decompress(stream: bytes, min_code_size: int) -> bytes:
+    """Inverse of lzw_compress — a CONFORMING GIF LZW decoder: variable
+    width, CLEAR resets, EOI stops, and the KwKwK case (a code equal to
+    the next unassigned entry) reconstructed as prev + prev[0]."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    pos = 0  # bit position
+    total_bits = len(stream) * 8
+
+    def read(width: int) -> int | None:
+        nonlocal pos
+        if pos + width > total_bits:
+            return None
+        byte0 = pos >> 3
+        # little-endian bit packing: gather up to 3 bytes
+        chunk = int.from_bytes(stream[byte0 : byte0 + 3], "little")
+        val = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        return val
+
+    base = [bytes([s]) for s in range(clear)] + [b"", b""]  # CLEAR, EOI slots
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+
+    while True:
+        code = read(width)
+        if code is None:
+            # Spec-tolerant: stream ended without EOI (some writers omit it)
+            break
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(
+                f"corrupt LZW stream: code {code} beyond table "
+                f"size {len(table)}"
+            )
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+# ----------------------------------------------------------------- GIF ----
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Encode an (H, W) uint8 index array + (256, 3) palette as a
+    GIF87a file: logical screen descriptor, global color table, one
+    image descriptor, REAL LZW-compressed pixel data in ≤255-byte
+    sub-blocks, trailer."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"expected (H, W) index array, got {idx.shape}")
+    if pal.shape != (256, 3):
+        raise ValueError(f"expected (256, 3) palette, got {pal.shape}")
+    h, w = idx.shape
+
+    out = bytearray(_GIF87A)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    # packed: GCT flag=1, color resolution 7, sort 0, GCT size 7 (256)
+    out.append(0b1_111_0_111)
+    out.append(0)  # background color index
+    out.append(0)  # pixel aspect ratio
+    out += pal.tobytes()
+
+    out.append(0x2C)  # image separator
+    out += (0).to_bytes(2, "little") * 2  # left, top
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)  # no local table, no interlace
+
+    min_code_size = 8  # 256-color image
+    out.append(min_code_size)
+    comp = lzw_compress(idx.tobytes(), min_code_size)
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(raw: bytes):
+    """Decode a GIF87a/89a payload (global color table, non-interlaced,
+    first image) → (H, W, 3) uint8 RGB array. Real LZW decompression;
+    89a extension blocks are skipped per the block grammar."""
+    if raw[:6] not in (_GIF87A, _GIF89A):
+        raise ValueError("not a GIF payload (missing GIF87a/89a magic)")
+    pos = 6
+    # logical screen descriptor
+    packed = raw[pos + 4]
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        gct = np.frombuffer(raw, np.uint8, n_colors * 3, pos).reshape(-1, 3)
+        pos += n_colors * 3
+    while pos < len(raw):
+        block = raw[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # GIF89a extension: label + sub-blocks
+            pos += 2
+            while raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        # image descriptor
+        w = int.from_bytes(raw[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(raw[pos + 7 : pos + 9], "little")
+        ipacked = raw[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if ipacked & 0x80:
+            raise NotImplementedError("local color tables not supported")
+        if gct is None:
+            raise NotImplementedError("GIF without a global color table")
+        min_code_size = raw[pos]
+        pos += 1
+        comp = bytearray()
+        while raw[pos] != 0:
+            ln = raw[pos]
+            comp += raw[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        data = lzw_decompress(bytes(comp), min_code_size)
+        if len(data) < h * w:
+            raise ValueError(
+                f"LZW stream decoded {len(data)} pixels, need {h * w}"
+            )
+        idx = np.frombuffer(data[: h * w], np.uint8).reshape(h, w)
+        return gct[idx].copy()  # palette lookup → (H, W, 3)
+    raise ValueError("GIF contains no image data")

@@ -465,10 +465,15 @@ def decode_image_bytes(raw: bytes):
         from stream_processor_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(raw)
+    if raw[:4] == b"GIF8":
+        from stream_processor_spark.operators.gif import decode_gif
+
+        return decode_gif(raw)
     raise NotImplementedError(
         f"unsupported image format (magic {raw[:4]!r}): only BMP, PPM, "
-        "8-bit truecolor PNG and baseline JPEG decode without external "
-        "libraries (progressive JPEG stays gated inside decode_jpeg)"
+        "8-bit truecolor PNG, baseline JPEG and GIF87a/89a decode "
+        "without external libraries (progressive JPEG and interlaced "
+        "GIF stay gated inside their decoders)"
     )
 
 
@@ -581,6 +586,32 @@ def jpeg_fixture_pixels(doc_id: int):
     )
 
 
+def gif_fixture_palette():
+    """Closed-form 256-entry palette: r=i, g=(7i+13)%256, b=(31i+5)%256 —
+    affine formulas the SQL oracle composes with the index formula."""
+    import numpy as np
+
+    i = np.arange(256, dtype=np.int64)
+    return np.stack([i, (7 * i + 13) % 256, (31 * i + 5) % 256], axis=1).astype(
+        np.uint8
+    )
+
+
+def gif_fixture_indices(doc_id: int):
+    """(H, W) uint8 palette-index array from the pinned LCG (one value
+    per pixel — paletted formats index, they don't carry channels).
+    Odd doc stride so index values vary per doc (see the note above
+    g711_fixture_codes)."""
+    import numpy as np
+
+    h, w = fixture_dims(doc_id)
+    idx = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE_ODD + np.arange(
+        h * w, dtype=np.int64
+    )
+    v = ((_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M) % 256
+    return v.reshape(h, w).astype(np.uint8)
+
+
 def attach_image_payload(
     df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
 ) -> DataFrame:
@@ -607,6 +638,21 @@ def attach_image_payload(
             )
 
         return df.withColumn("payload", gen_jpg(F.col(id_col)))
+
+    if fmt == "gif":
+        # GIF is PALETTED: the fixture draws palette indices (one LCG
+        # value per pixel) against the closed-form palette, so the
+        # oracle composes the two integer formulas.
+        from stream_processor_spark.operators.gif import encode_gif
+
+        @pandas_udf(BinaryType())
+        def gen_gif(ids: pd.Series) -> pd.Series:
+            pal = gif_fixture_palette()
+            return ids.map(
+                lambda d: encode_gif(gif_fixture_indices(int(d)), pal)
+            )
+
+        return df.withColumn("payload", gen_gif(F.col(id_col)))
 
     enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
 
@@ -730,12 +776,102 @@ def decode_wav(raw: bytes):
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    if fmt != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only PCM16 WAV supported (format {fmt}, {bits}-bit) — "
-            "compressed audio needs a real codec library"
-        )
-    return rate, channels, np.frombuffer(data, dtype="<i2").copy()
+    if fmt == 1 and bits == 16:
+        return rate, channels, np.frombuffer(data, dtype="<i2").copy()
+    if fmt in (_WAVE_FMT_ALAW, _WAVE_FMT_ULAW) and bits == 8:
+        # REAL G.711 expansion: each byte is a companded codeword; the
+        # 256-entry LUT is built from the closed-form ITU G.711 segment
+        # arithmetic (see ulaw_to_linear / alaw_to_linear), so the
+        # decode is bit-exact against the spec — and against the SQL
+        # oracle that replays the same bit arithmetic.
+        lut = _ulaw_lut() if fmt == _WAVE_FMT_ULAW else _alaw_lut()
+        codes = np.frombuffer(data, dtype=np.uint8)
+        return rate, channels, lut[codes].copy()
+    raise NotImplementedError(
+        f"only PCM16 and G.711 mu-law/A-law WAV supported (format {fmt}, "
+        f"{bits}-bit) — ADPCM/MP3/AAC need a real codec library"
+    )
+
+
+# ---------------------------------------------------------------- G.711 ----
+#
+# Round-11 (continuation): REAL companded-audio decode. G.711 mu-law and
+# A-law are the classic 8-bit telephony codecs (fmt tags 7 and 6 in
+# RIFF/WAVE); their decode is pure integer segment arithmetic — exactly
+# the honesty class this container can support without codec libraries,
+# and closed-form enough that a DuckDB oracle replays it with bit ops.
+
+_WAVE_FMT_ALAW = 6
+_WAVE_FMT_ULAW = 7
+
+
+def ulaw_to_linear(code: int) -> int:
+    """ITU G.711 mu-law expansion (the classic Sun ulaw.c arithmetic):
+    complement, rebuild the biased magnitude from the 3-bit segment and
+    4-bit mantissa, remove the bias, apply sign. Range ±32124."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_to_linear(code: int) -> int:
+    """ITU G.711 A-law expansion: XOR 0x55 (the spec's alternate-bit
+    inversion), then per-segment magnitude. Sign bit SET means positive
+    (opposite convention to mu-law). Range ±32256."""
+    a = code ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def _ulaw_lut():
+    import numpy as np
+
+    return np.array([ulaw_to_linear(c) for c in range(256)], dtype=np.int16)
+
+
+def _alaw_lut():
+    import numpy as np
+
+    return np.array([alaw_to_linear(c) for c in range(256)], dtype=np.int16)
+
+
+def encode_wav_g711(
+    codes, law: str = "ulaw", sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Encode raw G.711 codewords (uint8 array) as a RIFF/WAVE file with
+    fmt tag 7 (mu-law) or 6 (A-law). Includes the `fact` chunk that
+    compressed-format WAVs carry per the RIFF spec (so the chunk walk in
+    decode_wav is exercised on a spec-shaped layout, not a toy one)."""
+    import numpy as np
+
+    a = np.asarray(codes, dtype=np.uint8).reshape(-1)
+    fmt = {"ulaw": _WAVE_FMT_ULAW, "alaw": _WAVE_FMT_ALAW}[law]
+    n_bytes = a.size
+    byte_rate = sample_rate * channels
+    hdr_fmt = (
+        b"fmt "
+        + (18).to_bytes(4, "little")           # cbSize present for fmt != 1
+        + fmt.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + channels.to_bytes(2, "little")       # block align = 1 byte/sample
+        + (8).to_bytes(2, "little")            # bits per sample
+        + (0).to_bytes(2, "little")            # cbSize = 0
+    )
+    hdr_fact = b"fact" + (4).to_bytes(4, "little") + a.size.to_bytes(4, "little")
+    body = b"data" + n_bytes.to_bytes(4, "little") + a.tobytes()
+    if n_bytes & 1:
+        body += b"\x00"  # RIFF word alignment pad (not part of data)
+    riff_len = 4 + len(hdr_fmt) + len(hdr_fact) + len(body)
+    return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + hdr_fmt + hdr_fact + body
 
 
 AUDIO_STATS_SCHEMA = (
@@ -830,6 +966,47 @@ def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
 
     return df.withColumn("payload", gen_wav(F.col(id_col)))
+
+
+# The classic fixtures stride doc_ids by 4096, but 4096 ≡ 0 (mod 256),
+# so an LCG output reduced MOD 256 would be doc-independent (the %2001
+# audio reduction is immune — 2001 is odd). Byte-valued fixtures
+# therefore stride by the ODD 4097: (A*(doc*4097+j)+B) % 256 then
+# varies with doc, and across any few hundred docs every byte value
+# 0..255 occurs — all 256 G.711 codewords / GIF palette slots are
+# exercised end to end. a*idx stays < 2^63 (100000*4097*A ≈ 4.5e17).
+_IMG_DOC_STRIDE_ODD = 4097
+
+
+def g711_fixture_codes(doc_id: int):
+    """Deterministic G.711 codeword fixture: raw LCG bytes (every
+    codeword value 0..255 occurs across the corpus, so both LUTs are
+    exercised end to end), lengths 40..56 like the PCM twin."""
+    import numpy as np
+
+    n = _AUD_N_BASE + doc_id % _AUD_N_MOD
+    idx = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE_ODD + np.arange(
+        n, dtype=np.int64
+    )
+    v = (_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M
+    return (v % 256).astype(np.uint8)
+
+
+def attach_g711_payload(
+    df: DataFrame, law: str = "ulaw", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL G.711 (mu-law or A-law) WAV binary payload per row
+    from the deterministic codeword fixture (8 kHz mono telephony)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def gen_g711(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: encode_wav_g711(g711_fixture_codes(int(d)), law=law)
+        )
+
+    return df.withColumn("payload", gen_g711(F.col(id_col)))
 
 
 # ------------------------------------------------------------------- Y4M ----
@@ -1005,6 +1182,117 @@ def attach_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
 
     return df.withColumn("payload", gen_y4m(F.col(id_col)))
+
+
+# ---------------------------------------------------------- MJPEG / AVI ----
+#
+# Round-11 continuation: real COMPRESSED video. Every '00dc' chunk in an
+# AVI movi list is a complete baseline JFIF image, so demux_avi_mjpeg
+# (operators/avi.py) + decode_jpeg (operators/jpeg.py) yields real
+# frames from real compressed bytes. The fixture is macroblock-constant
+# per frame (the multimodal_jpeg_stats discipline), so the lossy decode
+# stays closed-form for the SQL oracle.
+
+MJPEG_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, height long, width long, "
+    "sum_r long, sum_g long, sum_b long, px_min long, px_max long"
+)
+
+
+def decode_mjpeg_video(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL compressed-video decode over a binary column: walk each
+    AVI's RIFF grammar, decode every MJPEG frame through the baseline
+    JPEG codec, and emit integer-exact per-frame pixel statistics.
+    flatMap shape (one row → n_frames rows) through the Arrow boundary;
+    NULL payloads contribute no rows."""
+    import numpy as np
+
+    from stream_processor_spark.operators.avi import demux_avi_mjpeg
+    from stream_processor_spark.operators.jpeg import decode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                _w, _h, _fps, frames = demux_avi_mjpeg(bytes(payload))
+                for idx, jpg in enumerate(frames):
+                    fr = decode_jpeg(jpg).astype(np.int64)
+                    recs.append(
+                        (
+                            doc_id,
+                            idx,
+                            fr.shape[0],
+                            fr.shape[1],
+                            int(fr[:, :, 0].sum()),
+                            int(fr[:, :, 1].sum()),
+                            int(fr[:, :, 2].sum()),
+                            int(fr.min()),
+                            int(fr.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "frame_idx", "height", "width",
+                    "sum_r", "sum_g", "sum_b", "px_min", "px_max",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=MJPEG_FRAME_SCHEMA
+    )
+
+
+_MJPEG_N_BASE, _MJPEG_N_MOD = 2, 3  # n_frames = 2 + doc_id % 3
+
+
+def mjpeg_fixture_frames(doc_id: int):
+    """n_frames CONSTANT 16x16 RGB frames; frame f's color comes from
+    the pinned LCG at (doc%mod)*stride + f*3 + channel — constant
+    macroblocks encode to DC-only JPEG blocks with a closed-form decode
+    (see multimodal_jpeg_stats)."""
+    import numpy as np
+
+    n = _MJPEG_N_BASE + doc_id % _MJPEG_N_MOD
+    idx = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE_ODD + np.arange(
+        n * 3, dtype=np.int64
+    )
+    v = (((_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M) % 256).astype(
+        np.uint8
+    ).reshape(n, 3)
+    return [
+        np.repeat(v[f][None, None, :], 16, axis=0).repeat(16, axis=1)
+        for f in range(n)
+    ]
+
+
+def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL MJPEG-in-AVI binary payload per row: each fixture
+    frame is JPEG-encoded (4:2:0 baseline) and muxed into the AVI."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from stream_processor_spark.operators.avi import encode_avi_mjpeg
+    from stream_processor_spark.operators.jpeg import encode_jpeg
+
+    @pandas_udf(BinaryType())
+    def gen_avi(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: encode_avi_mjpeg(
+                [
+                    encode_jpeg(fr, subsampling="420")
+                    for fr in mjpeg_fixture_frames(int(d))
+                ],
+                width=16,
+                height=16,
+            )
+        )
+
+    return df.withColumn("payload", gen_avi(F.col(id_col)))
 
 
 AUDIO_WINDOW_SCHEMA = (

@@ -25,6 +25,7 @@ from stream_processor_spark.queries import curation_extra  # noqa: E402,F401
 from stream_processor_spark.queries import matview  # noqa: E402,F401
 from stream_processor_spark.queries import retrieval  # noqa: E402,F401
 from stream_processor_spark.queries import lookup  # noqa: E402,F401
+from stream_processor_spark.queries import multimodal_extra  # noqa: E402,F401
 
 
 def queries():

@@ -1,0 +1,273 @@
+"""Round-11 continuation: more REAL codecs behind the multimodal surface.
+
+The reference (`/root/reference/`) has no multimodal operators at all —
+this family is part of the [EXT] training-data-pipeline mandate. Each
+entry here follows the established discipline (multimodal_decode_stats /
+multimodal_jpeg_stats in queries/llm_data.py): a deterministic
+closed-form fixture is ENCODED into real container/codec bytes, the
+engine decodes the actual bytes on executors (mapInPandas, one Arrow
+crossing, no shuffle before per-doc stats), and the DuckDB oracle
+recomputes the same statistics from the fixture formula WITHOUT ever
+seeing the bytes — so a hash match proves the codec bit-exact.
+
+New codecs this round: G.711 mu-law / A-law companded audio (the
+telephony WAV formats, fmt tags 7/6 — integer segment arithmetic the
+oracle replays with SQL bit ops), GIF87a with a real LZW decompressor
+(variable-width codes, clear/EOI, KwKwK case), and MJPEG-in-AVI — a
+real RIFF demux composed with the round-11 baseline JPEG decoder, i.e.
+honest COMPRESSED video decode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_processor_spark.operators import multimodal as mm
+from stream_processor_spark.queries.base import register
+
+# Shared audio-stats tail (mirrors the multimodal_wav_stats oracle): a
+# CTE `s(doc_id, i, v)` of decoded linear samples feeds sign-carry
+# zero-crossing and integer energy stats.
+_AUDIO_STATS_TAIL = """
+    sg AS (
+      SELECT doc_id, i, v,
+             COALESCE(
+               last_value(CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               1) AS sgn
+      FROM s
+    ),
+    zc AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM (
+        SELECT doc_id, sgn,
+               lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev_sgn
+        FROM sg
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           z.zero_crossings
+    FROM s JOIN zc z USING (doc_id)
+    GROUP BY s.doc_id, z.zero_crossings
+    """
+
+# Codeword CTE shared by both laws: the raw LCG byte fixture.
+_G711_CODES_CTE = """
+    WITH d AS (
+      SELECT doc_id, 40 + doc_id % 17 AS n FROM documents
+    ),
+    c AS (
+      -- ODD doc stride 4097: 4096 ≡ 0 (mod 256) would make the byte
+      -- codes doc-independent; 4097 spreads all 256 codewords across
+      -- the corpus (see multimodal.g711_fixture_codes)
+      SELECT d.doc_id, i.i,
+             ((1103515245 * ((d.doc_id % 100000) * 4097 + i.i) + 12345)
+               % 2147483648) % 256 AS code
+      FROM d, range(0, 57) i(i) WHERE i.i < d.n
+    ),
+    """
+
+
+@register(
+    "multimodal_ulaw_stats",
+    oracle=_G711_CODES_CTE
+    + """
+    s AS (
+      -- ITU G.711 mu-law expansion, bit-for-bit (Sun ulaw.c arithmetic):
+      -- u = ~code; magnitude ((mantissa<<3)+132)<<segment; sign from bit 7.
+      SELECT doc_id, i,
+        CASE WHEN ((255 - code) & 128) <> 0
+          THEN 132 - ((((255 - code) & 15) * 8 + 132)
+                        * (1 << (((255 - code) & 112) // 16)))
+          ELSE ((((255 - code) & 15) * 8 + 132)
+                  * (1 << (((255 - code) & 112) // 16))) - 132
+        END AS v
+      FROM c
+    ),
+    """
+    + _AUDIO_STATS_TAIL,
+)
+def multimodal_ulaw_stats(t):
+    """REAL G.711 mu-law decode, hash-verified end to end: every
+    document gets a real companded-telephony WAV payload (fmt tag 7,
+    fact chunk, raw LCG codewords so all 256 codeword values occur
+    across the corpus), the engine expands the actual bytes through the
+    spec's segment arithmetic (operators/multimodal.py:ulaw_to_linear)
+    and emits the same integer-exact audio statistics as the PCM twin.
+    The oracle replays the expansion with SQL bit ops on the closed-form
+    codeword formula — it never sees the bytes — so a hash match proves
+    the companding LUT bit-exact against ITU G.711. Scale: identical to
+    multimodal_wav_stats — one Arrow crossing, map-only, stats fold
+    inside the batch."""
+    return mm.decode_audio(
+        mm.attach_g711_payload(t.documents.select("doc_id"), law="ulaw")
+    )
+
+
+@register(
+    "multimodal_alaw_stats",
+    oracle=_G711_CODES_CTE
+    + """
+    s AS (
+      -- ITU G.711 A-law expansion: a = code XOR 0x55; per-segment
+      -- magnitude; sign bit SET means positive (opposite of mu-law).
+      SELECT doc_id, i,
+        CASE WHEN (xor(code, 85) & 128) <> 0 THEN 1 ELSE -1 END *
+        CASE WHEN ((xor(code, 85) & 112) // 16) = 0
+               THEN (xor(code, 85) & 15) * 16 + 8
+             WHEN ((xor(code, 85) & 112) // 16) = 1
+               THEN (xor(code, 85) & 15) * 16 + 264
+             ELSE ((xor(code, 85) & 15) * 16 + 264)
+                    * (1 << (((xor(code, 85) & 112) // 16) - 1))
+        END AS v
+      FROM c
+    ),
+    """
+    + _AUDIO_STATS_TAIL,
+)
+def multimodal_alaw_stats(t):
+    """REAL G.711 A-law decode, hash-verified end to end — the A-law
+    twin of `multimodal_ulaw_stats` (fmt tag 6; XOR-0x55 alternate-bit
+    inversion, three-case segment magnitude). Same dataflow, same
+    oracle discipline: SQL bit arithmetic replays the expansion on the
+    closed-form codeword fixture without seeing the bytes."""
+    return mm.decode_audio(
+        mm.attach_g711_payload(t.documents.select("doc_id"), law="alaw")
+    )
+
+
+@register(
+    "multimodal_gif_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, d.w,
+             ((1103515245 * ((d.doc_id % 100000) * 4097
+                 + (y.y * d.w + x.x)) + 12345)
+               % 2147483648) % 256 AS i
+      FROM d, range(0, 8) y(y), range(0, 8) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(MAX(h) * MAX(w) AS BIGINT) AS n_pixels,
+           CAST(SUM(i) AS BIGINT) AS sum_r,
+           CAST(SUM((7 * i + 13) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((31 * i + 5) % 256) AS BIGINT) AS sum_b,
+           CAST(MIN(LEAST(i, (7 * i + 13) % 256, (31 * i + 5) % 256))
+                AS BIGINT) AS px_min,
+           CAST(MAX(GREATEST(i, (7 * i + 13) % 256, (31 * i + 5) % 256))
+                AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_gif_stats(t):
+    """REAL GIF decode with a REAL LZW decompressor, hash-verified end
+    to end: every document gets a GIF87a payload (256-entry global
+    color table, LZW-compressed palette indices from the pinned LCG —
+    dictionary growth, variable 9→12-bit codes and sub-block framing all
+    exercised on real compressed bytes), the engine decodes the actual
+    stream (operators/gif.py:decode_gif — code-width schedule, CLEAR/
+    EOI, KwKwK) and expands indices through the palette before emitting
+    the same integer-exact pixel statistics as the BMP/PNG/JPEG twins.
+
+    The oracle composes the two closed-form integer formulas — pixel
+    index from the LCG, channel values from the affine palette — without
+    seeing the bytes, so a hash match proves the LZW bitstream round
+    trip bit-perfect. Interlaced images and local color tables stay
+    honestly gated inside decode_gif. Scale: identical dataflow to the
+    BMP twin — one Arrow crossing, map-only, no shuffle."""
+    return mm.decode_image(
+        mm.attach_image_payload(t.documents.select("doc_id"), fmt="gif")
+    )
+
+
+@register(
+    "multimodal_mjpeg_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+    ),
+    mb AS (
+      SELECT d.doc_id, f.f,
+        ((1103515245 * ((d.doc_id % 100000) * 4097 + f.f * 3 + 0) + 12345)
+           % 2147483648) % 256 AS r,
+        ((1103515245 * ((d.doc_id % 100000) * 4097 + f.f * 3 + 1) + 12345)
+           % 2147483648) % 256 AS g,
+        ((1103515245 * ((d.doc_id % 100000) * 4097 + f.f * 3 + 2) + 12345)
+           % 2147483648) % 256 AS b
+      FROM d, range(0, 4) f(f) WHERE f.f < d.nf
+    ),
+    ycc AS (
+      SELECT doc_id, f,
+        least(greatest(round(0.299*r + 0.587*g + 0.114*b + 0.0), 0), 255) AS y,
+        least(greatest(round(-0.168736*r + -0.331264*g + 0.5*b + 128.0), 0), 255) AS cb,
+        least(greatest(round(0.5*r + -0.418688*g + -0.081312*b + 128.0), 0), 255) AS cr
+      FROM mb
+    ),
+    rec AS (
+      SELECT doc_id, f,
+        least(greatest(CAST(floor(
+          (CAST(round(8.0*(y - 128)/16.0) AS BIGINT)*16*5793*5793
+             + 134217728) / 268435456.0) AS BIGINT) + 128, 0), 255) AS y2,
+        least(greatest(CAST(floor(
+          (CAST(round(8.0*(cb - 128)/17.0) AS BIGINT)*17*5793*5793
+             + 134217728) / 268435456.0) AS BIGINT) + 128, 0), 255) AS cb2,
+        least(greatest(CAST(floor(
+          (CAST(round(8.0*(cr - 128)/17.0) AS BIGINT)*17*5793*5793
+             + 134217728) / 268435456.0) AS BIGINT) + 128, 0), 255) AS cr2
+      FROM ycc
+    ),
+    px AS (
+      SELECT doc_id, f,
+        least(greatest(round(y2 + 1.402*(cr2 - 128.0)), 0), 255) AS r2,
+        least(greatest(round(y2 - 0.344136*(cb2 - 128.0)
+                                - 0.714136*(cr2 - 128.0)), 0), 255) AS g2,
+        least(greatest(round(y2 + 1.772*(cb2 - 128.0)), 0), 255) AS b2
+      FROM rec
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(16 AS BIGINT) AS height,
+           CAST(16 AS BIGINT) AS width,
+           CAST(256 * r2 AS BIGINT) AS sum_r,
+           CAST(256 * g2 AS BIGINT) AS sum_g,
+           CAST(256 * b2 AS BIGINT) AS sum_b,
+           CAST(least(r2, g2, b2) AS BIGINT) AS px_min,
+           CAST(greatest(r2, g2, b2) AS BIGINT) AS px_max
+    FROM px
+    """,
+)
+def multimodal_mjpeg_frames(t):
+    """REAL compressed-video decode, hash-verified end to end: every
+    document gets an MJPEG-in-AVI payload (2-4 frames, each a real
+    baseline JFIF image muxed behind the canonical RIFF hdrl/movi/idx1
+    layout), the engine walks the actual container grammar
+    (operators/avi.py:demux_avi_mjpeg), decodes every '00dc' frame
+    through the round-11 baseline JPEG codec (Huffman, dequantize,
+    integer IDCT, chroma upsample) and emits integer-exact per-frame
+    pixel statistics. Frames are macroblock-constant, so the lossy
+    decode keeps the multimodal_jpeg_stats closed form — the oracle
+    replays color transform → DC quantization → integer-IDCT
+    reconstruction in SQL without ever seeing the bytes. Inter-frame
+    codecs (H.264/VP9/AV1) stay honestly gated inside demux_avi_mjpeg:
+    motion compensation + CABAC genuinely need a codec library; MJPEG
+    is the compressed format a codec-free pipeline can own. Scale:
+    flatMap through one Arrow crossing, no shuffle — per-frame stats
+    fold inside the batch."""
+    return mm.decode_mjpeg_video(
+        mm.attach_mjpeg_payload(t.documents.select("doc_id"))
+    )

@@ -1,0 +1,236 @@
+"""Round-11 continuation codecs: G.711 (mu-law/A-law), GIF/LZW, MJPEG/AVI.
+
+Pins the codec internals; the registered queries
+(`multimodal_{ulaw,alaw,gif}_stats`, `multimodal_mjpeg_frames`)
+hash-verify the full encode→binary→decode→stats loop against DuckDB
+oracles in the main parity suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stream_processor_spark.operators import multimodal as mm
+from stream_processor_spark.operators.avi import demux_avi_mjpeg, encode_avi_mjpeg
+from stream_processor_spark.operators.gif import (
+    decode_gif,
+    encode_gif,
+    lzw_compress,
+    lzw_decompress,
+)
+from stream_processor_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+
+# ------------------------------------------------------------------ G.711 ----
+
+
+def test_ulaw_reference_points():
+    # the canonical G.711 mu-law table corners
+    assert mm.ulaw_to_linear(0x00) == -32124
+    assert mm.ulaw_to_linear(0x80) == 32124
+    assert mm.ulaw_to_linear(0xFF) == 0
+    assert mm.ulaw_to_linear(0x7F) == 0
+
+
+def test_alaw_reference_points():
+    assert mm.alaw_to_linear(0x2A) == -32256
+    assert mm.alaw_to_linear(0xAA) == 32256
+    assert mm.alaw_to_linear(0x55) == -8
+    assert mm.alaw_to_linear(0xD5) == 8
+
+
+def test_g711_luts_are_odd_symmetric():
+    """Flipping the sign bit negates the decoded value — the segment
+    arithmetic must be exactly symmetric for BOTH laws (mu-law sign bit
+    means negative, A-law sign bit means positive; either way the two
+    halves mirror)."""
+    for law_fn in (mm.ulaw_to_linear, mm.alaw_to_linear):
+        for c in range(128):
+            assert law_fn(c) == -law_fn(c | 0x80)
+
+
+def test_g711_wav_roundtrip_all_codewords():
+    codes = np.arange(256, dtype=np.uint8)
+    for law, lut in (("ulaw", mm._ulaw_lut()), ("alaw", mm._alaw_lut())):
+        raw = mm.encode_wav_g711(codes, law=law)
+        rate, ch, s = mm.decode_wav(raw)
+        assert (rate, ch) == (8000, 1)
+        assert np.array_equal(s, lut[codes])
+
+
+def test_g711_wav_chunk_layout_and_gates():
+    codes = mm.g711_fixture_codes(5)
+    raw = mm.encode_wav_g711(codes, law="ulaw")
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    assert b"fact" in raw  # compressed-format WAVs carry a fact chunk
+    # RIFF length field covers the whole remainder
+    assert int.from_bytes(raw[4:8], "little") == len(raw) - 8
+    # odd-length data chunk is word-aligned without corrupting samples
+    odd = mm.encode_wav_g711(np.arange(41, dtype=np.uint8), law="alaw")
+    _, _, s = mm.decode_wav(odd)
+    assert s.size == 41
+    # ADPCM (fmt 0x11) stays gated with a clear message
+    adpcm = bytearray(mm.encode_wav_g711(codes, law="ulaw"))
+    fmt_at = adpcm.index(b"fmt ") + 8
+    adpcm[fmt_at : fmt_at + 2] = (0x11).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="ADPCM|G.711"):
+        mm.decode_wav(bytes(adpcm))
+
+
+def test_g711_fixture_covers_all_codewords():
+    """The odd 4097 doc stride spreads all 256 codewords across a few
+    hundred docs (a 4096 stride would collapse mod 256 to 57 values)."""
+    seen = set()
+    for d in range(300):
+        seen.update(mm.g711_fixture_codes(d).tolist())
+    assert len(seen) == 256
+
+
+# -------------------------------------------------------------- GIF / LZW ----
+
+
+def test_lzw_roundtrip_random_and_table_reset():
+    rng = np.random.RandomState(7)
+    data = rng.randint(0, 256, 60000).astype(np.uint8).tobytes()
+    comp = lzw_compress(data, 8)
+    assert lzw_decompress(comp, 8) == data  # forces 12-bit codes + CLEAR
+
+
+def test_lzw_kwkwk_case():
+    data = b"\x07" * 500  # runs produce code == len(table) immediately
+    assert lzw_decompress(lzw_compress(data, 8), 8) == data
+
+
+@pytest.mark.parametrize("mcs", [2, 4, 7])
+def test_lzw_small_code_sizes(mcs):
+    rng = np.random.RandomState(mcs)
+    data = rng.randint(0, 1 << mcs, 3000).astype(np.uint8).tobytes()
+    assert lzw_decompress(lzw_compress(data, mcs), mcs) == data
+
+
+def test_lzw_corrupt_code_raises():
+    # first 9-bit code (LSB-first) = 0x2C | (1 << 8) = 300, which is
+    # beyond the fresh table (258 entries) and not CLEAR/EOI
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        lzw_decompress(bytes([0x2C, 0x01, 0x00]), 8)
+
+
+def test_gif_roundtrip_and_dispatch():
+    rng = np.random.RandomState(3)
+    pal = mm.gif_fixture_palette()
+    idx = rng.randint(0, 256, (6, 9)).astype(np.uint8)
+    raw = encode_gif(idx, pal)
+    assert np.array_equal(decode_gif(raw), pal[idx])
+    # magic dispatch through the shared entry point
+    assert np.array_equal(mm.decode_image_bytes(raw), pal[idx])
+
+
+def test_gif_89a_extension_skip_and_gates():
+    pal = mm.gif_fixture_palette()
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = bytearray(encode_gif(idx, pal))
+    raw[:6] = b"GIF89a"
+    ins = 6 + 7 + 768  # after header + LSD + GCT
+    gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control ext
+    with_ext = bytes(raw[:ins]) + gce + bytes(raw[ins:])
+    assert np.array_equal(decode_gif(with_ext), pal[idx])
+
+    interlaced = bytearray(encode_gif(idx, pal))
+    interlaced[ins + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(interlaced))
+
+    local_ct = bytearray(encode_gif(idx, pal))
+    local_ct[ins + 9] |= 0x80
+    with pytest.raises(NotImplementedError, match="local color"):
+        decode_gif(bytes(local_ct))
+
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_gif_fixture_varies_by_doc():
+    a, b = mm.gif_fixture_indices(0), mm.gif_fixture_indices(20)
+    n = min(a.size, b.size)
+    assert not np.array_equal(a.reshape(-1)[:n], b.reshape(-1)[:n])
+
+
+# ------------------------------------------------------------- MJPEG / AVI ----
+
+
+def test_avi_mux_demux_roundtrip():
+    frames = [
+        encode_jpeg(fr, subsampling="420") for fr in mm.mjpeg_fixture_frames(4)
+    ]
+    avi = encode_avi_mjpeg(frames, 16, 16, fps=30)
+    w, h, fps, out = demux_avi_mjpeg(avi)
+    assert (w, h, fps) == (16, 16, 30)
+    assert out == frames  # demux returns the exact muxed JPEG bytes
+
+
+def test_avi_demux_walks_grammar_not_offsets():
+    """A JUNK chunk before hdrl and a rec -grouped movi frame must both
+    be handled — readers that assume fixed offsets break on real AVIs."""
+    frames = [
+        encode_jpeg(fr, subsampling="420") for fr in mm.mjpeg_fixture_frames(1)
+    ]
+    avi = encode_avi_mjpeg(frames, 16, 16)
+    # splice a JUNK chunk right after 'AVI '
+    junk = b"JUNK" + (6).to_bytes(4, "little") + b"junk__"
+    spliced = avi[:12] + junk + avi[12:]
+    spliced = spliced[:4] + (len(spliced) - 8).to_bytes(4, "little") + spliced[8:]
+    w, h, fps, out = demux_avi_mjpeg(spliced)
+    assert out == frames
+
+
+def test_avi_non_mjpg_handler_gated():
+    frames = [
+        encode_jpeg(fr, subsampling="420") for fr in mm.mjpeg_fixture_frames(2)
+    ]
+    avi = bytearray(encode_avi_mjpeg(frames, 16, 16))
+    at = avi.index(b"vids") + 4
+    avi[at : at + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        demux_avi_mjpeg(bytes(avi))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        demux_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_mjpeg_frames_decode_constant_blocks():
+    """Every demuxed frame decodes to a constant image (DC-only blocks),
+    and distinct frames get distinct colors — the closed-form contract
+    the SQL oracle relies on."""
+    for d in (0, 5, 11):
+        fixture = mm.mjpeg_fixture_frames(d)
+        avi = encode_avi_mjpeg(
+            [encode_jpeg(fr, subsampling="420") for fr in fixture], 16, 16
+        )
+        _, _, _, jpgs = demux_avi_mjpeg(avi)
+        colors = []
+        for jpg in jpgs:
+            px = decode_jpeg(jpg)
+            assert (px == px[0, 0]).all()
+            colors.append(tuple(px[0, 0]))
+        assert len(set(colors)) == len(colors)
+
+
+def test_mjpeg_dataframe_path_null_payload(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    )
+    assert mm.decode_mjpeg_video(df).count() == 0
+    rows = (
+        mm.decode_mjpeg_video(
+            mm.attach_mjpeg_payload(
+                spark.createDataFrame([(3,)], "doc_id long")
+            )
+        )
+        .orderBy("frame_idx")
+        .collect()
+    )
+    fixture = mm.mjpeg_fixture_frames(3)
+    assert [r.frame_idx for r in rows] == list(range(len(fixture)))
+    for r in rows:
+        assert (r.height, r.width) == (16, 16)
+        assert r.sum_r == 256 * (r.sum_r // 256)  # constant frame

@@ -81,9 +81,13 @@ def test_decode_dispatch_and_unsupported_formats():
     assert out.shape == const.shape and (out == out[0, 0]).all()
     with pytest.raises(ValueError, match="no SOS marker"):
         mm.decode_image_bytes(b"\xff\xd8\xff\xe0....")
+    # GIF now dispatches to the REAL LZW decoder (round-11
+    # continuation); a headerless stub is a parse error, not a gate
+    with pytest.raises(ValueError, match="GIF block"):
+        mm.decode_image_bytes(b"GIF89a" + b"\x00" * 16)
     # an honestly-gated format still raises NotImplementedError
     with pytest.raises(NotImplementedError, match="unsupported image format"):
-        mm.decode_image_bytes(b"GIF89a" + b"\x00" * 16)
+        mm.decode_image_bytes(b"II*\x00" + b"\x00" * 16)  # TIFF
     # BMP container but a sub-format needing a real library
     bad = bytearray(mm.encode_bmp(img))
     bad[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP

@@ -70,10 +70,12 @@ MM_CATALOG = {
 
 
 def _image_payloads():
+    from stream_processor_spark.operators.gif import encode_gif
     from stream_processor_spark.operators.multimodal import (
         decode_image_bytes,
         encode_bmp,
         encode_png,
+        gif_fixture_palette,
     )
     from stream_processor_spark.operators.jpeg import encode_jpeg
 
@@ -81,12 +83,20 @@ def _image_payloads():
     bmp = encode_bmp(rng.integers(0, 256, (6, 7, 3), dtype=np.uint8))
     png = encode_png(rng.integers(0, 256, (5, 5, 3), dtype=np.uint8))
     jpg = encode_jpeg(np.full((16, 16, 3), (10, 200, 30), np.uint8))
-    good = [("bmp", bmp), ("png", png), ("jpg", jpg)]
+    gif = encode_gif(
+        rng.integers(0, 256, (4, 6), dtype=np.uint8), gif_fixture_palette()
+    )
+    good = [("bmp", bmp), ("png", png), ("jpg", jpg), ("gif", gif)]
     expect = {}
     for k, raw in good:
         px = decode_image_bytes(raw)
         expect[k] = (int(px.shape[0] * px.shape[1]), int(px.sum()))
-    gated = ("gif", b"GIF89a" + b"\x00" * 32)  # format gate: NotImplementedError
+    # an INTERLACED GIF hits the decoder's capability gate
+    # (NotImplementedError), distinct from corrupt bytes (ValueError) —
+    # both must land on the step DLQ with the original record
+    interlaced = bytearray(gif)
+    interlaced[6 + 7 + 768 + 9] |= 0x40  # image-descriptor interlace flag
+    gated = ("ilace", bytes(interlaced))
     corrupt = ("bad", b"BM" + b"\x01\x02\x03")  # header parse: ValueError
     return good, expect, gated, corrupt
 
@@ -125,15 +135,15 @@ def test_image_decode_pipeline_routes_gated_and_corrupt_to_dlq(
     assert ok == expect  # every good payload decoded through the chain
 
     dlq_rows = spark.read.parquet(dlq.path_or_topic).collect()
-    assert {r.key for r in dlq_rows} == {"gif", "bad"}
+    assert {r.key for r in dlq_rows} == {"ilace", "bad"}
     # ORIGINAL record payload lands on the DLQ (consumer.js:100)
     by_key = {r.key: bytes(r.payload) for r in dlq_rows}
-    assert by_key["gif"].startswith(b"GIF89a")
+    assert by_key["ilace"].startswith(b"GIF87a")
     assert by_key["bad"] == bytes(corrupt[1])
 
     snap = metrics.snapshot()
-    assert snap["messages_received_total"] == 5
-    assert snap["messages_completed_total"] == 3
+    assert snap["messages_received_total"] == 6
+    assert snap["messages_completed_total"] == 4
     assert snap["messages_dlq_total"] == 2
     assert snap.get("messages_error_total", 0) == 0
 
