@@ -761,6 +761,7 @@ def decode_wav(raw: bytes):
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, channels, bits, fmt = 12, None, None, None, None
+    block_align, samples_per_block = None, None
     data = None
     while pos + 8 <= len(raw):
         tag = raw[pos : pos + 4]
@@ -771,13 +772,35 @@ def decode_wav(raw: bytes):
             fmt = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+            if len(body) >= 20:  # cbSize + wSamplesPerBlock (ADPCM)
+                samples_per_block = int.from_bytes(body[18:20], "little")
         elif tag == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     if fmt == 1 and bits == 16:
         return rate, channels, np.frombuffer(data, dtype="<i2").copy()
+    if fmt == _WAVE_FMT_IMA_ADPCM and bits == 4:
+        if channels != 1:
+            raise NotImplementedError(
+                "only mono IMA-ADPCM supported (stereo interleaves "
+                "nibble words per channel)"
+            )
+        if not block_align or block_align < 5:
+            raise ValueError(f"bad IMA-ADPCM block align {block_align}")
+        out = []
+        for b0 in range(0, len(data), block_align):
+            block = data[b0 : b0 + block_align]
+            if len(block) < 5:
+                break  # trailing pad smaller than a header + one byte
+            out.append(
+                decode_ima_adpcm_block(block, samples_per_block)
+            )
+        return rate, channels, np.concatenate(out) if out else np.zeros(
+            0, np.int16
+        )
     if fmt in (_WAVE_FMT_ALAW, _WAVE_FMT_ULAW) and bits == 8:
         # REAL G.711 expansion: each byte is a companded codeword; the
         # 256-entry LUT is built from the closed-form ITU G.711 segment
@@ -803,6 +826,93 @@ def decode_wav(raw: bytes):
 
 _WAVE_FMT_ALAW = 6
 _WAVE_FMT_ULAW = 7
+_WAVE_FMT_IMA_ADPCM = 0x11
+
+# IMA/DVI ADPCM tables (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", the public tables every implementation
+# shares)
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def decode_ima_adpcm_block(block: bytes, samples_per_block: int | None):
+    """Decode one mono IMA-ADPCM block: 4-byte header (int16 predictor,
+    step index, reserved), then two 4-bit samples per byte (low nibble
+    first). The header predictor IS sample 0. Truly SEQUENTIAL state —
+    each nibble's reconstruction depends on every prior one — which is
+    exactly what the registry oracle replays with a recursive CTE."""
+    import numpy as np
+
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    index = block[2]
+    if index > 88:
+        raise ValueError(f"IMA-ADPCM step index {index} out of range")
+    out = [pred]
+    for byte in block[4:]:
+        for n in (byte & 0x0F, byte >> 4):
+            step = _IMA_STEP_TABLE[index]
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = pred - diff if n & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
+            out.append(pred)
+    if samples_per_block is not None:
+        out = out[:samples_per_block]
+    return np.asarray(out, dtype=np.int16)
+
+
+def encode_wav_ima_adpcm(
+    pred0: int,
+    index0: int,
+    nibble_bytes,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Write a single-block mono IMA-ADPCM RIFF/WAVE file (fmt 0x11,
+    cbSize=2 with wSamplesPerBlock, fact chunk) from a raw initial state
+    + nibble payload. The fixture path: the codeword stream is pinned,
+    the DECODE is what's under test."""
+    import numpy as np
+
+    nb = np.asarray(nibble_bytes, dtype=np.uint8).reshape(-1)
+    block_align = 4 + nb.size
+    n_samples = 1 + 2 * nb.size
+    hdr_fmt = (
+        b"fmt "
+        + (20).to_bytes(4, "little")
+        + _WAVE_FMT_IMA_ADPCM.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")            # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align // max(n_samples, 1)).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")            # bits per sample
+        + (2).to_bytes(2, "little")            # cbSize
+        + n_samples.to_bytes(2, "little")      # wSamplesPerBlock
+    )
+    hdr_fact = b"fact" + (4).to_bytes(4, "little") + n_samples.to_bytes(4, "little")
+    block = (
+        int(pred0).to_bytes(2, "little", signed=True)
+        + bytes([int(index0), 0])
+        + nb.tobytes()
+    )
+    body = b"data" + len(block).to_bytes(4, "little") + block
+    if len(block) & 1:
+        body += b"\x00"
+    riff_len = 4 + len(hdr_fmt) + len(hdr_fact) + len(body)
+    return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + hdr_fmt + hdr_fact + body
 
 
 def ulaw_to_linear(code: int) -> int:
@@ -1007,6 +1117,44 @@ def attach_g711_payload(
         )
 
     return df.withColumn("payload", gen_g711(F.col(id_col)))
+
+
+_ADPCM_NB_BASE, _ADPCM_NB_MOD = 8, 5  # data bytes = 8 + doc_id % 5
+
+
+def adpcm_fixture(doc_id: int):
+    """(pred0, index0, nibble_bytes) for ``doc_id``: nibble bytes from
+    the odd-stride LCG at offsets 0..nb-1, initial predictor from
+    offset 100 (±1000 range like the PCM fixture), initial step index
+    from offset 101 (full 0..88 range)."""
+    import numpy as np
+
+    nb = _ADPCM_NB_BASE + doc_id % _ADPCM_NB_MOD
+    base = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE_ODD
+    idx = base + np.arange(nb, dtype=np.int64)
+    data = ((_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M % 256).astype(
+        np.uint8
+    )
+    pred0 = int((_IMG_LCG_A * (base + 100) + _IMG_LCG_B) % _IMG_LCG_M % 2001) - 1000
+    index0 = int((_IMG_LCG_A * (base + 101) + _IMG_LCG_B) % _IMG_LCG_M % 89)
+    return pred0, index0, data
+
+
+def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL IMA-ADPCM WAV binary payload per row from the
+    deterministic fixture (8 kHz mono, one block)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def gen_adpcm(ids: pd.Series) -> pd.Series:
+        def enc(d: int) -> bytes:
+            pred0, index0, data = adpcm_fixture(d)
+            return encode_wav_ima_adpcm(pred0, index0, data)
+
+        return ids.map(lambda d: enc(int(d)))
+
+    return df.withColumn("payload", gen_adpcm(F.col(id_col)))
 
 
 # ------------------------------------------------------------------- Y4M ----

@@ -144,6 +144,88 @@ def multimodal_alaw_stats(t):
     )
 
 
+_IMA_STEP_SQL = "[" + ",".join(
+    str(s)
+    for s in (
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    )
+) + "]"
+
+
+@register(
+    "multimodal_adpcm_stats",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS nb,
+        (((1103515245 * ((doc_id % 100000) * 4097 + 100) + 12345)
+           % 2147483648) % 2001) - 1000 AS pred0,
+        ((1103515245 * ((doc_id % 100000) * 4097 + 101) + 12345)
+           % 2147483648) % 89 AS idx0
+      FROM documents
+    ),
+    nib AS (
+      -- two nibbles per LCG byte, LOW nibble first (the IMA layout)
+      SELECT d.doc_id, j.j * 2 + h.h AS i,
+        CASE WHEN h.h = 0
+          THEN (((1103515245 * ((d.doc_id % 100000) * 4097 + j.j) + 12345)
+                  % 2147483648) % 256) % 16
+          ELSE (((1103515245 * ((d.doc_id % 100000) * 4097 + j.j) + 12345)
+                  % 2147483648) % 256) // 16
+        END AS n
+      FROM d, range(0, 13) j(j), range(0, 2) h(h) WHERE j.j < d.nb
+    ),
+    dec AS (
+      -- trajectory replay of the SEQUENTIAL (predictor, step-index)
+      -- state machine — the Lloyd-trainer discipline applied to a codec
+      SELECT doc_id, 0 AS i, pred0 AS pred, idx0 AS idx FROM d
+      UNION ALL
+      SELECT dec.doc_id, dec.i + 1,
+        greatest(least(dec.pred
+          + (CASE WHEN (nib.n & 8) <> 0 THEN -1 ELSE 1 END)
+          * ( ({_IMA_STEP_SQL}[dec.idx + 1] // 8)
+            + CASE WHEN (nib.n & 1) <> 0
+                THEN {_IMA_STEP_SQL}[dec.idx + 1] // 4 ELSE 0 END
+            + CASE WHEN (nib.n & 2) <> 0
+                THEN {_IMA_STEP_SQL}[dec.idx + 1] // 2 ELSE 0 END
+            + CASE WHEN (nib.n & 4) <> 0
+                THEN {_IMA_STEP_SQL}[dec.idx + 1] ELSE 0 END),
+          32767), -32768),
+        greatest(least(dec.idx + [-1,-1,-1,-1,2,4,6,8][(nib.n & 7) + 1], 88), 0)
+      FROM dec JOIN nib ON nib.doc_id = dec.doc_id AND nib.i = dec.i
+    ),
+    s AS (SELECT doc_id, i, pred AS v FROM dec),
+    """
+    + _AUDIO_STATS_TAIL,
+)
+def multimodal_adpcm_stats(t):
+    """REAL IMA-ADPCM decode, hash-verified end to end — the first
+    SEQUENTIAL codec in the ladder: each 4-bit codeword's reconstruction
+    depends on the (predictor, step-index) state left by every prior
+    one, so unlike PCM/G.711 there is no per-sample closed form. The
+    oracle instead REPLAYS the state trajectory with a recursive CTE
+    over the pinned nibble stream (the discipline the Lloyd/k-means
+    trainers established for iterative algorithms), joining the public
+    IMA step/index tables as SQL list literals. The engine decodes the
+    actual RIFF bytes — fmt 0x11 with wSamplesPerBlock, fact chunk,
+    4-byte block header whose predictor IS sample 0, low-nibble-first
+    packing (operators/multimodal.py:decode_ima_adpcm_block) — and
+    emits the same integer-exact audio statistics as the PCM/G.711
+    twins. Stereo ADPCM stays honestly gated. Scale: one Arrow
+    crossing, map-only; the per-block Python loop is bounded by block
+    size (the production swap-in is a C codec behind the same
+    dispatch)."""
+    return mm.decode_audio(
+        mm.attach_adpcm_payload(t.documents.select("doc_id"))
+    )
+
+
 @register(
     "multimodal_gif_stats",
     oracle="""

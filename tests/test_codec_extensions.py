@@ -87,6 +87,78 @@ def test_g711_fixture_covers_all_codewords():
     assert len(seen) == 256
 
 
+# -------------------------------------------------------------- IMA ADPCM ----
+
+
+def test_adpcm_block_decode_known_trajectory():
+    """A hand-computed trajectory: pred=0, index=0 (step 7), nibbles
+    [0, 8, 4, 15]. Checks sign handling, clamps and index movement."""
+    # nibble 0: diff=7>>3=0 -> pred 0,  index -1 -> 0
+    # nibble 8: diff=0 sign=- -> pred 0, index 0
+    # nibble 4: diff=0+7=7 -> pred 7, index +2 -> 2 (step 9)
+    # nibble 15: diff=9>>3+9>>2+9>>1+9=1+2+4+9=16, sign=- -> pred -9, idx 2+8=10
+    block = (0).to_bytes(2, "little", signed=True) + bytes([0, 0, 0x80, 0xF4])
+    out = mm.decode_ima_adpcm_block(block, None)
+    assert list(out) == [0, 0, 0, 7, -9]
+
+
+def test_adpcm_predictor_clamps():
+    # start at max predictor with the largest step: adds must clamp
+    block = (32767).to_bytes(2, "little", signed=True) + bytes(
+        [88, 0, 0x77]
+    )
+    out = mm.decode_ima_adpcm_block(block, None)
+    assert out[1] == 32767 and out[2] == 32767  # clamped, not wrapped
+    block = (-32768).to_bytes(2, "little", signed=True) + bytes(
+        [88, 0, 0xFF]
+    )
+    out = mm.decode_ima_adpcm_block(block, None)
+    assert out[1] == -32768 and out[2] == -32768
+
+
+def test_adpcm_wav_roundtrip_and_gates():
+    pred0, index0, data = mm.adpcm_fixture(9)
+    raw = mm.encode_wav_ima_adpcm(pred0, index0, data)
+    rate, ch, s = mm.decode_wav(raw)
+    assert (rate, ch) == (8000, 1)
+    assert s.size == 1 + 2 * data.size
+    assert s[0] == pred0  # header predictor IS sample 0
+    # stereo gated
+    stereo = bytearray(raw)
+    at = stereo.index(b"fmt ") + 8
+    stereo[at + 2 : at + 4] = (2).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="mono"):
+        mm.decode_wav(bytes(stereo))
+    # corrupt step index
+    bad_block = (0).to_bytes(2, "little") + bytes([99, 0, 0x00])
+    with pytest.raises(ValueError, match="step index"):
+        mm.decode_ima_adpcm_block(bad_block, None)
+
+
+def test_adpcm_multi_block_stream():
+    """decode_wav concatenates blocks and honors wSamplesPerBlock
+    truncation per block."""
+    p0, i0, data = mm.adpcm_fixture(2)
+    one = mm.encode_wav_ima_adpcm(p0, i0, data)
+    # hand-build a two-block data chunk from the single-block file
+    _, _, single = mm.decode_wav(one)
+    block = (
+        int(p0).to_bytes(2, "little", signed=True)
+        + bytes([i0, 0])
+        + data.tobytes()
+    )
+    dat_at = one.index(b"data")
+    two = (
+        one[:dat_at]
+        + b"data"
+        + (2 * len(block)).to_bytes(4, "little")
+        + block
+        + block
+    )
+    _, _, s2 = mm.decode_wav(two)
+    assert np.array_equal(s2, np.concatenate([single, single]))
+
+
 # -------------------------------------------------------------- GIF / LZW ----
 
 
