@@ -612,6 +612,38 @@ def gif_fixture_indices(doc_id: int):
     return v.reshape(h, w).astype(np.uint8)
 
 
+def attach_mixed_image_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL encoded payload whose FORMAT rotates by doc_id % 4
+    (bmp / png / gif / jpeg) — the heterogeneous-corpus case: a real
+    scrape is format-mixed, and the decode side must dispatch on magic
+    bytes, not on trusted metadata. Each format keeps its own fixture
+    formula (BMP/PNG the LCG truecolor, GIF the odd-stride palette,
+    JPEG the macroblock-constant lossy form)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from stream_processor_spark.operators.gif import encode_gif
+    from stream_processor_spark.operators.jpeg import encode_jpeg
+
+    def enc(d: int) -> bytes:
+        k = d % 4
+        if k == 0:
+            return encode_bmp(fixture_pixels(d))
+        if k == 1:
+            return encode_png(fixture_pixels(d))
+        if k == 2:
+            return encode_gif(gif_fixture_indices(d), gif_fixture_palette())
+        return encode_jpeg(jpeg_fixture_pixels(d), subsampling="420")
+
+    @pandas_udf(BinaryType())
+    def gen_mixed(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda d: enc(int(d)))
+
+    return df.withColumn("payload", gen_mixed(F.col(id_col)))
+
+
 def attach_image_payload(
     df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
 ) -> DataFrame:

@@ -278,6 +278,139 @@ def multimodal_gif_stats(t):
 
 
 @register(
+    "multimodal_mixed_stats",
+    oracle="""
+    WITH d1 AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents WHERE doc_id % 4 IN (0, 1)
+    ),
+    px1 AS (
+      SELECT d1.doc_id, d1.h, d1.w, c.c,
+             ((1103515245 * ((d1.doc_id % 100000) * 4096
+                 + (y.y * d1.w + x.x) * 3 + c.c) + 12345)
+               % 2147483648) % 256 AS v
+      FROM d1, range(0, 8) y(y), range(0, 8) x(x), range(0, 3) c(c)
+      WHERE y.y < d1.h AND x.x < d1.w
+    ),
+    s1 AS (
+      SELECT doc_id,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(MAX(h) * MAX(w) AS BIGINT) AS n_pixels,
+             CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+             CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+             CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+             CAST(MIN(v) AS BIGINT) AS px_min,
+             CAST(MAX(v) AS BIGINT) AS px_max
+      FROM px1 GROUP BY doc_id
+    ),
+    d2 AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    px2 AS (
+      SELECT d2.doc_id, d2.h, d2.w,
+             ((1103515245 * ((d2.doc_id % 100000) * 4097
+                 + (y.y * d2.w + x.x)) + 12345)
+               % 2147483648) % 256 AS i
+      FROM d2, range(0, 8) y(y), range(0, 8) x(x)
+      WHERE y.y < d2.h AND x.x < d2.w
+    ),
+    s2 AS (
+      SELECT doc_id,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST(MAX(w) AS BIGINT) AS width,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(MAX(h) * MAX(w) AS BIGINT) AS n_pixels,
+             CAST(SUM(i) AS BIGINT) AS sum_r,
+             CAST(SUM((7 * i + 13) % 256) AS BIGINT) AS sum_g,
+             CAST(SUM((31 * i + 5) % 256) AS BIGINT) AS sum_b,
+             CAST(MIN(LEAST(i, (7 * i + 13) % 256, (31 * i + 5) % 256))
+                  AS BIGINT) AS px_min,
+             CAST(MAX(GREATEST(i, (7 * i + 13) % 256, (31 * i + 5) % 256))
+                  AS BIGINT) AS px_max
+      FROM px2 GROUP BY doc_id
+    ),
+    d3 AS (
+      SELECT doc_id, 1 + doc_id % 3 AS n_mb FROM documents
+      WHERE doc_id % 4 = 3
+    ),
+    mb3 AS (
+      SELECT d3.doc_id, d3.n_mb, m.m,
+        ((1103515245 * ((d3.doc_id % 100000) * 4096 + m.m * 3 + 0) + 12345)
+           % 2147483648) % 256 AS r,
+        ((1103515245 * ((d3.doc_id % 100000) * 4096 + m.m * 3 + 1) + 12345)
+           % 2147483648) % 256 AS g,
+        ((1103515245 * ((d3.doc_id % 100000) * 4096 + m.m * 3 + 2) + 12345)
+           % 2147483648) % 256 AS b
+      FROM d3, range(0, 3) m(m) WHERE m.m < d3.n_mb
+    ),
+    ycc3 AS (
+      SELECT doc_id, n_mb, m,
+        least(greatest(round(0.299*r + 0.587*g + 0.114*b + 0.0), 0), 255) AS y,
+        least(greatest(round(-0.168736*r + -0.331264*g + 0.5*b + 128.0), 0), 255) AS cb,
+        least(greatest(round(0.5*r + -0.418688*g + -0.081312*b + 128.0), 0), 255) AS cr
+      FROM mb3
+    ),
+    rec3 AS (
+      SELECT doc_id, n_mb, m,
+        least(greatest(CAST(floor(
+          (CAST(round(8.0*(y - 128)/16.0) AS BIGINT)*16*5793*5793
+             + 134217728) / 268435456.0) AS BIGINT) + 128, 0), 255) AS y2,
+        least(greatest(CAST(floor(
+          (CAST(round(8.0*(cb - 128)/17.0) AS BIGINT)*17*5793*5793
+             + 134217728) / 268435456.0) AS BIGINT) + 128, 0), 255) AS cb2,
+        least(greatest(CAST(floor(
+          (CAST(round(8.0*(cr - 128)/17.0) AS BIGINT)*17*5793*5793
+             + 134217728) / 268435456.0) AS BIGINT) + 128, 0), 255) AS cr2
+      FROM ycc3
+    ),
+    px3 AS (
+      SELECT doc_id, n_mb, m,
+        least(greatest(round(y2 + 1.402*(cr2 - 128.0)), 0), 255) AS r2,
+        least(greatest(round(y2 - 0.344136*(cb2 - 128.0)
+                                - 0.714136*(cr2 - 128.0)), 0), 255) AS g2,
+        least(greatest(round(y2 + 1.772*(cb2 - 128.0)), 0), 255) AS b2
+      FROM rec3
+    ),
+    s3 AS (
+      SELECT doc_id,
+             CAST(16 AS BIGINT) AS height,
+             CAST(16 * MAX(n_mb) AS BIGINT) AS width,
+             CAST(3 AS BIGINT) AS channels,
+             CAST(256 * MAX(n_mb) AS BIGINT) AS n_pixels,
+             CAST(256 * SUM(r2) AS BIGINT) AS sum_r,
+             CAST(256 * SUM(g2) AS BIGINT) AS sum_g,
+             CAST(256 * SUM(b2) AS BIGINT) AS sum_b,
+             CAST(least(MIN(r2), MIN(g2), MIN(b2)) AS BIGINT) AS px_min,
+             CAST(greatest(MAX(r2), MAX(g2), MAX(b2)) AS BIGINT) AS px_max
+      FROM px3 GROUP BY doc_id
+    )
+    SELECT * FROM s1
+    UNION ALL SELECT * FROM s2
+    UNION ALL SELECT * FROM s3
+    """,
+)
+def multimodal_mixed_stats(t):
+    """Heterogeneous-corpus decode — the capstone over the codec ladder:
+    each document's payload is a DIFFERENT real format by doc_id % 4
+    (BMP / PNG / GIF / baseline JPEG), and the engine decodes the whole
+    column through the magic-byte dispatch (decode_image_bytes) in ONE
+    plan — no per-format branching above the operator, exactly how a
+    real scraped corpus lands. The oracle unions the three fixture
+    closed forms (truecolor LCG for BMP+PNG, odd-stride palette
+    composition for GIF, DC-only lossy reconstruction for JPEG) without
+    seeing any bytes. Scale: identical to the single-format twins — one
+    Arrow crossing, map-only, stats fold inside the batch; format skew
+    (JPEG costs more than BMP) is absorbed by Arrow batch granularity,
+    not a shuffle."""
+    return mm.decode_image(
+        mm.attach_mixed_image_payload(t.documents.select("doc_id"))
+    )
+
+
+@register(
     "multimodal_mjpeg_frames",
     oracle="""
     WITH d AS (

@@ -228,6 +228,19 @@ def test_gif_fixture_varies_by_doc():
     assert not np.array_equal(a.reshape(-1)[:n], b.reshape(-1)[:n])
 
 
+# ---------------------------------------------------------- mixed corpus ----
+
+
+def test_mixed_payload_formats_rotate_and_decode(spark):
+    df = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    rows = mm.attach_mixed_image_payload(df).collect()
+    magics = {0: b"BM", 1: b"\x89P", 2: b"GI", 3: b"\xff\xd8"}
+    for r in rows:
+        assert bytes(r.payload[:2]) == magics[r.doc_id % 4], r.doc_id
+        px = mm.decode_image_bytes(bytes(r.payload))
+        assert px.ndim == 3 and px.shape[2] == 3
+
+
 # ------------------------------------------------------------- MJPEG / AVI ----
 
 

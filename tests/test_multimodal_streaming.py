@@ -149,12 +149,26 @@ def test_image_decode_pipeline_routes_gated_and_corrupt_to_dlq(
 
 
 def test_wav_decode_pipeline_gates_non_pcm16(spark, tmp_path):
-    from stream_processor_spark.operators.multimodal import decode_wav, encode_wav
+    from stream_processor_spark.operators.multimodal import (
+        adpcm_fixture,
+        decode_wav,
+        encode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+        g711_fixture_codes,
+    )
 
     samples = np.arange(-50, 50, dtype=np.int16)
     wav = encode_wav(samples, sample_rate=8000)
-    _r, _c, dec = decode_wav(wav)
-    want = (len(dec), int(sum(int(s) for s in dec)))
+    # the SAME processor decodes every supported WAV sub-format — the
+    # format dispatch lives in decode_wav, not in the pipeline step
+    ulaw = encode_wav_g711(g711_fixture_codes(3), law="ulaw")
+    p0, i0, nb = adpcm_fixture(4)
+    adpcm = encode_wav_ima_adpcm(p0, i0, nb)
+    want = {}
+    for k, raw in (("ok", wav), ("ulaw", ulaw), ("adpcm", adpcm)):
+        _r, _c, dec = decode_wav(raw)
+        want[k] = (len(dec), int(sum(int(s) for s in dec)))
 
     # gated: flip the bits-per-sample field to 8 (NotImplementedError)
     gated = bytearray(wav)
@@ -172,6 +186,8 @@ def test_wav_decode_pipeline_gates_non_pcm16(spark, tmp_path):
 
     rows = [
         {"key": "ok", "payload": bytearray(wav), "n_pixels": None, "px_sum": None},
+        {"key": "ulaw", "payload": bytearray(ulaw), "n_pixels": None, "px_sum": None},
+        {"key": "adpcm", "payload": bytearray(adpcm), "n_pixels": None, "px_sum": None},
         {"key": "gated", "payload": bytearray(bytes(gated)), "n_pixels": None, "px_sum": None},
         {"key": "bad", "payload": bytearray(corrupt), "n_pixels": None, "px_sum": None},
     ]
@@ -186,11 +202,13 @@ def test_wav_decode_pipeline_gates_non_pcm16(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = spark.read.parquet(target.path_or_topic).collect()
-    assert len(got) == 1 and got[0].key == "ok"
-    assert (got[0].out_n_pixels, got[0].out_px_sum) == want
+    got = {
+        r.key: (r.out_n_pixels, r.out_px_sum)
+        for r in spark.read.parquet(target.path_or_topic).collect()
+    }
+    assert got == want  # PCM16 + mu-law + ADPCM all decoded in-chain
     dlq_keys = {r.key for r in spark.read.parquet(dlq.path_or_topic).collect()}
     assert dlq_keys == {"gated", "bad"}
     snap = metrics.snapshot()
-    assert snap["messages_completed_total"] == 1
+    assert snap["messages_completed_total"] == 3
     assert snap["messages_dlq_total"] == 2

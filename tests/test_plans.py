@@ -369,3 +369,22 @@ def test_graph_hop_read_is_partition_pruned(spark, sf_dir):
         spark, edges_name, np.asarray(qrow[0], dtype=np.float64)
     ).collect()
     assert len(got) == 10 and got[0].vec_id == 0
+
+
+def test_codec_decodes_are_single_python_pass(spark, sf_dir):
+    """Every real-codec decode entry (round-11 continuation) is ONE
+    Arrow crossing with NO shuffle — scan → attach (pandas_udf) →
+    decode stats (mapInPandas). A shuffle appearing here would mean the
+    map-only contract regressed."""
+    for name in (
+        "multimodal_gif_stats",
+        "multimodal_ulaw_stats",
+        "multimodal_adpcm_stats",
+        "multimodal_mjpeg_frames",
+        "multimodal_mixed_stats",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan[:400]}"
+        # exactly one decode stage in the tree (the formatted detail
+        # section repeats the node name, so count tree entries)
+        assert plan.count("MapInPandas (") == 1, name
