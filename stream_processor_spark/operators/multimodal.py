@@ -484,13 +484,24 @@ IMAGE_STATS_SCHEMA = (
 
 
 def decode_image(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """REAL image decode over a binary column: parse each payload
     (BMP/PPM, :func:`decode_image_bytes`), emit integer-exact pixel
     statistics — dimensions, per-channel sums, min/max. NULL payload →
-    NULL stats (SQL semantics); an unsupported format raises (fail
-    loudly, route through a DLQ step upstream if tolerance is wanted).
+    NULL stats (SQL semantics).
+
+    ``on_error``: ``"raise"`` (default) fails loudly on corrupt bytes
+    or a gated format — the right contract when an upstream DLQ step
+    owns tolerance. ``"null"`` is the 100-TB batch contract: a real
+    scraped corpus always contains corrupt payloads, and one bad row
+    must not kill a 10k-task job — the row keeps NULL stats and a
+    ``decode_failed`` flag, the batch analog of the reference's per-step
+    DLQ routing (consumer.js:88-109: failed record to DLQ, stream keeps
+    going).
 
     Arrow-batched ``mapInPandas``: bytes cross JVM→Python once per
     batch; numpy does the per-image work. All stats are exact int64
@@ -500,14 +511,26 @@ def decode_image(
     pixel generator (queries/llm_data.py:multimodal_decode_stats)."""
     import numpy as np
 
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    tolerant = on_error == "null"
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
-                    recs.append((doc_id,) + (None,) * 9)
+                    recs.append(
+                        (doc_id,) + (None,) * 9 + ((None,) if tolerant else ())
+                    )
                     continue
-                px = decode_image_bytes(bytes(payload))
+                try:
+                    px = decode_image_bytes(bytes(payload))
+                except Exception:
+                    if not tolerant:
+                        raise
+                    recs.append((doc_id,) + (None,) * 9 + (True,))
+                    continue
                 s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 recs.append(
                     (
@@ -522,18 +545,18 @@ def decode_image(
                         int(px.min()),
                         int(px.max()),
                     )
+                    + ((False,) if tolerant else ())
                 )
-            yield pd.DataFrame(
-                recs,
-                columns=[
-                    "doc_id", "height", "width", "channels", "n_pixels",
-                    "sum_r", "sum_g", "sum_b", "px_min", "px_max",
-                ],
-            )
+            cols = [
+                "doc_id", "height", "width", "channels", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "px_min", "px_max",
+            ] + (["decode_failed"] if tolerant else [])
+            yield pd.DataFrame(recs, columns=cols)
 
-    return df.select(id_col, payload_col).mapInPandas(
-        gen, schema=IMAGE_STATS_SCHEMA
+    schema = IMAGE_STATS_SCHEMA + (
+        ", decode_failed boolean" if tolerant else ""
     )
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
 # Deterministic image fixture: pixel(d, y, x, c) from the engine's pinned

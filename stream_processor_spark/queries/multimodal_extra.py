@@ -277,12 +277,36 @@ def multimodal_gif_stats(t):
     )
 
 
-@register(
-    "multimodal_mixed_stats",
-    oracle="""
+def _mixed_stats_oracle(doc_pred: str = "TRUE", with_flag: bool = False) -> str:
+    """The mixed-format stats oracle, parameterized: ``doc_pred``
+    restricts which documents decode successfully; ``with_flag`` adds a
+    decode_failed column plus a NULL-stats branch for the complement —
+    shared by `multimodal_mixed_stats` (all docs clean) and
+    `multimodal_decode_resilient` (docs with doc_id % 7 = 3 corrupted)."""
+    flag_col = ",\n           FALSE AS decode_failed" if with_flag else ""
+    failed_branch = (
+        f"""
+    UNION ALL
+    SELECT doc_id,
+           CAST(NULL AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS channels,
+           CAST(NULL AS BIGINT) AS n_pixels,
+           CAST(NULL AS BIGINT) AS sum_r,
+           CAST(NULL AS BIGINT) AS sum_g,
+           CAST(NULL AS BIGINT) AS sum_b,
+           CAST(NULL AS BIGINT) AS px_min,
+           CAST(NULL AS BIGINT) AS px_max,
+           TRUE AS decode_failed
+    FROM documents WHERE NOT ({doc_pred})
+    """
+        if with_flag
+        else ""
+    )
+    return f"""
     WITH d1 AS (
       SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
-      FROM documents WHERE doc_id % 4 IN (0, 1)
+      FROM documents WHERE doc_id % 4 IN (0, 1) AND ({doc_pred})
     ),
     px1 AS (
       SELECT d1.doc_id, d1.h, d1.w, c.c,
@@ -307,7 +331,7 @@ def multimodal_gif_stats(t):
     ),
     d2 AS (
       SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
-      FROM documents WHERE doc_id % 4 = 2
+      FROM documents WHERE doc_id % 4 = 2 AND ({doc_pred})
     ),
     px2 AS (
       SELECT d2.doc_id, d2.h, d2.w,
@@ -334,7 +358,7 @@ def multimodal_gif_stats(t):
     ),
     d3 AS (
       SELECT doc_id, 1 + doc_id % 3 AS n_mb FROM documents
-      WHERE doc_id % 4 = 3
+      WHERE doc_id % 4 = 3 AND ({doc_pred})
     ),
     mb3 AS (
       SELECT d3.doc_id, d3.n_mb, m.m,
@@ -387,11 +411,13 @@ def multimodal_gif_stats(t):
              CAST(greatest(MAX(r2), MAX(g2), MAX(b2)) AS BIGINT) AS px_max
       FROM px3 GROUP BY doc_id
     )
-    SELECT * FROM s1
-    UNION ALL SELECT * FROM s2
-    UNION ALL SELECT * FROM s3
-    """,
-)
+    SELECT *{flag_col} FROM s1
+    UNION ALL SELECT *{flag_col} FROM s2
+    UNION ALL SELECT *{flag_col} FROM s3{failed_branch}
+    """
+
+
+@register("multimodal_mixed_stats", oracle=_mixed_stats_oracle())
 def multimodal_mixed_stats(t):
     """Heterogeneous-corpus decode — the capstone over the codec ladder:
     each document's payload is a DIFFERENT real format by doc_id % 4
@@ -486,3 +512,35 @@ def multimodal_mjpeg_frames(t):
     return mm.decode_mjpeg_video(
         mm.attach_mjpeg_payload(t.documents.select("doc_id"))
     )
+
+
+@register(
+    "multimodal_decode_resilient",
+    oracle=_mixed_stats_oracle(doc_pred="doc_id % 7 <> 3", with_flag=True),
+)
+def multimodal_decode_resilient(t):
+    """Error-TOLERANT heterogeneous decode — the 100 TB contract: a real
+    scraped corpus always contains corrupt payloads, and one bad row
+    must not kill a 10k-task batch job. Documents with doc_id % 7 = 3
+    get their (mixed-format) payload deterministically TRUNCATED to 10
+    bytes; `decode_image(on_error="null")` keeps those rows with NULL
+    stats and decode_failed=TRUE while every healthy payload decodes
+    normally — the batch analog of the reference's per-step DLQ routing
+    (consumer.js:88-109: failed record routed, stream keeps going),
+    composed with the magic-byte dispatch. The oracle reproduces the
+    corruption rule arithmetically (it never sees bytes): failed rows
+    from the doc_id predicate, healthy rows from the three fixture
+    closed forms. Truncation exercises a DIFFERENT failure in each
+    format: BMP trips the bit-depth gate, PNG dies in the chunk walk,
+    GIF runs off the descriptor, JPEG never finds SOS. Scale: identical
+    map-only plan; tolerance costs one try/except per row, no extra
+    pass."""
+    docs = t.documents.select("doc_id")
+    pay = mm.attach_mixed_image_payload(docs)
+    pay = pay.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 10)")
+        ).otherwise(F.col("payload")),
+    )
+    return mm.decode_image(pay, on_error="null")

@@ -228,7 +228,88 @@ def test_gif_fixture_varies_by_doc():
     assert not np.array_equal(a.reshape(-1)[:n], b.reshape(-1)[:n])
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=4000),
+        st.integers(min_value=2, max_value=8),
+    )
+    def test_lzw_roundtrip_property(data, mcs):
+        """ANY byte stream (masked into the alphabet) survives the LZW
+        round trip at ANY min code size — the width-growth schedule and
+        table-reset timing must agree between encoder and decoder on
+        adversarial inputs, not just seeded ones."""
+        if mcs < 8:
+            data = bytes(b % (1 << mcs) for b in data)
+        assert lzw_decompress(lzw_compress(data, mcs), mcs) == data
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_gif_roundtrip_property(h, w, seed):
+        rng = np.random.RandomState(seed)
+        pal = mm.gif_fixture_palette()
+        idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(min_value=-32768, max_value=32767),
+        st.integers(min_value=0, max_value=88),
+        st.binary(min_size=1, max_size=64),
+    )
+    def test_adpcm_block_decode_total(pred0, index0, data):
+        """Decoding never leaves int16 range or a valid step index for
+        ANY initial state and nibble stream (the clamps are the spec)."""
+        block = (
+            int(pred0).to_bytes(2, "little", signed=True)
+            + bytes([index0, 0])
+            + data
+        )
+        out = mm.decode_ima_adpcm_block(block, None)
+        assert out.size == 1 + 2 * len(data)
+        a = out.astype(np.int64)
+        assert a.min() >= -32768 and a.max() <= 32767
+
+
 # ---------------------------------------------------------- mixed corpus ----
+
+
+def test_decode_image_on_error_modes(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(14)], "doc_id long")
+    pay = mm.attach_mixed_image_payload(df).withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 10)")
+        ).otherwise(F.col("payload")),
+    )
+    rows = {r.doc_id: r for r in mm.decode_image(pay, on_error="null").collect()}
+    assert len(rows) == 14
+    for d, r in rows.items():
+        if d % 7 == 3:
+            assert r.decode_failed is True and r.n_pixels is None
+        else:
+            assert r.decode_failed is False and r.n_pixels > 0
+    # default mode still fails loudly on the same corpus
+    with pytest.raises(Exception):
+        mm.decode_image(pay).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        mm.decode_image(pay, on_error="dlq")
 
 
 def test_mixed_payload_formats_rotate_and_decode(spark):

@@ -382,6 +382,7 @@ def test_codec_decodes_are_single_python_pass(spark, sf_dir):
         "multimodal_adpcm_stats",
         "multimodal_mjpeg_frames",
         "multimodal_mixed_stats",
+        "multimodal_decode_resilient",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan[:400]}"
