@@ -1046,26 +1046,44 @@ AUDIO_STATS_SCHEMA = (
 
 
 def decode_audio(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
-    """REAL audio decode over a binary column: parse each PCM16 WAV
-    payload and emit integer-exact sample statistics — rate, channels,
-    sample count, sum(|s|), peak |s|, and zero crossings (sign flips
-    between consecutive samples, zeros keeping the previous sign). All
-    int64 — no float path — so the encode→binary→decode→stats round
-    trip hash-checks against a closed-form fixture oracle, the
+    """REAL audio decode over a binary column: parse each WAV payload
+    (PCM16 / G.711 / IMA-ADPCM — the dispatch lives in decode_wav) and
+    emit integer-exact sample statistics — rate, channels, sample
+    count, sum(|s|), peak |s|, and zero crossings (sign flips between
+    consecutive samples, zeros keeping the previous sign). All int64 —
+    no float path — so the encode→binary→decode→stats round trip
+    hash-checks against a closed-form fixture oracle, the
     `decode_image` discipline applied to audio. NULL payload → NULL
-    stats (SQL semantics)."""
+    stats (SQL semantics). ``on_error="null"`` is the corrupt-payload
+    batch contract (see decode_image): failed rows keep NULL stats plus
+    a decode_failed flag instead of killing the job."""
     import numpy as np
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    tolerant = on_error == "null"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
-                    recs.append((doc_id,) + (None,) * 6)
+                    recs.append(
+                        (doc_id,) + (None,) * 6 + ((None,) if tolerant else ())
+                    )
                     continue
-                rate, ch, s = decode_wav(bytes(payload))
+                try:
+                    rate, ch, s = decode_wav(bytes(payload))
+                except Exception:
+                    if not tolerant:
+                        raise
+                    recs.append((doc_id,) + (None,) * 6 + (True,))
+                    continue
                 a = s.astype(np.int64)
                 # sign with zeros inheriting the previous sign: a zero
                 # sample never creates a crossing by itself
@@ -1087,18 +1105,18 @@ def decode_audio(
                         int(np.abs(a).max()) if a.size else 0,
                         zc,
                     )
+                    + ((False,) if tolerant else ())
                 )
-            yield pd.DataFrame(
-                recs,
-                columns=[
-                    "doc_id", "sample_rate", "channels", "n_samples",
-                    "sum_abs", "peak", "zero_crossings",
-                ],
-            )
+            cols = [
+                "doc_id", "sample_rate", "channels", "n_samples",
+                "sum_abs", "peak", "zero_crossings",
+            ] + (["decode_failed"] if tolerant else [])
+            yield pd.DataFrame(recs, columns=cols)
 
-    return df.select(id_col, payload_col).mapInPandas(
-        gen, schema=AUDIO_STATS_SCHEMA
+    schema = AUDIO_STATS_SCHEMA + (
+        ", decode_failed boolean" if tolerant else ""
     )
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
 # Deterministic audio fixture: sample(d, i) from the same pinned LCG as

@@ -312,6 +312,26 @@ def test_decode_image_on_error_modes(spark):
         mm.decode_image(pay, on_error="dlq")
 
 
+def test_decode_audio_on_error_modes(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pay = mm.attach_g711_payload(df, law="ulaw").withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 3 == 1, F.expr("substring(payload, 1, 6)")
+        ).otherwise(F.col("payload")),
+    )
+    rows = {r.doc_id: r for r in mm.decode_audio(pay, on_error="null").collect()}
+    for d, r in rows.items():
+        if d % 3 == 1:
+            assert r.decode_failed is True and r.n_samples is None
+        else:
+            assert r.decode_failed is False and r.n_samples > 0
+    with pytest.raises(Exception):
+        mm.decode_audio(pay).collect()
+
+
 def test_mixed_payload_formats_rotate_and_decode(spark):
     df = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     rows = mm.attach_mixed_image_payload(df).collect()
