@@ -153,11 +153,24 @@ def lzw_decompress(stream: bytes, min_code_size: int) -> bytes:
 # ----------------------------------------------------------------- GIF ----
 
 
-def encode_gif(indices, palette) -> bytes:
+def gif_interlace_order(h: int) -> list[int]:
+    """The GIF 4-pass interlace row schedule (spec appendix E): rows
+    0,8,16… then 4,12… then 2,6,10… then 1,3,5… — the order rows are
+    STORED in an interlaced stream."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
     """Encode an (H, W) uint8 index array + (256, 3) palette as a
     GIF87a file: logical screen descriptor, global color table, one
     image descriptor, REAL LZW-compressed pixel data in ≤255-byte
-    sub-blocks, trailer."""
+    sub-blocks, trailer. ``interlace=True`` stores rows in the 4-pass
+    schedule with the descriptor flag set."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2:
@@ -177,11 +190,12 @@ def encode_gif(indices, palette) -> bytes:
     out.append(0x2C)  # image separator
     out += (0).to_bytes(2, "little") * 2  # left, top
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0)  # no local table, no interlace
+    out.append(0x40 if interlace else 0)  # no local table
 
     min_code_size = 8  # 256-color image
     out.append(min_code_size)
-    comp = lzw_compress(idx.tobytes(), min_code_size)
+    pixel_rows = idx[gif_interlace_order(h)] if interlace else idx
+    comp = lzw_compress(pixel_rows.tobytes(), min_code_size)
     for i in range(0, len(comp), 255):
         block = comp[i : i + 255]
         out.append(len(block))
@@ -223,8 +237,7 @@ def decode_gif(raw: bytes):
         h = int.from_bytes(raw[pos + 7 : pos + 9], "little")
         ipacked = raw[pos + 9]
         pos += 10
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(ipacked & 0x40)
         if ipacked & 0x80:
             raise NotImplementedError("local color tables not supported")
         if gct is None:
@@ -243,5 +256,10 @@ def decode_gif(raw: bytes):
                 f"LZW stream decoded {len(data)} pixels, need {h * w}"
             )
         idx = np.frombuffer(data[: h * w], np.uint8).reshape(h, w)
+        if interlaced:
+            # stored rows follow the 4-pass schedule; scatter them back
+            deint = np.zeros_like(idx)
+            deint[gif_interlace_order(h)] = idx
+            idx = deint
         return gct[idx].copy()  # palette lookup → (H, W, 3)
     raise ValueError("GIF contains no image data")

@@ -316,29 +316,27 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(arr, filter_mode: str = "cycle") -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG.
+# Adam7 interlace geometry (PNG spec §8.2): per-pass start/increment
+_ADAM7 = [  # (row0, col0, row_inc, col_inc)
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
 
-    ``filter_mode='cycle'`` assigns row r filter type r % 5, so a
-    multi-row image exercises EVERY scanline filter (None/Sub/Up/
-    Average/Paeth) — the round-trip tests then prove all five unfilter
-    paths, not just the trivial one. ``'none'`` writes filter 0 rows.
-    Pure stdlib (zlib) + numpy."""
-    import zlib
 
+def _png_filter_rows(rows, bpp: int, filter_mode: str) -> bytes:
+    """Filter a (H, stride) uint8 sub-image into PNG scanlines (filter
+    byte + filtered row). `prev` starts at zero — per the spec each
+    Adam7 pass filters as an independent image."""
     import numpy as np
 
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
-    h, w, _ = a.shape
-    bpp = 3
+    h = rows.shape[0]
+    stride = rows.shape[1]
     out = []
-    prev = np.zeros(w * bpp, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        row = a[r].reshape(-1)
+        row = rows[r]
         f = (r % 5) if filter_mode == "cycle" else 0
-        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]]) if stride > bpp else np.zeros(stride, np.uint8)
         if f == 0:
             filt = row
         elif f == 1:  # Sub: x - left (uint8 wraparound)
@@ -350,78 +348,38 @@ def encode_png(arr, filter_mode: str = "cycle") -> bytes:
                 (left.astype(np.int64) + prev.astype(np.int64)) // 2
             ).astype(np.uint8)
         else:  # Paeth
-            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]]) if stride > bpp else np.zeros(stride, np.uint8)
             pred = np.fromiter(
                 (
                     _paeth(int(la), int(ua), int(ca))
                     for la, ua, ca in zip(left, prev, ul)
                 ),
                 dtype=np.uint8,
-                count=w * bpp,
+                count=stride,
             )
             filt = row - pred
         out.append(bytes([f]) + filt.tobytes())
         prev = row
-    ihdr = (
-        w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, filter 0, no interlace
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(out)))
-        + _png_chunk(b"IEND", b"")
-    )
+    return b"".join(out)
 
 
-def decode_png(raw: bytes):
-    """Decode an 8-bit truecolor (color type 2) PNG to (H, W, 3) uint8.
-
-    Chunk walk → IHDR validation → zlib-inflate the concatenated IDATs
-    → per-scanline unfilter (all five filter types). Sub/Average/Paeth
-    carry an intra-row left-neighbor dependency, so those rows unfilter
-    with a per-byte scan — exact per the spec; rows are short relative
-    to inflate cost, and the whole decode runs inside the Arrow-batched
-    ``mapInPandas`` worker where per-image Python is the contract."""
-    import zlib
-
+def _png_unfilter(flat, offset: int, h: int, stride: int, bpp: int):
+    """Unfilter `h` scanlines of `stride` bytes starting at `offset` in
+    the inflated byte stream; returns ((h, stride) uint8 array, bytes
+    consumed). The exact inverse of _png_filter_rows."""
     import numpy as np
 
-    if raw[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload (bad signature)")
-    pos, w, h, idat = len(_PNG_SIG), None, None, []
-    while pos + 8 <= len(raw):
-        ln = int.from_bytes(raw[pos : pos + 4], "big")
-        tag = raw[pos + 4 : pos + 8]
-        data = raw[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + tag + data + crc
-        if tag == b"IHDR":
-            w = int.from_bytes(data[0:4], "big")
-            h = int.from_bytes(data[4:8], "big")
-            depth, ctype, comp, filt, interlace = data[8:13]
-            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                raise NotImplementedError(
-                    "only 8-bit truecolor non-interlaced PNG supported "
-                    f"(depth={depth} colortype={ctype} interlace={interlace})"
-                )
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    bpp, stride = 3, w * 3
-    flat = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if flat.size != h * (stride + 1):
+    need = h * (stride + 1)
+    if offset + need > flat.size:
         raise ValueError(
-            f"PNG scanline payload is {flat.size} bytes, expected "
-            f"{h * (stride + 1)}"
+            f"PNG scanline payload is {flat.size - offset} bytes at "
+            f"offset {offset}, expected {need}"
         )
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
-        line = flat[r * (stride + 1) : (r + 1) * (stride + 1)]
+        base = offset + r * (stride + 1)
+        line = flat[base : base + stride + 1]
         f, row = int(line[0]), line[1:].astype(np.int64)
         if f == 0:
             cur = row
@@ -444,7 +402,186 @@ def decode_png(raw: bytes):
                 cur[i] = (int(row[i]) + pred) % 256
         out[r] = cur.astype(np.uint8)
         prev = cur
-    return out.reshape(h, w, 3).copy()
+    return out, need
+
+
+def _adam7_passes(h: int, w: int):
+    """Per-pass (row0, col0, row_inc, col_inc, pass_h, pass_w); empty
+    passes (pass_h or pass_w = 0) contribute NO scanlines per the spec."""
+    out = []
+    for r0, c0, ri, ci in _ADAM7:
+        ph = (h - r0 + ri - 1) // ri if h > r0 else 0
+        pw = (w - c0 + ci - 1) // ci if w > c0 else 0
+        out.append((r0, c0, ri, ci, ph, pw))
+    return out
+
+
+def encode_png(
+    arr, filter_mode: str = "cycle", interlace: bool = False
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG.
+
+    ``filter_mode='cycle'`` assigns row r filter type r % 5, so a
+    multi-row image exercises EVERY scanline filter (None/Sub/Up/
+    Average/Paeth) — the round-trip tests then prove all five unfilter
+    paths, not just the trivial one. ``interlace=True`` writes Adam7:
+    seven independently-filtered passes in spec order. Pure stdlib
+    (zlib) + numpy."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w, _ = a.shape
+    bpp = 3
+    if interlace:
+        payload = b"".join(
+            _png_filter_rows(
+                np.ascontiguousarray(
+                    a[r0::ri, c0::ci].reshape(ph, pw * bpp)
+                ),
+                bpp,
+                filter_mode,
+            )
+            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
+            if ph and pw
+        )
+    else:
+        payload = _png_filter_rows(a.reshape(h, w * bpp), bpp, filter_mode)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 1 if interlace else 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(payload))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_paletted(
+    indices, palette, filter_mode: str = "cycle", interlace: bool = False
+) -> bytes:
+    """Encode an (H, W) uint8 index array + (256, 3) palette as an
+    8-bit PALETTED PNG (color type 3, PLTE chunk). Filters operate on
+    the index bytes (bpp=1) exactly per the spec."""
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2:
+        raise ValueError(f"expected (H, W) index array, got {idx.shape}")
+    if pal.shape != (256, 3):
+        raise ValueError(f"expected (256, 3) palette, got {pal.shape}")
+    h, w = idx.shape
+    if interlace:
+        payload = b"".join(
+            _png_filter_rows(
+                np.ascontiguousarray(idx[r0::ri, c0::ci]), 1, filter_mode
+            )
+            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
+            if ph and pw
+        )
+    else:
+        payload = _png_filter_rows(idx, 1, filter_mode)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 3, 0, 0, 1 if interlace else 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(payload))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes):
+    """Decode a PNG to (H, W, 3) uint8 RGB. REAL for 8-bit truecolor
+    (color type 2) and 8-bit PALETTED (color type 3, PLTE lookup), both
+    non-interlaced AND Adam7-interlaced — seven independently-unfiltered
+    passes scattered back by the spec's geometry (round-11
+    continuation; old web scrapes are full of interlaced files).
+
+    Chunk walk → IHDR validation → zlib-inflate the concatenated IDATs
+    → per-scanline unfilter (all five filter types). Sub/Average/Paeth
+    carry an intra-row left-neighbor dependency, so those rows unfilter
+    with a per-byte scan — exact per the spec; rows are short relative
+    to inflate cost, and the whole decode runs inside the Arrow-batched
+    ``mapInPandas`` worker where per-image Python is the contract.
+    Alpha / 16-bit / grayscale stay honestly gated."""
+    import zlib
+
+    import numpy as np
+
+    if raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, w, h, idat = len(_PNG_SIG), None, None, []
+    ctype = interlace = None
+    plte = None
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos : pos + 4], "big")
+        tag = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, comp, filt, interlace = data[8:13]
+            if depth != 8 or ctype not in (2, 3) or comp or filt or interlace > 1:
+                raise NotImplementedError(
+                    "only 8-bit truecolor/paletted PNG supported "
+                    f"(depth={depth} colortype={ctype} interlace={interlace})"
+                )
+        elif tag == b"PLTE":
+            if ln % 3:
+                raise ValueError(f"PLTE length {ln} not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
+    bpp = 3 if ctype == 2 else 1
+    flat = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace:
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        offset = 0
+        for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w):
+            if not (ph and pw):
+                continue
+            rows, used = _png_unfilter(flat, offset, ph, pw * bpp, bpp)
+            offset += used
+            sub = rows.reshape(ph, pw, bpp)
+            out.reshape(h, w, bpp)[r0::ri, c0::ci] = sub
+        if offset != flat.size:
+            raise ValueError(
+                f"Adam7 stream has {flat.size - offset} trailing bytes"
+            )
+    else:
+        out, used = _png_unfilter(flat, 0, h, w * bpp, bpp)
+        if used != flat.size:
+            raise ValueError(
+                f"PNG scanline payload is {flat.size} bytes, expected {used}"
+            )
+    px = out.reshape(h, w, bpp)
+    if ctype == 3:
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[idx].copy()
+    return px.copy()
 
 
 def decode_image_bytes(raw: bytes):
@@ -635,6 +772,56 @@ def gif_fixture_indices(doc_id: int):
     return v.reshape(h, w).astype(np.uint8)
 
 
+IMAGE_WSUM_SCHEMA = (
+    "doc_id long, height long, width long, "
+    "wsum_r long, wsum_g long, wsum_b long"
+)
+
+
+def decode_image_weighted(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """POSITION-WEIGHTED decode verification: per-channel sums of
+    (y*W + x + 1) * value. Plain pixel statistics are invariant under
+    row/column permutation, so they cannot distinguish a correct
+    interlace reconstruction from one that left rows in storage order —
+    this weighted form is order-SENSITIVE, which is what the
+    interlaced-format oracles hash against. Same map-only dataflow as
+    decode_image."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    recs.append((doc_id,) + (None,) * 5)
+                    continue
+                px = decode_image_bytes(bytes(payload)).astype(np.int64)
+                h, w, _ = px.shape
+                wgt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                recs.append(
+                    (
+                        doc_id,
+                        h,
+                        w,
+                        int((wgt * px[:, :, 0]).sum()),
+                        int((wgt * px[:, :, 1]).sum()),
+                        int((wgt * px[:, :, 2]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "height", "width", "wsum_r", "wsum_g", "wsum_b",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=IMAGE_WSUM_SCHEMA
+    )
+
+
 def attach_mixed_image_payload(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -694,20 +881,47 @@ def attach_image_payload(
 
         return df.withColumn("payload", gen_jpg(F.col(id_col)))
 
-    if fmt == "gif":
+    if fmt in ("gif", "gif_interlaced"):
         # GIF is PALETTED: the fixture draws palette indices (one LCG
         # value per pixel) against the closed-form palette, so the
         # oracle composes the two integer formulas.
         from stream_processor_spark.operators.gif import encode_gif
 
+        ilace = fmt == "gif_interlaced"
+
         @pandas_udf(BinaryType())
         def gen_gif(ids: pd.Series) -> pd.Series:
             pal = gif_fixture_palette()
             return ids.map(
-                lambda d: encode_gif(gif_fixture_indices(int(d)), pal)
+                lambda d: encode_gif(
+                    gif_fixture_indices(int(d)), pal, interlace=ilace
+                )
             )
 
         return df.withColumn("payload", gen_gif(F.col(id_col)))
+
+    if fmt == "png_adam7":
+
+        @pandas_udf(BinaryType())
+        def gen_a7(ids: pd.Series) -> pd.Series:
+            return ids.map(
+                lambda d: encode_png(fixture_pixels(int(d)), interlace=True)
+            )
+
+        return df.withColumn("payload", gen_a7(F.col(id_col)))
+
+    if fmt == "png_paletted":
+
+        @pandas_udf(BinaryType())
+        def gen_pal(ids: pd.Series) -> pd.Series:
+            pal = gif_fixture_palette()
+            return ids.map(
+                lambda d: encode_png_paletted(
+                    gif_fixture_indices(int(d)), pal, interlace=True
+                )
+            )
+
+        return df.withColumn("payload", gen_pal(F.col(id_col)))
 
     enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
 

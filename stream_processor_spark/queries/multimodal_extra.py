@@ -544,3 +544,105 @@ def multimodal_decode_resilient(t):
         ).otherwise(F.col("payload")),
     )
     return mm.decode_image(pay, on_error="null")
+
+
+# Position-weighted oracles for the INTERLACED formats: plain pixel
+# stats are invariant under row permutation, so they cannot detect a
+# decoder that left rows in storage order. wsum_c = SUM((y*W+x+1) * c)
+# is order-sensitive — a wrong deinterlace hash-mismatches.
+
+_GIF_WSUM_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, (y.y * d.w + x.x + 1) AS wgt,
+             ((1103515245 * ((d.doc_id % 100000) * 4097
+                 + (y.y * d.w + x.x)) + 12345)
+               % 2147483648) % 256 AS i
+      FROM d, range(0, 8) y(y), range(0, 8) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(SUM(wgt * i) AS BIGINT) AS wsum_r,
+           CAST(SUM(wgt * ((7 * i + 13) % 256)) AS BIGINT) AS wsum_g,
+           CAST(SUM(wgt * ((31 * i + 5) % 256)) AS BIGINT) AS wsum_b
+    FROM px GROUP BY doc_id
+    """
+
+
+@register("multimodal_gif_interlaced", oracle=_GIF_WSUM_ORACLE)
+def multimodal_gif_interlaced(t):
+    """REAL interlaced-GIF decode, hash-verified ORDER-SENSITIVELY: the
+    fixture indices are stored in the spec's 4-pass interlace schedule
+    (rows 0,8… / 4,12… / 2,6… / 1,3…) with the descriptor flag set; the
+    decoder must LZW-decompress AND scatter rows back to image order
+    (operators/gif.py:gif_interlace_order). The oracle hashes
+    position-weighted channel sums — invariant stats would pass even if
+    rows stayed in storage order, so the weights are what prove the
+    deinterlace. Old web scrapes are full of interlaced GIFs; this
+    retires that gate. Scale: same map-only plan as the GIF twin."""
+    return mm.decode_image_weighted(
+        mm.attach_image_payload(
+            t.documents.select("doc_id"), fmt="gif_interlaced"
+        )
+    )
+
+
+@register(
+    "multimodal_png_adam7",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, (y.y * d.w + x.x + 1) AS wgt, c.c,
+             ((1103515245 * ((d.doc_id % 100000) * 4096
+                 + (y.y * d.w + x.x) * 3 + c.c) + 12345)
+               % 2147483648) % 256 AS v
+      FROM d, range(0, 8) y(y), range(0, 8) x(x), range(0, 3) c(c)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(SUM(CASE WHEN c = 0 THEN wgt * v ELSE 0 END) AS BIGINT) AS wsum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN wgt * v ELSE 0 END) AS BIGINT) AS wsum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN wgt * v ELSE 0 END) AS BIGINT) AS wsum_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_adam7(t):
+    """REAL Adam7-interlaced PNG decode, hash-verified ORDER-SENSITIVELY:
+    the truecolor fixture is encoded as seven independently-filtered
+    passes (each pass CYCLES the five scanline filters on its own
+    geometry — narrow passes exercise the bpp-edge cases of Sub/Paeth),
+    and the decoder unfilters each pass and scatters it back by the
+    spec's (start, increment) table (operators/multimodal.py:_ADAM7).
+    Position-weighted sums prove the scatter geometry, not just the
+    pixel multiset. Alpha/16-bit/grayscale stay honestly gated. Scale:
+    same map-only plan as the PNG twin."""
+    return mm.decode_image_weighted(
+        mm.attach_image_payload(t.documents.select("doc_id"), fmt="png_adam7")
+    )
+
+
+@register("multimodal_png_paletted", oracle=_GIF_WSUM_ORACLE)
+def multimodal_png_paletted(t):
+    """REAL paletted PNG (color type 3) decode — PLTE chunk lookup with
+    filters operating on INDEX bytes (bpp=1), encoded Adam7-interlaced
+    so one entry proves palette + interlace + bpp-1 unfiltering
+    together. Same fixture (and thus the same oracle) as the
+    interlaced-GIF twin: identical indices through a different
+    container, filter pipeline and palette mechanism must land on
+    identical weighted sums — a cross-codec consistency check the hash
+    makes exact."""
+    return mm.decode_image_weighted(
+        mm.attach_image_payload(
+            t.documents.select("doc_id"), fmt="png_paletted"
+        )
+    )

@@ -208,11 +208,6 @@ def test_gif_89a_extension_skip_and_gates():
     with_ext = bytes(raw[:ins]) + gce + bytes(raw[ins:])
     assert np.array_equal(decode_gif(with_ext), pal[idx])
 
-    interlaced = bytearray(encode_gif(idx, pal))
-    interlaced[ins + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(interlaced))
-
     local_ct = bytearray(encode_gif(idx, pal))
     local_ct[ins + 9] |= 0x80
     with pytest.raises(NotImplementedError, match="local color"):
@@ -220,6 +215,46 @@ def test_gif_89a_extension_skip_and_gates():
 
     with pytest.raises(ValueError, match="GIF"):
         decode_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+@pytest.mark.parametrize("h", [1, 2, 4, 5, 8, 9, 17])
+def test_gif_interlace_roundtrip(h):
+    rng = np.random.RandomState(h)
+    pal = mm.gif_fixture_palette()
+    idx = rng.randint(0, 256, (h, 6)).astype(np.uint8)
+    raw = encode_gif(idx, pal, interlace=True)
+    assert np.array_equal(decode_gif(raw), pal[idx])
+    # negative control: a decoder that ignored the schedule would
+    # return rows in storage order — different image for h > 2
+    if h > 2:
+        from stream_processor_spark.operators.gif import gif_interlace_order
+
+        stored = pal[idx[gif_interlace_order(h)]]
+        assert not np.array_equal(stored, pal[idx])
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 2), (8, 8), (9, 5), (17, 9)])
+def test_png_adam7_and_paletted_roundtrips(h, w):
+    rng = np.random.RandomState(h * 31 + w)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(mm.decode_png(mm.encode_png(img, interlace=True)), img)
+    pal = mm.gif_fixture_palette()
+    idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    for ilace in (False, True):
+        got = mm.decode_png(mm.encode_png_paletted(idx, pal, interlace=ilace))
+        assert np.array_equal(got, pal[idx])
+
+
+def test_png_paletted_gates():
+    pal = mm.gif_fixture_palette()
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = bytearray(mm.encode_png_paletted(idx, pal))
+    # strip PLTE: paletted without a palette must fail loudly
+    plte_at = bytes(raw).index(b"PLTE") - 4
+    ln = int.from_bytes(raw[plte_at : plte_at + 4], "big")
+    del raw[plte_at : plte_at + 12 + ln]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        mm.decode_png(bytes(raw))
 
 
 def test_gif_fixture_varies_by_doc():

@@ -91,12 +91,13 @@ def _image_payloads():
     for k, raw in good:
         px = decode_image_bytes(raw)
         expect[k] = (int(px.shape[0] * px.shape[1]), int(px.sum()))
-    # an INTERLACED GIF hits the decoder's capability gate
-    # (NotImplementedError), distinct from corrupt bytes (ValueError) —
-    # both must land on the step DLQ with the original record
-    interlaced = bytearray(gif)
-    interlaced[6 + 7 + 768 + 9] |= 0x40  # image-descriptor interlace flag
-    gated = ("ilace", bytes(interlaced))
+    # a LOCAL-COLOR-TABLE GIF hits the decoder's capability gate
+    # (NotImplementedError; interlace decodes for real since the
+    # round-11 continuation), distinct from corrupt bytes (ValueError)
+    # — both must land on the step DLQ with the original record
+    lct = bytearray(gif)
+    lct[6 + 7 + 768 + 9] |= 0x80  # image-descriptor local-table flag
+    gated = ("lct", bytes(lct))
     corrupt = ("bad", b"BM" + b"\x01\x02\x03")  # header parse: ValueError
     return good, expect, gated, corrupt
 
@@ -135,10 +136,10 @@ def test_image_decode_pipeline_routes_gated_and_corrupt_to_dlq(
     assert ok == expect  # every good payload decoded through the chain
 
     dlq_rows = spark.read.parquet(dlq.path_or_topic).collect()
-    assert {r.key for r in dlq_rows} == {"ilace", "bad"}
+    assert {r.key for r in dlq_rows} == {"lct", "bad"}
     # ORIGINAL record payload lands on the DLQ (consumer.js:100)
     by_key = {r.key: bytes(r.payload) for r in dlq_rows}
-    assert by_key["ilace"].startswith(b"GIF87a")
+    assert by_key["lct"].startswith(b"GIF87a")
     assert by_key["bad"] == bytes(corrupt[1])
 
     snap = metrics.snapshot()

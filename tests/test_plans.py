@@ -383,6 +383,9 @@ def test_codec_decodes_are_single_python_pass(spark, sf_dir):
         "multimodal_mjpeg_frames",
         "multimodal_mixed_stats",
         "multimodal_decode_resilient",
+        "multimodal_gif_interlaced",
+        "multimodal_png_adam7",
+        "multimodal_png_paletted",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan[:400]}"
