@@ -11,11 +11,14 @@ GIF87a stream with a global color table decodes, not just our own
 output (round-tripping our encoder is the test floor, not the
 capability ceiling).
 
-Scope gates (honest NotImplementedError, same contract as decode_png):
-interlaced images, local color tables, GIF89a extension blocks beyond
-plain skipping, and multi-image animations decode only their first
-frame. Transparency (GCE) is ignored — stats operate on the palette
-RGB, matching how a curation pipeline treats stills.
+Interlaced images decode for real (the 4-pass row schedule,
+`gif_interlace_order` — verified ORDER-SENSITIVELY by the
+position-weighted oracle of `multimodal_gif_interlaced`). Scope gates
+(honest NotImplementedError, same contract as decode_png): local color
+tables, GIF89a extension blocks beyond plain skipping, and multi-image
+animations decode only their first frame. Transparency (GCE) is
+ignored — stats operate on the palette RGB, matching how a curation
+pipeline treats stills.
 
 The fixture/oracle design mirrors the BMP/PNG twins
 (queries/multimodal_extra.py): pixels are palette INDICES from the
@@ -93,10 +96,19 @@ def lzw_compress(data: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def lzw_decompress(stream: bytes, min_code_size: int) -> bytes:
+def lzw_decompress(
+    stream: bytes, min_code_size: int, max_out: int | None = None
+) -> bytes:
     """Inverse of lzw_compress — a CONFORMING GIF LZW decoder: variable
     width, CLEAR resets, EOI stops, and the KwKwK case (a code equal to
-    the next unassigned entry) reconstructed as prev + prev[0]."""
+    the next unassigned entry) reconstructed as prev + prev[0].
+
+    ``max_out`` bounds the decompressed size: LZW expands up to ~1000x
+    (every table entry can be ~3.8 KB), so an UNBOUNDED decode of a
+    hostile payload OOMs the worker before a tolerant caller's
+    try/except can route the row — the decode stops as soon as the
+    caller's expected pixel count is reached (trailing garbage in the
+    stream is a spec-tolerated reality, not an error)."""
     clear = 1 << min_code_size
     eoi = clear + 1
 
@@ -142,6 +154,8 @@ def lzw_decompress(stream: bytes, min_code_size: int) -> bytes:
                 f"size {len(table)}"
             )
         out += entry
+        if max_out is not None and len(out) >= max_out:
+            break
         if prev is not None:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
@@ -206,8 +220,9 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
 
 
 def decode_gif(raw: bytes):
-    """Decode a GIF87a/89a payload (global color table, non-interlaced,
-    first image) → (H, W, 3) uint8 RGB array. Real LZW decompression;
+    """Decode a GIF87a/89a payload (global color table, plain or
+    interlaced, first image) → (H, W, 3) uint8 RGB array. Real LZW
+    decompression (output bounded by the descriptor's pixel count);
     89a extension blocks are skipped per the block grammar."""
     if raw[:6] not in (_GIF87A, _GIF89A):
         raise ValueError("not a GIF payload (missing GIF87a/89a magic)")
@@ -250,7 +265,7 @@ def decode_gif(raw: bytes):
             comp += raw[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        data = lzw_decompress(bytes(comp), min_code_size)
+        data = lzw_decompress(bytes(comp), min_code_size, max_out=h * w)
         if len(data) < h * w:
             raise ValueError(
                 f"LZW stream decoded {len(data)} pixels, need {h * w}"

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 
@@ -554,7 +555,23 @@ def decode_png(raw: bytes):
     if ctype == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
     bpp = 3 if ctype == 2 else 1
-    flat = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    # Bounded inflate: DEFLATE expands ~1000x, so an unbounded
+    # zlib.decompress of a hostile payload OOMs the worker before a
+    # tolerant caller (decode_image on_error="null") can route the row.
+    # The scanline geometry fixes the exact expected size; +1 lets the
+    # trailing-bytes corruption check below still fire.
+    if interlace:
+        expected = sum(
+            ph * (pw * bpp + 1)
+            for _r0, _c0, _ri, _ci, ph, pw in _adam7_passes(h, w)
+            if ph and pw
+        )
+    else:
+        expected = h * (w * bpp + 1)
+    d = zlib.decompressobj()
+    flat = np.frombuffer(
+        d.decompress(b"".join(idat), expected + 1), dtype=np.uint8
+    )
     if interlace:
         out = np.zeros((h, w * bpp), dtype=np.uint8)
         offset = 0
@@ -608,9 +625,10 @@ def decode_image_bytes(raw: bytes):
         return decode_gif(raw)
     raise NotImplementedError(
         f"unsupported image format (magic {raw[:4]!r}): only BMP, PPM, "
-        "8-bit truecolor PNG, baseline JPEG and GIF87a/89a decode "
-        "without external libraries (progressive JPEG and interlaced "
-        "GIF stay gated inside their decoders)"
+        "PNG (truecolor + paletted, incl. Adam7), baseline JPEG and "
+        "GIF87a/89a (incl. interlaced) decode without external "
+        "libraries (progressive JPEG and local-color-table GIF stay "
+        "gated inside their decoders)"
     )
 
 
@@ -837,18 +855,20 @@ def attach_mixed_image_payload(
     from stream_processor_spark.operators.gif import encode_gif
     from stream_processor_spark.operators.jpeg import encode_jpeg
 
-    def enc(d: int) -> bytes:
-        k = d % 4
-        if k == 0:
-            return encode_bmp(fixture_pixels(d))
-        if k == 1:
-            return encode_png(fixture_pixels(d))
-        if k == 2:
-            return encode_gif(gif_fixture_indices(d), gif_fixture_palette())
-        return encode_jpeg(jpeg_fixture_pixels(d), subsampling="420")
-
     @pandas_udf(BinaryType())
     def gen_mixed(ids: pd.Series) -> pd.Series:
+        pal = gif_fixture_palette()  # hoisted: one palette per batch
+
+        def enc(d: int) -> bytes:
+            k = d % 4
+            if k == 0:
+                return encode_bmp(fixture_pixels(d))
+            if k == 1:
+                return encode_png(fixture_pixels(d))
+            if k == 2:
+                return encode_gif(gif_fixture_indices(d), pal)
+            return encode_jpeg(jpeg_fixture_pixels(d), subsampling="420")
+
         return ids.map(lambda d: enc(int(d)))
 
     return df.withColumn("payload", gen_mixed(F.col(id_col)))
@@ -1209,12 +1229,17 @@ def alaw_to_linear(code: int) -> int:
     return t if (a & 0x80) else -t
 
 
+@lru_cache(maxsize=1)
 def _ulaw_lut():
+    # cached: decode_wav runs once per ROW under decode_audio, and
+    # rebuilding an immutable 256-entry table per row would dominate
+    # the per-payload work at corpus scale
     import numpy as np
 
     return np.array([ulaw_to_linear(c) for c in range(256)], dtype=np.int16)
 
 
+@lru_cache(maxsize=1)
 def _alaw_lut():
     import numpy as np
 

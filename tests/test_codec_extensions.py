@@ -257,6 +257,45 @@ def test_png_paletted_gates():
         mm.decode_png(bytes(raw))
 
 
+def test_decompression_bombs_are_bounded():
+    """A hostile payload must not OOM the worker before the tolerant
+    caller's try/except can route the row: LZW output is capped at the
+    descriptor's pixel count, PNG inflate at the scanline geometry."""
+    # LZW: 100k highly-compressible bytes, capped at 10
+    comp = lzw_compress(b"\x01" * 100_000, 8)
+    out = lzw_decompress(comp, 8, max_out=10)
+    assert 10 <= len(out) < 100  # stops at the cap, not the stream end
+
+    # GIF: descriptor says 2x2 but the stream encodes 100k pixels —
+    # decode materializes only the declared image
+    pal = mm.gif_fixture_palette()
+    small = bytearray(encode_gif(np.zeros((2, 2), np.uint8), pal))
+    big_stream = lzw_compress(b"\x05" * 100_000, 8)
+    bomb = small[: 6 + 7 + 768 + 10 + 1]  # through min_code_size byte
+    for i in range(0, len(big_stream), 255):
+        blk = big_stream[i : i + 255]
+        bomb += bytes([len(blk)]) + blk
+    bomb += b"\x00\x3b"
+    px = decode_gif(bytes(bomb))
+    assert px.shape == (2, 2, 3)
+
+    # PNG: 10 MB of zeros behind a 3x3 header — bounded inflate raises
+    # the corruption error without materializing the bomb
+    import zlib
+
+    good = bytearray(mm.encode_png(np.zeros((3, 3, 3), np.uint8)))
+    idat_at = bytes(good).index(b"IDAT") - 4
+    ln = int.from_bytes(good[idat_at : idat_at + 4], "big")
+    bomb_idat = zlib.compress(b"\x00" * 10_000_000)
+    rebuilt = (
+        bytes(good[:idat_at])
+        + mm._png_chunk(b"IDAT", bomb_idat)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(rebuilt)
+
+
 def test_gif_fixture_varies_by_doc():
     a, b = mm.gif_fixture_indices(0), mm.gif_fixture_indices(20)
     n = min(a.size, b.size)
