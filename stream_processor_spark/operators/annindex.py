@@ -172,6 +172,44 @@ def append_ivf_index(
     )
 
 
+def stream_ivf_updates(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    lists_name: str,
+    cent_name: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+):
+    """Maintain the IVF index from a vector STREAM — the ANN twin of
+    `postings.stream_postings_updates`: each micro-batch runs
+    :func:`append_ivf_index` (assign only the new vectors against the
+    FROZEN model, one file per touched list) through foreachBatch.
+    Per-batch cost is O(batch); the quantizer never moves, so serves
+    keep probing the same lists mid-stream.
+
+    Delivery contract (the postings discipline): the file append is
+    at-least-once — a foreachBatch retry re-inserts the SAME rows
+    (assignment is deterministic under the frozen model). Serving heals
+    replays exactly with ``ivf_query_indexed(..., dedup_replays=True)``
+    (duplicate vec_ids dropped AFTER partition pruning — cost scales
+    with probed lists, not the corpus); ``compact_every`` batches, the
+    LSM repair (`compact_ivf_lists`) removes the duplicates and the
+    per-append file growth permanently. Centroid drift remains a
+    periodic full `ensure_ivf_index` rebuild, not a streaming concern."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_ivf_index(spark, lists_name, cent_name, batch_df)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ivf_lists(spark, lists_name)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ivf_multi_query_indexed(
     spark: SparkSession,
     lists_name: str,
@@ -264,6 +302,7 @@ def ivf_query_indexed(
     query_vec: np.ndarray,
     nprobe: int = 2,
     topk: int = 10,
+    dedup_replays: bool = False,
 ) -> DataFrame:
     """Serve one ANN query from the persisted index.
 
@@ -273,7 +312,10 @@ def ivf_query_indexed(
     a PARTITION filter, so only the probed directories are read; the
     exact rerank uses the same `round((a·b)·1e16)` int64 cosine as
     every similarity operator, so results match `sim_ann_ivf`
-    bit-for-bit."""
+    bit-for-bit. ``dedup_replays`` drops duplicate vec_ids AFTER the
+    partition pruning (needed when at-least-once streaming appends —
+    `stream_ivf_updates` — may have replayed a batch; cost scales with
+    the probed lists, and compaction makes it unnecessary again)."""
     import pandas as pd
 
     labels, C, scc = npk.model_from_rows(spark.table(cent_name).collect())
@@ -301,6 +343,8 @@ def ivf_query_indexed(
             )
 
     pruned = spark.table(lists_name).filter(F.col("list_id").isin(probe))
+    if dedup_replays:
+        pruned = pruned.dropDuplicates(["vec_id"])
     return (
         pruned.select("vec_id", "embedding")
         .mapInPandas(rerank, schema="vec_id long, cosine double")

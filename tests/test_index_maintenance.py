@@ -689,3 +689,139 @@ def test_sign_index_append_equals_full_rebuild(spark, tmp_path):
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     want = [tuple(r) for r in sim.hamming_topk(emb, q, k=20).collect()]
     assert got == want and got[0] == (0, 0)
+
+
+def test_streaming_ivf_updates_and_replay_healing(spark, tmp_path):
+    """Streaming ANN index maintenance end-to-end (round-11
+    continuation): vectors arrive as a file stream, each micro-batch
+    assigns against the FROZEN model and appends one file per touched
+    list; a REPLAYED append (the foreachBatch retry case) is healed at
+    serve time by dedup_replays and permanently by compact_ivf_lists,
+    which also restores the one-file-per-list profile."""
+    import numpy as np
+
+    from stream_processor_spark.operators.annindex import (
+        _partition_file_counts,
+        append_ivf_index,
+        compact_ivf_lists,
+        ensure_ivf_index,
+        ivf_query_indexed,
+        stream_ivf_updates,
+    )
+
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    a_dir = tmp_path / "siva"
+    a_dir.mkdir()
+    emb.filter("vec_id < 300").write.parquet(
+        str(a_dir / "embeddings.parquet")
+    )
+    lists_name, cent_name = ensure_ivf_index(spark, str(a_dir))
+
+    stream_src = tmp_path / "vec_in"
+    emb.filter("vec_id >= 300 AND vec_id < 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    emb.filter("vec_id >= 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    vec_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = stream_ivf_updates(
+        spark, vec_stream, lists_name, cent_name, str(tmp_path / "ivf_ckpt")
+    )
+    q.awaitTermination(120)
+
+    qvec = np.asarray(emb.filter("vec_id = 0").head()[1], dtype=np.float64)
+
+    def serve(**kw):
+        return [
+            (r.vec_id, round(r.cosine, 12))
+            for r in ivf_query_indexed(
+                spark, lists_name, cent_name, qvec, nprobe=2, topk=10, **kw
+            ).collect()
+        ]
+
+    baseline = serve()
+    assert len(baseline) == 10
+
+    # simulate a foreachBatch retry: identical rows re-appended
+    append_ivf_index(
+        spark, lists_name, cent_name, emb.filter("vec_id >= 400")
+    )
+    dup_ids = (
+        spark.table(lists_name)
+        .groupBy("vec_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_ids > 0  # the replay really did corrupt the table
+    assert serve(dedup_replays=True) == baseline  # serve-time healing
+
+    # LSM repair: compaction removes the duplicates permanently and
+    # restores the one-file-per-list read profile
+    compact_ivf_lists(spark, lists_name)
+    assert (
+        spark.table(lists_name)
+        .groupBy("vec_id")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    assert serve() == baseline
+    assert max(_partition_file_counts(spark, lists_name).values()) == 1
+
+
+def test_streaming_ivf_compact_every(spark, tmp_path):
+    """compact_every batches, the stream's own LSM repair runs inside
+    foreachBatch: after the stream drains, the layout is already at one
+    file per list with no replay duplicates."""
+    import numpy as np
+
+    from stream_processor_spark.operators.annindex import (
+        _partition_file_counts,
+        ensure_ivf_index,
+        ivf_query_indexed,
+        stream_ivf_updates,
+    )
+
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    a_dir = tmp_path / "sivc"
+    a_dir.mkdir()
+    emb.filter("vec_id < 400").write.parquet(
+        str(a_dir / "embeddings.parquet")
+    )
+    lists_name, cent_name = ensure_ivf_index(spark, str(a_dir))
+
+    stream_src = tmp_path / "vec_in_c"
+    for lo, hi in ((400, 450), (450, 500)):
+        emb.filter(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(
+            1
+        ).write.parquet(str(stream_src), mode="append")
+    vec_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = stream_ivf_updates(
+        spark,
+        vec_stream,
+        lists_name,
+        cent_name,
+        str(tmp_path / "ivfc_ckpt"),
+        compact_every=1,
+    )
+    q.awaitTermination(120)
+
+    assert max(_partition_file_counts(spark, lists_name).values()) == 1
+    qvec = np.asarray(emb.filter("vec_id = 3").head()[1], dtype=np.float64)
+    got = ivf_query_indexed(
+        spark, lists_name, cent_name, qvec, nprobe=2, topk=5
+    ).collect()
+    assert len(got) == 5 and got[0].vec_id == 3
