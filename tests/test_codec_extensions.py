@@ -359,6 +359,47 @@ if _HYP:
         assert a.min() >= -32768 and a.max() <= 32767
 
 
+if _HYP:
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=3),          # which format
+        st.integers(min_value=0, max_value=2**31 - 1),  # mutation seed
+    )
+    def test_codec_mutation_totality(fmt_k, seed):
+        """Corrupt-payload TOTALITY: random mutations (truncation, bit
+        flips, byte splices) of a valid payload must either decode or
+        raise a normal exception — never hang, recurse forever, or
+        allocate unboundedly. This is the property the tolerant decode
+        path (on_error='null') relies on at corpus scale."""
+        rng = np.random.RandomState(seed)
+        pal = mm.gif_fixture_palette()
+        base = [
+            mm.encode_bmp(mm.fixture_pixels(5)),
+            mm.encode_png(mm.fixture_pixels(6), interlace=bool(seed & 1)),
+            encode_gif(mm.gif_fixture_indices(7), pal, interlace=bool(seed & 2)),
+            mm.encode_wav_g711(mm.g711_fixture_codes(8), law="alaw"),
+        ][fmt_k]
+        raw = bytearray(base)
+        mode = seed % 3
+        if mode == 0 and len(raw) > 4:  # truncate
+            raw = raw[: rng.randint(1, len(raw))]
+        elif mode == 1:  # flip up to 8 random bytes
+            for _ in range(rng.randint(1, 9)):
+                raw[rng.randint(0, len(raw))] = rng.randint(0, 256)
+        else:  # splice random garbage into the middle
+            at = rng.randint(0, len(raw))
+            raw = raw[:at] + bytes(rng.randint(0, 256, 16, dtype=np.uint8).tolist()) + raw[at:]
+        try:
+            if fmt_k == 3:
+                mm.decode_wav(bytes(raw))
+            else:
+                px = mm.decode_image_bytes(bytes(raw))
+                assert px.ndim == 3  # decoded despite mutation — fine
+        except Exception:
+            pass  # a clean exception IS the contract
+
+
 # ---------------------------------------------------------- mixed corpus ----
 
 
