@@ -1,4 +1,5 @@
-"""Baseline JPEG (JFIF) codec in pure Python + numpy — no libjpeg.
+"""JPEG (JFIF) codec in pure Python + numpy — no libjpeg: baseline AND
+progressive.
 
 Round-11 (VERDICT r10 ask #3): the earlier LIMITS.md claim that JPEG
 "genuinely cannot be reimplemented with stdlib" was overstated for the
@@ -13,9 +14,15 @@ ordinary integer/bit arithmetic. This module implements it honestly:
   DQT/DHT/SOF0/SOS parse, Huffman entropy decode with the T.81 EXTEND
   procedure, dequantize, inverse zigzag, INTEGER IDCT (fixed-point
   basis, deterministic across platforms), chroma upsample, color
-  convert. Non-baseline frames (progressive SOF2, arithmetic coding,
-  12-bit precision, restart intervals) raise NotImplementedError — the
-  honest gate, same contract as the PNG decoder's Adam7 gate.
+  convert. PROGRESSIVE (SOF2) decodes for real too (round-11
+  continuation): coefficients accumulate across scans — DC first/
+  refinement, AC spectral bands with EOB runs, AC refinement with
+  correction bits (T.81 Annex G) — and :func:`encode_jpeg_progressive`
+  emits a true multi-scan stream from the SAME quantizer, so
+  progressive and baseline encodes decode bit-identically (pinned in
+  tests). Arithmetic coding, lossless/hierarchical frames, 12-bit
+  precision and restart intervals raise NotImplementedError — the
+  honest gate, same contract as the PNG decoder.
 
 The integer IDCT is what makes the decode ORACLE-EXPRESSIBLE: for a
 block whose AC coefficients are zero (the constant-macroblock fixture),
@@ -281,11 +288,11 @@ def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
     return out
 
 
-def _encode_block(
-    w: _BitWriter, block: np.ndarray, q: np.ndarray, dc_pred: int
-) -> int:
-    """FDCT + quantize + entropy-code one 8x8 sample block; returns the
-    new DC predictor."""
+def _block_coefs(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one 8x8 sample block → 64 zigzag-order int64
+    coefficients. Shared by the baseline and progressive encoders, so
+    BOTH streams carry the IDENTICAL quantized data — which is what
+    makes progressive-vs-baseline decode equality an exact test."""
     from stream_processor_spark.operators.npkernel import round_half_up
 
     s = block.astype(np.float64) - 128.0
@@ -297,7 +304,15 @@ def _encode_block(
     # makes the constant-block registry oracle expressible in SQL.
     coef[0, 0] = (block.astype(np.int64).sum() - 64 * 128) / 8.0
     qc = round_half_up(coef / q)
-    zz = qc.reshape(-1)[ZIGZAG]
+    return qc.reshape(-1)[ZIGZAG].astype(np.int64)
+
+
+def _encode_block(
+    w: _BitWriter, block: np.ndarray, q: np.ndarray, dc_pred: int
+) -> int:
+    """FDCT + quantize + entropy-code one 8x8 sample block; returns the
+    new DC predictor."""
+    zz = _block_coefs(block, q)
     # DC
     diff = int(zz[0]) - dc_pred
     size = _bit_size(diff)
@@ -338,12 +353,10 @@ def _dht_payload(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg(arr, subsampling: str = "420") -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a baseline JFIF JPEG.
-
-    ``subsampling``: '420' (2x2 luma per MCU, chroma quartered — the
-    near-universal default) or '444' (no subsampling). Edge pixels
-    replicate to the MCU boundary, standard practice."""
+def _prepare_planes(arr, subsampling: str):
+    """RGB → padded YCbCr planes (edge replication to the MCU grid,
+    chroma subsampling for 420). Shared by the baseline and progressive
+    encoders so both code the same sample data."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
@@ -373,6 +386,25 @@ def encode_jpeg(arr, subsampling: str = "420") -> bytes:
     else:
         cb_plane = pad[:, :, 1]
         cr_plane = pad[:, :, 2]
+    return h, w, hs, vs, ph, pw, y_plane, cb_plane, cr_plane
+
+
+def encode_jpeg(arr, subsampling: str = "420", progressive: bool = False) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a JFIF JPEG.
+
+    ``subsampling``: '420' (2x2 luma per MCU, chroma quartered — the
+    near-universal default) or '444' (no subsampling). Edge pixels
+    replicate to the MCU boundary, standard practice.
+    ``progressive=True`` emits a SOF2 progressive stream (spectral
+    selection + one successive-approximation level — see
+    encode_jpeg_progressive) carrying the IDENTICAL quantized
+    coefficients, so both forms decode to bit-identical pixels."""
+    if progressive:
+        return encode_jpeg_progressive(arr, subsampling)
+    (h, w, hs, vs, ph, pw, y_plane, cb_plane, cr_plane) = _prepare_planes(
+        arr, subsampling
+    )
+    mcu_h, mcu_w = 8 * vs, 8 * hs
 
     wtr = _BitWriter()
     preds = [0, 0, 0]
@@ -417,6 +449,255 @@ def encode_jpeg(arr, subsampling: str = "420") -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------- progressive encode ----
+#
+# Round-11 continuation: SOF2 progressive DCT, the profile virtually
+# every web JPEG exporter offers. Scan script: one interleaved DC scan
+# at Al=1, a DC refinement, then per component two spectral AC bands
+# (1-5, 6-63) at Al=1 followed by their refinements at Al=0 — which
+# exercises EVERY progressive decode path (DC first/refine, AC first
+# with EOB runs and ZRL, AC refine with correction bits). The
+# coefficients come from the same _block_coefs as the baseline encoder,
+# so progressive(x) and baseline(x) decode to BIT-IDENTICAL pixels —
+# the exactness property the tests pin on random images.
+
+# Progressive AC table: the baseline symbols plus the EOBn run-length
+# symbols (r<<4 | 0 for r=1..14) that encode EOB runs across blocks.
+# All at 9 bits: 176/512 Kraft sum, all-ones never assigned.
+_PAC_VALS = [r << 4 for r in range(15)] + [0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_PAC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_PAC_VALS), 0, 0, 0, 0, 0, 0, 0]
+_PAC_CODES = _canonical_codes(_PAC_BITS, _PAC_VALS)
+
+
+class _PACState:
+    """Per-scan AC emission state: the pending EOB run and the FIFO of
+    buffered correction bits (refinement scans). Drain points replicate
+    the classic encoder's order exactly: EOBn symbol + its extension
+    bits + buffered bits; ZRL + buffered bits; significance symbol +
+    sign + buffered bits."""
+
+    def __init__(self, w: _BitWriter) -> None:
+        self.w = w
+        self.eobrun = 0
+        self.fifo: list[int] = []
+
+    def emit_sym(self, sym: int) -> None:
+        code, length = _PAC_CODES[sym]
+        self.w.write(code, length)
+
+    def drain(self) -> None:
+        for b in self.fifo:
+            self.w.write(b, 1)
+        self.fifo = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.emit_sym(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self.drain()
+
+
+def _emit_ac_first(st: _PACState, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """One block of an AC FIRST scan (Ah=0): T.81 G.1.2.2 run/size
+    coding of the point-transformed band, EOB runs accumulated across
+    all-zero blocks."""
+    w = st.w
+    r = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        v = (t >> al) if t >= 0 else -((-t) >> al)
+        if v == 0:
+            r += 1
+            continue
+        if st.eobrun > 0:
+            st.flush_eobrun()
+        while r > 15:
+            st.emit_sym(0xF0)  # ZRL
+            r -= 16
+        size = _bit_size(v)
+        st.emit_sym((r << 4) | size)
+        w.write(v if v > 0 else v + (1 << size) - 1, size)
+        r = 0
+        emitted = True
+    if r > 0 or not emitted:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _emit_ac_refine(st: _PACState, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+    """One block of an AC REFINEMENT scan (Ah=Al+1): newly-significant
+    coefficients get (run<<4)|1 + sign, history coefficients contribute
+    buffered correction bits — T.81 G.1.2.3 / the classic encoder's
+    emission order. TWO buffers with different drain points: bits
+    belonging to pending-EOB-run blocks (st.fifo — drained right after
+    the EOBn symbol) and THIS block's bits (blk — drained after a ZRL
+    or a significance symbol + sign); a block that ends without its own
+    symbol folds blk into the run buffer."""
+    w = st.w
+    absv = [0] * (se + 1)
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    blk: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eobrun()
+            st.emit_sym(0xF0)
+            r -= 16
+            for b in blk:
+                w.write(b, 1)
+            blk = []
+        if t > 1:
+            blk.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        st.flush_eobrun()
+        st.emit_sym((r << 4) | 1)
+        w.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in blk:
+            w.write(b, 1)
+        blk = []
+        r = 0
+    if r > 0 or blk:
+        st.eobrun += 1
+        st.fifo.extend(blk)
+        if st.eobrun == 0x7FFF:
+            st.flush_eobrun()
+
+
+def _comp_block_grid(fh: int, fw: int, ch: int, cv: int, hmax: int, vmax: int):
+    """Non-interleaved block-grid dims for a component (T.81 A.2.2):
+    ceil over the component's TRUE sample dims — smaller than the
+    interleaved padded grid when the image is not MCU-aligned."""
+    cw = -(-fw * ch // hmax)
+    chh = -(-fh * cv // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def encode_jpeg_progressive(arr, subsampling: str = "420") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
+    JPEG — spectral selection with one successive-approximation level.
+    Same quantized coefficients as the baseline encoder (shared
+    _block_coefs), so the two decode bit-identically."""
+    (h, w, hs, vs, ph, pw, y_plane, cb_plane, cr_plane) = _prepare_planes(
+        arr, subsampling
+    )
+    mcus_y, mcus_x = ph // (8 * vs), pw // (8 * hs)
+
+    # coefficient grids, interleaved padded dims per component
+    grids = []
+    for plane, q, (gh, gw) in (
+        (y_plane, QUANT_LUMA, (mcus_y * vs, mcus_x * hs)),
+        (cb_plane, QUANT_CHROMA, (mcus_y, mcus_x)),
+        (cr_plane, QUANT_CHROMA, (mcus_y, mcus_x)),
+    ):
+        g = np.zeros((gh, gw, 64), dtype=np.int64)
+        for by in range(gh):
+            for bx in range(gw):
+                g[by, bx] = _block_coefs(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                )
+        grids.append(g)
+
+    comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]  # id, h, v, tq
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            # DC scans use table 0; AC scans table 0 of class AC
+            body += bytes([cid, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + b"\x00\x01\x00\x01\x00\x00")
+    zz_luma = QUANT_LUMA.reshape(-1)[ZIGZAG]
+    zz_chroma = QUANT_CHROMA.reshape(-1)[ZIGZAG]
+    out += _seg(0xDB, bytes([0]) + bytes(int(v) for v in zz_luma))
+    out += _seg(0xDB, bytes([1]) + bytes(int(v) for v in zz_chroma))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid, chh, cvv, tq in comps:
+        sof += bytes([cid, (chh << 4) | cvv, tq])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    out += _seg(0xC4, _dht_payload(0, 0, _DC_BITS, _DC_VALS))
+    out += _seg(0xC4, _dht_payload(1, 0, _PAC_BITS, _PAC_VALS))
+
+    # ---- scan 1: DC first, interleaved, Al=1
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_cid, chh, cvv, _tq) in enumerate(comps):
+                for by in range(cvv):
+                    for bx in range(chh):
+                        zz0 = int(grids[ci][my * cvv + by, mx * chh + bx, 0])
+                        v = zz0 >> 1  # DC point transform: arithmetic shift
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size = _bit_size(diff)
+                        code, length = _DC_CODES[size]
+                        wtr.write(code, length)
+                        if size:
+                            wtr.write(
+                                diff if diff > 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+    out += sos_header([1, 2, 3], 0, 0, 0, 1) + wtr.flush()
+
+    # ---- AC first scans per component, two spectral bands, Al=1
+    for ci, (cid, chh, cvv, _tq) in enumerate(comps):
+        nby, nbx = _comp_block_grid(h, w, chh, cvv, hs, vs)
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = _BitWriter()
+            st = _PACState(wtr)
+            for by in range(nby):
+                for bx in range(nbx):
+                    _emit_ac_first(st, grids[ci][by, bx], ss, se, 1)
+            st.flush_eobrun()
+            out += sos_header([cid], ss, se, 0, 1) + wtr.flush()
+
+    # ---- DC refinement, interleaved, Ah=1 Al=0
+    wtr = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_cid, chh, cvv, _tq) in enumerate(comps):
+                for by in range(cvv):
+                    for bx in range(chh):
+                        zz0 = int(grids[ci][my * cvv + by, mx * chh + bx, 0])
+                        wtr.write(zz0 & 1, 1)
+    out += sos_header([1, 2, 3], 0, 0, 1, 0) + wtr.flush()
+
+    # ---- AC refinement scans per component, same bands, Ah=1 Al=0
+    for ci, (cid, chh, cvv, _tq) in enumerate(comps):
+        nby, nbx = _comp_block_grid(h, w, chh, cvv, hs, vs)
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = _BitWriter()
+            st = _PACState(wtr)
+            for by in range(nby):
+                for bx in range(nbx):
+                    _emit_ac_refine(st, grids[ci][by, bx], ss, se, 0)
+            st.flush_eobrun()
+            out += sos_header([cid], ss, se, 1, 0) + wtr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------- decode ----
 
 
@@ -430,12 +711,30 @@ def _idct_int(coef: np.ndarray) -> np.ndarray:
     return np.clip(out, 0, 255)
 
 
+def _next_marker_pos(raw: bytes, pos: int) -> int:
+    """Find the next REAL marker at or after ``pos`` (skipping stuffed
+    0xFF00 byte pairs and RSTn, which are scan data)."""
+    n = len(raw)
+    p = pos
+    while p + 1 < n:
+        if (
+            raw[p] == 0xFF
+            and raw[p + 1] != 0x00
+            and not (0xD0 <= raw[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise ValueError("corrupt JPEG: unterminated scan")
+
+
 def decode_jpeg(raw: bytes):
-    """Decode a baseline JFIF/JPEG byte string to (H, W, 3) uint8 RGB
+    """Decode a JFIF/JPEG byte string to (H, W, 3) uint8 RGB
     (grayscale frames return their luma replicated to 3 channels).
-    Gates (NotImplementedError): progressive (SOF2) and every other
-    non-baseline frame type, 12-bit precision, DRI/restart markers,
-    sampling factors above 2."""
+    REAL for baseline (SOF0/1) AND progressive (SOF2 — spectral
+    selection and successive approximation, DC and AC first/refinement
+    scans with EOB runs; round-11 continuation). Gates
+    (NotImplementedError): arithmetic/lossless/hierarchical frames,
+    12-bit precision, DRI/restart markers, sampling factors above 2."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -443,6 +742,7 @@ def decode_jpeg(raw: bytes):
     dc_tabs: dict[int, _HuffDecoder] = {}
     ac_tabs: dict[int, _HuffDecoder] = {}
     frame = None
+    store = None  # progressive: per-component zigzag coefficient grids
     n = len(raw)
     while pos < n:
         if raw[pos] != 0xFF:
@@ -476,7 +776,7 @@ def decode_jpeg(raw: bytes):
                 vals = list(body[o + 17 : o + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 o += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext.seq / progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision not supported")
@@ -489,12 +789,14 @@ def decode_jpeg(raw: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": fh, "w": fw, "comps": comps, "prog": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG frame (SOF marker 0x{marker:02X}; "
-                "progressive/arithmetic/lossless) not supported"
+                f"non-DCT-Huffman JPEG frame (SOF marker 0x{marker:02X}; "
+                "arithmetic/lossless/hierarchical) not supported"
             )
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI) not supported")
@@ -503,13 +805,27 @@ def decode_jpeg(raw: bytes):
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = body[0]
             sel = {}
+            order = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                raw, pos + seglen, frame, sel, qt, dc_tabs, ac_tabs
+                order.append(cs)
+            if not frame["prog"]:
+                return _decode_scan(
+                    raw, pos + seglen, frame, sel, qt, dc_tabs, ac_tabs
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if store is None:
+                store = _prog_store(frame)
+            pos = _decode_prog_scan(
+                raw, pos + seglen, frame, order, sel,
+                ss, se, ahal >> 4, ahal & 0xF, store, dc_tabs, ac_tabs,
             )
+            continue
         pos += seglen
+    if store is not None:
+        return _prog_reconstruct(frame, store, qt)
     raise ValueError("corrupt JPEG: no SOS marker found")
 
 
@@ -565,6 +881,206 @@ def _decode_scan(raw, pos, frame, sel, qt, dc_tabs, ac_tabs):
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
 
     # upsample each plane to full padded resolution, then crop
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:fh, :fw])
+
+    if len(comps) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+
+    from stream_processor_spark.operators.npkernel import round_half_up
+
+    y = full[0].astype(np.float64)
+    cb = full[1].astype(np.float64) - 128.0
+    cr = full[2].astype(np.float64) - 128.0
+    r_ = np.clip(round_half_up(y + 1.402 * cr), 0, 255)
+    g_ = np.clip(round_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b_ = np.clip(round_half_up(y + 1.772 * cb), 0, 255)
+    return np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+
+
+# --------------------------------------------------- progressive decode ----
+
+
+def _prog_store(frame):
+    """Per-component zigzag-order coefficient grids at the interleaved
+    padded dimensions (non-interleaved scans touch the top-left
+    sub-grid; padding blocks outside it legitimately stay DC-only)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in comps
+    ]
+
+
+def _decode_prog_scan(
+    raw, pos, frame, order, sel, ss, se, ah, al, store, dc_tabs, ac_tabs
+):
+    """Decode ONE progressive scan into the coefficient store; returns
+    the position of the next marker. Implements all four scan kinds of
+    T.81 Annex G with Huffman coding: DC first (diff-coded, point
+    transform Al), DC refinement (one bit/block), AC first (spectral
+    band with EOB runs), AC refinement (correction bits)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    rd = _BitReader(raw, pos)
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("corrupt JPEG: DC scan with Se != 0")
+        if ah == 0:
+            preds = {cid: 0 for cid in order}
+        if len(order) > 1:  # interleaved MCU order
+            for _my in range(mcus_y):
+                for _mx in range(mcus_x):
+                    for cid in order:
+                        ci = by_id[cid]
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                gy = _my * c["v"] + by
+                                gx = _mx * c["h"] + bx
+                                if ah == 0:
+                                    size = dc_tabs[sel[cid][0]].decode(rd)
+                                    diff = _extend(rd.receive(size), size)
+                                    preds[cid] += diff
+                                    store[ci][gy, gx, 0] = preds[cid] << al
+                                else:
+                                    store[ci][gy, gx, 0] |= (
+                                        rd.read_bit() << al
+                                    )
+        else:  # non-interleaved: raster over the component's true grid
+            cid = order[0]
+            ci = by_id[cid]
+            c = comps[ci]
+            nby, nbx = _comp_block_grid(
+                frame["h"], frame["w"], c["h"], c["v"], hmax, vmax
+            )
+            for gy in range(nby):
+                for gx in range(nbx):
+                    if ah == 0:
+                        size = dc_tabs[sel[cid][0]].decode(rd)
+                        diff = _extend(rd.receive(size), size)
+                        preds[cid] += diff
+                        store[ci][gy, gx, 0] = preds[cid] << al
+                    else:
+                        store[ci][gy, gx, 0] |= rd.read_bit() << al
+        return _next_marker_pos(raw, rd.pos)
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(order) != 1:
+        raise ValueError("corrupt JPEG: interleaved AC progressive scan")
+    cid = order[0]
+    ci = by_id[cid]
+    c = comps[ci]
+    act = ac_tabs[sel[cid][1]]
+    nby, nbx = _comp_block_grid(
+        frame["h"], frame["w"], c["h"], c["v"], hmax, vmax
+    )
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -(1 << al)
+    for gy in range(nby):
+        for gx in range(nbx):
+            zz = store[ci][gy, gx]
+            if ah == 0:  # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = act.decode(rd)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt JPEG: AC band overrun")
+                    zz[k] = _extend(rd.receive(s), s) << al
+                    k += 1
+            else:  # AC refinement (T.81 G.2 / the classic algorithm)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = act.decode(rd)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rd.receive(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "corrupt JPEG: refinement size != 1"
+                                )
+                            val = p1 if rd.read_bit() else m1
+                        while k <= se:
+                            cur = int(zz[k])
+                            if cur != 0:
+                                if rd.read_bit() and (cur & p1) == 0:
+                                    zz[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cur = int(zz[k])
+                        if cur != 0:
+                            if rd.read_bit() and (cur & p1) == 0:
+                                zz[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return _next_marker_pos(raw, rd.pos)
+
+
+def _prog_reconstruct(frame, store, qt):
+    """Dequantize + IDCT every stored block, then the same upsample /
+    crop / color-convert tail as the baseline path."""
+    comps = frame["comps"]
+    fh, fw = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    planes = []
+    for ci, c in enumerate(comps):
+        gh, gw, _ = store[ci].shape
+        q = qt[c["tq"]]
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.int64)
+        for gy in range(gh):
+            for gx in range(gw):
+                coef = np.zeros(64, dtype=np.int64)
+                coef[ZIGZAG] = store[ci][gy, gx] * q.reshape(-1)[ZIGZAG]
+                plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = _idct_int(
+                    coef.reshape(8, 8)
+                )
+        planes.append(plane)
+
     full = []
     for c, p in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]

@@ -625,10 +625,10 @@ def decode_image_bytes(raw: bytes):
         return decode_gif(raw)
     raise NotImplementedError(
         f"unsupported image format (magic {raw[:4]!r}): only BMP, PPM, "
-        "PNG (truecolor + paletted, incl. Adam7), baseline JPEG and "
-        "GIF87a/89a (incl. interlaced) decode without external "
-        "libraries (progressive JPEG and local-color-table GIF stay "
-        "gated inside their decoders)"
+        "PNG (truecolor + paletted, incl. Adam7), JPEG (baseline + "
+        "progressive) and GIF87a/89a (incl. interlaced) decode without "
+        "external libraries (arithmetic-coded JPEG and local-color-table "
+        "GIF stay gated inside their decoders)"
     )
 
 
@@ -885,17 +885,23 @@ def attach_image_payload(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    if fmt == "jpeg":
+    if fmt in ("jpeg", "jpeg_progressive"):
         # JPEG is LOSSY, so its fixture is macroblock-constant (DC-only
         # blocks) — the decode has the closed form the registry oracle
         # replays; random per-pixel fixtures would not be verifiable.
+        # The progressive twin carries the IDENTICAL quantized
+        # coefficients (shared _block_coefs), so the same oracle holds.
         from stream_processor_spark.operators.jpeg import encode_jpeg
+
+        prog = fmt == "jpeg_progressive"
 
         @pandas_udf(BinaryType())
         def gen_jpg(ids: pd.Series) -> pd.Series:
             return ids.map(
                 lambda d: encode_jpeg(
-                    jpeg_fixture_pixels(int(d)), subsampling="420"
+                    jpeg_fixture_pixels(int(d)),
+                    subsampling="420",
+                    progressive=prog,
                 )
             )
 

@@ -124,14 +124,20 @@ def test_bitwriter_stuffing_reader_unstuffing_exact():
     assert r.receive(16) == 0xFFFF
 
 
-def test_gates_progressive_dri_and_corrupt():
+def test_gates_arithmetic_dri_and_corrupt():
     img = np.full((16, 16, 3), 100, np.uint8)
     raw = bytearray(encode_jpeg(img))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: progressive DECODES now (round-11
+    # continuation), so a baseline scan header under a progressive
+    # frame is CORRUPT (a DC scan must have Se = 0), not a gate
     i = bytes(raw).index(b"\xff\xc0")
     raw2 = bytes(raw[:i]) + b"\xff\xc2" + bytes(raw[i + 2 :])
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Se != 0"):
         decode_jpeg(raw2)
+    # arithmetic coding (SOF9) stays honestly gated
+    raw9 = bytes(raw[:i]) + b"\xff\xc9" + bytes(raw[i + 2 :])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(raw9)
     # inject DRI before SOS
     j = bytes(raw).index(b"\xff\xda")
     raw3 = bytes(raw[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(raw[j:])
@@ -151,3 +157,59 @@ def test_dispatch_routes_jpeg_magic():
     img = np.full((16, 16, 3), (10, 200, 30), np.uint8)
     out = decode_image_bytes(encode_jpeg(img))
     assert tuple(int(v) for v in out[0, 0]) == closed_form_rgb(10, 200, 30)
+
+
+def test_progressive_equals_baseline_exactly():
+    """The exactness property that verifies the WHOLE progressive
+    codec: both encoders share _block_coefs, so for ANY image the
+    progressive stream must decode to bit-identical pixels — across
+    subsamplings, MCU-unaligned sizes, and patterns chosen to force
+    every scan-code path (constant → pure EOB runs; smooth gradients →
+    long EOB runs with small ACs; sparse spikes → ZRL; checkerboards →
+    dense high-frequency ACs; noise → dense everything)."""
+    from stream_processor_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(31)
+    cases = []
+    for t in range(12):
+        h, w = int(rng.randint(1, 40)), int(rng.randint(1, 40))
+        kind = t % 4
+        if kind == 0:
+            img = np.full((h, w, 3), int(rng.randint(0, 256)), np.uint8)
+        elif kind == 1:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(yy * 2 + xx) % 256, (yy + xx * 3) % 256, (yy * 5) % 256], -1
+            ).astype(np.uint8)
+        elif kind == 2:
+            img = np.full((h, w, 3), 128, np.uint8)
+            for _ in range(max(1, (h * w) // 16)):
+                img[rng.randint(h), rng.randint(w)] = rng.randint(0, 256, 3)
+        else:
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        cases.append((img, ("420", "444")[t % 2]))
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
+        assert np.array_equal(base, prog), (img.shape, sub)
+
+
+def test_progressive_stream_uses_eob_runs():
+    """A constant image's AC scans are pure EOB runs across many
+    blocks — the EOBn (r>0) symbols must appear in the stream (i.e. the
+    encoder really accumulates runs, and the decoder's EOBn path is
+    what decoded it)."""
+    from stream_processor_spark.operators.jpeg import (
+        _PAC_CODES,
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((48, 48, 3), 77, np.uint8)  # 9 blocks per comp at 444
+    raw = encode_jpeg_progressive(img, subsampling="444")
+    out = decode_jpeg(raw)
+    assert (out == out[0, 0]).all()
+    # EOBn symbols for n>1 exist in the table; the 9-block all-EOB scan
+    # must have encoded a run (EOB9 → symbol 0x30, 3 extension bits)
+    assert any((r << 4) in _PAC_CODES for r in range(1, 15))
