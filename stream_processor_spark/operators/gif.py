@@ -179,12 +179,16 @@ def gif_interlace_order(h: int) -> list[int]:
     )
 
 
-def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+def encode_gif(
+    indices, palette, interlace: bool = False, local_table: bool = False
+) -> bytes:
     """Encode an (H, W) uint8 index array + (256, 3) palette as a
-    GIF87a file: logical screen descriptor, global color table, one
-    image descriptor, REAL LZW-compressed pixel data in ≤255-byte
+    GIF87a file: logical screen descriptor, color table, one image
+    descriptor, REAL LZW-compressed pixel data in ≤255-byte
     sub-blocks, trailer. ``interlace=True`` stores rows in the 4-pass
-    schedule with the descriptor flag set."""
+    schedule with the descriptor flag set; ``local_table=True`` ships
+    the palette as the image's LOCAL color table instead of a global
+    one (the multi-image-friendly layout real GIF writers use)."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2:
@@ -195,16 +199,25 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
 
     out = bytearray(_GIF87A)
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    # packed: GCT flag=1, color resolution 7, sort 0, GCT size 7 (256)
-    out.append(0b1_111_0_111)
+    if local_table:
+        out.append(0b0_111_0_000)  # no GCT
+    else:
+        # packed: GCT flag=1, color resolution 7, sort 0, GCT size 7 (256)
+        out.append(0b1_111_0_111)
     out.append(0)  # background color index
     out.append(0)  # pixel aspect ratio
-    out += pal.tobytes()
+    if not local_table:
+        out += pal.tobytes()
 
     out.append(0x2C)  # image separator
     out += (0).to_bytes(2, "little") * 2  # left, top
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0x40 if interlace else 0)  # no local table
+    packed = 0x40 if interlace else 0
+    if local_table:
+        packed |= 0x80 | 0x07  # LCT flag + size 7 (256 entries)
+    out.append(packed)
+    if local_table:
+        out += pal.tobytes()
 
     min_code_size = 8  # 256-color image
     out.append(min_code_size)
@@ -253,10 +266,15 @@ def decode_gif(raw: bytes):
         ipacked = raw[pos + 9]
         pos += 10
         interlaced = bool(ipacked & 0x40)
-        if ipacked & 0x80:
-            raise NotImplementedError("local color tables not supported")
-        if gct is None:
-            raise NotImplementedError("GIF without a global color table")
+        table = gct
+        if ipacked & 0x80:  # local color table overrides the global one
+            n_local = 2 << (ipacked & 0x07)
+            table = np.frombuffer(raw, np.uint8, n_local * 3, pos).reshape(
+                -1, 3
+            )
+            pos += n_local * 3
+        if table is None:
+            raise NotImplementedError("GIF without any color table")
         min_code_size = raw[pos]
         pos += 1
         comp = bytearray()
@@ -276,5 +294,7 @@ def decode_gif(raw: bytes):
             deint = np.zeros_like(idx)
             deint[gif_interlace_order(h)] = idx
             idx = deint
-        return gct[idx].copy()  # palette lookup → (H, W, 3)
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("GIF pixel index beyond the color table")
+        return table[idx].copy()  # palette lookup → (H, W, 3)
     raise ValueError("GIF contains no image data")

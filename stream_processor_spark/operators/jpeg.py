@@ -183,6 +183,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding) and append RSTm — restart markers are
+        NOT byte-stuffed (they are markers, not data)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment with 0xFF00
@@ -200,16 +208,12 @@ class _BitReader:
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "restart markers (DRI/RSTn) not supported by this "
-                    "baseline decoder"
-                )
             else:
-                # EOI or another marker: scan data exhausted — T.81
-                # allows padding 1-bits; feed them so a final partial
-                # code can complete (a real overrun still errors on the
-                # symbol lookup)
+                # RSTn / EOI / another marker: scan segment exhausted —
+                # T.81 allows padding 1-bits; feed them so a final
+                # partial code can complete (a real overrun still
+                # errors on the symbol lookup). RSTn is consumed by
+                # expect_restart() at the interval boundary, never here.
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
@@ -229,6 +233,25 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, m: int) -> None:
+        """At a restart-interval boundary: discard pad bits to the byte
+        boundary and consume RSTm, validating the modulo-8 sequence
+        number (T.81 E.2.4 / F.2.1.3.1)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] != 0xFF or not (
+            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                f"corrupt JPEG: expected RST{m & 7} at byte {self.pos}"
+            )
+        got = self.data[self.pos + 1] - 0xD0
+        if got != (m & 7):
+            raise ValueError(
+                f"corrupt JPEG: restart sequence RST{got}, expected RST{m & 7}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -389,7 +412,12 @@ def _prepare_planes(arr, subsampling: str):
     return h, w, hs, vs, ph, pw, y_plane, cb_plane, cr_plane
 
 
-def encode_jpeg(arr, subsampling: str = "420", progressive: bool = False) -> bytes:
+def encode_jpeg(
+    arr,
+    subsampling: str = "420",
+    progressive: bool = False,
+    restart_interval: int | None = None,
+) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a JFIF JPEG.
 
     ``subsampling``: '420' (2x2 luma per MCU, chroma quartered — the
@@ -398,9 +426,12 @@ def encode_jpeg(arr, subsampling: str = "420", progressive: bool = False) -> byt
     ``progressive=True`` emits a SOF2 progressive stream (spectral
     selection + one successive-approximation level — see
     encode_jpeg_progressive) carrying the IDENTICAL quantized
-    coefficients, so both forms decode to bit-identical pixels."""
+    coefficients, so both forms decode to bit-identical pixels.
+    ``restart_interval=N`` emits a DRI segment and an RSTn marker every
+    N MCUs with DC-predictor resets — the error-resilience layout most
+    camera firmwares write."""
     if progressive:
-        return encode_jpeg_progressive(arr, subsampling)
+        return encode_jpeg_progressive(arr, subsampling, restart_interval)
     (h, w, hs, vs, ph, pw, y_plane, cb_plane, cr_plane) = _prepare_planes(
         arr, subsampling
     )
@@ -408,8 +439,15 @@ def encode_jpeg(arr, subsampling: str = "420", progressive: bool = False) -> byt
 
     wtr = _BitWriter()
     preds = [0, 0, 0]
+    mcu_i = 0
+    rst_m = 0
     for my in range(ph // mcu_h):
         for mx in range(pw // mcu_w):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.restart(rst_m)
+                rst_m += 1
+                preds = [0, 0, 0]
+            mcu_i += 1
             for by in range(vs):  # luma blocks, interleaved MCU order
                 for bx in range(hs):
                     r0, c0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
@@ -442,6 +480,8 @@ def encode_jpeg(arr, subsampling: str = "420", progressive: bool = False) -> byt
     out += _seg(0xC0, sof)  # SOF0: baseline sequential DCT
     out += _seg(0xC4, _dht_payload(0, 0, _DC_BITS, _DC_VALS))
     out += _seg(0xC4, _dht_payload(1, 0, _AC_BITS, _AC_VALS))
+    if restart_interval:
+        out += _seg(0xDD, int(restart_interval).to_bytes(2, "big"))
     sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
     out += _seg(0xDA, sos)
     out += scan
@@ -589,11 +629,16 @@ def _comp_block_grid(fh: int, fw: int, ch: int, cv: int, hmax: int, vmax: int):
     return -(-chh // 8), -(-cw // 8)
 
 
-def encode_jpeg_progressive(arr, subsampling: str = "420") -> bytes:
+def encode_jpeg_progressive(
+    arr, subsampling: str = "420", restart_interval: int | None = None
+) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
     JPEG — spectral selection with one successive-approximation level.
     Same quantized coefficients as the baseline encoder (shared
-    _block_coefs), so the two decode bit-identically."""
+    _block_coefs), so the two decode bit-identically.
+    ``restart_interval=N`` restarts every N MCUs (interleaved DC scans)
+    / N blocks (the AC scans), flushing EOB runs at each boundary per
+    T.81 E.2.4."""
     (h, w, hs, vs, ph, pw, y_plane, cb_plane, cr_plane) = _prepare_planes(
         arr, subsampling
     )
@@ -636,12 +681,22 @@ def encode_jpeg_progressive(arr, subsampling: str = "420") -> bytes:
     out += _seg(0xC2, sof)  # SOF2: progressive DCT
     out += _seg(0xC4, _dht_payload(0, 0, _DC_BITS, _DC_VALS))
     out += _seg(0xC4, _dht_payload(1, 0, _PAC_BITS, _PAC_VALS))
+    ri = restart_interval
+    if ri:
+        out += _seg(0xDD, int(ri).to_bytes(2, "big"))
 
     # ---- scan 1: DC first, interleaved, Al=1
     wtr = _BitWriter()
     preds = [0, 0, 0]
+    mcu_i = 0
+    rst_m = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu_i and mcu_i % ri == 0:
+                wtr.restart(rst_m)
+                rst_m += 1
+                preds = [0, 0, 0]
+            mcu_i += 1
             for ci, (_cid, chh, cvv, _tq) in enumerate(comps):
                 for by in range(cvv):
                     for bx in range(chh):
@@ -665,16 +720,29 @@ def encode_jpeg_progressive(arr, subsampling: str = "420") -> bytes:
         for ss, se in ((1, 5), (6, 63)):
             wtr = _BitWriter()
             st = _PACState(wtr)
+            mcu_i = 0
+            rst_m = 0
             for by in range(nby):
                 for bx in range(nbx):
+                    if ri and mcu_i and mcu_i % ri == 0:
+                        st.flush_eobrun()  # runs may not cross a restart
+                        wtr.restart(rst_m)
+                        rst_m += 1
+                    mcu_i += 1
                     _emit_ac_first(st, grids[ci][by, bx], ss, se, 1)
             st.flush_eobrun()
             out += sos_header([cid], ss, se, 0, 1) + wtr.flush()
 
     # ---- DC refinement, interleaved, Ah=1 Al=0
     wtr = _BitWriter()
+    mcu_i = 0
+    rst_m = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu_i and mcu_i % ri == 0:
+                wtr.restart(rst_m)
+                rst_m += 1
+            mcu_i += 1
             for ci, (_cid, chh, cvv, _tq) in enumerate(comps):
                 for by in range(cvv):
                     for bx in range(chh):
@@ -688,8 +756,15 @@ def encode_jpeg_progressive(arr, subsampling: str = "420") -> bytes:
         for ss, se in ((1, 5), (6, 63)):
             wtr = _BitWriter()
             st = _PACState(wtr)
+            mcu_i = 0
+            rst_m = 0
             for by in range(nby):
                 for bx in range(nbx):
+                    if ri and mcu_i and mcu_i % ri == 0:
+                        st.flush_eobrun()
+                        wtr.restart(rst_m)
+                        rst_m += 1
+                    mcu_i += 1
                     _emit_ac_refine(st, grids[ci][by, bx], ss, se, 0)
             st.flush_eobrun()
             out += sos_header([cid], ss, se, 1, 0) + wtr.flush()
@@ -743,6 +818,7 @@ def decode_jpeg(raw: bytes):
     ac_tabs: dict[int, _HuffDecoder] = {}
     frame = None
     store = None  # progressive: per-component zigzag coefficient grids
+    ri = None  # restart interval (DRI)
     n = len(raw)
     while pos < n:
         if raw[pos] != 0xFF:
@@ -799,7 +875,7 @@ def decode_jpeg(raw: bytes):
                 "arithmetic/lossless/hierarchical) not supported"
             )
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) not supported")
+            ri = int.from_bytes(body[0:2], "big") or None
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
@@ -812,7 +888,7 @@ def decode_jpeg(raw: bytes):
                 order.append(cs)
             if not frame["prog"]:
                 return _decode_scan(
-                    raw, pos + seglen, frame, sel, qt, dc_tabs, ac_tabs
+                    raw, pos + seglen, frame, sel, qt, dc_tabs, ac_tabs, ri
                 )
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
@@ -820,7 +896,7 @@ def decode_jpeg(raw: bytes):
                 store = _prog_store(frame)
             pos = _decode_prog_scan(
                 raw, pos + seglen, frame, order, sel,
-                ss, se, ahal >> 4, ahal & 0xF, store, dc_tabs, ac_tabs,
+                ss, se, ahal >> 4, ahal & 0xF, store, dc_tabs, ac_tabs, ri,
             )
             continue
         pos += seglen
@@ -829,7 +905,7 @@ def decode_jpeg(raw: bytes):
     raise ValueError("corrupt JPEG: no SOS marker found")
 
 
-def _decode_scan(raw, pos, frame, sel, qt, dc_tabs, ac_tabs):
+def _decode_scan(raw, pos, frame, sel, qt, dc_tabs, ac_tabs, ri=None):
     fh, fw, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -846,8 +922,15 @@ def _decode_scan(raw, pos, frame, sel, qt, dc_tabs, ac_tabs):
 
     r = _BitReader(raw, pos)
     preds = [0] * len(comps)
+    mcu_i = 0
+    rst_m = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu_i and mcu_i % ri == 0:
+                r.expect_restart(rst_m)
+                rst_m += 1
+                preds = [0] * len(comps)
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 dct = dc_tabs[sel[c["id"]][0]]
                 act = ac_tabs[sel[c["id"]][1]]
@@ -922,7 +1005,8 @@ def _prog_store(frame):
 
 
 def _decode_prog_scan(
-    raw, pos, frame, order, sel, ss, se, ah, al, store, dc_tabs, ac_tabs
+    raw, pos, frame, order, sel, ss, se, ah, al, store, dc_tabs, ac_tabs,
+    ri=None,
 ):
     """Decode ONE progressive scan into the coefficient store; returns
     the position of the next marker. Implements all four scan kinds of
@@ -942,9 +1026,17 @@ def _decode_prog_scan(
             raise ValueError("corrupt JPEG: DC scan with Se != 0")
         if ah == 0:
             preds = {cid: 0 for cid in order}
+        mcu_i = 0
+        rst_m = 0
         if len(order) > 1:  # interleaved MCU order
             for _my in range(mcus_y):
                 for _mx in range(mcus_x):
+                    if ri and mcu_i and mcu_i % ri == 0:
+                        rd.expect_restart(rst_m)
+                        rst_m += 1
+                        if ah == 0:
+                            preds = {cid: 0 for cid in order}
+                    mcu_i += 1
                     for cid in order:
                         ci = by_id[cid]
                         c = comps[ci]
@@ -970,6 +1062,12 @@ def _decode_prog_scan(
             )
             for gy in range(nby):
                 for gx in range(nbx):
+                    if ri and mcu_i and mcu_i % ri == 0:
+                        rd.expect_restart(rst_m)
+                        rst_m += 1
+                        if ah == 0:
+                            preds = {cid: 0 for cid in order}
+                    mcu_i += 1
                     if ah == 0:
                         size = dc_tabs[sel[cid][0]].decode(rd)
                         diff = _extend(rd.receive(size), size)
@@ -992,8 +1090,19 @@ def _decode_prog_scan(
     eobrun = 0
     p1 = 1 << al
     m1 = -(1 << al)
+    mcu_i = 0
+    rst_m = 0
     for gy in range(nby):
         for gx in range(nbx):
+            if ri and mcu_i and mcu_i % ri == 0:
+                # EOB runs may not cross a restart boundary (T.81 E.2.4)
+                if eobrun != 0:
+                    raise ValueError(
+                        "corrupt JPEG: EOB run crosses restart boundary"
+                    )
+                rd.expect_restart(rst_m)
+                rst_m += 1
+            mcu_i += 1
             zz = store[ci][gy, gx]
             if ah == 0:  # AC first
                 if eobrun > 0:

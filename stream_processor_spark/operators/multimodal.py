@@ -464,6 +464,79 @@ def encode_png(
     )
 
 
+def encode_png_gray(arr, filter_mode: str = "cycle", interlace: bool = False) -> bytes:
+    """Encode an (H, W) uint8 array as an 8-bit GRAYSCALE PNG (color
+    type 0, bpp=1)."""
+    import zlib
+
+    import numpy as np
+
+    g = np.asarray(arr, dtype=np.uint8)
+    if g.ndim != 2:
+        raise ValueError(f"expected (H, W) gray array, got {g.shape}")
+    h, w = g.shape
+    if interlace:
+        payload = b"".join(
+            _png_filter_rows(
+                np.ascontiguousarray(g[r0::ri, c0::ci]), 1, filter_mode
+            )
+            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
+            if ph and pw
+        )
+    else:
+        payload = _png_filter_rows(g, 1, filter_mode)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 1 if interlace else 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(payload))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_rgba(arr, filter_mode: str = "cycle", interlace: bool = False) -> bytes:
+    """Encode an (H, W, 4) uint8 array as an 8-bit RGBA PNG (color type
+    6, bpp=4) — the most common real-world PNG profile after truecolor."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError(f"expected (H, W, 4) RGBA array, got {a.shape}")
+    h, w, _ = a.shape
+    bpp = 4
+    if interlace:
+        payload = b"".join(
+            _png_filter_rows(
+                np.ascontiguousarray(
+                    a[r0::ri, c0::ci].reshape(ph, pw * bpp)
+                ),
+                bpp,
+                filter_mode,
+            )
+            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
+            if ph and pw
+        )
+    else:
+        payload = _png_filter_rows(a.reshape(h, w * bpp), bpp, filter_mode)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 1 if interlace else 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(payload))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png_paletted(
     indices, palette, filter_mode: str = "cycle", interlace: bool = False
 ) -> bytes:
@@ -537,9 +610,15 @@ def decode_png(raw: bytes):
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, ctype, comp, filt, interlace = data[8:13]
-            if depth != 8 or ctype not in (2, 3) or comp or filt or interlace > 1:
+            if (
+                depth != 8
+                or ctype not in (0, 2, 3, 4, 6)
+                or comp
+                or filt
+                or interlace > 1
+            ):
                 raise NotImplementedError(
-                    "only 8-bit truecolor/paletted PNG supported "
+                    "only 8-bit gray/truecolor/paletted/alpha PNG supported "
                     f"(depth={depth} colortype={ctype} interlace={interlace})"
                 )
         elif tag == b"PLTE":
@@ -554,7 +633,7 @@ def decode_png(raw: bytes):
         raise ValueError("PNG missing IHDR")
     if ctype == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
-    bpp = 3 if ctype == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     # Bounded inflate: DEFLATE expands ~1000x, so an unbounded
     # zlib.decompress of a hostile payload OOMs the worker before a
     # tolerant caller (decode_image on_error="null") can route the row.
@@ -598,6 +677,16 @@ def decode_png(raw: bytes):
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of range")
         return plte[idx].copy()
+    if ctype == 0:  # grayscale → replicate
+        g = px.reshape(h, w)
+        return np.stack([g, g, g], axis=-1).copy()
+    if ctype == 4:  # gray + alpha → replicate luma, DROP alpha (the
+        # curation contract: stats operate on color; production
+        # compositing is a policy choice layered above the codec)
+        g = px[:, :, 0]
+        return np.stack([g, g, g], axis=-1).copy()
+    if ctype == 6:  # RGBA → drop alpha
+        return px[:, :, :3].copy()
     return px.copy()
 
 
@@ -874,6 +963,20 @@ def attach_mixed_image_payload(
     return df.withColumn("payload", gen_mixed(F.col(id_col)))
 
 
+def rgba_fixture_pixels(doc_id: int):
+    """(H, W, 4) uint8 RGBA array from the odd-stride LCG (4 channels
+    per pixel; the alpha channel is real data the decode must WALK
+    PAST correctly — filters operate on 4-byte pixels)."""
+    import numpy as np
+
+    h, w = fixture_dims(doc_id)
+    idx = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE_ODD + np.arange(
+        h * w * 4, dtype=np.int64
+    )
+    v = ((_IMG_LCG_A * idx + _IMG_LCG_B) % _IMG_LCG_M) % 256
+    return v.reshape(h, w, 4).astype(np.uint8)
+
+
 def attach_image_payload(
     df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
 ) -> DataFrame:
@@ -935,6 +1038,31 @@ def attach_image_payload(
             )
 
         return df.withColumn("payload", gen_a7(F.col(id_col)))
+
+    if fmt == "png_rgba":
+
+        @pandas_udf(BinaryType())
+        def gen_rgba(ids: pd.Series) -> pd.Series:
+            return ids.map(
+                lambda d: encode_png_rgba(rgba_fixture_pixels(int(d)))
+            )
+
+        return df.withColumn("payload", gen_rgba(F.col(id_col)))
+
+    if fmt == "jpeg_restart":
+        from stream_processor_spark.operators.jpeg import encode_jpeg
+
+        @pandas_udf(BinaryType())
+        def gen_jr(ids: pd.Series) -> pd.Series:
+            return ids.map(
+                lambda d: encode_jpeg(
+                    jpeg_fixture_pixels(int(d)),
+                    subsampling="420",
+                    restart_interval=1,
+                )
+            )
+
+        return df.withColumn("payload", gen_jr(F.col(id_col)))
 
     if fmt == "png_paletted":
 

@@ -683,3 +683,65 @@ def multimodal_jpeg_progressive_stats(t):
             t.documents.select("doc_id"), fmt="jpeg_progressive"
         )
     )
+
+
+@register(
+    "multimodal_png_rgba",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, c.c,
+             ((1103515245 * ((d.doc_id % 100000) * 4097
+                 + (y.y * d.w + x.x) * 4 + c.c) + 12345)
+               % 2147483648) % 256 AS v
+      FROM d, range(0, 8) y(y), range(0, 8) x(x), range(0, 3) c(c)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(MAX(h) * MAX(w) AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_rgba(t):
+    """REAL RGBA PNG decode (color type 6 — the most common real-world
+    PNG profile after truecolor): 4-byte-pixel filters, alpha channel
+    REAL data the unfilter must walk past with bpp=4 neighbor offsets;
+    the decode drops alpha for the stats (the curation contract —
+    compositing is a policy above the codec). The oracle strides the
+    LCG 4 per pixel but sums only c<3, so a decoder that mis-stepped
+    the alpha bytes (e.g. bpp=3 offsets) would hash-mismatch on every
+    Sub/Average/Paeth row. Gray (type 0) and gray+alpha (type 4)
+    decode too, unit-tested; 16-bit depth stays honestly gated."""
+    return mm.decode_image(
+        mm.attach_image_payload(t.documents.select("doc_id"), fmt="png_rgba")
+    )
+
+
+@register("multimodal_jpeg_restart_stats", oracle=_jpeg_stats_oracle())
+def multimodal_jpeg_restart_stats(t):
+    """REAL restart-interval JPEG decode (DRI + RSTn — the
+    error-resilience layout camera firmwares write): the fixture is
+    encoded with restart_interval=1, so every MCU boundary carries an
+    RSTn marker the decoder must byte-align to, validate the modulo-8
+    sequence of, and reset DC predictors at
+    (operators/jpeg.py:_BitReader.expect_restart). Predictor resets
+    change the entropy coding but not the coefficients, so the decode
+    replays the SAME closed-form oracle as the baseline twin; the test
+    suite additionally pins restart≡plain equality on random images for
+    both baseline and progressive streams."""
+    return mm.decode_image(
+        mm.attach_image_payload(
+            t.documents.select("doc_id"), fmt="jpeg_restart"
+        )
+    )

@@ -208,9 +208,11 @@ def test_gif_89a_extension_skip_and_gates():
     with_ext = bytes(raw[:ins]) + gce + bytes(raw[ins:])
     assert np.array_equal(decode_gif(with_ext), pal[idx])
 
+    # LCT flag set but no table present: corrupt, raises (local color
+    # tables themselves decode for real — see the roundtrip test)
     local_ct = bytearray(encode_gif(idx, pal))
     local_ct[ins + 9] |= 0x80
-    with pytest.raises(NotImplementedError, match="local color"):
+    with pytest.raises(Exception):
         decode_gif(bytes(local_ct))
 
     with pytest.raises(ValueError, match="GIF"):
@@ -535,3 +537,38 @@ def test_mjpeg_dataframe_path_null_payload(spark):
     for r in rows:
         assert (r.height, r.width) == (16, 16)
         assert r.sum_r == 256 * (r.sum_r // 256)  # constant frame
+
+
+def test_gif_local_color_table_roundtrip_and_no_table_gate():
+    rng = np.random.RandomState(17)
+    pal = mm.gif_fixture_palette()
+    for ilace in (False, True):
+        idx = rng.randint(0, 256, (9, 7)).astype(np.uint8)
+        raw = encode_gif(idx, pal, interlace=ilace, local_table=True)
+        assert np.array_equal(decode_gif(raw), pal[idx])
+    # a GIF with NEITHER global nor local table is honestly gated:
+    # clear the LCT flag on an LCT-layout file (which has no GCT)
+    raw = bytearray(
+        encode_gif(np.zeros((2, 2), np.uint8), pal, local_table=True)
+    )
+    assert raw[13] == 0x2C  # image separator right after the LSD (no GCT)
+    desc_packed_at = 13 + 9
+    raw[desc_packed_at] &= 0x7F  # clear the LCT flag
+    with pytest.raises(NotImplementedError, match="color table"):
+        decode_gif(bytes(raw))
+
+
+def test_png_gray_and_alpha_color_types():
+    rng = np.random.RandomState(19)
+    for ilace in (False, True):
+        g = rng.randint(0, 256, (7, 5)).astype(np.uint8)
+        out = mm.decode_png(mm.encode_png_gray(g, interlace=ilace))
+        assert np.array_equal(out, np.stack([g, g, g], -1))
+        rgba = rng.randint(0, 256, (6, 9, 4)).astype(np.uint8)
+        out = mm.decode_png(mm.encode_png_rgba(rgba, interlace=ilace))
+        assert np.array_equal(out, rgba[:, :, :3])
+    # 16-bit depth stays honestly gated
+    raw = bytearray(mm.encode_png_gray(np.zeros((3, 3), np.uint8)))
+    raw[16 + 8] = 16  # IHDR bit depth
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        mm.decode_png(bytes(raw))

@@ -138,10 +138,12 @@ def test_gates_arithmetic_dri_and_corrupt():
     raw9 = bytes(raw[:i]) + b"\xff\xc9" + bytes(raw[i + 2 :])
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(raw9)
-    # inject DRI before SOS
-    j = bytes(raw).index(b"\xff\xda")
-    raw3 = bytes(raw[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(raw[j:])
-    with pytest.raises(NotImplementedError, match="restart"):
+    # DRI decodes for real now; declaring an interval over a MULTI-MCU
+    # stream that carries no RST markers is CORRUPT, not a gate
+    big = bytearray(encode_jpeg(np.full((32, 32, 3), 100, np.uint8)))
+    j = bytes(big).index(b"\xff\xda")
+    raw3 = bytes(big[:j]) + b"\xff\xdd\x00\x04\x00\x01" + bytes(big[j:])
+    with pytest.raises(ValueError, match="expected RST"):
         decode_jpeg(raw3)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02\x03")
@@ -213,3 +215,48 @@ def test_progressive_stream_uses_eob_runs():
     # EOBn symbols for n>1 exist in the table; the 9-block all-EOB scan
     # must have encoded a run (EOB9 → symbol 0x30, 3 extension bits)
     assert any((r << 4) in _PAC_CODES for r in range(1, 15))
+
+
+def test_restart_intervals_roundtrip_and_validation():
+    """DRI/RSTn decode for real: restart≡plain decode equality for both
+    baseline and progressive streams across intervals (incl. EOB runs
+    forced to flush at boundaries), and the modulo-8 sequence check."""
+    from stream_processor_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(13)
+    for t in range(8):
+        h, w = int(rng.randint(1, 50)), int(rng.randint(1, 50))
+        sub = ("420", "444")[t % 2]
+        ri = (1, 2, 3, 5)[t % 4]
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        assert np.array_equal(
+            plain,
+            decode_jpeg(
+                encode_jpeg(img, subsampling=sub, restart_interval=ri)
+            ),
+        ), ("baseline", h, w, sub, ri)
+        assert np.array_equal(
+            plain,
+            decode_jpeg(
+                encode_jpeg_progressive(img, subsampling=sub, restart_interval=ri)
+            ),
+        ), ("progressive", h, w, sub, ri)
+    # smooth image: EOB runs must flush at every restart boundary
+    yy, xx = np.mgrid[0:33, 0:47]
+    img = np.stack([(yy + xx) % 256, (yy * 2) % 256, (xx * 3) % 256], -1).astype(
+        np.uint8
+    )
+    plain = decode_jpeg(encode_jpeg(img))
+    for ri in (1, 2, 4):
+        assert np.array_equal(
+            plain, decode_jpeg(encode_jpeg_progressive(img, restart_interval=ri))
+        )
+    # out-of-sequence RSTn is corrupt
+    raw = bytearray(encode_jpeg(img, restart_interval=2))
+    i = bytes(raw).index(b"\xff\xd0")
+    raw[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="restart sequence"):
+        decode_jpeg(bytes(raw))

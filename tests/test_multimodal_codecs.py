@@ -147,11 +147,18 @@ def test_png_roundtrip_all_filters(h, w):
 def test_png_unsupported_profiles_and_corruption():
     img = _rand_img(4, 4, seed=9)
     raw = bytearray(mm.encode_png(img))
-    # IHDR begins at offset 16 (sig 8 + len 4 + tag 4); color type is
-    # IHDR byte 9 -> flip RGB(2) to RGBA(6)
-    raw[16 + 9] = 6
-    with pytest.raises(NotImplementedError, match="truecolor"):
+    # IHDR begins at offset 16 (sig 8 + len 4 + tag 4). RGBA decodes
+    # for real since the round-11 continuation, so the honest gate is
+    # bit DEPTH: flip 8 -> 16 (IHDR byte 8)
+    raw[16 + 8] = 16
+    with pytest.raises(NotImplementedError, match="8-bit"):
         mm.decode_png(bytes(raw))
+    # a truecolor payload relabeled RGBA is CORRUPT (byte count), not
+    # a gate
+    raw2 = bytearray(mm.encode_png(img))
+    raw2[16 + 9] = 6
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(raw2))
     with pytest.raises(ValueError, match="missing IHDR"):
         mm.decode_png(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError, match="not a PNG"):

@@ -91,13 +91,15 @@ def _image_payloads():
     for k, raw in good:
         px = decode_image_bytes(raw)
         expect[k] = (int(px.shape[0] * px.shape[1]), int(px.sum()))
-    # a LOCAL-COLOR-TABLE GIF hits the decoder's capability gate
-    # (NotImplementedError; interlace decodes for real since the
-    # round-11 continuation), distinct from corrupt bytes (ValueError)
-    # — both must land on the step DLQ with the original record
-    lct = bytearray(gif)
-    lct[6 + 7 + 768 + 9] |= 0x80  # image-descriptor local-table flag
-    gated = ("lct", bytes(lct))
+    # a GIF with NO color table at all hits the decoder's capability
+    # gate (NotImplementedError; interlace AND local tables decode for
+    # real since the round-11 continuation), distinct from corrupt
+    # bytes (ValueError) — both must land on the step DLQ with the
+    # original record
+    notab = bytearray(gif)
+    notab[10] &= 0x7F  # clear the global-color-table flag
+    del notab[13 : 13 + 768]  # and drop the table itself
+    gated = ("notab", bytes(notab))
     corrupt = ("bad", b"BM" + b"\x01\x02\x03")  # header parse: ValueError
     return good, expect, gated, corrupt
 
@@ -136,10 +138,10 @@ def test_image_decode_pipeline_routes_gated_and_corrupt_to_dlq(
     assert ok == expect  # every good payload decoded through the chain
 
     dlq_rows = spark.read.parquet(dlq.path_or_topic).collect()
-    assert {r.key for r in dlq_rows} == {"lct", "bad"}
+    assert {r.key for r in dlq_rows} == {"notab", "bad"}
     # ORIGINAL record payload lands on the DLQ (consumer.js:100)
     by_key = {r.key: bytes(r.payload) for r in dlq_rows}
-    assert by_key["lct"].startswith(b"GIF87a")
+    assert by_key["notab"].startswith(b"GIF87a")
     assert by_key["bad"] == bytes(corrupt[1])
 
     snap = metrics.snapshot()

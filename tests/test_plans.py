@@ -387,6 +387,8 @@ def test_codec_decodes_are_single_python_pass(spark, sf_dir):
         "multimodal_png_adam7",
         "multimodal_png_paletted",
         "multimodal_jpeg_progressive_stats",
+        "multimodal_png_rgba",
+        "multimodal_jpeg_restart_stats",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan[:400]}"
