@@ -30,12 +30,19 @@ SCRATCH = os.path.join(ROOT, ".scratch")
 
 ENTRIES = [
     "multimodal_gif_stats",
+    "multimodal_gif_interlaced",
     "multimodal_ulaw_stats",
     "multimodal_alaw_stats",
     "multimodal_adpcm_stats",
     "multimodal_jpeg_stats",
+    "multimodal_jpeg_progressive_stats",
+    "multimodal_jpeg_restart_stats",
+    "multimodal_png_adam7",
+    "multimodal_png_paletted",
+    "multimodal_png_rgba",
     "multimodal_mjpeg_frames",
     "multimodal_mixed_stats",
+    "multimodal_decode_resilient",
 ]
 
 
