@@ -13,9 +13,10 @@ capability ceiling).
 
 Interlaced images decode for real (the 4-pass row schedule,
 `gif_interlace_order` — verified ORDER-SENSITIVELY by the
-position-weighted oracle of `multimodal_gif_interlaced`). Scope gates
-(honest NotImplementedError, same contract as decode_png): local color
-tables, GIF89a extension blocks beyond plain skipping, and multi-image
+position-weighted oracle of `multimodal_gif_interlaced`), and local
+color tables override the global one per image. Scope gates (honest
+NotImplementedError, same contract as decode_png): files with NO color
+table at all; GIF89a extension blocks are skipped, and multi-image
 animations decode only their first frame. Transparency (GCE) is
 ignored — stats operate on the palette RGB, matching how a curation
 pipeline treats stills.

@@ -20,9 +20,11 @@ ordinary integer/bit arithmetic. This module implements it honestly:
   correction bits (T.81 Annex G) — and :func:`encode_jpeg_progressive`
   emits a true multi-scan stream from the SAME quantizer, so
   progressive and baseline encodes decode bit-identically (pinned in
-  tests). Arithmetic coding, lossless/hierarchical frames, 12-bit
-  precision and restart intervals raise NotImplementedError — the
-  honest gate, same contract as the PNG decoder.
+  tests). Restart intervals (DRI/RSTn) decode for real in both frame
+  types — byte-aligned markers, modulo-8 sequence validation,
+  predictor/EOB-run resets. Arithmetic coding, lossless/hierarchical
+  frames and 12-bit precision raise NotImplementedError — the honest
+  gate, same contract as the PNG decoder.
 
 The integer IDCT is what makes the decode ORACLE-EXPRESSIBLE: for a
 block whose AC coefficients are zero (the constant-macroblock fixture),
@@ -905,6 +907,32 @@ def decode_jpeg(raw: bytes):
     raise ValueError("corrupt JPEG: no SOS marker found")
 
 
+def _planes_to_rgb(comps, planes, fh, fw, hmax, vmax):
+    """Shared reconstruction tail for baseline and progressive paths:
+    upsample each component plane to full resolution, crop the MCU
+    padding, and color-convert (grayscale frames replicate luma)."""
+    full = []
+    for c, p in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:fh, :fw])
+
+    if len(comps) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+
+    from stream_processor_spark.operators.npkernel import round_half_up
+
+    y = full[0].astype(np.float64)
+    cb = full[1].astype(np.float64) - 128.0
+    cr = full[2].astype(np.float64) - 128.0
+    r_ = np.clip(round_half_up(y + 1.402 * cr), 0, 255)
+    g_ = np.clip(round_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b_ = np.clip(round_half_up(y + 1.772 * cb), 0, 255)
+    return np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+
+
 def _decode_scan(raw, pos, frame, sel, qt, dc_tabs, ac_tabs, ri=None):
     fh, fw, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -963,27 +991,7 @@ def _decode_scan(raw, pos, frame, sel, qt, dc_tabs, ac_tabs, ri=None):
                         c0 = (mx * c["h"] + bx) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
 
-    # upsample each plane to full padded resolution, then crop
-    full = []
-    for c, p in zip(comps, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:fh, :fw])
-
-    if len(comps) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-
-    from stream_processor_spark.operators.npkernel import round_half_up
-
-    y = full[0].astype(np.float64)
-    cb = full[1].astype(np.float64) - 128.0
-    cr = full[2].astype(np.float64) - 128.0
-    r_ = np.clip(round_half_up(y + 1.402 * cr), 0, 255)
-    g_ = np.clip(round_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    b_ = np.clip(round_half_up(y + 1.772 * cb), 0, 255)
-    return np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+    return _planes_to_rgb(comps, planes, fh, fw, hmax, vmax)
 
 
 # --------------------------------------------------- progressive decode ----
@@ -1190,23 +1198,4 @@ def _prog_reconstruct(frame, store, qt):
                 )
         planes.append(plane)
 
-    full = []
-    for c, p in zip(comps, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:fh, :fw])
-
-    if len(comps) == 1:
-        y = np.clip(full[0], 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-
-    from stream_processor_spark.operators.npkernel import round_half_up
-
-    y = full[0].astype(np.float64)
-    cb = full[1].astype(np.float64) - 128.0
-    cr = full[2].astype(np.float64) - 128.0
-    r_ = np.clip(round_half_up(y + 1.402 * cr), 0, 255)
-    g_ = np.clip(round_half_up(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    b_ = np.clip(round_half_up(y + 1.772 * cb), 0, 255)
-    return np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+    return _planes_to_rgb(comps, planes, fh, fw, hmax, vmax)

@@ -417,6 +417,48 @@ def _adam7_passes(h: int, w: int):
     return out
 
 
+def _encode_png_impl(
+    samples, bpp: int, ctype: int, filter_mode: str, interlace: bool,
+    plte=None,
+) -> bytes:
+    """Shared PNG assembly for every color type: filter the (H, W, bpp)
+    sample array (Adam7 passes when interlaced), build IHDR (+PLTE),
+    deflate, chunk. The four public encoders differ only in shape
+    validation and (bpp, ctype, plte)."""
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+    a3 = a.reshape(h, w, bpp)
+    if interlace:
+        payload = b"".join(
+            _png_filter_rows(
+                np.ascontiguousarray(
+                    a3[r0::ri, c0::ci].reshape(ph, pw * bpp)
+                ),
+                bpp,
+                filter_mode,
+            )
+            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
+            if ph and pw
+        )
+    else:
+        payload = _png_filter_rows(a3.reshape(h, w * bpp), bpp, filter_mode)
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 1 if interlace else 0])
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(payload)) + _png_chunk(
+        b"IEND", b""
+    )
+
+
 def encode_png(
     arr, filter_mode: str = "cycle", interlace: bool = False
 ) -> bytes:
@@ -428,114 +470,32 @@ def encode_png(
     paths, not just the trivial one. ``interlace=True`` writes Adam7:
     seven independently-filtered passes in spec order. Pure stdlib
     (zlib) + numpy."""
-    import zlib
-
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
-    h, w, _ = a.shape
-    bpp = 3
-    if interlace:
-        payload = b"".join(
-            _png_filter_rows(
-                np.ascontiguousarray(
-                    a[r0::ri, c0::ci].reshape(ph, pw * bpp)
-                ),
-                bpp,
-                filter_mode,
-            )
-            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
-            if ph and pw
-        )
-    else:
-        payload = _png_filter_rows(a.reshape(h, w * bpp), bpp, filter_mode)
-    ihdr = (
-        w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 1 if interlace else 0])
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(payload))
-        + _png_chunk(b"IEND", b"")
-    )
-
+    return _encode_png_impl(a, 3, 2, filter_mode, interlace)
 
 def encode_png_gray(arr, filter_mode: str = "cycle", interlace: bool = False) -> bytes:
     """Encode an (H, W) uint8 array as an 8-bit GRAYSCALE PNG (color
     type 0, bpp=1)."""
-    import zlib
-
     import numpy as np
 
     g = np.asarray(arr, dtype=np.uint8)
     if g.ndim != 2:
         raise ValueError(f"expected (H, W) gray array, got {g.shape}")
-    h, w = g.shape
-    if interlace:
-        payload = b"".join(
-            _png_filter_rows(
-                np.ascontiguousarray(g[r0::ri, c0::ci]), 1, filter_mode
-            )
-            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
-            if ph and pw
-        )
-    else:
-        payload = _png_filter_rows(g, 1, filter_mode)
-    ihdr = (
-        w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-        + bytes([8, 0, 0, 0, 1 if interlace else 0])
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(payload))
-        + _png_chunk(b"IEND", b"")
-    )
-
+    return _encode_png_impl(g[:, :, None], 1, 0, filter_mode, interlace)
 
 def encode_png_rgba(arr, filter_mode: str = "cycle", interlace: bool = False) -> bytes:
     """Encode an (H, W, 4) uint8 array as an 8-bit RGBA PNG (color type
     6, bpp=4) — the most common real-world PNG profile after truecolor."""
-    import zlib
-
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 4:
         raise ValueError(f"expected (H, W, 4) RGBA array, got {a.shape}")
-    h, w, _ = a.shape
-    bpp = 4
-    if interlace:
-        payload = b"".join(
-            _png_filter_rows(
-                np.ascontiguousarray(
-                    a[r0::ri, c0::ci].reshape(ph, pw * bpp)
-                ),
-                bpp,
-                filter_mode,
-            )
-            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
-            if ph and pw
-        )
-    else:
-        payload = _png_filter_rows(a.reshape(h, w * bpp), bpp, filter_mode)
-    ihdr = (
-        w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-        + bytes([8, 6, 0, 0, 1 if interlace else 0])
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(payload))
-        + _png_chunk(b"IEND", b"")
-    )
-
+    return _encode_png_impl(a, 4, 6, filter_mode, interlace)
 
 def encode_png_paletted(
     indices, palette, filter_mode: str = "cycle", interlace: bool = False
@@ -543,8 +503,6 @@ def encode_png_paletted(
     """Encode an (H, W) uint8 index array + (256, 3) palette as an
     8-bit PALETTED PNG (color type 3, PLTE chunk). Filters operate on
     the index bytes (bpp=1) exactly per the spec."""
-    import zlib
-
     import numpy as np
 
     idx = np.asarray(indices, dtype=np.uint8)
@@ -553,30 +511,7 @@ def encode_png_paletted(
         raise ValueError(f"expected (H, W) index array, got {idx.shape}")
     if pal.shape != (256, 3):
         raise ValueError(f"expected (256, 3) palette, got {pal.shape}")
-    h, w = idx.shape
-    if interlace:
-        payload = b"".join(
-            _png_filter_rows(
-                np.ascontiguousarray(idx[r0::ri, c0::ci]), 1, filter_mode
-            )
-            for r0, c0, ri, ci, ph, pw in _adam7_passes(h, w)
-            if ph and pw
-        )
-    else:
-        payload = _png_filter_rows(idx, 1, filter_mode)
-    ihdr = (
-        w.to_bytes(4, "big")
-        + h.to_bytes(4, "big")
-        + bytes([8, 3, 0, 0, 1 if interlace else 0])
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"PLTE", pal.tobytes())
-        + _png_chunk(b"IDAT", zlib.compress(payload))
-        + _png_chunk(b"IEND", b"")
-    )
-
+    return _encode_png_impl(idx[:, :, None], 1, 3, filter_mode, interlace, plte=pal)
 
 def decode_png(raw: bytes):
     """Decode a PNG to (H, W, 3) uint8 RGB. REAL for 8-bit truecolor
@@ -584,6 +519,8 @@ def decode_png(raw: bytes):
     non-interlaced AND Adam7-interlaced — seven independently-unfiltered
     passes scattered back by the spec's geometry (round-11
     continuation; old web scrapes are full of interlaced files).
+    Grayscale (type 0), gray+alpha (4) and RGBA (6) decode too — alpha
+    dropped, luma replicated; see the color-type tail below.
 
     Chunk walk → IHDR validation → zlib-inflate the concatenated IDATs
     → per-scanline unfilter (all five filter types). Sub/Average/Paeth
@@ -591,7 +528,7 @@ def decode_png(raw: bytes):
     with a per-byte scan — exact per the spec; rows are short relative
     to inflate cost, and the whole decode runs inside the Arrow-batched
     ``mapInPandas`` worker where per-image Python is the contract.
-    Alpha / 16-bit / grayscale stay honestly gated."""
+    16-bit and sub-8-bit depths stay honestly gated."""
     import zlib
 
     import numpy as np
@@ -714,10 +651,11 @@ def decode_image_bytes(raw: bytes):
         return decode_gif(raw)
     raise NotImplementedError(
         f"unsupported image format (magic {raw[:4]!r}): only BMP, PPM, "
-        "PNG (truecolor + paletted, incl. Adam7), JPEG (baseline + "
-        "progressive) and GIF87a/89a (incl. interlaced) decode without "
-        "external libraries (arithmetic-coded JPEG and local-color-table "
-        "GIF stay gated inside their decoders)"
+        "PNG (gray/truecolor/paletted/alpha, incl. Adam7), JPEG "
+        "(baseline + progressive + restart intervals) and GIF87a/89a "
+        "(incl. interlaced + local color tables) decode without "
+        "external libraries (arithmetic-coded JPEG, 16-bit PNG and "
+        "no-color-table GIF stay gated inside their decoders)"
     )
 
 

@@ -624,7 +624,8 @@ def multimodal_png_adam7(t):
     and the decoder unfilters each pass and scatters it back by the
     spec's (start, increment) table (operators/multimodal.py:_ADAM7).
     Position-weighted sums prove the scatter geometry, not just the
-    pixel multiset. Alpha/16-bit/grayscale stay honestly gated. Scale:
+    pixel multiset. Gray/alpha color types decode too
+    (`multimodal_png_rgba`); 16-bit depth stays honestly gated. Scale:
     same map-only plan as the PNG twin."""
     return mm.decode_image_weighted(
         mm.attach_image_payload(t.documents.select("doc_id"), fmt="png_adam7")
