@@ -109,18 +109,24 @@ def demux_avi_mjpeg(raw: bytes):
 
     Validates the video stream is MJPG (other fccHandlers raise
     NotImplementedError — those frames need a real codec library).
-    Handles '00dc'/'00db' frame chunks and skips 'rec ' grouping lists,
-    JUNK padding and audio streams."""
+    Streams are numbered by strl order in hdrl; frames are collected for
+    the FIRST 'vids' stream's index ('NNdc'/'NNdb'), so the validated
+    handler always belongs to the stream actually decoded even when an
+    audio stream precedes video or two video streams coexist (round-12
+    ADVICE fix). Skips 'rec ' grouping lists, JUNK padding and audio
+    streams."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
     width = height = None
     fps = None
     handler = None
+    stream_idx = 0  # strh chunks appear in strl order: Nth strh = stream N
+    video_tag = None  # b'NN' two-digit chunk prefix of the first vids stream
     frames: list[bytes] = []
 
     def walk(pos: int, end: int, in_movi: bool) -> None:
-        nonlocal width, height, fps, handler
+        nonlocal width, height, fps, handler, stream_idx, video_tag
         while pos + 8 <= end:
             tag = raw[pos : pos + 4]
             ln = int.from_bytes(raw[pos + 4 : pos + 8], "little")
@@ -143,9 +149,19 @@ def demux_avi_mjpeg(raw: bytes):
                     raw[body_start + 36 : body_start + 40], "little"
                 )
             elif tag == b"strh":
-                if raw[body_start : body_start + 4] == b"vids":
+                if (
+                    raw[body_start : body_start + 4] == b"vids"
+                    and video_tag is None
+                ):
                     handler = raw[body_start + 4 : body_start + 8]
-            elif in_movi and tag[2:4] in (b"dc", b"db") and tag[:2] == b"00":
+                    video_tag = b"%02d" % stream_idx
+                stream_idx += 1
+            elif (
+                in_movi
+                and tag[2:4] in (b"dc", b"db")
+                and video_tag is not None
+                and tag[:2] == video_tag
+            ):
                 frames.append(raw[body_start : body_start + ln])
 
     walk(12, len(raw), False)

@@ -809,9 +809,10 @@ def decode_jpeg(raw: bytes):
     (grayscale frames return their luma replicated to 3 channels).
     REAL for baseline (SOF0/1) AND progressive (SOF2 — spectral
     selection and successive approximation, DC and AC first/refinement
-    scans with EOB runs; round-11 continuation). Gates
-    (NotImplementedError): arithmetic/lossless/hierarchical frames,
-    12-bit precision, DRI/restart markers, sampling factors above 2."""
+    scans with EOB runs; round-11 continuation), including DRI/restart
+    markers (0xDD interval + RSTn resync, see multimodal_jpeg_restart_stats).
+    Gates (NotImplementedError): arithmetic/lossless/hierarchical frames,
+    12-bit precision, sampling factors above 2."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

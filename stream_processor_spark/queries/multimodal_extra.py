@@ -269,9 +269,12 @@ def multimodal_gif_stats(t):
     The oracle composes the two closed-form integer formulas — pixel
     index from the LCG, channel values from the affine palette — without
     seeing the bytes, so a hash match proves the LZW bitstream round
-    trip bit-perfect. Interlaced images and local color tables stay
-    honestly gated inside decode_gif. Scale: identical dataflow to the
-    BMP twin — one Arrow crossing, map-only, no shuffle."""
+    trip bit-perfect. Interlaced images (four-pass row scatter, see
+    multimodal_gif_interlaced) and local color tables (LCT override)
+    decode for real; the remaining decode_gif gates are GIFs with no
+    color table at all and animation frames beyond the first. Scale:
+    identical dataflow to the BMP twin — one Arrow crossing, map-only,
+    no shuffle."""
     return mm.decode_image(
         mm.attach_image_payload(t.documents.select("doc_id"), fmt="gif")
     )

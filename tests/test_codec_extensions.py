@@ -487,6 +487,67 @@ def test_avi_demux_walks_grammar_not_offsets():
     assert out == frames
 
 
+def test_avi_audio_first_stream_demuxes_video_by_index():
+    """Stream 0 = audio, stream 1 = MJPG video: frames live in '01dc'
+    chunks and the validated handler must be stream 1's (round-12 ADVICE
+    fix — previously the demuxer hardwired stream 00)."""
+    from stream_processor_spark.operators.avi import _chunk, _list
+
+    frames = [
+        encode_jpeg(fr, subsampling="420") for fr in mm.mjpeg_fixture_frames(3)
+    ]
+    base = encode_avi_mjpeg(frames, 16, 16, fps=30)
+    # harvest the real avih/strh/strf bodies from the single-stream mux
+    avih_at = base.index(b"avih") + 8
+    avih = base[avih_at : avih_at + 56]
+    strh_at = base.index(b"strh") + 8
+    strh_len = int.from_bytes(base[strh_at - 4 : strh_at], "little")
+    vids_strh = base[strh_at : strh_at + strh_len]
+    strf_at = base.index(b"strf") + 8
+    strf_len = int.from_bytes(base[strf_at - 4 : strf_at], "little")
+    vids_strf = base[strf_at : strf_at + strf_len]
+
+    auds_strh = b"auds" + bytes(4) + vids_strh[8:]
+    auds_strf = bytes(16)  # WAVEFORMATEX-ish stub; demuxer never reads it
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", auds_strh) + _chunk(b"strf", auds_strf))
+        + _list(b"strl", _chunk(b"strh", vids_strh) + _chunk(b"strf", vids_strf)),
+    )
+    movi_body = _chunk(b"00wb", b"\x00\x01" * 8)  # stream-0 audio chunk
+    for fr in frames:
+        movi_body += _chunk(b"01dc", fr)
+    movi = _list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    w, h, fps, out = demux_avi_mjpeg(avi)
+    assert (w, h, fps) == (16, 16, 30)
+    assert out == frames
+
+    # two video streams: handler validated is the FIRST vids stream's —
+    # an H264 second video stream must not poison the MJPG stream-0 decode
+    hdrl2 = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", vids_strh) + _chunk(b"strf", vids_strf))
+        + _list(
+            b"strl",
+            _chunk(b"strh", b"vids" + b"H264" + vids_strh[8:])
+            + _chunk(b"strf", vids_strf),
+        ),
+    )
+    movi2 = _list(
+        b"movi", b"".join(_chunk(b"00dc", fr) for fr in frames)
+    )
+    body2 = b"AVI " + hdrl2 + movi2
+    w2, h2, fps2, out2 = demux_avi_mjpeg(
+        b"RIFF" + len(body2).to_bytes(4, "little") + body2
+    )
+    assert out2 == frames
+
+
 def test_avi_non_mjpg_handler_gated():
     frames = [
         encode_jpeg(fr, subsampling="420") for fr in mm.mjpeg_fixture_frames(2)
