@@ -60,11 +60,62 @@ GRAPH_M = 12
 GRAPH_BEAM = 8
 GRAPH_HOPS = 6
 
+# Per-bucket candidate cap for the capped build path (round 12): at most
+# this many dst candidates are kept per sign bucket (smallest vec_ids —
+# the id that wins every tie-break), making construction pair work a
+# HARD bound instead of an expectation. 64 mirrors the LSH hot-bucket
+# guard default (`dedup.banded_candidate_pairs` max_bucket_size).
+GRAPH_MAX_BUCKET = 64
 
-def graph_names(sf_dir: str, bits: int = GRAPH_BITS, m: int = GRAPH_M) -> tuple[str]:
+# The flat hub mesh is O(4^bits) edges (module docstring) — past 2^12
+# buckets the hub layer needs its own NSW level, so the bits(n)
+# schedule saturates here and hands skew control to GRAPH_MAX_BUCKET.
+GRAPH_BITS_CEIL = 12
+
+
+def graph_bits_for(
+    n: int,
+    target_bucket: int = GRAPH_MAX_BUCKET,
+    floor_bits: int = GRAPH_BITS,
+    ceil_bits: int = GRAPH_BITS_CEIL,
+) -> int:
+    """bits(n) schedule keeping per-bucket pair work ~constant.
+
+    Derivation (the round-11 verdict's ask): with ``bits`` sign bits the
+    expected bucket population is N/2^bits, and each node scores its
+    home + ``bits`` Hamming-1 buckets, so construction pair work is
+    ~N·(bits+1)·min(N/2^bits, cap). Holding the expected bucket at the
+    cap — bits = log2(N/cap) — makes that N·(log2(N/cap)+1)·cap =
+    O(N log N), sub-quadratic by construction; the per-bucket cap
+    (`max_bucket`) turns the expectation into a hard bound on skewed
+    corpora. The schedule floors at GRAPH_BITS (fixture parity) and
+    saturates at GRAPH_BITS_CEIL (the flat-hub-mesh limit): past 2^12
+    buckets bits stops growing and the cap alone bounds per-bucket
+    work. log2(N/cap) rounds to nearest (a half-bit either way moves the
+    expected bucket by at most sqrt(2)× — noise next to corpus skew).
+    Points on the curve: N=20k → 8 (docs/GRAPH_SF1_r11.json's
+    hand-picked value, recovered), N=200k → 12, N=2M → 12 (saturated;
+    docs/GRAPH_SF100_r12.json).
+    """
+    import math
+
+    if n <= target_bucket:
+        return floor_bits
+    sched = math.floor(math.log2(n / target_bucket) + 0.5)
+    return max(floor_bits, min(ceil_bits, sched))
+
+
+def graph_names(
+    sf_dir: str,
+    bits: int = GRAPH_BITS,
+    m: int = GRAPH_M,
+    max_bucket: int | None = None,
+) -> tuple[str]:
     key = f"{sf_dir}|graph" if (bits, m) == (GRAPH_BITS, GRAPH_M) else (
         f"{sf_dir}|graph|{bits}|{m}"
     )
+    if max_bucket is not None:
+        key += f"|cap{max_bucket}"
     tag = hashlib.md5(key.encode()).hexdigest()[:8]
     return (f"gr_edges_{tag}",)
 
@@ -80,11 +131,104 @@ def _bucket_col(emb, bits: int):
     return b.cast("long")
 
 
+def _local_edges_capped(
+    spark: SparkSession,
+    bkt: DataFrame,
+    bits: int,
+    m: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Top-``m`` local edges with a hard per-bucket candidate cap.
+
+    Shape: (1) one window pass truncates every sign bucket to its
+    ``max_bucket`` smallest vec_ids — the dst-candidate model, bounded
+    at 2^bits·cap rows by construction — collected and broadcast;
+    (2) one map-only `mapInPandas` pass over the corpus scores each
+    node against its home + Hamming-1 probe buckets' candidates with
+    `npkernel` scaled-int64 cosine (bit-identical to the JVM
+    `similarity.cosine` fold) and emits its top-m. No pair shuffle:
+    the only wide op is the candidate window, over N rows not N² pairs.
+    All rows sharing a home bucket share one candidate matrix, so the
+    scoring is a blocked (srcs × candidates) numpy product per batch
+    group, not per-row Python."""
+    import pandas as pd
+
+    wb = Window.partitionBy("b").orderBy(F.col("vec_id").asc())
+    cand_rows = (
+        bkt.withColumn("__rk", F.row_number().over(wb))
+        .filter(F.col("__rk") <= max_bucket)
+        .select("b", "vec_id", "embedding")
+        .collect()
+    )
+    cand: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    grouped: dict[int, list] = {}
+    for r in cand_rows:
+        grouped.setdefault(int(r[0]), []).append(r)
+    for b, rows in grouped.items():
+        rows.sort(key=lambda r: int(r[1]))
+        ids = np.asarray([int(r[1]) for r in rows], dtype=np.int64)
+        embs = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
+        cand[b] = (ids, embs, npk.self_norms_scaled(embs))
+    bc = spark.sparkContext.broadcast(cand)
+
+    def score(batches):
+        model = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            bs = pdf["b"].to_numpy(dtype=np.int64)
+            embs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            out_src: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_dst: list[np.ndarray] = []
+            for b in np.unique(bs):
+                probes = [int(b)] + [int(b) ^ (1 << j) for j in range(bits)]
+                hit = [model[p] for p in probes if p in model]
+                if not hit:
+                    continue
+                # each dst lives in exactly one sign bucket -> no dups
+                cids = np.concatenate([h[0] for h in hit])
+                cembs = np.vstack([h[1] for h in hit])
+                sbb = np.concatenate([h[2] for h in hit])
+                mask = bs == b
+                S, sids = embs[mask], ids[mask]
+                saa = npk.self_norms_scaled(S)
+                for lo in range(0, len(sids), 128):
+                    Sg = S[lo : lo + 128]
+                    g_ids = sids[lo : lo + 128]
+                    g_saa = saa[lo : lo + 128]
+                    cos = npk.dot_scaled(Sg, cembs).astype(np.float64) / (
+                        np.sqrt(g_saa.astype(np.float64))[:, None]
+                        * np.sqrt(sbb.astype(np.float64))[None, :]
+                    )
+                    cos[g_ids[:, None] == cids[None, :]] = -np.inf  # self
+                    for i in range(len(g_ids)):
+                        order = np.lexsort((cids, -cos[i]))[:m]
+                        keep = order[np.isfinite(cos[i][order])]
+                        out_src.append(
+                            np.full(len(keep), g_ids[i], dtype=np.int64)
+                        )
+                        out_b.append(np.full(len(keep), int(b), dtype=np.int64))
+                        out_dst.append(cids[keep])
+            if out_src:
+                yield pd.DataFrame(
+                    {
+                        "src": np.concatenate(out_src),
+                        "src_b": np.concatenate(out_b),
+                        "dst": np.concatenate(out_dst),
+                    }
+                )
+
+    return bkt.mapInPandas(score, "src long, src_b long, dst long")
+
+
 def ensure_graph_index(
     spark: SparkSession,
     sf_dir: str,
     bits: int | None = None,
     m: int | None = None,
+    max_bucket: int | None = None,
 ) -> tuple[str]:
     """Build (once per sf_dir) the NSW edge table:
     (src, dst, dst_emb) partitioned by src_b = src's bucket, one file
@@ -102,19 +246,40 @@ def ensure_graph_index(
     bits=8 at 20k vectors; docs/GRAPH_SF10_r11.json bits=12 at 200k,
     recall 1.0 visiting 0.8% of the corpus).
 
+    HARD PER-BUCKET CAP (round 12, the verdict's lead item): with
+    ``max_bucket=C`` each sign bucket contributes at most its C
+    smallest-vec_id members as dst candidates — the LSH hot-bucket
+    guard (`dedup.banded_candidate_pairs` max_bucket_size) applied to
+    graph construction. Pair work becomes a hard N·(bits+1)·C bound
+    (O(N log N) under the `graph_bits_for` schedule) instead of an
+    expectation that corpus skew can blow up. "Smallest ids kept" is
+    the right truncation direction: every tie-break in build, serve and
+    oracle resolves toward the smaller vec_id, so the retained backbone
+    is exactly the set the uncapped graph prefers (and each bucket's
+    hub, min vec_id, is always retained). The capped path scores
+    candidates with a broadcast candidate table + one map-only
+    `mapInPandas` pass (npkernel scaled-int64 arithmetic, bit-identical
+    to the JVM fold — pinned by tests/test_round12_ops.py's
+    capped≡uncapped edge-set check), so construction has NO pair
+    shuffle at all; the model broadcast is bounded at
+    2^bits·C rows (≤262k embeddings at the bits=12 ceiling).
+    ``max_bucket=None`` keeps the original pure-JVM pair-join path
+    (the registered fixture entry's oracle replays that one).
+
     KNOWN SCALE LIMIT of the flat hub mesh: hubs are fully
     interconnected, so hub edges are O(4^bits) rows (2.46M of the 4.86M
     edges at bits=12) and hop 1 expands the whole hub set. Fine through
-    ~2^12 buckets; past that the hub layer should itself become a
-    second NSW level over the hub vectors (HNSW's hierarchy, built with
-    this same deterministic recipe on bits/2) — documented here rather
-    than implemented, since the fixture scales never reach it."""
+    ~2^12 buckets (= GRAPH_BITS_CEIL, where `graph_bits_for`
+    saturates); past that the hub layer should itself become a second
+    NSW level over the hub vectors (HNSW's hierarchy, built with this
+    same deterministic recipe on bits/2) — documented here rather than
+    implemented, since the fixture scales never reach it."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
     bits = GRAPH_BITS if bits is None else bits
     m = GRAPH_M if m is None else m
-    (edges_name,) = graph_names(sf_dir, bits, m)
+    (edges_name,) = graph_names(sf_dir, bits, m, max_bucket)
     if spark.catalog.tableExists(edges_name):
         return (edges_name,)
     spark.sql(f"DROP TABLE IF EXISTS {edges_name}")
@@ -125,37 +290,42 @@ def ensure_graph_index(
     bkt = e.select(
         "vec_id", "embedding", _bucket_col(F.col("embedding"), bits).alias("b")
     )
-    # each node probes its home bucket + the `bits` Hamming-1 buckets
-    probes = F.array(
-        F.col("b"), *[F.expr(f"b ^ {1 << j}").cast("long") for j in range(bits)]
-    )
-    src = bkt.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("src_emb"),
-        F.col("b").alias("src_b"),
-        F.explode(probes).alias("pb"),
-    )
-    dst = bkt.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("dst_emb"),
-        F.col("b").alias("pb"),
-    )
-    pairs = src.join(dst, "pb").filter(F.col("src") != F.col("dst"))
-    scored = pairs.select(
-        "src",
-        "src_b",
-        "dst",
-        "dst_emb",
-        sim.cosine(F.col("src_emb"), F.col("dst_emb")).alias("cos"),
-    )
-    w = Window.partitionBy("src").orderBy(
-        F.col("cos").desc(), F.col("dst").asc()
-    )
-    local = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= m)
-        .select("src", "src_b", "dst")
-    )
+    if max_bucket is None:
+        # each node probes its home bucket + the `bits` Hamming-1 buckets
+        probes = F.array(
+            F.col("b"), *[F.expr(f"b ^ {1 << j}").cast("long") for j in range(bits)]
+        )
+        src = bkt.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("src_emb"),
+            F.col("b").alias("src_b"),
+            F.explode(probes).alias("pb"),
+        )
+        dst = bkt.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("dst_emb"),
+            F.col("b").alias("pb"),
+        )
+        pairs = src.join(dst, "pb").filter(F.col("src") != F.col("dst"))
+        # cos only — dst_emb must NOT ride the pair shuffle through the
+        # window (round-12 fix: it's rejoined once onto the N·M final
+        # edges below, cutting the all-pairs shuffle bytes ~8x)
+        scored = pairs.select(
+            "src",
+            "src_b",
+            "dst",
+            sim.cosine(F.col("src_emb"), F.col("dst_emb")).alias("cos"),
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("cos").desc(), F.col("dst").asc()
+        )
+        local = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= m)
+            .select("src", "src_b", "dst")
+        )
+    else:
+        local = _local_edges_capped(spark, bkt, bits, m, max_bucket)
     hubs = bkt.groupBy("b").agg(F.min("vec_id").alias("hub"))
     hub_edges = (
         hubs.select(F.col("hub").alias("src"), F.col("b").alias("src_b"))

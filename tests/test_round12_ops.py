@@ -1,0 +1,104 @@
+"""Round-12 surfaces: graph-ANN build scaling law (bits(n) schedule +
+hard per-bucket candidate cap — the round-11 verdict's lead item)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processor_spark.operators import graphann as ga
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_graph_bits_schedule():
+    """bits(n) = round(log2(n/cap)), floored at the fixture value and
+    saturated at the flat-hub-mesh ceiling; monotone in n."""
+    assert ga.graph_bits_for(500) == ga.GRAPH_BITS  # fixture scale
+    assert ga.graph_bits_for(64) == ga.GRAPH_BITS  # n <= cap
+    assert ga.graph_bits_for(20_000) == 8  # recovers GRAPH_SF1_r11's pick
+    assert ga.graph_bits_for(200_000) == 12  # recovers GRAPH_SF10_r11's pick
+    assert ga.graph_bits_for(2_000_000) == ga.GRAPH_BITS_CEIL  # saturated
+    assert ga.graph_bits_for(10**9) == ga.GRAPH_BITS_CEIL
+    vals = [ga.graph_bits_for(n) for n in (100, 1000, 10**4, 10**5, 10**6, 10**7)]
+    assert vals == sorted(vals)
+    # per-bucket work target: expected bucket N/2^bits stays within 2x
+    # of the cap wherever the schedule is unsaturated
+    for n in (5_000, 50_000, 500_000):
+        b = ga.graph_bits_for(n)
+        if b < ga.GRAPH_BITS_CEIL:
+            assert n / (1 << b) <= 2 * ga.GRAPH_MAX_BUCKET
+
+
+def _edge_sets(spark, name):
+    rows = spark.table(name).select("src", "dst").collect()
+    return {(int(r[0]), int(r[1])) for r in rows}
+
+
+def test_graph_capped_build_matches_uncapped(spark):
+    """With the cap above every bucket population the capped (numpy,
+    broadcast-model, no pair shuffle) build must produce EXACTLY the
+    uncapped JVM pair-join's edge set — pins the scaled-int64 arithmetic
+    parity between `npkernel` and `similarity.cosine` on the build
+    path, not just the serve path."""
+    (uncapped,) = ga.ensure_graph_index(spark, SF_SMALL)
+    (capped,) = ga.ensure_graph_index(spark, SF_SMALL, max_bucket=10_000)
+    try:
+        assert _edge_sets(spark, capped) == _edge_sets(spark, uncapped)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {capped}")
+
+
+def test_graph_cap_enforced_and_serveable(spark):
+    """A tight cap must hold as a HARD bound: every edge's dst lies in
+    its own bucket's `cap` smallest vec_ids (the retained backbone),
+    per-src local degree stays <= m, hubs survive truncation (hub = min
+    id, always retained), and the capped graph still serves sane
+    top-10s."""
+    from stream_processor_spark.catalog import Tables
+
+    cap = 4
+    (name,) = ga.ensure_graph_index(spark, SF_SMALL, max_bucket=cap)
+    try:
+        bkt = (
+            Tables(spark, SF_SMALL)
+            .embeddings.select(
+                "vec_id",
+                "embedding",
+                ga._bucket_col(F.col("embedding"), ga.GRAPH_BITS).alias("b"),
+            )
+            .collect()
+        )
+        by_bucket: dict[int, list[int]] = {}
+        emb_by_id = {}
+        for r in bkt:
+            by_bucket.setdefault(int(r[2]), []).append(int(r[0]))
+            emb_by_id[int(r[0])] = np.asarray(r[1], dtype=np.float64)
+        allowed = {
+            b: set(sorted(ids)[:cap]) for b, ids in by_bucket.items()
+        }
+        assert any(len(ids) > cap for ids in by_bucket.values()), (
+            "fixture must actually exercise truncation"
+        )
+        bucket_of = {
+            v: b for b, ids in by_bucket.items() for v in ids
+        }
+        edges = spark.table(name).select("src", "dst").collect()
+        degree: dict[int, int] = {}
+        hubs = {min(ids) for ids in by_bucket.values()}
+        for r in edges:
+            s, d = int(r[0]), int(r[1])
+            assert d in allowed[bucket_of[d]], (s, d)
+            if s not in hubs or d not in hubs:
+                degree[s] = degree.get(s, 0) + 1
+        assert degree and max(degree.values()) <= ga.GRAPH_M
+        # every corpus node has out-edges (the src side is never capped)
+        assert {int(r[0]) for r in edges} == set(emb_by_id)
+        got = ga.graph_query_indexed(
+            spark, name, emb_by_id[0], topk=10
+        ).collect()
+        assert len(got) == 10
+        assert got[0].cosine == pytest.approx(1.0)  # finds the query itself
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
