@@ -102,3 +102,25 @@ def test_graph_cap_enforced_and_serveable(spark):
         assert got[0].cosine == pytest.approx(1.0)  # finds the query itself
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_hamming_point_read_fast_path(spark):
+    """The driver-side parquet point read must agree with the Spark
+    lookup on a present id, report absence as None (so the caller's
+    loud-failure guard still fires), and the serve must stay correct
+    end to end."""
+    from stream_processor_spark.operators import annindex as ai
+
+    (sig_name,) = ai.ensure_sign_index(spark, SF_SMALL)
+    sigs = spark.table(sig_name)
+    row = ai._point_read_row(sigs, "vec_id", 0, ["sig_lo", "sig_hi"])
+    assert row is not None, "small layout must take the point-read path"
+    jrow = sigs.filter("vec_id = 0").select("sig_lo", "sig_hi").head()
+    assert row == (jrow[0], jrow[1])
+    assert (
+        ai._point_read_row(sigs, "vec_id", -999, ["sig_lo", "sig_hi"]) is None
+    )
+    with pytest.raises(ValueError, match="not found"):
+        ai.hamming_query_indexed(spark, sig_name, query_vec_id=-999)
+    top = ai.hamming_query_indexed(spark, sig_name, query_vec_id=0).collect()
+    assert top[0].vec_id == 0 and top[0].hamming == 0
