@@ -245,6 +245,15 @@ def dlq_split(t):
 # ---------------------------------------------- ingest-time extraction ----
 
 
+def events_extracted_names(sf_dir: str) -> tuple[str]:
+    """Deterministic table name for the ingest-extracted events layout
+    (the router's `events_extracted` layout key)."""
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}|evx".encode()).hexdigest()[:8]
+    return (f"events_extracted_{tag}",)
+
+
 def _ensure_events_extracted(spark, sf_dir: str) -> str:
     """Persist (once per sf_dir) the events stream with `k` ALREADY
     extracted from the `props` JSON — the ingest-time-extraction layout
@@ -259,10 +268,7 @@ def _ensure_events_extracted(spark, sf_dir: str) -> str:
     the faithful per-query operator keeps get_json_object and THIS
     layout is the scale answer — the same build-once/serve-many split
     as `annindex.ensure_ivf_index`."""
-    import hashlib
-
-    tag = hashlib.md5(f"{sf_dir}|evx".encode()).hexdigest()[:8]
-    name = f"events_extracted_{tag}"
+    (name,) = events_extracted_names(sf_dir)
     if spark.catalog.tableExists(name):
         return name
     from stream_processor_spark.catalog import Tables

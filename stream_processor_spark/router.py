@@ -184,6 +184,24 @@ def _build_graph(spark: SparkSession, sf_dir: str) -> None:
     ensure_graph_index(spark, sf_dir)
 
 
+def _events_extracted_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, ...]:
+    from stream_processor_spark.queries.reference import (
+        events_extracted_names,
+    )
+
+    return events_extracted_names(sf_dir)
+
+
+def _build_events_extracted(spark: SparkSession, sf_dir: str) -> None:
+    from stream_processor_spark.queries.reference import (
+        _ensure_events_extracted,
+    )
+
+    _ensure_events_extracted(spark, sf_dir)
+
+
 def _zonemap_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
     from stream_processor_spark.operators.zonemap import zonemap_names
 
@@ -209,6 +227,7 @@ LAYOUTS = {
     "ivfpq_index": (_ivfpq_tables, _build_ivfpq),
     "sign_index": (_sign_tables, _build_sign),
     "graph_index": (_graph_tables, _build_graph),
+    "events_extracted": (_events_extracted_tables, _build_events_extracted),
 }
 
 # semantic name -> Route. Both registry entries of a route share result
@@ -262,6 +281,11 @@ ROUTES = {
     "ann_ivfpq_multi": Route(
         "ivfpq_index", "sim_ann_ivfpq_multiquery", None
     ),
+    # the parse-at-read twin is reference-faithful but permanently
+    # parse-bound (docs/DLQ_PARSE_AB_r11_sf10ev.json); routing by
+    # layout makes the ingest-extracted fast path the default once the
+    # layout lands, without callers knowing two entries exist
+    "dlq": Route("events_extracted", "dlq_split_extracted", "dlq_split"),
 }
 
 

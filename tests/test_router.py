@@ -21,7 +21,14 @@ def routed_dir(tmp_path):
     catalog (routes start un-indexed)."""
     d = tmp_path / "sf"
     d.mkdir()
-    for t in ("documents", "embeddings", "lineitem", "orders", "customer"):
+    for t in (
+        "documents",
+        "embeddings",
+        "lineitem",
+        "orders",
+        "customer",
+        "events",
+    ):
         shutil.copy(os.path.join(SF_SMALL, f"{t}.parquet"), d / f"{t}.parquet")
     return str(d)
 
@@ -159,3 +166,27 @@ def test_binary_ann_route_flips_on_sign_layout(spark, routed_dir):
     r.ensure("ann_binary")
     assert r.resolve("ann_binary") == ("sim_ann_hamming_indexed", "indexed")
     assert _rows(r.query("ann_binary")) == scratch_rows
+
+
+def test_dlq_route_flips_on_extracted_layout(spark, routed_dir):
+    """Round-12 (verdict item 3): the parse-bound `dlq_split` twin is
+    chosen only while the ingest-extracted events layout is absent;
+    once it lands the route serves `dlq_split_extracted` — same rows,
+    zero JSON parse in the indexed plan."""
+    from stream_processor_spark.queries.reference import (
+        events_extracted_names,
+    )
+
+    r = Router(spark, routed_dir)
+    assert r.resolve("dlq") == ("dlq_split", "scratch")
+    scratch_rows = _rows(r.query("dlq"))
+    (extracted,) = events_extracted_names(routed_dir)
+    plan = r.query("dlq")._jdf.queryExecution().analyzed().toString()
+    assert extracted not in plan and "get_json_object" in plan
+
+    r.ensure("dlq")
+    assert r.resolve("dlq") == ("dlq_split_extracted", "indexed")
+    indexed = r.query("dlq")
+    plan = indexed._jdf.queryExecution().analyzed().toString()
+    assert extracted in plan and "get_json_object" not in plan
+    assert _rows(indexed) == scratch_rows
