@@ -1247,6 +1247,39 @@ def append_sign_index(
     )
 
 
+def stream_sign_updates(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    sig_name: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+):
+    """Maintain the binary sign-signature layout from a vector STREAM
+    (round 12: `stream_ivf_updates` extended to the flat sign table):
+    each micro-batch packs ONLY the new vectors' signatures through
+    :func:`append_sign_index` via foreachBatch — O(batch), there is no
+    corpus model to consult at all.
+
+    Delivery contract: at-least-once appends; a foreachBatch retry
+    re-inserts byte-identical rows (the packing is a pure per-vector
+    function). Serving heals replays exactly with
+    ``hamming_query_indexed(..., dedup_replays=True)``; every
+    ``compact_every`` batches :func:`compact_flat_index` removes the
+    duplicates and restores the size-based file profile permanently."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        append_sign_index(spark, sig_name, batch_df)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_flat_index(spark, sig_name)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _point_read_row(
     df: DataFrame,
     key_col: str,
@@ -1293,12 +1326,21 @@ def hamming_query_indexed(
     sig_name: str,
     query_vec_id: int = 0,
     k: int = 50,
+    dedup_replays: bool = False,
 ) -> DataFrame:
     """Hamming shortlist served from the persisted signature table: the
     query's own signature comes from the SAME table (one-row filter,
     broadcast), then XOR + bit_count over 16-byte rows — per-query cost
-    is one slim-table scan regardless of embedding width."""
+    is one slim-table scan regardless of embedding width.
+
+    ``dedup_replays=True`` drops duplicate vec_ids first (replayed
+    `stream_sign_updates` appends insert byte-identical rows, so the
+    key dedup is exact); leave False for batch-built or freshly
+    compacted layouts — the duplicate-free common case keeps the serve
+    a pure scan + TakeOrdered."""
     sigs = spark.table(sig_name)
+    if dedup_replays:
+        sigs = sigs.dropDuplicates(["vec_id"])
     # The query-signature lookup hydrates a 16-BYTE model row, and on a
     # size-based layout (`_flat_file_count`, one ~32 MiB file per
     # decade of corpus) the whole serve was TWO Spark jobs for one

@@ -414,33 +414,17 @@ def compact_postings(
     at-least-once streaming appends are healed PERMANENTLY here, so
     steady-state serving can drop its per-query dedup aggregate —
     compaction is where replay damage gets repaired for good, exactly
-    as in every LSM store. Returns the bucket count."""
+    as in every LSM store. Returns the bucket count. (Round 12: the
+    staging+swap body moved to `storage.compact_bucketed_table`, shared
+    with the minhash layouts.)"""
     from stream_processor_spark.operators.storage import (
-        drop_warehouse_dir,
-        recover_swap,
-        swap_tables,
+        compact_bucketed_table,
     )
 
-    recover_swap(spark, post_name, f"{post_name}_compacting")
-    num_buckets = None
-    for r in spark.sql(f"DESCRIBE FORMATTED {post_name}").collect():
-        if str(r[0]).strip().startswith("Num Buckets"):
-            num_buckets = int(str(r[1]).strip())
-    if num_buckets is None:
-        raise ValueError(f"{post_name} is not a bucketed table")
-
-    rows = spark.table(post_name)
-    if dedup_replays:
-        rows = rows.dropDuplicates(["tok", "doc_id"])
-    tmp = f"{post_name}_compacting"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    drop_warehouse_dir(spark, tmp)
-    (
-        rows.repartition(num_buckets, F.col("tok"))
-        .write.bucketBy(num_buckets, "tok")
-        .sortBy("tok")
-        .format("parquet")
-        .saveAsTable(tmp)
+    return compact_bucketed_table(
+        spark,
+        post_name,
+        "tok",
+        dedup_keys=("tok", "doc_id") if dedup_replays else None,
+        sort_col="tok",
     )
-    swap_tables(spark, post_name, tmp)
-    return num_buckets

@@ -268,6 +268,46 @@ def compact_files(
     )
 
 
+def compact_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    bucket_col: str,
+    dedup_keys: tuple[str, ...] | None = None,
+    sort_col: str | None = None,
+) -> int:
+    """Restore the one-file-per-bucket read profile of a BUCKETED
+    catalog table after LSM-style appends (round 12: the
+    `compact_postings` protocol generalized so every bucketed layout —
+    postings, minhash bands, minhash hash-sets — shares one staging+
+    swap implementation). ``dedup_keys`` permanently heals byte-
+    identical rows left by at-least-once streaming replays. The swap is
+    NOT atomic (no catalog transaction): single writer, quiesced
+    readers; every crash point is healed by `recover_swap`, which runs
+    first. Returns the bucket count."""
+    recover_swap(spark, name, f"{name}_compacting")
+    num_buckets = None
+    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+        if str(r[0]).strip().startswith("Num Buckets"):
+            num_buckets = int(str(r[1]).strip())
+    if num_buckets is None:
+        raise ValueError(f"{name} is not a bucketed table")
+    rows = spark.table(name)
+    if dedup_keys:
+        rows = rows.dropDuplicates(list(dedup_keys))
+    tmp = f"{name}_compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    drop_warehouse_dir(spark, tmp)
+    (
+        rows.repartition(num_buckets, F.col(bucket_col))
+        .write.bucketBy(num_buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    swap_tables(spark, name, tmp)
+    return num_buckets
+
+
 # ---------------------------------------------------------------- z-order ----
 
 _MORTON_MASKS = (

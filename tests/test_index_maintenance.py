@@ -825,3 +825,146 @@ def test_streaming_ivf_compact_every(spark, tmp_path):
         spark, lists_name, cent_name, qvec, nprobe=2, topk=5
     ).collect()
     assert len(got) == 5 and got[0].vec_id == 3
+
+
+def test_streaming_minhash_updates_and_replay_healing(spark, tmp_path):
+    """Round-12 (verdict item 5): the `stream_ivf_updates` discipline on
+    the MinHash layout — documents arrive as a file stream, each batch
+    appends via foreachBatch; streamed append ≡ full rebuild for the
+    served pairs; a replayed append is healed at serve time and
+    PERMANENTLY by compact_minhash_index, which also restores the
+    one-file-per-bucket profile."""
+    from stream_processor_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        ensure_minhash_index,
+        minhash_pairs_from_index,
+        stream_minhash_updates,
+    )
+
+    a_dir, full_dir = _docs_dirs(tmp_path, spark)
+    bands_a, hset_a = ensure_minhash_index(spark, a_dir)
+
+    docs = spark.read.parquet(os.path.join(full_dir, "documents.parquet"))
+    stream_src = tmp_path / "docs_in"
+    docs.filter("doc_id >= 300 AND doc_id < 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    docs.filter("doc_id >= 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    doc_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = stream_minhash_updates(
+        spark, doc_stream, bands_a, hset_a, str(tmp_path / "mh_ckpt")
+    )
+    q.awaitTermination(120)
+
+    def pairs(b, h, **kw):
+        return sorted(
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in minhash_pairs_from_index(spark, b, h, **kw).collect()
+        )
+
+    bands_f, hset_f = ensure_minhash_index(spark, full_dir)
+    want = pairs(bands_f, hset_f)
+    assert pairs(bands_a, hset_a) == want and len(want) > 0
+
+    # foreachBatch retry: identical rows re-inserted
+    append_minhash_index(
+        spark, bands_a, hset_a, docs.filter("doc_id >= 400")
+    )
+    dup = (
+        spark.table(bands_a)
+        .groupBy("doc_id", "band_idx")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup > 0  # the replay really did land twice
+    assert pairs(bands_a, hset_a) == want  # dedup_replays default heals
+
+    compact_minhash_index(spark, bands_a, hset_a)
+    assert (
+        spark.table(bands_a)
+        .groupBy("doc_id", "band_idx")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    # healed permanently: serving with healing OFF is now also correct
+    assert pairs(bands_a, hset_a, dedup_replays=False) == want
+
+
+def test_streaming_sign_updates_and_replay_healing(spark, tmp_path):
+    """Round-12 (verdict item 5): streaming maintenance of the sign
+    layout — streamed append ≡ full rebuild byte-for-byte, replay
+    healed at serve by dedup_replays and permanently by
+    compact_flat_index."""
+    from stream_processor_spark.operators.annindex import (
+        append_sign_index,
+        compact_flat_index,
+        ensure_sign_index,
+        hamming_query_indexed,
+        stream_sign_updates,
+    )
+
+    full_dir, a_dir = tmp_path / "sfull", tmp_path / "sa"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    shutil.copy(src, full_dir / "embeddings.parquet")
+    (sig_a,) = ensure_sign_index(spark, str(a_dir))
+
+    stream_src = tmp_path / "vec_in"
+    emb.filter("vec_id >= 300 AND vec_id < 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    emb.filter("vec_id >= 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    vec_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = stream_sign_updates(
+        spark, vec_stream, sig_a, str(tmp_path / "sig_ckpt")
+    )
+    q.awaitTermination(120)
+
+    (sig_f,) = ensure_sign_index(spark, str(full_dir))
+    rows_a = sorted(tuple(r) for r in spark.table(sig_a).collect())
+    rows_f = sorted(tuple(r) for r in spark.table(sig_f).collect())
+    assert rows_a == rows_f and len(rows_a) == emb.count()
+
+    def serve(**kw):
+        return [
+            tuple(r)
+            for r in hamming_query_indexed(
+                spark, sig_a, 0, k=20, **kw
+            ).collect()
+        ]
+
+    baseline = serve()
+    assert baseline[0] == (0, 0)
+
+    # foreachBatch retry: identical rows re-inserted
+    append_sign_index(spark, sig_a, emb.filter("vec_id >= 400"))
+    assert (
+        spark.table(sig_a).groupBy("vec_id").count().filter("count > 1").count()
+        > 0
+    )
+    assert serve(dedup_replays=True) == baseline
+
+    compact_flat_index(spark, sig_a)
+    assert (
+        spark.table(sig_a).groupBy("vec_id").count().filter("count > 1").count()
+        == 0
+    )
+    assert serve() == baseline
