@@ -13,10 +13,11 @@ capability ceiling).
 
 Interlaced images decode for real (the 4-pass row schedule,
 `gif_interlace_order` — verified ORDER-SENSITIVELY by the
-position-weighted oracle of `multimodal_gif_interlaced`), and local
-color tables override the global one per image. Scope gates (honest
-NotImplementedError, same contract as decode_png): files with NO color
-table at all; GIF89a extension blocks are skipped, and multi-image
+position-weighted oracle of `multimodal_gif_interlaced`), local
+color tables override the global one per image, and files with NO
+color table at all decode through a DEFINED grayscale identity
+fallback (round 12, `multimodal_gif_notable_stats`). Remaining scope
+gates: GIF89a extension blocks are skipped, and multi-image
 animations decode only their first frame. Transparency (GCE) is
 ignored — stats operate on the palette RGB, matching how a curation
 pipeline treats stills.
@@ -181,7 +182,11 @@ def gif_interlace_order(h: int) -> list[int]:
 
 
 def encode_gif(
-    indices, palette, interlace: bool = False, local_table: bool = False
+    indices,
+    palette,
+    interlace: bool = False,
+    local_table: bool = False,
+    no_table: bool = False,
 ) -> bytes:
     """Encode an (H, W) uint8 index array + (256, 3) palette as a
     GIF87a file: logical screen descriptor, color table, one image
@@ -189,25 +194,34 @@ def encode_gif(
     sub-blocks, trailer. ``interlace=True`` stores rows in the 4-pass
     schedule with the descriptor flag set; ``local_table=True`` ships
     the palette as the image's LOCAL color table instead of a global
-    one (the multi-image-friendly layout real GIF writers use)."""
+    one (the multi-image-friendly layout real GIF writers use);
+    ``no_table=True`` writes NO color table anywhere (palette may be
+    None) — the spec-legal file real encoders emit when the palette is
+    agreed out of band, decoded via the documented grayscale fallback
+    (round 12)."""
     idx = np.asarray(indices, dtype=np.uint8)
-    pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2:
         raise ValueError(f"expected (H, W) index array, got {idx.shape}")
-    if pal.shape != (256, 3):
-        raise ValueError(f"expected (256, 3) palette, got {pal.shape}")
+    if no_table:
+        if local_table:
+            raise ValueError("no_table and local_table are exclusive")
+        pal = None
+    else:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.shape != (256, 3):
+            raise ValueError(f"expected (256, 3) palette, got {pal.shape}")
     h, w = idx.shape
 
     out = bytearray(_GIF87A)
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    if local_table:
+    if local_table or no_table:
         out.append(0b0_111_0_000)  # no GCT
     else:
         # packed: GCT flag=1, color resolution 7, sort 0, GCT size 7 (256)
         out.append(0b1_111_0_111)
     out.append(0)  # background color index
     out.append(0)  # pixel aspect ratio
-    if not local_table:
+    if not (local_table or no_table):
         out += pal.tobytes()
 
     out.append(0x2C)  # image separator
@@ -275,7 +289,16 @@ def decode_gif(raw: bytes):
             )
             pos += n_local * 3
         if table is None:
-            raise NotImplementedError("GIF without any color table")
+            # The spec permits files with no color table at all (the
+            # palette travels out of band); decoders must then supply
+            # one. Ours is DEFINED and deterministic: the 256-entry
+            # grayscale identity ramp (i, i, i) — so no-table GIFs
+            # decode to their index plane replicated across RGB, which
+            # is exactly what the multimodal_gif_notable_stats oracle
+            # composes (round 12, closing the last static-GIF gate).
+            table = np.repeat(
+                np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+            )
         min_code_size = raw[pos]
         pos += 1
         comp = bytearray()

@@ -948,20 +948,26 @@ def attach_image_payload(
 
         return df.withColumn("payload", gen_jpg(F.col(id_col)))
 
-    if fmt in ("gif", "gif_interlaced"):
+    if fmt in ("gif", "gif_interlaced", "gif_notable"):
         # GIF is PALETTED: the fixture draws palette indices (one LCG
         # value per pixel) against the closed-form palette, so the
-        # oracle composes the two integer formulas.
+        # oracle composes the two integer formulas. gif_notable ships
+        # NO color table at all — decode supplies the defined
+        # grayscale fallback (round 12).
         from stream_processor_spark.operators.gif import encode_gif
 
         ilace = fmt == "gif_interlaced"
+        notable = fmt == "gif_notable"
 
         @pandas_udf(BinaryType())
         def gen_gif(ids: pd.Series) -> pd.Series:
-            pal = gif_fixture_palette()
+            pal = None if notable else gif_fixture_palette()
             return ids.map(
                 lambda d: encode_gif(
-                    gif_fixture_indices(int(d)), pal, interlace=ilace
+                    gif_fixture_indices(int(d)),
+                    pal,
+                    interlace=ilace,
+                    no_table=notable,
                 )
             )
 
@@ -1144,20 +1150,15 @@ def decode_wav(raw: bytes):
     if fmt == 1 and bits == 16:
         return rate, channels, np.frombuffer(data, dtype="<i2").copy()
     if fmt == _WAVE_FMT_IMA_ADPCM and bits == 4:
-        if channels != 1:
-            raise NotImplementedError(
-                "only mono IMA-ADPCM supported (stereo interleaves "
-                "nibble words per channel)"
-            )
-        if not block_align or block_align < 5:
+        if not block_align or block_align < 4 * channels + 1:
             raise ValueError(f"bad IMA-ADPCM block align {block_align}")
         out = []
         for b0 in range(0, len(data), block_align):
             block = data[b0 : b0 + block_align]
-            if len(block) < 5:
-                break  # trailing pad smaller than a header + one byte
+            if len(block) < 4 * channels + 1:
+                break  # trailing pad smaller than the headers + one byte
             out.append(
-                decode_ima_adpcm_block(block, samples_per_block)
+                decode_ima_adpcm_block(block, samples_per_block, channels)
             )
         return rate, channels, np.concatenate(out) if out else np.zeros(
             0, np.int16
@@ -1204,58 +1205,99 @@ _IMA_STEP_TABLE = [
 _IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
-def decode_ima_adpcm_block(block: bytes, samples_per_block: int | None):
-    """Decode one mono IMA-ADPCM block: 4-byte header (int16 predictor,
-    step index, reserved), then two 4-bit samples per byte (low nibble
-    first). The header predictor IS sample 0. Truly SEQUENTIAL state —
-    each nibble's reconstruction depends on every prior one — which is
-    exactly what the registry oracle replays with a recursive CTE."""
+def decode_ima_adpcm_block(
+    block: bytes, samples_per_block: int | None, channels: int = 1
+):
+    """Decode one IMA-ADPCM block: a 4-byte header PER CHANNEL (int16
+    predictor, step index, reserved), then nibble data in 4-byte words
+    round-robin across channels (the RIFF spec's stereo layout; mono
+    degenerates to plain sequential bytes), two 4-bit samples per byte,
+    low nibble first. Each header predictor IS that channel's sample 0.
+    Truly SEQUENTIAL per-channel state — each nibble's reconstruction
+    depends on every prior one of ITS channel — which is exactly what
+    the registry oracles replay with recursive CTEs (mono
+    `multimodal_adpcm_stats`; stereo `multimodal_adpcm_stereo_stats`,
+    one trajectory per (doc, channel)). Returns channel-interleaved
+    int16 samples (L0 R0 L1 R1 ... for stereo)."""
     import numpy as np
 
-    pred = int.from_bytes(block[0:2], "little", signed=True)
-    index = block[2]
-    if index > 88:
-        raise ValueError(f"IMA-ADPCM step index {index} out of range")
-    out = [pred]
-    for byte in block[4:]:
-        for n in (byte & 0x0F, byte >> 4):
-            step = _IMA_STEP_TABLE[index]
-            diff = step >> 3
-            if n & 1:
-                diff += step >> 2
-            if n & 2:
-                diff += step >> 1
-            if n & 4:
-                diff += step
-            pred = pred - diff if n & 8 else pred + diff
-            pred = max(-32768, min(32767, pred))
-            index = max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
-            out.append(pred)
+    preds, idxs = [], []
+    for c in range(channels):
+        preds.append(
+            int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+        )
+        idxs.append(block[4 * c + 2])
+        if idxs[c] > 88:
+            raise ValueError(f"IMA-ADPCM step index {idxs[c]} out of range")
+    outs = [[p] for p in preds]
+    data = block[4 * channels :]
+    for w0 in range(0, len(data), 4 * channels):
+        for c in range(channels):
+            for byte in data[w0 + 4 * c : w0 + 4 * c + 4]:
+                for n in (byte & 0x0F, byte >> 4):
+                    pred, index = preds[c], idxs[c]
+                    step = _IMA_STEP_TABLE[index]
+                    diff = step >> 3
+                    if n & 1:
+                        diff += step >> 2
+                    if n & 2:
+                        diff += step >> 1
+                    if n & 4:
+                        diff += step
+                    pred = pred - diff if n & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    index = max(0, min(88, index + _IMA_INDEX_TABLE[n & 7]))
+                    preds[c], idxs[c] = pred, index
+                    outs[c].append(pred)
     if samples_per_block is not None:
-        out = out[:samples_per_block]
-    return np.asarray(out, dtype=np.int16)
+        outs = [o[:samples_per_block] for o in outs]
+    if channels == 1:
+        return np.asarray(outs[0], dtype=np.int16)
+    # interleave: frame-major, channel-minor (the WAV sample layout)
+    n_frames = min(len(o) for o in outs)
+    mat = np.asarray(
+        [o[:n_frames] for o in outs], dtype=np.int16
+    )  # (ch, frames)
+    return mat.T.reshape(-1)
 
 
 def encode_wav_ima_adpcm(
-    pred0: int,
-    index0: int,
+    pred0,
+    index0,
     nibble_bytes,
     sample_rate: int = 8000,
 ) -> bytes:
-    """Write a single-block mono IMA-ADPCM RIFF/WAVE file (fmt 0x11,
+    """Write a single-block IMA-ADPCM RIFF/WAVE file (fmt 0x11,
     cbSize=2 with wSamplesPerBlock, fact chunk) from a raw initial state
     + nibble payload. The fixture path: the codeword stream is pinned,
-    the DECODE is what's under test."""
+    the DECODE is what's under test. Mono when ``pred0``/``index0`` are
+    ints and ``nibble_bytes`` is flat; N-channel when they are
+    per-channel sequences and ``nibble_bytes`` is (channels, n) with n a
+    multiple of 4 — data is written as 4-byte words round-robin across
+    channels, the spec's interleave (round 12, closing the stereo
+    gate)."""
     import numpy as np
 
-    nb = np.asarray(nibble_bytes, dtype=np.uint8).reshape(-1)
-    block_align = 4 + nb.size
-    n_samples = 1 + 2 * nb.size
+    if isinstance(pred0, (list, tuple, np.ndarray)):
+        preds = [int(p) for p in pred0]
+        idxs = [int(i) for i in index0]
+        nb = np.asarray(nibble_bytes, dtype=np.uint8)
+        if nb.ndim != 2 or nb.shape[0] != len(preds):
+            raise ValueError("multichannel nibble_bytes must be (channels, n)")
+        if nb.shape[1] % 4:
+            raise ValueError("per-channel nibble bytes must fill 4-byte words")
+    else:
+        preds, idxs = [int(pred0)], [int(index0)]
+        nb = np.asarray(nibble_bytes, dtype=np.uint8).reshape(1, -1)
+    channels = len(preds)
+    per_ch = nb.shape[1]
+    block_align = 4 * channels + channels * per_ch
+    n_samples = 1 + 2 * per_ch  # per channel
     hdr_fmt = (
         b"fmt "
         + (20).to_bytes(4, "little")
         + _WAVE_FMT_IMA_ADPCM.to_bytes(2, "little")
-        + (1).to_bytes(2, "little")            # mono
+        + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + (sample_rate * block_align // max(n_samples, 1)).to_bytes(4, "little")
         + block_align.to_bytes(2, "little")
@@ -1264,11 +1306,18 @@ def encode_wav_ima_adpcm(
         + n_samples.to_bytes(2, "little")      # wSamplesPerBlock
     )
     hdr_fact = b"fact" + (4).to_bytes(4, "little") + n_samples.to_bytes(4, "little")
-    block = (
-        int(pred0).to_bytes(2, "little", signed=True)
-        + bytes([int(index0), 0])
-        + nb.tobytes()
+    headers = b"".join(
+        int(preds[c]).to_bytes(2, "little", signed=True)
+        + bytes([idxs[c], 0])
+        for c in range(channels)
     )
+    if channels == 1:
+        payload = nb.tobytes()
+    else:
+        # words round-robin: ch0 word0, ch1 word0, ch0 word1, ...
+        words = nb.reshape(channels, per_ch // 4, 4)
+        payload = np.ascontiguousarray(words.transpose(1, 0, 2)).tobytes()
+    block = headers + payload
     body = b"data" + len(block).to_bytes(4, "little") + block
     if len(block) & 1:
         body += b"\x00"
@@ -1504,6 +1553,7 @@ def attach_g711_payload(
 
 
 _ADPCM_NB_BASE, _ADPCM_NB_MOD = 8, 5  # data bytes = 8 + doc_id % 5
+_ADPCM_ST_NW_BASE, _ADPCM_ST_NW_MOD = 2, 2  # stereo words/ch = 2 + doc_id % 2
 
 
 def adpcm_fixture(doc_id: int):
@@ -1539,6 +1589,52 @@ def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(lambda d: enc(int(d)))
 
     return df.withColumn("payload", gen_adpcm(F.col(id_col)))
+
+
+def adpcm_stereo_fixture(doc_id: int):
+    """(pred0s, index0s, nibble_bytes (2, 4*nw)) for ``doc_id``: whole
+    4-byte words per channel (the stereo interleave unit), nw = 2 +
+    doc_id % 2 words. Channel 0 nibble bytes at LCG offsets 0..,
+    channel 1 at 200.. (disjoint from every other audio fixture
+    window); initial predictors at offsets 100/102 (±1000), step
+    indexes at 101/103 (0..88)."""
+    import numpy as np
+
+    nw = _ADPCM_ST_NW_BASE + doc_id % _ADPCM_ST_NW_MOD
+    base = (int(doc_id) % _IMG_DOC_MOD) * _IMG_DOC_STRIDE_ODD
+    chans, preds, idxs = [], [], []
+    for c, off in enumerate((0, 200)):
+        j = base + off + np.arange(4 * nw, dtype=np.int64)
+        chans.append(
+            ((_IMG_LCG_A * j + _IMG_LCG_B) % _IMG_LCG_M % 256).astype(np.uint8)
+        )
+        preds.append(
+            int((_IMG_LCG_A * (base + 100 + 2 * c) + _IMG_LCG_B) % _IMG_LCG_M % 2001)
+            - 1000
+        )
+        idxs.append(
+            int((_IMG_LCG_A * (base + 101 + 2 * c) + _IMG_LCG_B) % _IMG_LCG_M % 89)
+        )
+    return preds, idxs, np.stack(chans)
+
+
+def attach_adpcm_stereo_payload(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a REAL STEREO IMA-ADPCM WAV payload per row (8 kHz, one
+    block, per-channel headers + word-interleaved nibble data)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def gen_adpcm2(ids: pd.Series) -> pd.Series:
+        def enc(d: int) -> bytes:
+            preds, idxs, data = adpcm_stereo_fixture(d)
+            return encode_wav_ima_adpcm(preds, idxs, data)
+
+        return ids.map(lambda d: enc(int(d)))
+
+    return df.withColumn("payload", gen_adpcm2(F.col(id_col)))
 
 
 # ------------------------------------------------------------------- Y4M ----

@@ -27,6 +27,17 @@ from stream_processor_spark.queries.base import register
 # Shared audio-stats tail (mirrors the multimodal_wav_stats oracle): a
 # CTE `s(doc_id, i, v)` of decoded linear samples feeds sign-carry
 # zero-crossing and integer energy stats.
+def _audio_stats_tail(channels: int = 1) -> str:
+    """The shared audio-stats oracle tail over s(doc_id, i, v), with
+    the channels literal parameterized (stereo ADPCM, round 12): for
+    multichannel audio ``i`` is the INTERLEAVED sample index, matching
+    the engine's stats over the interleaved int16 array."""
+    return _AUDIO_STATS_TAIL.replace(
+        "CAST(1 AS BIGINT) AS channels",
+        f"CAST({channels} AS BIGINT) AS channels",
+    )
+
+
 _AUDIO_STATS_TAIL = """
     sg AS (
       SELECT doc_id, i, v,
@@ -227,6 +238,78 @@ def multimodal_adpcm_stats(t):
 
 
 @register(
+    "multimodal_adpcm_stereo_stats",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, 2 + doc_id % 2 AS nw FROM documents
+    ),
+    st AS (
+      -- per (doc, channel) initial state: predictors at LCG offsets
+      -- 100/102, step indexes at 101/103 (adpcm_stereo_fixture)
+      SELECT d.doc_id, ch.ch,
+        (((1103515245 * ((d.doc_id % 100000) * 4097 + 100 + 2 * ch.ch)
+            + 12345) % 2147483648) % 2001) - 1000 AS pred0,
+        ((1103515245 * ((d.doc_id % 100000) * 4097 + 101 + 2 * ch.ch)
+            + 12345) % 2147483648) % 89 AS idx0
+      FROM d, range(0, 2) ch(ch)
+    ),
+    nib AS (
+      -- channel 0 nibble bytes at offsets 0.., channel 1 at 200..;
+      -- two nibbles per byte, LOW nibble first (the IMA layout)
+      SELECT d.doc_id, ch.ch, j.j * 2 + h.h AS i,
+        CASE WHEN h.h = 0
+          THEN (((1103515245 * ((d.doc_id % 100000) * 4097
+                    + ch.ch * 200 + j.j) + 12345)
+                  % 2147483648) % 256) % 16
+          ELSE (((1103515245 * ((d.doc_id % 100000) * 4097
+                    + ch.ch * 200 + j.j) + 12345)
+                  % 2147483648) % 256) // 16
+        END AS n
+      FROM d, range(0, 2) ch(ch), range(0, 12) j(j), range(0, 2) h(h)
+      WHERE j.j < 4 * d.nw
+    ),
+    dec AS (
+      -- one independent state trajectory PER CHANNEL (the word
+      -- interleave only affects byte placement, not channel state)
+      SELECT doc_id, ch, 0 AS i, pred0 AS pred, idx0 AS idx FROM st
+      UNION ALL
+      SELECT dec.doc_id, dec.ch, dec.i + 1,
+        greatest(least(dec.pred
+          + (CASE WHEN (nib.n & 8) <> 0 THEN -1 ELSE 1 END)
+          * ( ({_IMA_STEP_SQL}[dec.idx + 1] // 8)
+            + CASE WHEN (nib.n & 1) <> 0
+                THEN {_IMA_STEP_SQL}[dec.idx + 1] // 4 ELSE 0 END
+            + CASE WHEN (nib.n & 2) <> 0
+                THEN {_IMA_STEP_SQL}[dec.idx + 1] // 2 ELSE 0 END
+            + CASE WHEN (nib.n & 4) <> 0
+                THEN {_IMA_STEP_SQL}[dec.idx + 1] ELSE 0 END),
+          32767), -32768),
+        greatest(least(dec.idx + [-1,-1,-1,-1,2,4,6,8][(nib.n & 7) + 1], 88), 0)
+      FROM dec JOIN nib
+        ON nib.doc_id = dec.doc_id AND nib.ch = dec.ch AND nib.i = dec.i
+    ),
+    s AS (SELECT doc_id, i * 2 + ch AS i, pred AS v FROM dec),
+    """
+    + _audio_stats_tail(channels=2),
+)
+def multimodal_adpcm_stereo_stats(t):
+    """STEREO IMA-ADPCM decode, hash-verified end to end — round 12
+    closes the channel gate the mono entry documented: per-channel
+    4-byte block headers, nibble data in 4-byte words round-robin
+    across channels (the RIFF spec's stereo layout), and one SEQUENTIAL
+    (predictor, step-index) trajectory PER CHANNEL. The oracle replays
+    both trajectories with one recursive CTE keyed (doc_id, ch) over
+    the pinned per-channel nibble streams and ranks samples by the
+    INTERLEAVED index (i*2+ch) so zero-crossings match the engine's
+    stats over the interleaved int16 array
+    (operators/multimodal.py:decode_ima_adpcm_block). Scale: identical
+    dataflow to the mono twin — one Arrow crossing, map-only."""
+    return mm.decode_audio(
+        mm.attach_adpcm_stereo_payload(t.documents.select("doc_id"))
+    )
+
+
+@register(
     "multimodal_gif_stats",
     oracle="""
     WITH d AS (
@@ -270,13 +353,60 @@ def multimodal_gif_stats(t):
     index from the LCG, channel values from the affine palette — without
     seeing the bytes, so a hash match proves the LZW bitstream round
     trip bit-perfect. Interlaced images (four-pass row scatter, see
-    multimodal_gif_interlaced) and local color tables (LCT override)
-    decode for real; the remaining decode_gif gates are GIFs with no
-    color table at all and animation frames beyond the first. Scale:
-    identical dataflow to the BMP twin — one Arrow crossing, map-only,
-    no shuffle."""
+    multimodal_gif_interlaced), local color tables (LCT override) and
+    no-table files (grayscale fallback, multimodal_gif_notable_stats)
+    all decode for real; the remaining decode_gif gate is animation
+    frames beyond the first. Scale: identical dataflow to the BMP
+    twin — one Arrow crossing, map-only, no shuffle."""
     return mm.decode_image(
         mm.attach_image_payload(t.documents.select("doc_id"), fmt="gif")
+    )
+
+
+@register(
+    "multimodal_gif_notable_stats",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS h, 5 + doc_id % 4 AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id, d.h, d.w,
+             ((1103515245 * ((d.doc_id % 100000) * 4097
+                 + (y.y * d.w + x.x)) + 12345)
+               % 2147483648) % 256 AS i
+      FROM d, range(0, 8) y(y), range(0, 8) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(MAX(h) * MAX(w) AS BIGINT) AS n_pixels,
+           CAST(SUM(i) AS BIGINT) AS sum_r,
+           CAST(SUM(i) AS BIGINT) AS sum_g,
+           CAST(SUM(i) AS BIGINT) AS sum_b,
+           CAST(MIN(i) AS BIGINT) AS px_min,
+           CAST(MAX(i) AS BIGINT) AS px_max
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_gif_notable_stats(t):
+    """GIF with NO color table anywhere (round 12, closing the last
+    static-GIF gate): the spec allows a file whose palette travels out
+    of band, and the decoder then supplies its DEFINED fallback — the
+    grayscale identity ramp (i, i, i), so the image is the raw index
+    plane replicated across RGB. The payload is a real LZW stream
+    (same pinned LCG indices as the palette twin); the oracle drops
+    the affine palette formulas and reads all three channel sums as
+    SUM(i) directly. A hash match therefore still proves the LZW round
+    trip bit-perfect — with the palette out of the picture, the index
+    plane itself is what's verified. Scale: identical dataflow to the
+    other GIF entries — one Arrow crossing, map-only, no shuffle."""
+    return mm.decode_image(
+        mm.attach_image_payload(
+            t.documents.select("doc_id"), fmt="gif_notable"
+        )
     )
 
 

@@ -123,12 +123,14 @@ def test_adpcm_wav_roundtrip_and_gates():
     assert (rate, ch) == (8000, 1)
     assert s.size == 1 + 2 * data.size
     assert s[0] == pred0  # header predictor IS sample 0
-    # stereo gated
-    stereo = bytearray(raw)
-    at = stereo.index(b"fmt ") + 8
-    stereo[at + 2 : at + 4] = (2).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError, match="mono"):
-        mm.decode_wav(bytes(stereo))
+    # stereo decodes for real since round 12 (word-interleaved layout,
+    # test_stereo_ima_adpcm_decodes_per_channel_trajectories); what
+    # stays guarded is a block too small for the per-channel headers
+    with pytest.raises(ValueError, match="block align"):
+        bad = bytearray(raw)
+        at = bad.index(b"fmt ") + 8
+        bad[at + 2 : at + 4] = (8).to_bytes(2, "little")  # 8 channels
+        mm.decode_wav(bytes(bad))
     # corrupt step index
     bad_block = (0).to_bytes(2, "little") + bytes([99, 0, 0x00])
     with pytest.raises(ValueError, match="step index"):
@@ -607,16 +609,18 @@ def test_gif_local_color_table_roundtrip_and_no_table_gate():
         idx = rng.randint(0, 256, (9, 7)).astype(np.uint8)
         raw = encode_gif(idx, pal, interlace=ilace, local_table=True)
         assert np.array_equal(decode_gif(raw), pal[idx])
-    # a GIF with NEITHER global nor local table is honestly gated:
-    # clear the LCT flag on an LCT-layout file (which has no GCT)
-    raw = bytearray(
-        encode_gif(np.zeros((2, 2), np.uint8), pal, local_table=True)
-    )
-    assert raw[13] == 0x2C  # image separator right after the LSD (no GCT)
-    desc_packed_at = 13 + 9
-    raw[desc_packed_at] &= 0x7F  # clear the LCT flag
-    with pytest.raises(NotImplementedError, match="color table"):
-        decode_gif(bytes(raw))
+    # a GIF with NEITHER global nor local table decodes through the
+    # DEFINED grayscale fallback (round 12 — formerly gated; see
+    # test_gif_no_color_table_grayscale_fallback). Layout check here:
+    # the no_table encoder emits no GCT and no LCT, and both flags are
+    # clear.
+    idx = np.arange(4, dtype=np.uint8).reshape(2, 2) * 60
+    raw = encode_gif(idx, None, no_table=True)
+    assert not (raw[10] & 0x80)  # no GCT
+    assert raw[13] == 0x2C  # image separator right after the LSD
+    assert not (raw[13 + 9] & 0x80)  # no LCT
+    rgb = decode_gif(raw)
+    assert np.array_equal(rgb, np.repeat(idx[:, :, None], 3, axis=2))
 
 
 def test_png_gray_and_alpha_color_types():
@@ -633,3 +637,57 @@ def test_png_gray_and_alpha_color_types():
     raw[16 + 8] = 16  # IHDR bit depth
     with pytest.raises(NotImplementedError, match="8-bit"):
         mm.decode_png(bytes(raw))
+
+
+# ------------------------------------------------------ round-12 gates ----
+
+
+def test_stereo_ima_adpcm_decodes_per_channel_trajectories():
+    """Stereo IMA-ADPCM (round 12): per-channel 4-byte headers, 4-byte
+    words round-robin across channels, one independent state machine
+    per channel — each deinterleaved channel must equal the mono decode
+    of that channel's own header + bytes."""
+    import numpy as np
+
+    preds, idxs, nb = mm.adpcm_stereo_fixture(11)
+    wav = mm.encode_wav_ima_adpcm(preds, idxs, nb)
+    rate, ch, s = mm.decode_wav(wav)
+    assert (rate, ch) == (8000, 2)
+    per_ch = nb.shape[1]
+    assert len(s) == 2 * (1 + 2 * per_ch)
+    for c in range(2):
+        blk = (
+            int(preds[c]).to_bytes(2, "little", signed=True)
+            + bytes([idxs[c], 0])
+            + nb[c].tobytes()
+        )
+        mono = mm.decode_ima_adpcm_block(blk, None, 1)
+        assert np.array_equal(mono, s[c::2]), f"channel {c}"
+
+
+def test_stereo_adpcm_encoder_validates_word_alignment():
+    import numpy as np
+    import pytest
+
+    with pytest.raises(ValueError, match="4-byte words"):
+        mm.encode_wav_ima_adpcm([0, 0], [0, 0], np.zeros((2, 6), np.uint8))
+    with pytest.raises(ValueError, match="channels, n"):
+        mm.encode_wav_ima_adpcm([0, 0], [0, 0], np.zeros(8, np.uint8))
+
+
+def test_gif_no_color_table_grayscale_fallback():
+    """A GIF with no color table anywhere decodes through the defined
+    grayscale identity fallback: RGB == index plane on all channels."""
+    import numpy as np
+
+    from stream_processor_spark.operators.gif import decode_gif, encode_gif
+
+    idx = mm.gif_fixture_indices(5)
+    raw = encode_gif(idx, None, no_table=True)
+    # really no table: GCT flag clear in the screen descriptor, LCT
+    # flag clear in the image descriptor
+    assert not (raw[10] & 0x80)
+    rgb = decode_gif(raw)
+    assert rgb.shape == idx.shape + (3,)
+    for c in range(3):
+        assert np.array_equal(rgb[:, :, c], idx)
