@@ -60,12 +60,19 @@ GRAPH_M = 12
 GRAPH_BEAM = 8
 GRAPH_HOPS = 6
 
-# Per-bucket candidate cap for the capped build path (round 12): at most
+# The bits(n) schedule aims the EXPECTED bucket population here...
+GRAPH_TARGET_BUCKET = 32
+# ...while the hard per-bucket candidate cap sits 4x above it: at most
 # this many dst candidates are kept per sign bucket (smallest vec_ids —
 # the id that wins every tie-break), making construction pair work a
-# HARD bound instead of an expectation. 64 mirrors the LSH hot-bucket
-# guard default (`dedup.banded_candidate_pairs` max_bucket_size).
-GRAPH_MAX_BUCKET = 64
+# HARD bound instead of an expectation. The 4x headroom matters for
+# recall: with cap == target, HALF the buckets (any above the mean) get
+# truncated and true neighbors with larger vec_ids are lost (measured:
+# sf1 recall 1.0 -> 0.8 in the first r12 rehearsal); with the headroom
+# the cap clips only genuinely skewed buckets — the LSH hot-bucket
+# guard semantics (`dedup.banded_candidate_pairs` max_bucket_size),
+# not typical-bucket truncation.
+GRAPH_MAX_BUCKET = 128
 
 # The flat hub mesh is O(4^bits) edges (module docstring) — past 2^12
 # buckets the hub layer needs its own NSW level, so the bits(n)
@@ -75,7 +82,7 @@ GRAPH_BITS_CEIL = 12
 
 def graph_bits_for(
     n: int,
-    target_bucket: int = GRAPH_MAX_BUCKET,
+    target_bucket: int = GRAPH_TARGET_BUCKET,
     floor_bits: int = GRAPH_BITS,
     ceil_bits: int = GRAPH_BITS_CEIL,
 ) -> int:
@@ -85,17 +92,18 @@ def graph_bits_for(
     expected bucket population is N/2^bits, and each node scores its
     home + ``bits`` Hamming-1 buckets, so construction pair work is
     ~N·(bits+1)·min(N/2^bits, cap). Holding the expected bucket at the
-    cap — bits = log2(N/cap) — makes that N·(log2(N/cap)+1)·cap =
-    O(N log N), sub-quadratic by construction; the per-bucket cap
-    (`max_bucket`) turns the expectation into a hard bound on skewed
-    corpora. The schedule floors at GRAPH_BITS (fixture parity) and
-    saturates at GRAPH_BITS_CEIL (the flat-hub-mesh limit): past 2^12
-    buckets bits stops growing and the cap alone bounds per-bucket
-    work. log2(N/cap) rounds to nearest (a half-bit either way moves the
-    expected bucket by at most sqrt(2)× — noise next to corpus skew).
-    Points on the curve: N=20k → 8 (docs/GRAPH_SF1_r11.json's
-    hand-picked value, recovered), N=200k → 12, N=2M → 12 (saturated;
-    docs/GRAPH_SF100_r12.json).
+    target — bits = log2(N/target) — makes that
+    N·(log2(N/target)+1)·O(target) = O(N log N), sub-quadratic by
+    construction; the per-bucket cap (`max_bucket`, 4x the target so it
+    only clips skew, see GRAPH_MAX_BUCKET) turns the expectation into a
+    hard bound on any corpus. The schedule floors at GRAPH_BITS
+    (fixture parity) and saturates at GRAPH_BITS_CEIL (the
+    flat-hub-mesh limit): past 2^12 buckets bits stops growing and the
+    cap alone bounds per-bucket work. log2(N/target) rounds to nearest
+    (a half-bit either way moves the expected bucket by at most
+    sqrt(2)× — noise next to corpus skew). Points on the curve:
+    N=20k → 9, N=131k+ → 12 (saturated; docs/GRAPH_SF100_r12.json
+    records 20k/200k/2M).
     """
     import math
 

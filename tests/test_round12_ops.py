@@ -16,19 +16,21 @@ def test_graph_bits_schedule():
     """bits(n) = round(log2(n/cap)), floored at the fixture value and
     saturated at the flat-hub-mesh ceiling; monotone in n."""
     assert ga.graph_bits_for(500) == ga.GRAPH_BITS  # fixture scale
-    assert ga.graph_bits_for(64) == ga.GRAPH_BITS  # n <= cap
-    assert ga.graph_bits_for(20_000) == 8  # recovers GRAPH_SF1_r11's pick
-    assert ga.graph_bits_for(200_000) == 12  # recovers GRAPH_SF10_r11's pick
-    assert ga.graph_bits_for(2_000_000) == ga.GRAPH_BITS_CEIL  # saturated
+    assert ga.graph_bits_for(32) == ga.GRAPH_BITS  # n <= target
+    assert ga.graph_bits_for(20_000) == 9
+    assert ga.graph_bits_for(200_000) == ga.GRAPH_BITS_CEIL  # saturated
+    assert ga.graph_bits_for(2_000_000) == ga.GRAPH_BITS_CEIL
     assert ga.graph_bits_for(10**9) == ga.GRAPH_BITS_CEIL
     vals = [ga.graph_bits_for(n) for n in (100, 1000, 10**4, 10**5, 10**6, 10**7)]
     assert vals == sorted(vals)
-    # per-bucket work target: expected bucket N/2^bits stays within 2x
-    # of the cap wherever the schedule is unsaturated
-    for n in (5_000, 50_000, 500_000):
+    # the cap is a SKEW guard, 4x above the schedule's expected bucket —
+    # typical buckets must clear it wherever the schedule is unsaturated
+    assert ga.GRAPH_MAX_BUCKET == 4 * ga.GRAPH_TARGET_BUCKET
+    for n in (5_000, 50_000):
         b = ga.graph_bits_for(n)
         if b < ga.GRAPH_BITS_CEIL:
-            assert n / (1 << b) <= 2 * ga.GRAPH_MAX_BUCKET
+            assert n / (1 << b) <= 2 * ga.GRAPH_TARGET_BUCKET
+            assert n / (1 << b) <= ga.GRAPH_MAX_BUCKET / 2
 
 
 def _edge_sets(spark, name):
