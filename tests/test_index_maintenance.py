@@ -968,3 +968,75 @@ def test_streaming_sign_updates_and_replay_healing(spark, tmp_path):
         == 0
     )
     assert serve() == baseline
+
+
+def test_streaming_semantic_updates_and_replay_healing(spark, tmp_path):
+    """Round-12: streaming maintenance of the semantic-dedup layout —
+    streamed micro-batches ≡ the same rows appended directly (batch
+    boundaries don't change the layout), and a replayed append never
+    loosens the band cap: re-inserted duplicates are byte-identical and
+    the serve's distinct heals them to the same candidate-pair set."""
+    from stream_processor_spark.operators.semindex import (
+        append_semantic_index,
+        candidate_pairs_from_index,
+        ensure_semantic_index,
+        stream_semantic_updates,
+    )
+
+    full_dir, a_dir = tmp_path / "sfull", tmp_path / "sa"
+    full_dir.mkdir(), a_dir.mkdir()
+    src = os.path.join(SF_SMALL, "embeddings.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    asn, band, cent = ensure_semantic_index(spark, str(a_dir), max_bucket=4)
+
+    stream_src = tmp_path / "vec_in"
+    emb.filter("vec_id >= 300 AND vec_id < 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    emb.filter("vec_id >= 400").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    vec_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = stream_semantic_updates(
+        spark, vec_stream, asn, band, cent, str(tmp_path / "sem_ckpt"),
+        max_bucket=4,
+    )
+    q.awaitTermination(120)
+
+    # direct-append twin over the SAME initial layout and model
+    emb.filter("vec_id < 300").write.parquet(
+        str(full_dir / "embeddings.parquet")
+    )
+    asn2, band2, cent2 = ensure_semantic_index(
+        spark, str(full_dir), max_bucket=4
+    )
+    append_semantic_index(
+        spark, asn2, band2, cent2, emb.filter("vec_id >= 300 AND vec_id < 400"),
+        max_bucket=4,
+    )
+    append_semantic_index(
+        spark, asn2, band2, cent2, emb.filter("vec_id >= 400"), max_bucket=4
+    )
+    rows = lambda n: sorted(tuple(r) for r in spark.table(n).collect())  # noqa: E731
+    assert rows(asn) == rows(asn2)
+    assert rows(band) == rows(band2)
+
+    def pairs():
+        return sorted(
+            tuple(r) for r in candidate_pairs_from_index(spark, band).collect()
+        )
+
+    baseline = pairs()
+    assert baseline
+    # foreachBatch retry: same batch re-appended; the capacity read
+    # already counts the first attempt, so the cap cannot loosen, and
+    # the serve's distinct heals any re-inserted duplicates
+    append_semantic_index(
+        spark, asn, band, cent, emb.filter("vec_id >= 400"), max_bucket=4
+    )
+    assert pairs() == baseline
