@@ -113,6 +113,28 @@ def graph_bits_for(
     return max(floor_bits, min(ceil_bits, sched))
 
 
+# Largest oracle-fixture corpus (sf0.1's 2000 vectors): at or below
+# this the auto defaults keep the EXACT pinned profile the DuckDB
+# oracle replays (bits=4, uncapped); above it they flip to the
+# graph_bits_for schedule + hard cap — so the registered entries stay
+# hash-green at every oracle scale AND survive a 2M-vector routed
+# build without the quadratic bits=4 pair join (round 12).
+GRAPH_AUTO_N = 2000
+
+
+def graph_auto_params(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int | None]:
+    """Default (bits, max_bucket) for this corpus — fixture profile at
+    oracle scales, schedule + cap above them (see GRAPH_AUTO_N)."""
+    from stream_processor_spark.catalog import Tables
+
+    n = Tables(spark, sf_dir).embeddings.count()
+    if n <= GRAPH_AUTO_N:
+        return GRAPH_BITS, None
+    return graph_bits_for(n), GRAPH_MAX_BUCKET
+
+
 def graph_names(
     sf_dir: str,
     bits: int = GRAPH_BITS,
@@ -285,7 +307,14 @@ def ensure_graph_index(
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
-    bits = GRAPH_BITS if bits is None else bits
+    if bits is None and max_bucket is None:
+        # scale-aware defaults: the pinned fixture profile at oracle
+        # scales, schedule + cap above them (graph_auto_params) — a
+        # routed `ensure` at 2M vectors must never run the bits=4
+        # uncapped pair join
+        bits, max_bucket = graph_auto_params(spark, sf_dir)
+    elif bits is None:
+        bits = GRAPH_BITS
     m = GRAPH_M if m is None else m
     (edges_name,) = graph_names(sf_dir, bits, m, max_bucket)
     if spark.catalog.tableExists(edges_name):

@@ -5713,18 +5713,25 @@ def sim_ann_graph_indexed(t):
 
     from stream_processor_spark.operators.graphann import (
         ensure_graph_index,
+        graph_auto_params,
         graph_query_indexed,
     )
 
     spark = t._spark
-    (edges_name,) = ensure_graph_index(spark, t._dir)
+    # scale-aware params: EXACTLY the oracle-replayed profile (bits=4,
+    # uncapped) at every oracle scale, the bits(n) schedule + hard cap
+    # above them (round 12) — one entry, both regimes
+    bits, cap = graph_auto_params(spark, t._dir)
+    (edges_name,) = ensure_graph_index(
+        spark, t._dir, bits=bits, max_bucket=cap
+    )
     qrow = (
         t.embeddings.filter(F.col("vec_id") == 0).select("embedding").head()
     )
     if qrow is None:
         raise ValueError("graph ANN: query vector vec_id=0 not found")
     return graph_query_indexed(
-        spark, edges_name, np.asarray(qrow[0], dtype=np.float64)
+        spark, edges_name, np.asarray(qrow[0], dtype=np.float64), bits=bits
     )
 
 
@@ -5813,11 +5820,15 @@ def sim_ann_graph_multiquery(t):
 
     from stream_processor_spark.operators.graphann import (
         ensure_graph_index,
+        graph_auto_params,
         graph_multi_query_indexed,
     )
 
     spark = t._spark
-    (edges_name,) = ensure_graph_index(spark, t._dir)
+    bits, cap = graph_auto_params(spark, t._dir)
+    (edges_name,) = ensure_graph_index(
+        spark, t._dir, bits=bits, max_bucket=cap
+    )
     qrows = (
         t.embeddings.filter(F.col("vec_id").isin([0, 1, 2]))
         .select("vec_id", "embedding")
@@ -5826,4 +5837,4 @@ def sim_ann_graph_multiquery(t):
     if len(qrows) < 3:
         raise ValueError("graph multiquery: query vectors 0..2 not found")
     queries = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
-    return graph_multi_query_indexed(spark, edges_name, queries)
+    return graph_multi_query_indexed(spark, edges_name, queries, bits=bits)

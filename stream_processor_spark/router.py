@@ -173,9 +173,17 @@ def _build_sign(spark: SparkSession, sf_dir: str) -> None:
 
 
 def _graph_tables(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
-    from stream_processor_spark.operators.graphann import graph_names
+    from stream_processor_spark.operators.graphann import (
+        GRAPH_M,
+        graph_auto_params,
+        graph_names,
+    )
 
-    return graph_names(sf_dir)
+    # the layout name follows the scale-aware auto params (fixture
+    # profile at oracle scales, schedule + cap above — round 12), so
+    # the catalog probe and the entries' ensure always agree
+    bits, cap = graph_auto_params(spark, sf_dir)
+    return graph_names(sf_dir, bits, GRAPH_M, cap)
 
 
 def _build_graph(spark: SparkSession, sf_dir: str) -> None:

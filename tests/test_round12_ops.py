@@ -126,3 +126,26 @@ def test_hamming_point_read_fast_path(spark):
         ai.hamming_query_indexed(spark, sig_name, query_vec_id=-999)
     top = ai.hamming_query_indexed(spark, sig_name, query_vec_id=0).collect()
     assert top[0].vec_id == 0 and top[0].hamming == 0
+
+
+def test_graph_auto_params_regimes(spark):
+    """Auto defaults: the oracle-replayed fixture profile (bits=4,
+    uncapped) at every oracle scale, the schedule + hard cap above —
+    so registered entries stay hash-green AND a routed build at 2M
+    vectors never runs the quadratic bits=4 pair join."""
+    assert ga.graph_auto_params(spark, SF_SMALL) == (ga.GRAPH_BITS, None)
+    assert ga.graph_auto_params(spark, "/root/testdata/sf0.01") == (
+        ga.GRAPH_BITS,
+        None,
+    )
+    assert ga.graph_auto_params(spark, "/root/testdata/sf0.1") == (
+        ga.GRAPH_BITS,
+        None,
+    )
+    scratch = "/root/repo/.scratch/sf1"
+    import os
+
+    if os.path.exists(os.path.join(scratch, "embeddings.parquet")):
+        bits, cap = ga.graph_auto_params(spark, scratch)
+        assert bits == ga.graph_bits_for(20_000) == 9
+        assert cap == ga.GRAPH_MAX_BUCKET
