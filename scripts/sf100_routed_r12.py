@@ -28,6 +28,8 @@ SF = "/root/repo/.scratch/sf100"
 
 
 def main() -> None:
+    # one 48g JVM: the 600M-row bucketed-fact write OOMs the 8g default
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from stream_processor_spark.queries import REGISTRY
     from stream_processor_spark.router import ROUTES, Router
     from stream_processor_spark.session import get_spark

@@ -121,6 +121,14 @@ def graph_bits_for(
 # build without the quadratic bits=4 pair join (round 12).
 GRAPH_AUTO_N = 2000
 
+# corpus-size memo for graph_auto_params: the count only PICKS build
+# parameters, so one metadata-count job per (process, sf_dir) is the
+# right trade — without it every routed serve paid a count job before
+# the beam walk (round-12 review finding). A corpus that grows past
+# GRAPH_AUTO_N mid-process changes the layout name anyway (rebuild
+# semantics), so staleness here cannot mis-route an existing table.
+_AUTO_N_CACHE: dict[str, int] = {}
+
 
 def graph_auto_params(
     spark: SparkSession, sf_dir: str
@@ -129,7 +137,10 @@ def graph_auto_params(
     oracle scales, schedule + cap above them (see GRAPH_AUTO_N)."""
     from stream_processor_spark.catalog import Tables
 
-    n = Tables(spark, sf_dir).embeddings.count()
+    n = _AUTO_N_CACHE.get(sf_dir)
+    if n is None:
+        n = Tables(spark, sf_dir).embeddings.count()
+        _AUTO_N_CACHE[sf_dir] = n
     if n <= GRAPH_AUTO_N:
         return GRAPH_BITS, None
     return graph_bits_for(n), GRAPH_MAX_BUCKET
@@ -291,8 +302,9 @@ def ensure_graph_index(
     `mapInPandas` pass (npkernel scaled-int64 arithmetic, bit-identical
     to the JVM fold — pinned by tests/test_round12_ops.py's
     capped≡uncapped edge-set check), so construction has NO pair
-    shuffle at all; the model broadcast is bounded at
-    2^bits·C rows (≤262k embeddings at the bits=12 ceiling).
+    shuffle at all; the model broadcast is bounded at 2^bits·C rows
+    (≤524,288 embeddings ≈ 270 MB of 64-dim float64 at the bits=12
+    ceiling with C=128 — size driver/executor memory accordingly).
     ``max_bucket=None`` keeps the original pure-JVM pair-join path
     (the registered fixture entry's oracle replays that one).
 

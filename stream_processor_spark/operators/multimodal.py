@@ -1594,10 +1594,12 @@ def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def adpcm_stereo_fixture(doc_id: int):
     """(pred0s, index0s, nibble_bytes (2, 4*nw)) for ``doc_id``: whole
     4-byte words per channel (the stereo interleave unit), nw = 2 +
-    doc_id % 2 words. Channel 0 nibble bytes at LCG offsets 0..,
-    channel 1 at 200.. (disjoint from every other audio fixture
-    window); initial predictors at offsets 100/102 (±1000), step
-    indexes at 101/103 (0..88)."""
+    doc_id % 2 words. Channel 0 deliberately replays the MONO
+    fixture's windows (nibble bytes at LCG offsets 0.., state at
+    100/101) — the stereo entry embeds the mono trajectory as its left
+    channel, so a left-channel divergence is immediately attributable
+    to the interleave handling, not the state machine. Channel 1 uses
+    fresh windows: nibble bytes at 200.., state at 102/103."""
     import numpy as np
 
     nw = _ADPCM_ST_NW_BASE + doc_id % _ADPCM_ST_NW_MOD

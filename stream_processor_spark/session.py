@@ -111,8 +111,12 @@ def get_spark(
         if pkgs in ("1", "auto"):
             from pyspark import __version__ as _pyspark_version
 
+            # Scala ABI must match the running Spark line: 3.x ships
+            # Scala 2.12, 4.x ships 2.13 — a hardcoded suffix would
+            # resolve binary-incompatible jars on the other line
+            _scala = "2.12" if _pyspark_version.startswith("3.") else "2.13"
             pkgs = ",".join(
-                f"org.apache.spark:spark-{m}_2.13:{_pyspark_version}"
+                f"org.apache.spark:spark-{m}_{_scala}:{_pyspark_version}"
                 for m in ("avro", "protobuf")
             )
         builder = builder.config("spark.jars.packages", pkgs)
