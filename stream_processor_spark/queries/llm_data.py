@@ -5316,26 +5316,48 @@ def sim_ann_hamming_indexed(t):
     scans a 16-byte-per-vector table — never touching the 64-float
     embedding column — and only the LIMIT-bounded shortlist joins back
     to embeddings for the exact rerank. The query's own signature comes
-    from the same table (one-row broadcast). Same oracle as the scratch
-    twin — the layout changes the plan only. At 100 TB the signature
-    scan is ~1/16th the bytes of the embedding scan; appends are
-    per-row pure (`append_sign_index`, append ≡ rebuild exact)."""
+    from the same table (driver-side parquet point read on small
+    layouts, round 12). Same oracle as the scratch twin — the layout
+    changes the plan only. At 100 TB the signature scan is ~1/16th the
+    bytes of the embedding scan; appends are per-row pure
+    (`append_sign_index`, append ≡ rebuild exact).
+
+    Round-12 serve shape: the shortlist ids and the query embedding
+    are HYDRATED (TakeOrdered collect; predicate-pushed point read
+    with a one-job Spark fallback) and enter the rerank scan as
+    literals — `vec_id IN (...)` prunes parquet row groups instead of
+    building a broadcast-join exchange, and the query vector rides the
+    plan as a literal array rather than a crossJoin of a second
+    embeddings scan. Two jobs total (shortlist + rerank) where the
+    broadcast-join form paid four; bounded hydration (50 ids + one
+    64-float row), the IVF centroid-collect contract."""
     from stream_processor_spark.operators.annindex import (
+        _point_read_row,
         ensure_sign_index,
         hamming_query_indexed,
     )
 
     spark = t._spark
     (sig_name,) = ensure_sign_index(spark, t._dir)
-    short = hamming_query_indexed(spark, sig_name, query_vec_id=0, k=50).select(
-        "vec_id"
-    )
+    short_ids = [
+        int(r[0])
+        for r in hamming_query_indexed(
+            spark, sig_name, query_vec_id=0, k=50
+        ).collect()
+    ]
     e = t.embeddings
-    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    cand = e.join(F.broadcast(short), "vec_id").crossJoin(F.broadcast(q))
+    qrow = _point_read_row(e, "vec_id", 0, ["embedding"], max_files=64)
+    if qrow is None:
+        qrow = e.filter(F.col("vec_id") == 0).select("embedding").head()
+        if qrow is None:
+            raise ValueError("hamming rerank: query vec_id=0 not found")
+    # float32 -> double widening is exact, so the literal array is
+    # bit-identical to the oracle's CAST(qv[i] AS DOUBLE)
+    qcol = F.array(*[F.lit(float(x)).cast("double") for x in qrow[0]])
     return (
-        cand.select(
-            "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+        e.filter(F.col("vec_id").isin(short_ids))
+        .select(
+            "vec_id", sim.cosine(F.col("embedding"), qcol).alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
@@ -5372,42 +5394,118 @@ def sim_ann_hamming_indexed(t):
 )
 def sim_ann_hamming_multiquery(t):
     """Batched binary ANN: THREE query signatures (vec_id 0/1/2) served
-    in ONE pass over the persisted 16-byte sign layout — N queries add
-    two bit_count terms per row each, never another scan. All-JVM
-    (broadcast the 3-row query-signature frame, XOR + bit_count per
-    pair, one query_id-partitioned window for the per-query top-10);
-    no scratch twin, like every batched serve — the layout builds on
-    first use (router route `ann_binary_multi`). Completes multi-query
-    serving across BM25, IVF, PQ, SQ8, IVFPQ and now binary."""
+    over the persisted 16-byte sign layout — N queries add two
+    bit_count terms per row each, never another scan; no scratch twin,
+    like every batched serve (router route `ann_binary_multi`).
+
+    Round-12 plan: the former query_id-partitioned row_number window
+    sorted |corpus|·|queries| rows across only |queries| partitions —
+    a 3-task 600k-row sort at sf10 (measured 4.3× DuckDB) that only
+    gets worse with the corpus. The Hamming domain is [0, 128], so
+    per-query top-k is a HISTOGRAM problem: one map-side-combinable
+    (query_id, hamming) count — ≤129 rows per query, any corpus size —
+    hydrates each query's k-th-smallest threshold driver-side (the
+    bounded-model discipline), then the filter pass takes everything
+    strictly below the threshold plus the boundary rows ranked by
+    vec_id (row_number over ONLY ties-at-threshold — a few rows, not
+    the corpus). Same rows as the window plan bit-for-bit (hamming
+    asc, vec_id asc top-10; the oracle's rk CTE unchanged), but every
+    stage is either map-parallel or bounded by 129·|queries|."""
+    from itertools import chain
+
     from pyspark.sql import Window
 
     from stream_processor_spark.operators.annindex import (
+        _point_read_row,
         ensure_sign_index,
     )
 
     spark = t._spark
+    topk = 10
+    qids = [0, 1, 2]
     (sig_name,) = ensure_sign_index(spark, t._dir)
     sigs = spark.table(sig_name)
-    qs = (
-        sigs.filter(F.col("vec_id").isin([0, 1, 2]))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("sig_lo").alias("q_lo"),
-            F.col("sig_hi").alias("q_hi"),
-        )
+    # query signatures as LITERAL structs (point-read per id with a
+    # one-job Spark fallback): the scan pays no broadcast-exchange
+    # build for a 3-row frame
+    qrows = []
+    for qid in qids:
+        row = _point_read_row(sigs, "vec_id", qid, ["sig_lo", "sig_hi"])
+        if row is None:
+            jrow = (
+                sigs.filter(F.col("vec_id") == qid)
+                .select("sig_lo", "sig_hi")
+                .head()
+            )
+            if jrow is None:
+                raise ValueError(
+                    f"hamming multiquery: query vec_id={qid} not in "
+                    f"signature table {sig_name!r}"
+                )
+            row = (jrow[0], jrow[1])
+        qrows.append((qid, int(row[0]), int(row[1])))
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("query_id"),
+                F.lit(lo).cast("long").alias("q_lo"),
+                F.lit(hi).cast("long").alias("q_hi"),
+            )
+            for q, lo, hi in qrows
+        ]
     )
     ham = (
-        F.bit_count(F.expr("sig_lo ^ q_lo"))
-        + F.bit_count(F.expr("sig_hi ^ q_hi"))
+        F.bit_count(F.col("q.q_lo").bitwiseXOR(F.col("sig_lo")))
+        + F.bit_count(F.col("q.q_hi").bitwiseXOR(F.col("sig_hi")))
     ).cast("long")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("hamming").asc(), F.col("vec_id").asc()
+    scored = sigs.select(
+        F.explode(qarr).alias("q"), "vec_id", "sig_lo", "sig_hi"
+    ).select(F.col("q.query_id").alias("query_id"), "vec_id", ham.alias("hamming"))
+    # job 1: the bounded histogram — <=129 rows per query at ANY corpus
+    # size, map-side combinable
+    hist = (
+        scored.groupBy("query_id", "hamming")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
+    by_q: dict[int, dict[int, int]] = {}
+    for r in hist:
+        by_q.setdefault(int(r[0]), {})[int(r[1])] = int(r[2])
+    thresh = {}  # query_id -> (boundary hamming, rows still needed there)
+    for q, counts in by_q.items():
+        need = topk
+        for h in sorted(counts):
+            if counts[h] >= need:
+                thresh[q] = (h, need)
+                break
+            need -= counts[h]
+    hmap = F.create_map(
+        *chain.from_iterable(
+            (F.lit(q), F.lit(h)) for q, (h, _) in thresh.items()
+        )
+    )
+    nmap = F.create_map(
+        *chain.from_iterable(
+            (F.lit(q), F.lit(n)) for q, (_, n) in thresh.items()
+        )
+    )
+    # job 2: one pruned pass — everything strictly below the threshold
+    # plus the vec_id-ranked boundary ties; the window's input is only
+    # the pruned rows, never the corpus
+    pruned = (
+        scored.withColumn("h_star", hmap[F.col("query_id")])
+        .withColumn("need", nmap[F.col("query_id")])
+        .filter(F.col("hamming") <= F.col("h_star"))
+    )
+    wb = Window.partitionBy(
+        "query_id", F.col("hamming") == F.col("h_star")
+    ).orderBy(F.col("vec_id").asc())
     return (
-        sigs.crossJoin(F.broadcast(qs))
-        .select("query_id", "vec_id", ham.alias("hamming"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        pruned.withColumn("rn", F.row_number().over(wb))
+        .filter(
+            (F.col("hamming") < F.col("h_star"))
+            | (F.col("rn") <= F.col("need"))
+        )
         .select("query_id", "vec_id", "hamming")
     )
 
