@@ -91,15 +91,15 @@ def _image_payloads():
     for k, raw in good:
         px = decode_image_bytes(raw)
         expect[k] = (int(px.shape[0] * px.shape[1]), int(px.sum()))
-    # a GIF with NO color table at all hits the decoder's capability
-    # gate (NotImplementedError; interlace AND local tables decode for
-    # real since the round-11 continuation), distinct from corrupt
-    # bytes (ValueError) — both must land on the step DLQ with the
-    # original record
-    notab = bytearray(gif)
-    notab[10] &= 0x7F  # clear the global-color-table flag
-    del notab[13 : 13 + 768]  # and drop the table itself
-    gated = ("notab", bytes(notab))
+    # a 16-bit PNG hits the decoder's capability gate
+    # (NotImplementedError; no-table GIFs decode via the grayscale
+    # fallback since round 12, so the gate fixture moved to the
+    # still-gated depth profile), distinct from corrupt bytes
+    # (ValueError) — both must land on the step DLQ with the original
+    # record
+    deep = bytearray(png)
+    deep[24] = 16  # IHDR bit depth: 8 -> 16 (gated profile)
+    gated = ("deep", bytes(deep))
     corrupt = ("bad", b"BM" + b"\x01\x02\x03")  # header parse: ValueError
     return good, expect, gated, corrupt
 
@@ -138,10 +138,10 @@ def test_image_decode_pipeline_routes_gated_and_corrupt_to_dlq(
     assert ok == expect  # every good payload decoded through the chain
 
     dlq_rows = spark.read.parquet(dlq.path_or_topic).collect()
-    assert {r.key for r in dlq_rows} == {"notab", "bad"}
+    assert {r.key for r in dlq_rows} == {"deep", "bad"}
     # ORIGINAL record payload lands on the DLQ (consumer.js:100)
     by_key = {r.key: bytes(r.payload) for r in dlq_rows}
-    assert by_key["notab"].startswith(b"GIF87a")
+    assert by_key["deep"].startswith(b"\x89PNG")
     assert by_key["bad"] == bytes(corrupt[1])
 
     snap = metrics.snapshot()
