@@ -1154,9 +1154,12 @@ _GATE_MASK_SQL = """(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
          + (CASE WHEN top_freq * 5 > n_tokens THEN 16 ELSE 0 END)"""
 
 
-def _gate_feat(d):
+def _gate_feat(d, with_fp: bool = False):
     """documents → per-doc gate features (doc_id, n_tokens, n_chars,
-    n_stop, top_freq) — one all-expression map pass."""
+    n_stop, top_freq) — one all-expression map pass. ``with_fp`` adds
+    the md5 text fingerprint so a downstream exact-dedup can ride the
+    SAME scan instead of re-reading the text column (round 12,
+    corpus_curate_e2e's one-pass restructure)."""
     tk = tx.tokens(F.col("text"))
     base = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
@@ -1164,10 +1167,12 @@ def _gate_feat(d):
         F.length(F.regexp_replace(F.col("text"), " ", ""))
         .cast("long")
         .alias("n_chars"),
+        *([F.md5(F.col("text")).alias("__fp")] if with_fp else []),
     )
     tkc = F.col("tk")
     return base.select(
         "doc_id",
+        *(["__fp"] if with_fp else []),
         F.size(tkc).cast("long").alias("n_tokens"),
         "n_chars",
         F.size(
@@ -1268,30 +1273,33 @@ def corpus_curate_e2e(t):
     This is the composition story: each stage is an independently
     hash-verified operator (`text_quality_gate`, the `dedup_exact`
     family, `corpus_pack_sequences`), and chaining them stays ONE
-    Catalyst plan — no materialization between stages, filters fused
-    into the scans, and the packing prefix sum runs distributed over
-    only the curated survivors. The oracle chains the same three
-    definitions as CTEs.
+    Catalyst plan — no materialization between stages. The oracle
+    chains the same three definitions as CTEs.
 
-    Scale: gate is a map pass; dedup shuffles (md5, doc_id) pairs only;
-    packing shuffles the slim (doc_id, n_tokens) projection. The text
-    column is read once and never moves.
+    Round-12 one-pass restructure (was 2.8× DuckDB at sf0.1): the old
+    chain scanned the text column THREE times (gate features, md5 for
+    dedup, tokens for sizing) with two doc_id joins stitching the
+    scans back together. The gate pass now also emits the fingerprint
+    (`_gate_feat(with_fp=True)`) and its n_tokens is reused for
+    sizing, so dedup keeps (min doc_id, its n_tokens) via one
+    struct-min aggregate — the text column is read ONCE and truly
+    never moves; the only shuffles are the (fp → struct-min) dedup on
+    16-byte keys and the packing prefix sum over slim survivor rows.
+    Same rows bit-for-bit (min-doc_id-per-fingerprint semantics are
+    order-free; n_tokens is the same expression either way).
     """
-    d = t.documents
-    feat = _gate_feat(d)
-    gated = feat.filter(_gate_mask_col() == 0).select("doc_id")
-    keep = (
-        d.join(gated, "doc_id")
-        .groupBy(F.md5(F.col("text")).alias("__fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    feat = _gate_feat(t.documents, with_fp=True)
+    gated = feat.filter(_gate_mask_col() == 0).select(
+        "doc_id", "__fp", "n_tokens"
     )
-    sized = (
-        d.join(keep, "doc_id")
-        .select(
-            "doc_id",
-            F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
-            F.expr(f"doc_id div {_RANGE}").alias("bucket"),
-        )
+    keep = (
+        gated.groupBy("__fp")
+        .agg(F.min(F.struct("doc_id", "n_tokens")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.n_tokens").alias("n_tokens"))
+    )
+    sized = keep.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"doc_id div {_RANGE}").alias("bucket"),
     )
     return _pack_rows(_with_begin_off(sized))
