@@ -1276,15 +1276,21 @@ def corpus_curate_e2e(t):
     Catalyst plan — no materialization between stages. The oracle
     chains the same three definitions as CTEs.
 
-    Round-12 one-pass restructure (was 2.8× DuckDB at sf0.1): the old
-    chain scanned the text column THREE times (gate features, md5 for
-    dedup, tokens for sizing) with two doc_id joins stitching the
+    Round-12 restructure (was 2.8× DuckDB at sf0.1, 1.5× after): the
+    old chain scanned the text column THREE times (gate features, md5
+    for dedup, tokens for sizing) with two doc_id joins stitching the
     scans back together. The gate pass now also emits the fingerprint
     (`_gate_feat(with_fp=True)`) and its n_tokens is reused for
     sizing, so dedup keeps (min doc_id, its n_tokens) via one
-    struct-min aggregate — the text column is read ONCE and truly
-    never moves; the only shuffles are the (fp → struct-min) dedup on
-    16-byte keys and the packing prefix sum over slim survivor rows.
+    struct-min aggregate; the text column never shuffles — the only
+    wide ops are the (fp → struct-min) dedup on 16-byte keys and the
+    packing prefix sum over slim survivor rows. Honest plan note: the
+    prefix sum's bucket-offset branch re-evaluates the gate+dedup
+    subtree (its column pruning differs, so Catalyst's exchange reuse
+    can't dedupe it), so the text scan executes twice, not once —
+    still down from three, with both joins gone; deriving offsets from
+    the windowed branch was tried and measured NO faster (the reuse
+    still doesn't fire and the extra window costs more than the scan).
     Same rows bit-for-bit (min-doc_id-per-fingerprint semantics are
     order-free; n_tokens is the same expression either way).
     """
