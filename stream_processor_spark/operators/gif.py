@@ -247,11 +247,24 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif(raw: bytes):
+def decode_gif(
+    raw: bytes,
+    assume_palette: bool = True,
+    flags_out: dict | None = None,
+):
     """Decode a GIF87a/89a payload (global color table, plain or
     interlaced, first image) → (H, W, 3) uint8 RGB array. Real LZW
     decompression (output bounded by the descriptor's pixel count);
-    89a extension blocks are skipped per the block grammar."""
+    89a extension blocks are skipped per the block grammar.
+
+    No-color-table files (the palette travels out of band, spec §18)
+    decode via a DEFINED grayscale identity ramp — but that is an
+    ASSUMPTION about data the file doesn't carry, so it is surfaced
+    (round-12 ADVICE): ``assume_palette=False`` raises instead (the
+    file reaches the DLQ like any other undecodable payload), and with
+    the default the decode records ``flags_out["assumed_palette"] =
+    True`` so pipelines can tell assumed-palette decodes from
+    true-palette ones without re-parsing the header."""
     if raw[:6] not in (_GIF87A, _GIF89A):
         raise ValueError("not a GIF payload (missing GIF87a/89a magic)")
     pos = 6
@@ -296,6 +309,13 @@ def decode_gif(raw: bytes):
             # decode to their index plane replicated across RGB, which
             # is exactly what the multimodal_gif_notable_stats oracle
             # composes (round 12, closing the last static-GIF gate).
+            # The assumption is opt-out-able and flagged (docstring).
+            if not assume_palette:
+                raise ValueError(
+                    "GIF has no color table and assume_palette=False"
+                )
+            if flags_out is not None:
+                flags_out["assumed_palette"] = True
             table = np.repeat(
                 np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
             )

@@ -134,13 +134,26 @@ def graph_auto_params(
     spark: SparkSession, sf_dir: str
 ) -> tuple[int, int | None]:
     """Default (bits, max_bucket) for this corpus — fixture profile at
-    oracle scales, schedule + cap above them (see GRAPH_AUTO_N)."""
+    oracle scales, schedule + cap above them (see GRAPH_AUTO_N).
+
+    A corpus with no readable embeddings table falls back to the
+    fixture profile instead of raising (round-12 ADVICE: the router's
+    layout-name probe calls this, and a name probe must never fail on
+    a corpus that simply has no embeddings — the build itself will
+    surface the real error). The memo key is the ABSOLUTE path so
+    spelling variants of the same directory don't re-count."""
+    import os
+
     from stream_processor_spark.catalog import Tables
 
-    n = _AUTO_N_CACHE.get(sf_dir)
+    key = os.path.abspath(sf_dir)
+    n = _AUTO_N_CACHE.get(key)
     if n is None:
-        n = Tables(spark, sf_dir).embeddings.count()
-        _AUTO_N_CACHE[sf_dir] = n
+        try:
+            n = Tables(spark, sf_dir).embeddings.count()
+        except Exception:
+            return GRAPH_BITS, None  # un-countable: report, don't raise
+        _AUTO_N_CACHE[key] = n
     if n <= GRAPH_AUTO_N:
         return GRAPH_BITS, None
     return graph_bits_for(n), GRAPH_MAX_BUCKET

@@ -5479,6 +5479,14 @@ def sim_ann_hamming_multiquery(t):
                 thresh[q] = (h, need)
                 break
             need -= counts[h]
+        else:
+            # corpus smaller than topk for this query (round-12 ADVICE):
+            # the loop never satisfied `need`, so take EVERYTHING — the
+            # boundary is the max hamming present and the remaining need
+            # exceeds its count, keeping all its ties. Without this the
+            # map lookup below yields NULL and drops every row for the
+            # query, where the old window plan returned all rows.
+            thresh[q] = (max(counts), need)
     hmap = F.create_map(
         *chain.from_iterable(
             (F.lit(q), F.lit(h)) for q, (h, _) in thresh.items()

@@ -63,6 +63,30 @@ _RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _detect_scala_abi(pyspark_version: str) -> str:
+    """Scala binary-ABI suffix ("2.12"/"2.13") of the LOCAL Spark
+    distribution, from the scala-library jar its jars/ directory ships
+    — the one source that is correct even on a Scala-2.13 build of
+    Spark 3.x. Falls back to the version-line default (3.x → 2.12,
+    4.x → 2.13) when the jars directory can't be located."""
+    import glob
+    import re
+
+    try:
+        from pyspark.find_spark_home import _find_spark_home
+
+        jars = glob.glob(
+            os.path.join(_find_spark_home(), "jars", "scala-library-*.jar")
+        )
+        for j in sorted(jars):
+            m = re.search(r"scala-library-(\d+\.\d+)\.", os.path.basename(j))
+            if m:
+                return m.group(1)
+    except Exception:
+        pass
+    return "2.12" if pyspark_version.startswith("3.") else "2.13"
+
+
 def get_spark(
     app_name: str = "stream_processor_spark",
     master: str | None = None,
@@ -111,10 +135,16 @@ def get_spark(
         if pkgs in ("1", "auto"):
             from pyspark import __version__ as _pyspark_version
 
-            # Scala ABI must match the running Spark line: 3.x ships
-            # Scala 2.12, 4.x ships 2.13 — a hardcoded suffix would
-            # resolve binary-incompatible jars on the other line
-            _scala = "2.12" if _pyspark_version.startswith("3.") else "2.13"
+            # Scala ABI must match the running Spark BUILD, not just the
+            # version line: Scala-2.13 builds of Spark 3.x exist
+            # (round-12 ADVICE), so the authoritative source is the
+            # distribution's own scala-library jar — readable BEFORE the
+            # JVM launches (spark.jars.packages must be set pre-launch,
+            # so the JVM itself can't be asked). The version-line
+            # heuristic (3.x → 2.12, 4.x → 2.13) is only the fallback
+            # when no SPARK_HOME jars dir is found; users on exotic
+            # layouts can always pass explicit Maven coordinates.
+            _scala = _detect_scala_abi(_pyspark_version)
             pkgs = ",".join(
                 f"org.apache.spark:spark-{m}_{_scala}:{_pyspark_version}"
                 for m in ("avro", "protobuf")
