@@ -1040,3 +1040,260 @@ def test_streaming_semantic_updates_and_replay_healing(spark, tmp_path):
         spark, asn, band, cent, emb.filter("vec_id >= 400"), max_bucket=4
     )
     assert pairs() == baseline
+
+
+# ------------------------------------------------- round-13: graph ANN ----
+
+
+def _graph_emb_dirs(spark, tmp_path):
+    a_dir = tmp_path / "ga"
+    a_dir.mkdir()
+    emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    emb.filter("vec_id < 400").write.parquet(
+        str(a_dir / "embeddings.parquet")
+    )
+    return str(a_dir), emb
+
+
+def _expected_graph_append_rows(spark, edges_before, new_rows, bits, m):
+    """Independent numpy replica of the documented append pure function:
+    pool = distinct dst of the PRE-append layout ∪ the batch; per new
+    node the exact top-m (scaled-int64 cosine, ties to smaller id) over
+    its home + Hamming-1 buckets; both edge directions; (src,dst)
+    dedup."""
+    from stream_processor_spark.operators import npkernel as npk
+
+    pool: dict[int, np.ndarray] = {}
+    for r in edges_before:
+        pool.setdefault(int(r["dst"]), np.asarray(r["dst_emb"], np.float64))
+    for r in new_rows:
+        pool.setdefault(int(r["vec_id"]), np.asarray(r["embedding"], np.float64))
+
+    def bucket(e):
+        return sum((1 << j) for j in range(bits) if e[j] > 0)
+
+    by_b: dict[int, list[int]] = {}
+    for vid, e in pool.items():
+        by_b.setdefault(bucket(e), []).append(vid)
+
+    expect = set()
+    for r in new_rows:
+        n = int(r["vec_id"])
+        e = np.asarray(r["embedding"], np.float64)
+        b = bucket(e)
+        cand = []
+        for p in [b] + [b ^ (1 << j) for j in range(bits)]:
+            cand.extend(by_b.get(p, ()))
+        cand = [c for c in cand if c != n]
+        if not cand:
+            continue
+        C = np.stack([pool[c] for c in cand])
+        ids = np.asarray(cand, dtype=np.int64)
+        p_ = npk.dot_scaled(e[None, :], C)[0].astype(np.float64)
+        cos = p_ / (
+            np.sqrt(npk.self_norms_scaled(C).astype(np.float64))
+            * np.sqrt(float(npk.self_norms_scaled(e[None, :])[0]))
+        )
+        order = np.lexsort((ids, -cos))[:m]
+        for j in order:
+            d = int(ids[j])
+            expect.add((n, d))
+            expect.add((d, n))
+    return expect
+
+
+def test_graph_append_matches_frozen_model_derivation(spark, tmp_path):
+    """Round-13 (verdict lead item): append(B) onto the graph layout is
+    the documented PURE FUNCTION of (layout's dst view, batch) — new
+    nodes connect bidirectionally to their exact top-m under the frozen
+    sign schedule. The appended row set must equal an independent numpy
+    derivation, and each appended row's src_b must be the src's own
+    sign bucket (partition correctness)."""
+    from stream_processor_spark.operators import graphann as ga
+
+    a_dir, emb = _graph_emb_dirs(spark, tmp_path)
+    (name,) = ga.ensure_graph_index(spark, a_dir)
+    before = spark.table(name).collect()
+    before_set = {(int(r["src"]), int(r["dst"])) for r in before}
+
+    new_rows = [r.asDict() for r in emb.filter("vec_id >= 400").collect()]
+    ga.append_graph_index(spark, name, emb.filter("vec_id >= 400"))
+
+    after = spark.table(name).collect()
+    got = {(int(r["src"]), int(r["dst"])) for r in after} - before_set
+    want = _expected_graph_append_rows(
+        spark, before, new_rows, ga.GRAPH_BITS, ga.GRAPH_M
+    )
+    assert got == want and len(want) > 0
+
+    # src_b partition correctness on the appended rows
+    pool = {int(r["dst"]): np.asarray(r["dst_emb"], np.float64) for r in after}
+    for r in after:
+        key = (int(r["src"]), int(r["dst"]))
+        if key in want:
+            e = pool[int(r["src"])]
+            b = sum((1 << j) for j in range(ga.GRAPH_BITS) if e[j] > 0)
+            assert int(r["src_b"]) == b
+
+
+def test_graph_append_reachability_and_recall_floor(spark, tmp_path):
+    """Appended vectors must be REACHABLE (their own embedding as the
+    query returns them at rank 1 — the bidirectional-connect contract)
+    and the post-append serve quality stays above a pinned floor:
+    recall@10 >= 0.7 vs exact brute force over A∪B (the full-rebuild
+    fixture floor is 0.84; appended nodes carry frozen-model edges
+    only, so parity-of-structure is not expected, quality is)."""
+    from stream_processor_spark.operators import graphann as ga
+    from stream_processor_spark.operators import npkernel as npk
+
+    a_dir, emb = _graph_emb_dirs(spark, tmp_path)
+    (name,) = ga.ensure_graph_index(spark, a_dir)
+    ga.append_graph_index(spark, name, emb.filter("vec_id >= 400"))
+
+    all_rows = emb.collect()
+    E = np.stack([np.asarray(r[1], np.float64) for r in all_rows])
+    ids = np.asarray([int(r[0]) for r in all_rows])
+    see = npk.self_norms_scaled(E).astype(np.float64)
+
+    def brute(q):
+        p = npk.dot_scaled(q[None, :], E)[0].astype(np.float64)
+        cos = p / (
+            np.sqrt(see)
+            * np.sqrt(float(npk.self_norms_scaled(q[None, :])[0]))
+        )
+        return set(ids[np.lexsort((ids, -cos))[:10]].tolist())
+
+    new = [r for r in all_rows if int(r[0]) >= 400]
+    for r in new[:8]:
+        q = np.asarray(r[1], np.float64)
+        top = ga.graph_query_indexed(spark, name, q, topk=3).collect()
+        assert int(top[0][0]) == int(r[0]), f"new node {r[0]} unreachable"
+
+    recalls = []
+    for r in all_rows[::60][:8]:
+        q = np.asarray(r[1], np.float64)
+        got = {
+            int(x[0])
+            for x in ga.graph_query_indexed(spark, name, q, topk=10).collect()
+        }
+        recalls.append(len(got & brute(q)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_graph_append_replay_and_compaction(spark, tmp_path):
+    """foreachBatch retry contract: a replayed append re-inserts
+    byte-identical rows (the frozen pool is UNCHANGED by the first
+    append's own rows), the serve is unaffected (the beam walk dedups
+    visited nodes by construction), and compact_graph_edges removes the
+    duplicates permanently and restores one file per bucket."""
+    from stream_processor_spark.operators import graphann as ga
+    from stream_processor_spark.operators.annindex import (
+        _partition_file_counts,
+    )
+
+    a_dir, emb = _graph_emb_dirs(spark, tmp_path)
+    (name,) = ga.ensure_graph_index(spark, a_dir)
+    batch = emb.filter("vec_id >= 400")
+    ga.append_graph_index(spark, name, batch)
+    once = sorted(
+        tuple(r) for r in spark.table(name).select("src", "dst").collect()
+    )
+
+    q = np.asarray(emb.filter("vec_id = 5").head()[1], np.float64)
+    baseline = sorted(
+        map(tuple, ga.graph_query_indexed(spark, name, q).collect())
+    )
+
+    ga.append_graph_index(spark, name, batch)  # the retry
+    dup = (
+        spark.table(name)
+        .groupBy("src", "dst")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup > 0  # replay rows present...
+    # ...but every one byte-identical: distinct (src,dst) unchanged
+    assert (
+        sorted(
+            tuple(r)
+            for r in spark.table(name)
+            .select("src", "dst")
+            .dropDuplicates()
+            .collect()
+        )
+        == sorted(set(once))
+    )
+    assert (
+        sorted(map(tuple, ga.graph_query_indexed(spark, name, q).collect()))
+        == baseline
+    )
+
+    ga.compact_graph_edges(spark, name)
+    assert (
+        spark.table(name)
+        .groupBy("src", "dst")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    counts = _partition_file_counts(spark, name, part_col="src_b")
+    assert counts and all(v == 1 for v in counts.values())
+    assert (
+        sorted(map(tuple, ga.graph_query_indexed(spark, name, q).collect()))
+        == baseline
+    )
+
+
+def test_streaming_graph_updates_and_replay_healing(spark, tmp_path):
+    """Round-13: streaming maintenance of the graph layout — streamed
+    micro-batches ≡ the same batches appended directly in order
+    (sequential NSW insertion: each batch's pool includes earlier
+    batches' nodes), replay healed at serve by the walk's visited-set
+    and permanently by compaction."""
+    from stream_processor_spark.operators import graphann as ga
+
+    a_dir, emb = _graph_emb_dirs(spark, tmp_path)
+    (name,) = ga.ensure_graph_index(spark, a_dir)
+
+    stream_src = tmp_path / "vec_in"
+    emb.filter("vec_id >= 400 AND vec_id < 450").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    emb.filter("vec_id >= 450").coalesce(1).write.parquet(
+        str(stream_src), mode="append"
+    )
+    vec_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src))
+    )
+    q = ga.stream_graph_updates(
+        spark, vec_stream, name, str(tmp_path / "gr_ckpt")
+    )
+    q.awaitTermination(120)
+
+    # direct-append twin over a second copy of the same initial layout
+    b_dir = tmp_path / "gb"
+    b_dir.mkdir()
+    emb.filter("vec_id < 400").write.parquet(
+        str(b_dir / "embeddings.parquet")
+    )
+    (name2,) = ga.ensure_graph_index(spark, str(b_dir))
+    ga.append_graph_index(
+        spark, name2, emb.filter("vec_id >= 400 AND vec_id < 450")
+    )
+    ga.append_graph_index(spark, name2, emb.filter("vec_id >= 450"))
+
+    rows = lambda n: sorted(  # noqa: E731
+        (int(r["src"]), int(r["dst"])) for r in spark.table(n).collect()
+    )
+    assert rows(name) == rows(name2)
+
+    # appended node reachable through the streamed layout
+    r = emb.filter("vec_id = 470").head()
+    top = ga.graph_query_indexed(
+        spark, name, np.asarray(r[1], np.float64), topk=3
+    ).collect()
+    assert int(top[0][0]) == 470
