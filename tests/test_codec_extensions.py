@@ -691,3 +691,141 @@ def test_gif_no_color_table_grayscale_fallback():
     assert rgb.shape == idx.shape + (3,)
     for c in range(3):
         assert np.array_equal(rgb[:, :, c], idx)
+
+
+# ------------------------------------------------------ round-13 rungs ----
+
+
+def test_gif_animation_composition_transparency():
+    """Composed frames honor GCE transparency: pixels equal to the
+    transparent index leave the previous canvas pixels in place."""
+    from stream_processor_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = mm.gif_fixture_palette()
+    rng = np.random.RandomState(31)
+    f0 = rng.randint(0, 255, (4, 5)).astype(np.uint8)
+    f1 = rng.randint(0, 255, (4, 5)).astype(np.uint8)
+    f1[1, 2] = 255
+    f1[3, 0] = 255
+    out = decode_gif_frames(
+        encode_gif_frames([f0, f1], pal, transparent_idx=255)
+    )
+    assert len(out) == 2
+    assert np.array_equal(out[0], pal[f0])
+    exp = pal[f1].copy()
+    exp[1, 2] = pal[f0][1, 2]
+    exp[3, 0] = pal[f0][3, 0]
+    assert np.array_equal(out[1], exp)
+
+
+def test_gif_animation_partial_rects_and_disposals():
+    """Partial-rect frames compose at their (left, top) offsets;
+    disposal 3 restores the pre-frame canvas, disposal 2 restores the
+    frame's rect to the background color before the next frame."""
+    from stream_processor_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = mm.gif_fixture_palette()
+    rng = np.random.RandomState(37)
+    f0 = rng.randint(0, 255, (6, 6)).astype(np.uint8)
+    patch = rng.randint(0, 255, (2, 3)).astype(np.uint8)
+    f2 = rng.randint(0, 255, (6, 6)).astype(np.uint8)
+
+    # disposal 3 on the patch: frame 2 starts from the PRE-patch canvas
+    out = decode_gif_frames(
+        encode_gif_frames(
+            [f0, patch, f2],
+            pal,
+            offsets=[(0, 0), (2, 1), (0, 0)],
+            disposals=[0, 3, 0],
+            screen=(6, 6),
+        )
+    )
+    exp1 = pal[f0].copy()
+    exp1[1:3, 2:5] = pal[patch]
+    assert np.array_equal(out[1], exp1)
+    assert np.array_equal(out[2], pal[f2])
+
+    # disposal 2 on frame 0: the full rect resets to background (index
+    # 0) before the patch draws
+    out = decode_gif_frames(
+        encode_gif_frames(
+            [f0, patch],
+            pal,
+            offsets=[(0, 0), (2, 1)],
+            disposals=[2, 0],
+            screen=(6, 6),
+        )
+    )
+    exp1 = np.empty((6, 6, 3), np.uint8)
+    exp1[:] = pal[0]
+    exp1[1:3, 2:5] = pal[patch]
+    assert np.array_equal(out[0], pal[f0])
+    assert np.array_equal(out[1], exp1)
+
+
+def test_gif_animation_fixture_matches_pure_replica():
+    """The registered fixture's composed frames equal a pure-python
+    last-drawn-wins replica — the same function the SQL oracle
+    implements with a window MAX."""
+    from stream_processor_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    pal = mm.gif_fixture_palette()
+    for doc in (0, 5, 17, 101):
+        frames = mm.gif_anim_fixture_frames(doc)
+        out = decode_gif_frames(
+            encode_gif_frames(frames, pal, transparent_idx=255)
+        )
+        assert len(out) == 2 + doc % 3
+        canvas_idx = frames[0].astype(np.int64)  # frame 0 fully drawn
+        for f, fr in enumerate(frames):
+            drawn = fr != 255
+            canvas_idx = np.where(drawn, fr.astype(np.int64), canvas_idx)
+            assert np.array_equal(out[f], pal[canvas_idx]), f"doc {doc} f {f}"
+
+
+def test_gif_first_frame_view_of_animation():
+    """decode_gif (single-image view) on an animation returns frame 0's
+    raw palette expansion — extensions skipped per the block grammar."""
+    from stream_processor_spark.operators.gif import (
+        decode_gif,
+        encode_gif_frames,
+    )
+
+    pal = mm.gif_fixture_palette()
+    frames = mm.gif_anim_fixture_frames(9)
+    raw = encode_gif_frames(frames, pal, transparent_idx=255)
+    assert np.array_equal(decode_gif(raw), pal[frames[0]])
+
+
+def test_png16_roundtrip_gray_rgb_alpha():
+    rng = np.random.RandomState(41)
+    g = rng.randint(0, 65536, (7, 5)).astype(np.uint16)
+    assert np.array_equal(
+        mm.decode_png16(mm.encode_png16(g)), np.stack([g, g, g], -1)
+    )
+    c = rng.randint(0, 65536, (6, 9, 3)).astype(np.uint16)
+    assert np.array_equal(mm.decode_png16(mm.encode_png16(c)), c)
+    # extremes: all-zero and all-65535 images survive the filter cycle
+    for v in (0, 65535):
+        flat = np.full((5, 4), v, np.uint16)
+        assert mm.decode_png16(mm.encode_png16(flat)).max() == v
+
+
+def test_png16_gates_and_cross_dispatch():
+    import pytest
+
+    g = np.zeros((3, 3), np.uint16)
+    raw = mm.encode_png16(g)
+    with pytest.raises(NotImplementedError, match="decode_png16"):
+        mm.decode_png(raw)  # 8-bit decoder points at the 16-bit one
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        mm.decode_png16(mm.encode_png(np.zeros((3, 3, 3), np.uint8)))

@@ -1297,3 +1297,37 @@ def test_streaming_graph_updates_and_replay_healing(spark, tmp_path):
         spark, name, np.asarray(r[1], np.float64), topk=3
     ).collect()
     assert int(top[0][0]) == 470
+
+
+def test_graph_append_pool_memo_equals_cold_derivation(spark, tmp_path):
+    """The incrementally-maintained candidate pool (steady-state
+    appends pay no index scan) must be INVISIBLE: two sequential
+    appends with the warm memo produce exactly the edge rows of the
+    same appends with the memo cleared between (cold from-table
+    derivation) — the cap's smallest-k composability contract."""
+    from stream_processor_spark.operators import graphann as ga
+
+    emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    b1 = emb.filter("vec_id >= 400 AND vec_id < 450")
+    b2 = emb.filter("vec_id >= 450")
+
+    def run(clear_between):
+        d = tmp_path / ("cold" if clear_between else "warm")
+        d.mkdir()
+        emb.filter("vec_id < 400").write.parquet(
+            str(d / "embeddings.parquet")
+        )
+        (name,) = ga.ensure_graph_index(spark, str(d))
+        ga._POOL_CACHE.pop(name, None)
+        ga.append_graph_index(spark, name, b1)
+        if clear_between:
+            ga._POOL_CACHE.pop(name, None)
+        else:
+            assert name in ga._POOL_CACHE  # memo actually exercised
+        ga.append_graph_index(spark, name, b2)
+        return sorted(
+            (int(r["src"]), int(r["dst"]), int(r["src_b"]))
+            for r in spark.table(name).collect()
+        )
+
+    assert run(False) == run(True)
