@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Round-13 final adjudication of text_token_counts at sf10.
+
+Round-12 verdict item 7: the entry is the one remaining >2x headline
+member at sf10 (2.2-2.3x, 0.31 s absolute), diagnosed as DuckDB's
+faster string-split kernel, with the round-11 A/B (mapInArrow Arrow
+string kernels vs the codegen explode(split) plan) run only at sf0.1.
+This replays the SAME A/B at sf10 — 10x the text — plus the DuckDB
+side, so the kernel-gap claim is measured at the scale the ratio is
+quoted at. Outputs are verified identical across variants (row count +
+order-independent checksum) before timing is trusted.
+
+Usage: python scripts/r13_token_counts_ab.py > docs/TOKEN_COUNTS_AB_r13_sf10.json
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF10 = os.path.join(ROOT, ".scratch", "sf10")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.queries.base import REGISTRY
+    from stream_processor_spark.session import get_spark
+
+    spark = get_spark("r13-token-counts-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SF10, "documents.parquet"))
+    docs.count()  # warm the file listing
+
+    def variant_a():
+        from stream_processor_spark.operators import textstats as tx
+
+        return (
+            docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def _arrow_counts(per_partition: bool):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def gen(batches):
+            def counts_of(tbl):
+                toks = pc.list_flatten(
+                    pc.split_pattern(tbl.column("text"), " ")
+                )
+                vc = toks.value_counts()
+                return pa.RecordBatch.from_arrays(
+                    [vc.field("values"), vc.field("counts")],
+                    ["token", "pn"],
+                )
+
+            if per_partition:
+                allb = [pa.Table.from_batches([b]) for b in batches]
+                if allb:
+                    yield counts_of(pa.concat_tables(allb))
+            else:
+                for b in batches:
+                    yield counts_of(pa.Table.from_batches([b]))
+
+        return (
+            docs.select("text")
+            .mapInArrow(gen, schema="token string, pn long")
+            .groupBy("token")
+            .agg(F.sum("pn").alias("n"))
+        )
+
+    variants = {
+        "A_current_explode_count": variant_a,
+        "B_mapInArrow_per_batch_value_counts": lambda: _arrow_counts(False),
+        "C_mapInArrow_per_partition_value_counts": lambda: _arrow_counts(True),
+    }
+
+    # identical-output gate: row count + order-independent checksum
+    sigs = {}
+    for name, fn in variants.items():
+        df = fn()
+        sig = df.select(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.xxhash64("token") * F.col("n")).alias("chk"),
+        ).head()
+        sigs[name] = (int(sig[0]), int(sig[1]))
+    assert len(set(sigs.values())) == 1, f"variant outputs differ: {sigs}"
+
+    times = {}
+    for name, fn in variants.items():
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+
+    # DuckDB side (the oracle SQL on the same parquet)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF10, 'documents.parquet')}')"
+    )
+    oracle = REGISTRY["text_token_counts"].oracle
+    druns = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(f"SELECT COUNT(*), SUM(n) FROM ({oracle})").fetchall()
+        druns.append(time.perf_counter() - t0)
+    duck = round(min(druns), 3)
+
+    best = min(times, key=times.get)
+    rec = {
+        "experiment": "r13_token_counts_ab_sf10",
+        "sf_dir": SF10,
+        "doc_rows": docs.count(),
+        "outputs_identical": True,
+        "output_signature": {"rows": sigs[best][0]},
+        "spark_sec_best_of_3": times,
+        "duckdb_sec_best_of_3": duck,
+        "winner": best,
+        "winner_ratio_vs_duckdb": round(times[best] / duck, 2),
+        "prior_record": "docs/TOKEN_COUNTS_AB_r11.json (sf0.1: A wins)",
+    }
+    print(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()
