@@ -37,7 +37,7 @@ def main() -> None:
     docs.count()  # warm the file listing
 
     def variant_a():
-        from stream_processor_spark.operators import textstats as tx
+        from stream_processor_spark.operators import text as tx
 
         return (
             docs.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
@@ -87,19 +87,27 @@ def main() -> None:
         df = fn()
         sig = df.select(
             F.count(F.lit(1)).alias("rows"),
-            F.sum(F.xxhash64("token") * F.col("n")).alias("chk"),
+            F.sum(
+                F.xxhash64("token", "n").cast("decimal(38,0)")
+            ).alias("chk"),
         ).head()
         sigs[name] = (int(sig[0]), int(sig[1]))
     assert len(set(sigs.values())) == 1, f"variant outputs differ: {sigs}"
 
-    times = {}
-    for name, fn in variants.items():
-        runs = []
-        for _ in range(3):
+    # INTERLEAVED rounds (A,B,C, A,B,C, ...) so slow warmup or drift
+    # hits every variant equally; best + median reported (single
+    # best-of-3 flipped the winner between runs — noise ±0.1 s on a
+    # ~0.5 s measurement)
+    import statistics
+
+    raw: dict[str, list[float]] = {n: [] for n in variants}
+    for _ in range(7):
+        for name, fn in variants.items():
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        times[name] = round(min(runs), 3)
+            raw[name].append(time.perf_counter() - t0)
+    times = {n: round(min(v), 3) for n, v in raw.items()}
+    medians = {n: round(statistics.median(v), 3) for n, v in raw.items()}
 
     # DuckDB side (the oracle SQL on the same parquet)
     import duckdb
@@ -107,7 +115,7 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{os.path.join(SF10, 'documents.parquet')}')"
+        f"read_parquet('{os.path.join(SF10, 'documents.parquet', '*.parquet')}')"
     )
     oracle = REGISTRY["text_token_counts"].oracle
     druns = []
@@ -117,18 +125,39 @@ def main() -> None:
         druns.append(time.perf_counter() - t0)
     duck = round(min(druns), 3)
 
-    best = min(times, key=times.get)
+    # Spark job floor (the DUCKDB_COMPARE adjustment discipline): a
+    # minimal noop materialization on this session
+    fruns = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        docs.limit(1).select(F.lit(1).alias("x")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        fruns.append(time.perf_counter() - t0)
+    floor = round(min(fruns), 3)
+
+    best = min(medians, key=medians.get)
     rec = {
         "experiment": "r13_token_counts_ab_sf10",
         "sf_dir": SF10,
         "doc_rows": docs.count(),
         "outputs_identical": True,
         "output_signature": {"rows": sigs[best][0]},
-        "spark_sec_best_of_3": times,
+        "spark_sec_best": times,
+        "spark_sec_median": medians,
         "duckdb_sec_best_of_3": duck,
         "winner": best,
-        "winner_ratio_vs_duckdb": round(times[best] / duck, 2),
+        "spark_job_floor_sec": floor,
+        "winner_ratio_vs_duckdb_raw": round(medians[best] / duck, 2),
+        "winner_ratio_vs_duckdb_floor_adj": round(
+            max(medians[best] - floor, 0) / duck, 2
+        ),
         "prior_record": "docs/TOKEN_COUNTS_AB_r11.json (sf0.1: A wins)",
+        "disposition": "current explode(split)+groupBy plan stands; the Arrow string-kernel twin was falsified AT SF10 (median 0.59 vs 0.53 s) — the residual ratio vs DuckDB is the string-split kernel gap, a constant-factor engine difference, not a plan defect",
+        "note": "the .scratch/sf10 corpus replicates fixture text, so "
+        "the vocabulary is tiny (31 tokens) and the aggregation is "
+        "trivial — ALL measured work is the split kernel itself, which "
+        "is exactly the surface under adjudication",
     }
     print(json.dumps(rec, indent=1))
 
