@@ -170,6 +170,11 @@ def append_ivf_index(
         .write.mode("append")
         .insertInto(lists_name)
     )
+    # foreachBatch writes run through the micro-batch CLONE session and
+    # do NOT invalidate THIS session's cached file listing — without the
+    # refresh a session that read the table before the stream serves the
+    # pre-append snapshot forever (round-13, found via the graph path)
+    spark.catalog.refreshTable(lists_name)
 
 
 def stream_ivf_updates(
@@ -1135,6 +1140,7 @@ def append_ivfpq_index(
         .write.mode("append")
         .insertInto(codes_name)
     )
+    spark.catalog.refreshTable(codes_name)
 
 
 def append_pq_codes(
@@ -1169,6 +1175,7 @@ def append_pq_codes(
         .write.mode("append")
         .insertInto(codes_name)
     )
+    spark.catalog.refreshTable(codes_name)
 
 
 # ------------------------------------------------------- binary sign index ----
@@ -1245,6 +1252,7 @@ def append_sign_index(
         .write.mode("append")
         .insertInto(sig_name)
     )
+    spark.catalog.refreshTable(sig_name)
 
 
 def stream_sign_updates(

@@ -298,6 +298,12 @@ def append_minhash_index(
         "append"
     ).insertInto(bands_name)
     hs.write.mode("append").insertInto(hset_name)
+    # foreachBatch writes run through the micro-batch CLONE session and
+    # do NOT invalidate THIS session's cached file listing — without the
+    # refresh a session that read the table before the stream serves the
+    # pre-append snapshot forever (round-13, found via the graph path)
+    spark.catalog.refreshTable(bands_name)
+    spark.catalog.refreshTable(hset_name)
 
 
 def stream_minhash_updates(

@@ -216,6 +216,12 @@ def append_postings(
     pframe.persist()
     try:
         pframe.write.mode("append").insertInto(post_name)
+        # foreachBatch writes run through the micro-batch CLONE session
+        # and do NOT invalidate THIS session's cached file listing —
+        # without the refresh a session that read the table before the
+        # stream serves the pre-append snapshot forever (round-13,
+        # found via the graph path)
+        spark.catalog.refreshTable(post_name)
         fp, n, sum_len = _batch_stats(pframe)
     finally:
         pframe.unpersist()
@@ -230,6 +236,7 @@ def append_postings(
         .write.mode("append")
         .insertInto(stats_name)
     )
+    spark.catalog.refreshTable(stats_name)
     return True
 
 

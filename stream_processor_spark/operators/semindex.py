@@ -174,6 +174,11 @@ def append_semantic_index(
         out_col="cluster_id",
     ).select("vec_id", "cluster_id")
     assigned.write.mode("append").insertInto(asn_name)
+    # foreachBatch writes run through the micro-batch CLONE session and
+    # do NOT invalidate THIS session's cached file listing — without the
+    # refresh a session that read the table before the stream serves the
+    # pre-append snapshot forever (round-13, found via the graph path)
+    spark.catalog.refreshTable(asn_name)
 
     bands = new_vecs.select(
         F.col("vec_id"),
@@ -204,6 +209,7 @@ def append_semantic_index(
             .select("vec_id", "band_idx", "band_key")
         )
         capped.write.mode("append").insertInto(band_name)
+        spark.catalog.refreshTable(band_name)
     finally:
         bands.unpersist()
 

@@ -1331,3 +1331,66 @@ def test_graph_append_pool_memo_equals_cold_derivation(spark, tmp_path):
         )
 
     assert run(False) == run(True)
+
+
+def test_streamed_appends_visible_to_prior_reader_session(spark, tmp_path):
+    """Round-13 regression (found via the graph path, latent in EVERY
+    append): foreachBatch writes run through the micro-batch CLONE
+    session and do not invalidate the serving session's cached file
+    listing — a session that read the table BEFORE the stream would
+    serve the pre-append snapshot forever. Every append_* now refreshes
+    the table in the caller's session; this pins the production pattern
+    (serve, stream appends, serve again) for the sign and postings
+    layouts."""
+    from stream_processor_spark.operators.annindex import (
+        ensure_sign_index,
+        stream_sign_updates,
+    )
+    from stream_processor_spark.operators.postings import (
+        bm25_from_postings,
+        ensure_postings,
+        stream_postings_updates,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    a_dir = tmp_path / "sa"
+    a_dir.mkdir()
+    emb.filter("vec_id < 300").write.parquet(str(a_dir / "embeddings.parquet"))
+    (sig,) = ensure_sign_index(spark, str(a_dir))
+    assert spark.table(sig).count() == 300  # the pre-stream read
+
+    ssrc = tmp_path / "sig_in"
+    emb.filter("vec_id >= 300").coalesce(1).write.parquet(
+        str(ssrc), mode="append"
+    )
+    vs = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ssrc))
+    )
+    q = stream_sign_updates(spark, vs, sig, str(tmp_path / "sig_ck"))
+    q.awaitTermination(120)
+    assert spark.table(sig).count() == emb.count()  # NOT the snapshot
+
+    a_docs, _full = _docs_dirs(tmp_path, spark)
+    post, stats = ensure_postings(spark, a_docs)
+    docs = spark.read.parquet(
+        os.path.join(SF_SMALL, "documents.parquet")
+    )
+    qrow = docs.filter("doc_id = 0").select("text").head()
+    qtokens = sorted({t for t in qrow[0].split(" ") if t})
+    pre = bm25_from_postings(spark, post, stats, qtokens).count()
+
+    dsrc = tmp_path / "doc_in"
+    docs.filter("doc_id >= 300").coalesce(1).write.parquet(
+        str(dsrc), mode="append"
+    )
+    ds = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dsrc))
+    )
+    q = stream_postings_updates(spark, ds, post, stats, str(tmp_path / "p_ck"))
+    q.awaitTermination(120)
+    post_count = bm25_from_postings(spark, post, stats, qtokens).count()
+    assert post_count > pre  # new docs scored by the prior serving session
