@@ -431,6 +431,37 @@ def ensure_graph_index(
     return (edges_name,)
 
 
+_EMPTY_ADJ = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty((0, 0), dtype=np.float64),
+)
+
+
+def _table_to_adj(tbl):
+    """(src, dst, dst_emb) arrow table → (int64[n], int64[n],
+    float64[n, dim]) without per-row Python conversion."""
+    n = tbl.num_rows
+    if n == 0:
+        return _EMPTY_ADJ
+    src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = tbl.column("dst_emb").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    emb = flat.astype(np.float64).reshape(n, -1)
+    return src, dst, emb
+
+
+def _rows_to_adj(rows):
+    """Spark Row fallback → the same array triple as the local reader."""
+    if not rows:
+        return _EMPTY_ADJ
+    src = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+    dst = np.asarray([int(r[1]) for r in rows], dtype=np.int64)
+    emb = np.asarray([list(r[2]) for r in rows], dtype=np.float64)
+    return src, dst, emb
+
+
 class _LocalGraphLayout:
     """Driver-side reader over a LOCAL graph layout — the round-12
     `sim_ann_hamming_indexed` point-read precedent applied to the beam
@@ -452,25 +483,22 @@ class _LocalGraphLayout:
         self.entry = entry
         self.entry_emb = entry_emb
 
-    def read_adj(self, buckets, srcs) -> list[tuple]:
-        """(src, dst, dst_emb) rows of `srcs`' out-edges, reading only
-        the touched buckets' files."""
+    def read_adj(self, buckets, srcs):
+        """`srcs`' out-edges from the touched buckets' files as numpy
+        arrays: (src int64[n], dst int64[n], emb float64[n, dim]).
+        The embedding column converts through one Arrow buffer
+        flatten+reshape — a per-row to_pylist here cost ~100 ms/hop on
+        hub-heavy reads (round-13 profile), the array path is ~1 ms."""
         import pyarrow.dataset as ds
 
         files = [f for b in buckets for f in self.parts.get(int(b), ())]
         if not files:
-            return []
+            return _EMPTY_ADJ
         tbl = ds.dataset(files, format="parquet").to_table(
             filter=ds.field("src").isin([int(s) for s in srcs]),
             columns=["src", "dst", "dst_emb"],
         )
-        return list(
-            zip(
-                tbl.column("src").to_pylist(),
-                tbl.column("dst").to_pylist(),
-                tbl.column("dst_emb").to_pylist(),
-            )
-        )
+        return _table_to_adj(tbl)
 
 
 def _layout_signature(base: str):
@@ -957,30 +985,31 @@ def graph_query_indexed(
     for _ in range(hops):
         beam_bs = sorted({bucket_of(x) for x in beam})
         if local is not None:
-            rows = [(d, e) for _s, d, e in local.read_adj(beam_bs, beam)]
+            _sa, dst_a, emb_a = local.read_adj(beam_bs, beam)
         else:
-            rows = (
+            _sa, dst_a, emb_a = _rows_to_adj(
                 edges.filter(
                     F.col("src_b").isin(beam_bs)
                     & F.col("src").isin([int(x) for x in beam])
                 )
-                .select("dst", "dst_emb")
+                .select(F.lit(0).alias("src"), "dst", "dst_emb")
                 .collect()
             )
         cand_ids = list(beam)
-        new_ids, new_embs = [], []
+        new_ids, new_rows = [], []
         seen = set(beam)
-        for r in rows:
-            d = int(r[0])
+        for i in range(len(dst_a)):
+            d = int(dst_a[i])
             if d in seen:
                 continue
             seen.add(d)
             cand_ids.append(d)
             if d not in visited:
                 new_ids.append(d)
-                new_embs.append(np.asarray(r[1], dtype=np.float64))
+                new_rows.append(i)
         if new_ids:
-            cs = cos_of(np.stack(new_embs))
+            new_embs = emb_a[new_rows]
+            cs = cos_of(new_embs)
             for i, d in enumerate(new_ids):
                 visited[d] = float(cs[i])
                 emb_of[d] = new_embs[i]
@@ -1080,9 +1109,9 @@ def graph_multi_query_indexed(
         union_beam = sorted({x for q in active for x in beams[q]})
         union_bs = sorted({bucket_of(x) for x in union_beam})
         if local is not None:
-            rows = local.read_adj(union_bs, union_beam)
+            src_a, dst_a, emb_a = local.read_adj(union_bs, union_beam)
         else:
-            rows = (
+            src_a, dst_a, emb_a = _rows_to_adj(
                 edges.filter(
                     F.col("src_b").isin(union_bs)
                     & F.col("src").isin(union_beam)
@@ -1091,11 +1120,11 @@ def graph_multi_query_indexed(
                 .collect()
             )
         adj: dict[int, list[int]] = {}
-        for r in rows:
-            d = int(r[1])
-            adj.setdefault(int(r[0]), []).append(d)
+        for i in range(len(dst_a)):
+            d = int(dst_a[i])
+            adj.setdefault(int(src_a[i]), []).append(d)
             if d not in emb_of:
-                emb_of[d] = np.asarray(r[2], dtype=np.float64)
+                emb_of[d] = emb_a[i]
         still = set()
         for q in active:
             cand_ids = list(beams[q])
