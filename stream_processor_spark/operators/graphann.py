@@ -727,8 +727,20 @@ def append_graph_index(
     if pool is None:
         pool = _dst_pool_from_table(spark, edges, bits, max_bucket)
     merged = _cap_merge(pool, batch_pool, max_bucket)
+    # broadcast ONLY the probe-relevant slice: the batch's home +
+    # Hamming-1 buckets. A small batch touches few buckets, so the
+    # shipped model is O(batch·bits·cap) — not the full 2^bits·cap pool
+    # (~270 MB at the bits=12 ceiling), which made warm appends pay a
+    # corpus-sized broadcast for a 1000-vector batch.
+    needed: set[int] = set()
+    for b in batch_pool:
+        needed.add(b)
+        needed.update(b ^ (1 << j) for j in range(bits))
     model: dict[int, tuple] = {}
-    for b, lst in merged.items():
+    for b in needed:
+        lst = merged.get(b)
+        if not lst:
+            continue
         ids = np.asarray([t[0] for t in lst], dtype=np.int64)
         raw = [t[1] for t in lst]
         embs = np.stack([np.asarray(t[1], dtype=np.float64) for t in lst])
