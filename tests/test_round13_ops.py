@@ -111,3 +111,30 @@ def test_detect_scala_abi_matches_distribution():
         assert m and got == m.group(1)
     else:  # pragma: no cover - exotic layout
         assert got in ("2.12", "2.13")
+
+
+def test_graph_serve_spark_fallback_matches_driver_walk(spark, monkeypatch):
+    """The pruned-scan Spark path (non-local warehouses) must return
+    EXACTLY the driver-walk rows — pins the fallback against rot, since
+    every other test runs on a local warehouse and exercises only the
+    pyarrow path."""
+    import numpy as np
+
+    from stream_processor_spark.operators import graphann as ga
+
+    (name,) = ga.ensure_graph_index(spark, SF_SMALL)
+    emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    q = np.asarray(emb.filter("vec_id = 7").head()[1], dtype=np.float64)
+    qs = {0: q, 1: np.asarray(emb.filter("vec_id = 11").head()[1], np.float64)}
+
+    fast = sorted(map(tuple, ga.graph_query_indexed(spark, name, q).collect()))
+    fast_m = sorted(
+        map(tuple, ga.graph_multi_query_indexed(spark, name, qs).collect())
+    )
+    monkeypatch.setattr(ga, "_local_graph_layout", lambda *a, **k: None)
+    slow = sorted(map(tuple, ga.graph_query_indexed(spark, name, q).collect()))
+    slow_m = sorted(
+        map(tuple, ga.graph_multi_query_indexed(spark, name, qs).collect())
+    )
+    assert fast == slow and len(fast) == 10
+    assert fast_m == slow_m and len(fast_m) == 20
