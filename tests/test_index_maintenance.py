@@ -1394,3 +1394,68 @@ def test_streamed_appends_visible_to_prior_reader_session(spark, tmp_path):
     q.awaitTermination(120)
     post_count = bm25_from_postings(spark, post, stats, qtokens).count()
     assert post_count > pre  # new docs scored by the prior serving session
+
+
+def test_graph_append_capped_layout(spark, tmp_path):
+    """The PRODUCTION append profile (per-bucket candidate cap): warm
+    memo ≡ cold derivation under the cap, every appended out-edge's dst
+    lies in the capped candidate domain (its bucket's cap smallest pool
+    ids), and appended nodes stay reachable."""
+    from stream_processor_spark.operators import graphann as ga
+
+    cap = 6
+    a_dir, emb = _graph_emb_dirs(spark, tmp_path)
+    b1 = emb.filter("vec_id >= 400 AND vec_id < 450")
+    b2 = emb.filter("vec_id >= 450")
+
+    def run(clear_between):
+        d = tmp_path / ("capcold" if clear_between else "capwarm")
+        d.mkdir()
+        emb.filter("vec_id < 400").write.parquet(
+            str(d / "embeddings.parquet")
+        )
+        (name,) = ga.ensure_graph_index(spark, str(d), max_bucket=cap)
+        ga._POOL_CACHE.pop(name, None)
+        ga.append_graph_index(spark, name, b1, max_bucket=cap)
+        if clear_between:
+            ga._POOL_CACHE.pop(name, None)
+        ga.append_graph_index(spark, name, b2, max_bucket=cap)
+        return name, sorted(
+            (int(r["src"]), int(r["dst"]), int(r["src_b"]))
+            for r in spark.table(name).collect()
+        )
+
+    name_w, warm = run(False)
+    _, cold = run(True)
+    assert warm == cold
+
+    # capped-domain check: every edge dst introduced by the appends is
+    # among its own bucket's `cap` smallest vec_ids of the full pool
+    # (dst view ∪ batches) — the smallest-k composability contract
+    rows = spark.table(name_w).collect()
+    bucket_ids: dict[int, set] = {}
+    emb_of = {}
+    for r in rows:
+        emb_of[int(r["dst"])] = np.asarray(r["dst_emb"], np.float64)
+    for vid, e in emb_of.items():
+        b = sum((1 << j) for j in range(ga.GRAPH_BITS) if e[j] > 0)
+        bucket_ids.setdefault(b, set()).add(vid)
+    capped_domain = {
+        b: set(sorted(ids)[:cap]) for b, ids in bucket_ids.items()
+    }
+    new_edges = [
+        r for r in rows if int(r["src"]) >= 400 and int(r["dst"]) < 400
+    ]
+    assert new_edges  # appended out-edges into the base corpus exist
+    for r in new_edges:
+        d = int(r["dst"])
+        e = emb_of[d]
+        b = sum((1 << j) for j in range(ga.GRAPH_BITS) if e[j] > 0)
+        assert d in capped_domain[b], f"dst {d} outside bucket {b} cap"
+
+    # reachability survives the cap
+    r = emb.filter("vec_id = 470").head()
+    top = ga.graph_query_indexed(
+        spark, name_w, np.asarray(r[1], np.float64), topk=3
+    ).collect()
+    assert int(top[0][0]) == 470
