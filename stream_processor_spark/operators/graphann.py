@@ -156,13 +156,19 @@ def graph_auto_params(
     """Default (bits, max_bucket) for this corpus — fixture profile at
     oracle scales, schedule + cap above them (see GRAPH_AUTO_N).
 
-    A corpus with no readable embeddings table falls back to the
-    fixture profile instead of raising (round-12 ADVICE: the router's
+    A corpus with no embeddings table falls back to the fixture
+    profile instead of raising (round-12 ADVICE: the router's
     layout-name probe calls this, and a name probe must never fail on
     a corpus that simply has no embeddings — the build itself will
-    surface the real error). The memo key is the ABSOLUTE path so
-    spelling variants of the same directory don't re-count."""
+    surface the real error). ONLY the missing-table analysis error is
+    swallowed (round-13 ADVICE): a transient read/executor failure
+    during the count must propagate, or a real build would silently
+    construct an under-parameterized index (fixture bits, no cap) for
+    a large corpus. The memo key is the ABSOLUTE path so spelling
+    variants of the same directory don't re-count."""
     import os
+
+    from pyspark.errors import AnalysisException
 
     from stream_processor_spark.catalog import Tables
 
@@ -171,12 +177,24 @@ def graph_auto_params(
     if n is None:
         try:
             n = Tables(spark, sf_dir).embeddings.count()
-        except Exception:
-            return GRAPH_BITS, None  # un-countable: report, don't raise
+        except AnalysisException:
+            # missing/unresolvable table (PATH_NOT_FOUND, schema probe):
+            # report the fixture profile, don't raise
+            return GRAPH_BITS, None
         _AUTO_N_CACHE[key] = n
     if n <= GRAPH_AUTO_N:
         return GRAPH_BITS, None
     return graph_bits_for(n), GRAPH_MAX_BUCKET
+
+
+#: layout name -> (bits, m, max_bucket); the in-process half of the
+#: frozen-parameter record (the durable half is TBLPROPERTIES written by
+#: `ensure_graph_index`). Populated by `graph_names` — every caller that
+#: can address a layout went through it, so maintenance ops can resolve
+#: the BUILD's parameters instead of trusting keyword defaults
+#: (round-13 ADVICE: appending to a capped layout without re-passing the
+#: cap must not silently derive an uncapped candidate pool).
+_LAYOUT_PARAMS: dict[str, tuple[int, int, int | None]] = {}
 
 
 def graph_names(
@@ -191,7 +209,37 @@ def graph_names(
     if max_bucket is not None:
         key += f"|cap{max_bucket}"
     tag = hashlib.md5(key.encode()).hexdigest()[:8]
-    return (f"gr_edges_{tag}",)
+    name = f"gr_edges_{tag}"
+    _LAYOUT_PARAMS[name] = (bits, m, max_bucket)
+    return (name,)
+
+
+def _recorded_graph_params(
+    spark: SparkSession, edges_name: str
+) -> tuple[int, int, int | None] | None:
+    """The layout's FROZEN build parameters, or None for a layout that
+    predates the record. In-process registry first (free), then the
+    TBLPROPERTIES `ensure_graph_index` persists — the durable source a
+    fresh process reads, mirroring how the serve re-derives parameters
+    from the layout rather than from caller keywords."""
+    p = _LAYOUT_PARAMS.get(edges_name)
+    if p is not None:
+        return p
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {edges_name}").collect()
+    except Exception:
+        return None
+    props = {str(r[0]): str(r[1]) for r in rows}
+    if "spark_graft.graph.bits" not in props:
+        return None
+    cap = props.get("spark_graft.graph.cap", "none")
+    out = (
+        int(props["spark_graft.graph.bits"]),
+        int(props["spark_graft.graph.m"]),
+        None if cap == "none" else int(cap),
+    )
+    _LAYOUT_PARAMS[edges_name] = out
+    return out
 
 
 def _bucket_col(emb, bits: int):
@@ -427,6 +475,16 @@ def ensure_graph_index(
         .partitionBy("src_b")
         .format("parquet")
         .saveAsTable(edges_name)
+    )
+    # freeze the build parameters ON the layout (round-13 ADVICE): a
+    # fresh process appending to this table resolves bits/m/cap from
+    # here instead of trusting its keyword defaults
+    cap_s = "none" if max_bucket is None else str(int(max_bucket))
+    spark.sql(
+        f"ALTER TABLE {edges_name} SET TBLPROPERTIES ("
+        f"'spark_graft.graph.bits'='{int(bits)}',"
+        f"'spark_graft.graph.m'='{int(m)}',"
+        f"'spark_graft.graph.cap'='{cap_s}')"
     )
     return (edges_name,)
 
@@ -666,9 +724,14 @@ def append_graph_index(
     rebuild — the `append_ivf_index` frozen-model discipline applied to
     graph insertion.
 
-    Per new node: bucket under the FROZEN sign schedule (callers pass
-    the layout's own bits/m/cap — the parameters are encoded in the
-    layout name, same contract as append_ivf's frozen centroids), score
+    Per new node: bucket under the FROZEN sign schedule. The
+    parameters are resolved from the LAYOUT's own record
+    (`_recorded_graph_params`: the `graph_names` registry or the
+    TBLPROPERTIES the build froze — round-13 ADVICE: the docstring
+    contract alone let an append to a capped layout silently derive an
+    uncapped, corpus-sized candidate pool when the caller forgot the
+    cap keyword; now defaults are REPLACED by the record and a
+    contradictory explicit keyword raises). Each node scores
     against the frozen candidate pool (`_append_cand_pool`: the
     layout's distinct-dst view ∪ the batch, per-bucket-capped), keep
     the exact top-``m`` (scaled-int64 cosine, ties to smaller vec_id —
@@ -693,6 +756,18 @@ def append_graph_index(
     larger corpus wanting more bits) remains a periodic
     `ensure_graph_index` rebuild, not a streaming concern."""
     import pandas as pd
+
+    rec = _recorded_graph_params(spark, edges_name)
+    if rec is not None and (bits, m, max_bucket) != rec:
+        if (bits, m, max_bucket) != (GRAPH_BITS, GRAPH_M, None):
+            raise ValueError(
+                f"append_graph_index({edges_name!r}): explicit "
+                f"(bits={bits}, m={m}, max_bucket={max_bucket}) contradict "
+                f"the layout's frozen build parameters {rec} — appends must "
+                f"use the parameters the layout was built with"
+            )
+        # caller left the defaults: adopt the layout's frozen profile
+        bits, m, max_bucket = rec
 
     edges = spark.table(edges_name)
     new_bkt = new_vectors.select(

@@ -5481,12 +5481,17 @@ def sim_ann_hamming_multiquery(t):
             need -= counts[h]
         else:
             # corpus smaller than topk for this query (round-12 ADVICE):
-            # the loop never satisfied `need`, so take EVERYTHING — the
-            # boundary is the max hamming present and the remaining need
-            # exceeds its count, keeping all its ties. Without this the
-            # map lookup below yields NULL and drops every row for the
-            # query, where the old window plan returned all rows.
-            thresh[q] = (max(counts), need)
+            # the loop never satisfied `need`, so take EVERYTHING. The
+            # boundary is the max hamming present; its allowance must be
+            # the FULL tie count there — `need` has already been
+            # decremented by counts[mx] when the loop falls through, so
+            # storing the post-decrement value (round-13 ADVICE) dropped
+            # boundary ties whenever total < topk < total + counts[mx].
+            # Without this branch at all the map lookup below yields NULL
+            # and drops every row for the query, where the old window
+            # plan returned all rows.
+            mx = max(counts)
+            thresh[q] = (mx, counts[mx])
     hmap = F.create_map(
         *chain.from_iterable(
             (F.lit(q), F.lit(h)) for q, (h, _) in thresh.items()

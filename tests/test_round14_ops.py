@@ -1,0 +1,148 @@
+"""Round-14 surfaces: the round-13 ADVICE fixes (hamming multiquery
+boundary-tie retention when total < topk, graph_auto_params exception
+narrowing, append_graph_index frozen-parameter resolution)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _tiny_tie_corpus(spark, tmp_path, n_pos: int = 3, n_neg: int = 5):
+    """A corpus engineered for signature ties: `n_pos` copies of one
+    real embedding E (vec_ids 0..) and `n_neg` copies of -E after it.
+    Sign signatures are per-dim sign bits, so all copies of E share one
+    signature, all copies of -E share the other, and the hamming
+    between the two groups is exactly the count of nonzero dims of E —
+    deterministic ties at the maximum hamming distance."""
+    emb = (
+        spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        .filter("vec_id = 0")
+        .select("embedding")
+        .head()[0]
+    )
+    pos = [float(x) for x in emb]
+    assert sum(1 for x in pos if x != 0.0) > 0
+    neg = [-x for x in pos]
+    rows = [(i, pos, 0) for i in range(n_pos)] + [
+        (n_pos + i, neg, 1) for i in range(n_neg)
+    ]
+    d = tmp_path / "ties"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_hamming_multiquery_keeps_all_boundary_ties(spark, tmp_path):
+    """Round-13 ADVICE: with total=8 < topk=10 and 5 rows tying at the
+    max hamming (total + counts[max] = 13 > 10), the small-corpus
+    fallback must return ALL 8 rows per query. The post-decrement
+    `need` (topk - total = 2) kept only 2 of the 5 boundary ties —
+    5 rows per query instead of 8 — which the 5-row round-13 test
+    could not detect (counts[max] <= topk - total always held there)."""
+    from stream_processor_spark.queries.base import REGISTRY
+
+    tiny = _tiny_tie_corpus(spark, tmp_path, n_pos=3, n_neg=5)
+    out = REGISTRY["sim_ann_hamming_multiquery"].fn(spark, tiny)
+    rows = out.collect()
+    # 3 queries x all 8 corpus rows — nothing dropped at the boundary
+    assert len(rows) == 24
+    per_q: dict[int, set[int]] = {}
+    max_h: dict[int, int] = {}
+    tie_n: dict[int, int] = {}
+    for r in rows:
+        q, v, h = int(r.query_id), int(r.vec_id), int(r.hamming)
+        per_q.setdefault(q, set()).add(v)
+        if h > max_h.get(q, -1):
+            max_h[q], tie_n[q] = h, 0
+        if h == max_h[q]:
+            tie_n[q] += 1
+    assert per_q == {q: set(range(8)) for q in (0, 1, 2)}
+    for q in (0, 1, 2):
+        # the engineered shape really is the bug case: >2 boundary ties
+        assert max_h[q] > 0 and tie_n[q] == 5
+        # queries 0/1/2 share E's signature: hamming 0 to vec 0/1/2
+        assert {r.vec_id for r in rows if r.query_id == q and r.hamming == 0} \
+            == {0, 1, 2}
+
+
+def test_graph_auto_params_propagates_non_analysis_errors(spark, monkeypatch):
+    """Round-13 ADVICE: only the missing-table AnalysisException falls
+    back to the fixture profile; a transient read/executor failure
+    during the count must propagate instead of silently building an
+    under-parameterized index."""
+    import stream_processor_spark.catalog as cat
+    from stream_processor_spark.operators import graphann as ga
+
+    class _Boom:
+        def __init__(self, *a, **k):
+            pass
+
+        @property
+        def embeddings(self):
+            raise RuntimeError("executor lost")
+
+    ga._AUTO_N_CACHE.pop(os.path.abspath("/no/such/dir"), None)
+    monkeypatch.setattr(cat, "Tables", _Boom)
+    with pytest.raises(RuntimeError, match="executor lost"):
+        ga.graph_auto_params(spark, "/no/such/dir")
+    monkeypatch.undo()
+    # the genuinely-missing-table path still reports, doesn't raise
+    assert ga.graph_auto_params(spark, "/no/such/dir") == (ga.GRAPH_BITS, None)
+
+
+def test_append_graph_index_resolves_frozen_params(spark, tmp_path, monkeypatch):
+    """Round-13 ADVICE: appending with keyword DEFAULTS to a layout
+    BUILT capped must adopt the layout's frozen (bits, m, cap) — from
+    the in-process registry or the TBLPROPERTIES the build persists —
+    and a contradictory EXPLICIT keyword set must raise instead of
+    silently diverging from the frozen-model contract."""
+    from stream_processor_spark.operators import graphann as ga
+
+    src = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    src.filter("vec_id < 40").write.parquet(str(d / "embeddings.parquet"))
+    bits, m, cap = 3, 4, 6
+    (edges_name,) = ga.ensure_graph_index(
+        spark, str(d), bits=bits, m=m, max_bucket=cap
+    )
+    # (a) durable record: a fresh process (registry wiped) reads the
+    # frozen parameters back from TBLPROPERTIES
+    ga._LAYOUT_PARAMS.pop(edges_name, None)
+    assert ga._recorded_graph_params(spark, edges_name) == (bits, m, cap)
+
+    # (b) defaults adopt the frozen profile: the candidate pool is
+    # derived CAPPED (spy on _dst_pool_from_table's max_bucket)
+    seen: dict[str, object] = {}
+    real_pool = ga._dst_pool_from_table
+
+    def spy(spark_, edges, bits_, max_bucket_):
+        seen["bits"], seen["cap"] = bits_, max_bucket_
+        return real_pool(spark_, edges, bits_, max_bucket_)
+
+    monkeypatch.setattr(ga, "_dst_pool_from_table", spy)
+    ga._POOL_CACHE.pop(edges_name, None)
+    batch = src.filter("vec_id >= 40 and vec_id < 44")
+    ga.append_graph_index(spark, edges_name, batch)  # NO keywords
+    assert seen == {"bits": bits, "cap": cap}
+    # appended nodes are present and reachable (reverse edges exist)
+    dsts = {
+        int(r[0])
+        for r in spark.table(edges_name).select("dst").distinct().collect()
+    }
+    assert {40, 41, 42, 43} <= dsts
+
+    # (c) contradictory explicit parameters raise
+    with pytest.raises(ValueError, match="frozen build parameters"):
+        ga.append_graph_index(
+            spark, edges_name,
+            src.filter("vec_id >= 44 and vec_id < 46"),
+            bits=5, m=2, max_bucket=None,
+        )
