@@ -486,6 +486,18 @@ def ensure_graph_index(
         f"'spark_graft.graph.m'='{int(m)}',"
         f"'spark_graft.graph.cap'='{cap_s}')"
     )
+    # freeze the entry point too (round 14): the Spark serve path reads
+    # it from the catalog — zero jobs — instead of a min(src) scan +
+    # point lookup per serve. Derived from the WRITTEN table with the
+    # exact legacy semantics (min over src, embedding via its in-edge)
+    # so pre-property and post-property serves agree bit-for-bit.
+    tbl = spark.table(edges_name)
+    entry_row = tbl.agg(F.min("src")).head()
+    if entry_row is not None and entry_row[0] is not None:
+        entry_id = int(entry_row[0])
+        erow = tbl.filter(F.col("dst") == entry_id).select("dst_emb").head()
+        if erow is not None:
+            _set_entry_prop(spark, edges_name, entry_id, list(erow[0]))
     return (edges_name,)
 
 
@@ -507,16 +519,6 @@ def _table_to_adj(tbl):
     col = tbl.column("dst_emb").combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
     emb = flat.astype(np.float64).reshape(n, -1)
-    return src, dst, emb
-
-
-def _rows_to_adj(rows):
-    """Spark Row fallback → the same array triple as the local reader."""
-    if not rows:
-        return _EMPTY_ADJ
-    src = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
-    dst = np.asarray([int(r[1]) for r in rows], dtype=np.int64)
-    emb = np.asarray([list(r[2]) for r in rows], dtype=np.float64)
     return src, dst, emb
 
 
@@ -664,6 +666,251 @@ def _graph_sig(spark: SparkSession, edges_name: str):
         return _layout_signature(base)
     except OSError:
         return None
+
+
+# ---------------------------------------------------------------------------
+# Spark-path serve (round 14, round-13 verdict item 2): on a NON-local
+# warehouse (S3/HDFS — exactly the 100x-scale deployment) the driver
+# walk is unavailable and the serve used to pay one sequential Spark job
+# per hop (~6/query). The rework below batches the walk's I/O at BUCKET
+# granularity with candidate-bucket prefetch, so a query pays ~2 pruned
+# scans instead of ~6: each read fetches the beam's bucket partitions
+# PLUS (a) the buckets of the best already-scored candidates (any known
+# node that can enter the next beam must rank in the current top-k, so
+# its bucket is known in advance) and (b) the Hamming-1 closure of the
+# best beam buckets (where the next hop's not-yet-seen local dsts live,
+# by the build's probe schedule). Walk SEMANTICS are untouched — each
+# hop still expands exactly the beam's out-edges, so results are
+# row-identical to the per-hop-read path and the driver walk; only the
+# fetch schedule changes (superset reads, cache-then-assemble).
+
+#: test/ops hook: force the Spark serve path even on a local warehouse
+#: (how the jobs/query record is measured without an object store).
+_FORCE_SPARK_SERVE = False
+
+#: edges_name -> (signature, entry, entry_emb)
+_ENTRY_CACHE: dict[str, tuple] = {}
+#: edges_name -> (signature, _BucketCacheAdjacency) — shared across
+#: queries; popped by append/compact, signature-checked per serve.
+_SPARK_ADJ_CACHE: dict[str, tuple] = {}
+#: driver-memory bound on the cached adjacency (rows, LRU-evicted).
+_SPARK_SERVE_MAX_ROWS = 500_000
+#: per-read speculative breadth: buckets of the top-K scored candidates
+#: ride along with every paid read (bounded; ~K extra partitions).
+_SERVE_PREFETCH_TOP = 16
+#: Hamming-1 closure rides along for the best H1_OF beam buckets
+#: (bits extra partitions each — where the next hop's unseen local
+#: dsts live). 2 keeps the read ~O(2·bits + beam) partitions.
+_SERVE_PREFETCH_H1_OF = 2
+
+_ENTRY_PROP = "spark_graft.graph.entry"
+
+
+def _serve_sig(spark: SparkSession, edges_name: str):
+    """Layout signature for serve-cache invalidation: file stats on a
+    local warehouse, the catalog file listing elsewhere (in-session
+    appends refresh it; external writers need the standard
+    REFRESH TABLE, the same contract as any Spark catalog table)."""
+    sig = _graph_sig(spark, edges_name)
+    if sig is not None:
+        return sig
+    try:
+        return ("inputFiles", hash(tuple(sorted(
+            spark.table(edges_name).inputFiles()
+        ))))
+    except Exception:
+        return None
+
+
+def _set_entry_prop(spark: SparkSession, edges_name: str, entry: int, emb):
+    import json as _json
+
+    payload = _json.dumps(
+        [int(entry), [float(x) for x in emb]], separators=(",", ":")
+    )
+    spark.sql(
+        f"ALTER TABLE {edges_name} SET TBLPROPERTIES "
+        f"('{_ENTRY_PROP}'='{payload}')"
+    )
+
+
+def _graph_entry(spark: SparkSession, edges_name: str, edges: DataFrame):
+    """(entry, entry_emb float64[dim]) for the Spark serve path with
+    ZERO jobs in the steady state: the TBLPROPERTIES the build freezes
+    (and appends maintain) is a driver-side catalog read; layouts that
+    predate the property fall back to the legacy two-job derivation,
+    memoized against the layout signature either way."""
+    import json as _json
+
+    sig = _serve_sig(spark, edges_name)
+    hit = _ENTRY_CACHE.get(edges_name)
+    if hit is not None and sig is not None and hit[0] == sig:
+        return hit[1], hit[2]
+    entry = emb = None
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {edges_name}").collect()
+        props = {str(r[0]): str(r[1]) for r in rows}
+        if _ENTRY_PROP in props:
+            e, v = _json.loads(props[_ENTRY_PROP])
+            entry, emb = int(e), np.asarray(v, dtype=np.float64)
+    except Exception:
+        pass
+    if entry is None:
+        entry_row = edges.agg(F.min("src")).head()
+        if entry_row is None or entry_row[0] is None:
+            raise ValueError(f"graph index {edges_name!r} is empty")
+        entry = int(entry_row[0])
+        erow = edges.filter(F.col("dst") == entry).select("dst_emb").head()
+        if erow is None:
+            raise ValueError(
+                f"graph index {edges_name!r}: entry has no in-edges"
+            )
+        emb = np.asarray(erow[0], dtype=np.float64)
+    if sig is not None:
+        _ENTRY_CACHE[edges_name] = (sig, entry, emb)
+    return entry, emb
+
+
+class _BucketCacheAdjacency:
+    """Bucket-granular adjacency over the partitioned edge table.
+
+    One Spark read per ensure() miss set: `src_b IN (...)` partition
+    pruning, FULL partitions (no src row filter — within a touched
+    partition the bytes are decompressed either way, so caching every
+    src's out-edges costs the same read and makes every later hop that
+    lands in a cached bucket FREE). Arrow-collected, organized as
+    bucket -> src -> (dst int64[k], emb float64[k, dim]); LRU-evicted
+    under a row budget so a long query stream stays driver-bounded.
+    The budget bounds RETAINED rows between serves; buckets the
+    in-flight serve currently needs are never evicted, so a wide
+    multiquery batch may transiently hold its own working set
+    (|union beam buckets| · rows-per-bucket) above the budget — the
+    same bounded-by-the-walk discipline as the driver layout."""
+
+    def __init__(self, spark: SparkSession, edges: DataFrame):
+        self.spark = spark
+        self.edges = edges
+        self.buckets: dict[int, dict[int, tuple]] = {}
+        self.rows_of: dict[int, int] = {}
+        self.total_rows = 0
+        self.lru: list[int] = []  # oldest first
+        self.jobs = 0  # paid reads (observability for the record)
+
+    def _touch(self, b: int) -> None:
+        try:
+            self.lru.remove(b)
+        except ValueError:
+            pass
+        self.lru.append(b)
+
+    def ensure(self, need: set[int], spec: set[int]) -> None:
+        missing = sorted(b for b in need if b not in self.buckets)
+        if not missing:
+            for b in need:
+                self._touch(b)
+            return
+        # pay one read; speculative buckets ride along for free(ish)
+        fetch = sorted(
+            set(missing) | {b for b in spec if b not in self.buckets}
+        )
+        tbl = (
+            self.edges.filter(F.col("src_b").isin([int(b) for b in fetch]))
+            .select("src_b", "src", "dst", "dst_emb")
+            .toArrow()
+        )
+        self.jobs += 1
+        n = tbl.num_rows
+        bs = tbl.column("src_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if n:
+            col = tbl.column("dst_emb").combine_chunks()
+            emb = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+        else:
+            emb = np.empty((0, 0), dtype=np.float64)
+        order = np.lexsort((src, bs))
+        bs, src, dst, emb = bs[order], src[order], dst[order], emb[order]
+        for b in fetch:
+            self.buckets[b] = {}
+            self.rows_of[b] = 0
+        # contiguous (bucket, src) runs -> per-src adjacency slices
+        i = 0
+        while i < n:
+            j = i
+            while j < n and src[j] == src[i] and bs[j] == bs[i]:
+                j += 1
+            self.buckets[int(bs[i])][int(src[i])] = (dst[i:j], emb[i:j])
+            i = j
+        for b in fetch:
+            self.rows_of[b] = sum(
+                len(v[0]) for v in self.buckets[b].values()
+            )
+            self.total_rows += self.rows_of[b]
+            self._touch(b)
+        # evict LRU buckets past the row budget (never the current need)
+        while self.total_rows > _SPARK_SERVE_MAX_ROWS and self.lru:
+            victim = next((b for b in self.lru if b not in need), None)
+            if victim is None:
+                break
+            self.lru.remove(victim)
+            self.total_rows -= self.rows_of.pop(victim, 0)
+            self.buckets.pop(victim, None)
+
+    def read_adj(self, srcs_with_bs: list, spec: set[int]):
+        """(src, dst, emb) numpy triple for exactly `srcs_with_bs` —
+        identical rows to the old per-hop `src ∈ beam` pruned scan."""
+        need = {b for _, b in srcs_with_bs}
+        self.ensure(need, spec)
+        outs, outd, oute = [], [], []
+        for s, b in srcs_with_bs:
+            hit = self.buckets.get(b, {}).get(int(s))
+            if hit is None:
+                continue
+            d, e = hit
+            outs.append(np.full(len(d), int(s), dtype=np.int64))
+            outd.append(d)
+            oute.append(e)
+        if not outs:
+            return _EMPTY_ADJ
+        return (
+            np.concatenate(outs),
+            np.concatenate(outd),
+            np.vstack(oute),
+        )
+
+
+def _bucket_adjacency(
+    spark: SparkSession, edges_name: str, edges: DataFrame
+) -> "_BucketCacheAdjacency":
+    sig = _serve_sig(spark, edges_name)
+    hit = _SPARK_ADJ_CACHE.get(edges_name)
+    if hit is not None and sig is not None and hit[0] == sig:
+        return hit[1]
+    adj = _BucketCacheAdjacency(spark, edges)
+    if sig is not None:
+        _SPARK_ADJ_CACHE[edges_name] = (sig, adj)
+    return adj
+
+
+def _serve_prefetch(
+    visited: dict, emb_bucket, beam_bs: list[int], bits: int
+) -> set[int]:
+    """Speculative bucket set riding along with a paid read: buckets of
+    the top-scored known candidates (any KNOWN node entering the next
+    beam must rank among these) plus the Hamming-1 closure of the best
+    beam buckets (where the next hop's unseen LOCAL dsts live, by the
+    build's home+H1 probe schedule)."""
+    spec: set[int] = set()
+    top = sorted(visited, key=lambda d: (-visited[d], d))[:_SERVE_PREFETCH_TOP]
+    spec.update(emb_bucket(d) for d in top)
+    for b in beam_bs[:_SERVE_PREFETCH_H1_OF]:
+        spec.update(b ^ (1 << j) for j in range(bits))
+    return spec
 
 
 def _dst_pool_from_table(
@@ -909,6 +1156,25 @@ def append_graph_index(
     # pre-append snapshot
     spark.catalog.refreshTable(edges_name)
     _LOCAL_LAYOUT_CACHE.pop(edges_name, None)
+    # Spark-path serve caches: the appended buckets' adjacency changed
+    _ENTRY_CACHE.pop(edges_name, None)
+    _SPARK_ADJ_CACHE.pop(edges_name, None)
+    # maintain the frozen entry property on a new global-min vec_id
+    # (serve contract: entry == min(src) of the table; appended nodes
+    # all become srcs, so only the batch min can change it)
+    bmin = None
+    for rows in batch_pool.values():
+        for t in rows:
+            if bmin is None or t[0] < bmin[0]:
+                bmin = t
+    if bmin is not None:
+        try:
+            cur = _graph_entry(spark, edges_name, edges)
+            if bmin[0] < cur[0]:
+                _set_entry_prop(spark, edges_name, bmin[0], bmin[1])
+                _ENTRY_CACHE.pop(edges_name, None)
+        except ValueError:
+            pass
     if sig is not None:
         new_sig = _graph_sig(spark, edges_name)
         if new_sig is not None:
@@ -956,6 +1222,16 @@ def compact_graph_edges(spark: SparkSession, edges_name: str) -> int:
     rows = spark.table(edges_name)
     if "src_b" not in rows.columns:
         raise ValueError(f"{edges_name} is not a src_b-partitioned graph")
+    # carry the frozen-parameter + entry TBLPROPERTIES across the swap
+    # (the staging table is created bare)
+    try:
+        props = {
+            str(r[0]): str(r[1])
+            for r in spark.sql(f"SHOW TBLPROPERTIES {edges_name}").collect()
+            if str(r[0]).startswith("spark_graft.")
+        }
+    except Exception:
+        props = {}
     tmp = f"{edges_name}_compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     drop_warehouse_dir(spark, tmp)
@@ -967,8 +1243,15 @@ def compact_graph_edges(spark: SparkSession, edges_name: str) -> int:
         .saveAsTable(tmp)
     )
     swap_tables(spark, edges_name, tmp)
+    if props:
+        kv = ",".join(
+            f"'{k}'='{v}'".replace("\\", "\\\\") for k, v in props.items()
+        )
+        spark.sql(f"ALTER TABLE {edges_name} SET TBLPROPERTIES ({kv})")
     _LOCAL_LAYOUT_CACHE.pop(edges_name, None)
     _POOL_CACHE.pop(edges_name, None)  # files changed; sig would miss anyway
+    _ENTRY_CACHE.pop(edges_name, None)
+    _SPARK_ADJ_CACHE.pop(edges_name, None)
     return len(_partition_file_counts(spark, edges_name, part_col="src_b"))
 
 
@@ -1027,24 +1310,22 @@ def graph_query_indexed(
     edges = spark.table(edges_name)
     # driver-side walk on local layouts (round 13): zero Spark jobs per
     # query instead of ~hops+2 — rows identical to the pruned-scan path
-    local = _local_graph_layout(spark, edges_name)
+    local = None if _FORCE_SPARK_SERVE else _local_graph_layout(
+        spark, edges_name
+    )
 
     q = np.asarray(qvec, dtype=np.float64)
     sqq = float(npk.self_norms_scaled(q[None, :])[0])
 
     if local is not None:
         entry, entry_np = local.entry, local.entry_emb
+        adj = None
     else:
-        entry_row = edges.agg(F.min("src")).head()
-        if entry_row is None or entry_row[0] is None:
-            raise ValueError(f"graph index {edges_name!r} is empty")
-        entry = int(entry_row[0])
-        erow = edges.filter(F.col("dst") == entry).select("dst_emb").head()
-        if erow is None:
-            raise ValueError(
-                f"graph index {edges_name!r}: entry has no in-edges"
-            )
-        entry_np = np.asarray(erow[0], dtype=np.float64)
+        # Spark fallback (round 14): entry from the layout's frozen
+        # TBLPROPERTIES (zero jobs) + the bucket-cache adjacency —
+        # ~2 pruned scans per query instead of one job per hop
+        entry, entry_np = _graph_entry(spark, edges_name, edges)
+        adj = _bucket_adjacency(spark, edges_name, edges)
 
     def cos_of(embs: np.ndarray) -> np.ndarray:
         # the exact three-IEEE-op convention every ANN oracle shares
@@ -1074,13 +1355,14 @@ def graph_query_indexed(
         if local is not None:
             _sa, dst_a, emb_a = local.read_adj(beam_bs, beam)
         else:
-            _sa, dst_a, emb_a = _rows_to_adj(
-                edges.filter(
-                    F.col("src_b").isin(beam_bs)
-                    & F.col("src").isin([int(x) for x in beam])
-                )
-                .select(F.lit(0).alias("src"), "dst", "dst_emb")
-                .collect()
+            spec = _serve_prefetch(
+                visited,
+                lambda d: bucket_of(d),
+                [bucket_of(x) for x in beam],  # best-first (beam is ranked)
+                bits,
+            )
+            _sa, dst_a, emb_a = adj.read_adj(
+                [(int(x), bucket_of(x)) for x in beam], spec
             )
         cand_ids = list(beam)
         new_ids, new_rows = [], []
@@ -1150,7 +1432,9 @@ def graph_multi_query_indexed(
     hops = GRAPH_HOPS if hops is None else hops
     bits = GRAPH_BITS if bits is None else bits
     edges = spark.table(edges_name)
-    local = _local_graph_layout(spark, edges_name)
+    local = None if _FORCE_SPARK_SERVE else _local_graph_layout(
+        spark, edges_name
+    )
 
     qids = sorted(queries)
     Q = {q: np.asarray(queries[q], dtype=np.float64) for q in qids}
@@ -1160,17 +1444,10 @@ def graph_multi_query_indexed(
 
     if local is not None:
         entry, entry_emb = local.entry, local.entry_emb
+        sadj = None
     else:
-        entry_row = edges.agg(F.min("src")).head()
-        if entry_row is None or entry_row[0] is None:
-            raise ValueError(f"graph index {edges_name!r} is empty")
-        entry = int(entry_row[0])
-        erow = edges.filter(F.col("dst") == entry).select("dst_emb").head()
-        if erow is None:
-            raise ValueError(
-                f"graph index {edges_name!r}: entry has no in-edges"
-            )
-        entry_emb = np.asarray(erow[0], dtype=np.float64)
+        entry, entry_emb = _graph_entry(spark, edges_name, edges)
+        sadj = _bucket_adjacency(spark, edges_name, edges)
 
     emb_of: dict[int, np.ndarray] = {entry: entry_emb}
 
@@ -1198,13 +1475,18 @@ def graph_multi_query_indexed(
         if local is not None:
             src_a, dst_a, emb_a = local.read_adj(union_bs, union_beam)
         else:
-            src_a, dst_a, emb_a = _rows_to_adj(
-                edges.filter(
-                    F.col("src_b").isin(union_bs)
-                    & F.col("src").isin(union_beam)
+            # shared prefetch: every active query's top candidates and
+            # best beam buckets ride along with the one paid read
+            spec: set[int] = set()
+            for qk in active:
+                spec |= _serve_prefetch(
+                    visited[qk],
+                    lambda d: bucket_of(d),
+                    [bucket_of(x) for x in beams[qk]],
+                    bits,
                 )
-                .select("src", "dst", "dst_emb")
-                .collect()
+            src_a, dst_a, emb_a = sadj.read_adj(
+                [(int(x), bucket_of(x)) for x in union_beam], spec
             )
         adj: dict[int, list[int]] = {}
         for i in range(len(dst_a)):

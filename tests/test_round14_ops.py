@@ -146,3 +146,58 @@ def test_append_graph_index_resolves_frozen_params(spark, tmp_path, monkeypatch)
             src.filter("vec_id >= 44 and vec_id < 46"),
             bits=5, m=2, max_bucket=None,
         )
+
+
+def test_spark_serve_path_parity_and_job_bound(spark, tmp_path):
+    """Round-13 verdict item 2: on a NON-local warehouse the serve used
+    to pay ~6 sequential jobs/query. The bucket-cache Spark path must
+    (a) return rows IDENTICAL to the driver walk for single- and
+    multi-query serves, (b) resolve the entry with zero jobs (frozen
+    TBLPROPERTIES), and (c) stay within 2 engine reads per cold query
+    and 0 jobs per warm-cache query at fixture scale."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from stream_processor_spark.operators import graphann as ga
+
+    (edges,) = ga.ensure_graph_index(spark, SF_SMALL)
+    t = pq.read_table(
+        os.path.join(SF_SMALL, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_numpy()
+    E = (
+        t.column("embedding").combine_chunks().flatten().to_numpy()
+        .astype(np.float64).reshape(len(ids), -1)
+    )
+    qs = {0: E[0], 3: E[3], 11: E[11]}
+
+    assert ga._FORCE_SPARK_SERVE is False
+    base_single = [tuple(r) for r in ga.graph_query_indexed(spark, edges, E[5]).collect()]
+    base_multi = sorted(map(tuple, ga.graph_multi_query_indexed(spark, edges, qs).collect()))
+    try:
+        ga._FORCE_SPARK_SERVE = True
+        ga._SPARK_ADJ_CACHE.pop(edges, None)
+        ga._ENTRY_CACHE.pop(edges, None)
+        sc = spark.sparkContext
+        sc.setJobGroup("r14-cold", "r14-cold")
+        got_single = [tuple(r) for r in ga.graph_query_indexed(spark, edges, E[5]).collect()]
+        cold_jobs = len(sc.statusTracker().getJobIdsForGroup("r14-cold"))
+        sc.setJobGroup("r14-multi", "r14-multi")
+        got_multi = sorted(map(tuple, ga.graph_multi_query_indexed(spark, edges, qs).collect()))
+        multi_jobs = len(sc.statusTracker().getJobIdsForGroup("r14-multi"))
+        # fully-warm repeat: every touched bucket is cached now
+        sc.setJobGroup("r14-warm", "r14-warm")
+        ga.graph_query_indexed(spark, edges, E[5]).collect()
+        ga.graph_multi_query_indexed(spark, edges, qs).collect()
+        warm_jobs = len(sc.statusTracker().getJobIdsForGroup("r14-warm"))
+        sc.setJobGroup("other", "other")
+    finally:
+        ga._FORCE_SPARK_SERVE = False
+    assert got_single == base_single
+    assert got_multi == base_multi
+    # entry from TBLPROPERTIES + bucket-batched reads: <=2 engine reads
+    # per cold serve (+1 possible result-collect job), 0 once warm
+    assert cold_jobs <= 3, f"cold spark serve paid {cold_jobs} jobs"
+    assert multi_jobs <= 3, f"cold multiquery serve paid {multi_jobs} jobs"
+    assert warm_jobs == 0, f"warm spark serves paid {warm_jobs} jobs"
