@@ -536,7 +536,8 @@ class _LocalGraphLayout:
     local I/O instead of a Spark job, with rows IDENTICAL to the
     pruned-scan path (same partition pruning, same predicate). Non-
     local warehouses or oversized layouts return None from
-    `_local_graph_layout` and the serve keeps the Spark path."""
+    `_local_graph_layout` and the serve uses the bucket-cached Spark
+    path below (round 14: ~2 pruned scans cold, ~0 warm)."""
 
     def __init__(self, parts: dict[int, list[str]], entry: int, entry_emb):
         self.parts = parts
