@@ -1,6 +1,8 @@
 """Round-14 surfaces: the round-13 ADVICE fixes (hamming multiquery
 boundary-tie retention when total < topk, graph_auto_params exception
-narrowing, append_graph_index frozen-parameter resolution)."""
+narrowing, append_graph_index frozen-parameter resolution) and the
+Spark-fallback graph serve (bucket-cache adjacency: row-identity with
+the driver walk, job bounds, LRU eviction under the row budget)."""
 
 from __future__ import annotations
 
@@ -201,3 +203,39 @@ def test_spark_serve_path_parity_and_job_bound(spark, tmp_path):
     assert cold_jobs <= 3, f"cold spark serve paid {cold_jobs} jobs"
     assert multi_jobs <= 3, f"cold multiquery serve paid {multi_jobs} jobs"
     assert warm_jobs == 0, f"warm spark serves paid {warm_jobs} jobs"
+
+
+def test_bucket_adjacency_eviction_and_refetch(spark, monkeypatch):
+    """The Spark-path adjacency cache must honor its row budget across
+    serves (LRU buckets evicted, never the current need) and refetch
+    evicted buckets transparently with identical rows."""
+    from stream_processor_spark.operators import graphann as ga
+
+    (edges,) = ga.ensure_graph_index(spark, SF_SMALL)
+    df = spark.table(edges)
+    adj = ga._BucketCacheAdjacency(spark, df)
+    monkeypatch.setattr(ga, "_SPARK_SERVE_MAX_ROWS", 1)  # evict everything evictable
+
+    all_bs = sorted(int(r[0]) for r in df.select("src_b").distinct().collect())
+    assert len(all_bs) >= 4
+    first, second = set(all_bs[:2]), set(all_bs[2:4])
+    adj.ensure(first, set())
+    assert first <= set(adj.buckets)
+    snap = {
+        b: {s: (list(d), e.copy()) for s, (d, e) in adj.buckets[b].items()}
+        for b in first
+    }
+    # a second ensure with a 1-row budget evicts the first buckets
+    # (they are not in the new need set) ...
+    adj.ensure(second, set())
+    assert not (first & set(adj.buckets))
+    assert adj.jobs == 2
+    # ... and re-needing them refetches identical adjacency
+    adj.ensure(first, set())
+    assert adj.jobs == 3
+    for b in first:
+        got = {s: (list(d), e) for s, (d, e) in adj.buckets[b].items()}
+        assert set(got) == set(snap[b])
+        for s in got:
+            assert got[s][0] == snap[b][s][0]
+            assert (got[s][1] == snap[b][s][1]).all()
