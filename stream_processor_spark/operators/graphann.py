@@ -345,6 +345,113 @@ def _local_edges_capped(
     return bkt.mapInPandas(score, "src long, src_b long, dst long")
 
 
+#: full hub mesh up to this many sign buckets; above it the hub layer
+#: becomes a second NSW level (round 14 — retiring the former "KNOWN
+#: SCALE LIMIT" note below). 256 keeps every oracle-replayed fixture
+#: profile (bits<=8) on the original mesh, bit-identical.
+HUB_MESH_MAX = 256
+
+
+def _hub_layer_edges(spark: SparkSession, bkt: DataFrame, bits: int):
+    """Hierarchical hub connectivity as (src, src_b, dst) rows — the
+    second NSW level the flat mesh's docstring used to defer.
+
+    The flat mesh is O(4^bits) rows (2.46M of the 4.86M edges at
+    bits=12); this layer replaces it above ``HUB_MESH_MAX`` buckets
+    with three bounded pieces:
+
+    - LEVEL-2 hubs: the min-vec_id hub per ``bucket2``, where
+      bucket2 = b mod 2^(bits//2) — the first bits//2 sign dims,
+      derivable from b because bucket bits are per-dim. Level-2 hubs
+      are fully meshed: O(2^bits) rows instead of O(4^bits).
+    - a STAR within each bucket2 group (hub <-> its level-2 hub).
+      This is the reachability guarantee the mesh used to provide:
+      entry -> level-2 mesh -> level-2 hub -> star -> every hub ->
+      its bucket's locals; no hub is ever isolated.
+    - NSW over the hubs: each hub's exact GLOBAL top-GRAPH_M hub
+      neighbors by scaled-int64 cosine (ties to the smaller vec_id —
+      the build kernel), emitted BIDIRECTIONALLY. Global, not
+      probe-restricted: the hub frame is tiny so the full n x n cosine
+      is a trivial driver matmul, and a bucket2-probe-restricted
+      variant measurably stranded walks whose target region was
+      Hamming-far in bucket2 space while cosine-reachable.
+
+    Hub count is bounded by 2^GRAPH_BITS_CEIL = 4096 (`graph_bits_for`
+    saturates there), so the layer builds DRIVER-SIDE on the collected
+    hub frame — within the existing 2^bits broadcast-model bound, one
+    numpy pass, no pair shuffle. dst_emb is attached by the build's
+    payload join like every other edge."""
+    import pandas as pd
+
+    w = Window.partitionBy("b").orderBy(F.col("vec_id").asc())
+    rows = (
+        bkt.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("b", "vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: int(r[1]))  # deterministic, id-ordered
+    n = len(rows)
+    ids = np.asarray([int(r[1]) for r in rows], dtype=np.int64)
+    bs = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+    embs = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
+    bits2 = max(1, bits // 2)
+    b2 = bs & ((1 << bits2) - 1)
+
+    groups: dict[int, list[int]] = {}
+    l2: dict[int, int] = {}  # bucket2 -> index of its min-id hub
+    for i in range(n):  # id order -> first seen is the min
+        g = int(b2[i])
+        groups.setdefault(g, []).append(i)
+        l2.setdefault(g, i)
+
+    pairs: set[tuple[int, int]] = set()
+
+    def add(i: int, j: int) -> None:
+        if i != j:
+            pairs.add((i, j))
+
+    l2_idx = sorted(l2.values())
+    for i in l2_idx:  # level-2 full mesh
+        for j in l2_idx:
+            add(i, j)
+    for g, members in groups.items():  # star within each bucket2 group
+        h2 = l2[g]
+        for i in members:
+            add(i, h2)
+            add(h2, i)
+    # NSW over hubs: GLOBAL exact top-m per hub (the hub frame is at
+    # most 2^GRAPH_BITS_CEIL = 4096 rows, so the full n x n cosine is a
+    # trivial driver-side matmul — no probe restriction needed, and the
+    # probe-restricted variant measurably strands walks whose target
+    # region is Hamming-far in bucket2 space while cosine-reachable)
+    saa = npk.self_norms_scaled(embs)
+    if n >= 2:
+        for lo in range(0, n, 512):
+            M = np.arange(lo, min(lo + 512, n), dtype=np.int64)
+            cos = npk.dot_scaled(embs[M], embs).astype(np.float64) / (
+                np.sqrt(saa[M].astype(np.float64))[:, None]
+                * np.sqrt(saa.astype(np.float64))[None, :]
+            )
+            cos[ids[M][:, None] == ids[None, :]] = -np.inf  # self
+            for r_i in range(len(M)):
+                order = np.lexsort((ids, -cos[r_i]))[:GRAPH_M]
+                keep = order[np.isfinite(cos[r_i][order])]
+                for j in keep:
+                    add(int(M[r_i]), int(j))
+                    add(int(j), int(M[r_i]))  # reverse: in-edges too
+
+    srcs = sorted(pairs)
+    pdf = pd.DataFrame(
+        {
+            "src": np.asarray([ids[i] for i, _ in srcs], dtype=np.int64),
+            "src_b": np.asarray([bs[i] for i, _ in srcs], dtype=np.int64),
+            "dst": np.asarray([ids[j] for _, j in srcs], dtype=np.int64),
+        }
+    )
+    return spark.createDataFrame(pdf, "src long, src_b long, dst long")
+
+
 def ensure_graph_index(
     spark: SparkSession,
     sf_dir: str,
@@ -389,14 +496,18 @@ def ensure_graph_index(
     ``max_bucket=None`` keeps the original pure-JVM pair-join path
     (the registered fixture entry's oracle replays that one).
 
-    KNOWN SCALE LIMIT of the flat hub mesh: hubs are fully
-    interconnected, so hub edges are O(4^bits) rows (2.46M of the 4.86M
-    edges at bits=12) and hop 1 expands the whole hub set. Fine through
-    ~2^12 buckets (= GRAPH_BITS_CEIL, where `graph_bits_for`
-    saturates); past that the hub layer should itself become a second
-    NSW level over the hub vectors (HNSW's hierarchy, built with this
-    same deterministic recipe on bits/2) — documented here rather than
-    implemented, since the fixture scales never reach it."""
+    HIERARCHICAL HUB LAYER (round 14 — the former "known scale limit",
+    implemented): a flat hub mesh is O(4^bits) rows (2.46M of the
+    4.86M edges at bits=12) and hop 1 expands the whole hub set. Up to
+    ``HUB_MESH_MAX`` (256) buckets — every oracle-replayed fixture
+    profile — the original full mesh is kept verbatim; above it the
+    hub layer becomes a second NSW level over the hub vectors
+    (`_hub_layer_edges`: level-2 hubs on bits//2 meshed + a
+    reachability star within each level-2 group + deterministic
+    bidirectional top-m hub NSW), built driver-side on the ≤2^bits
+    collected hubs. At bits=12 this is ~10^5 hub rows instead of
+    16.7M, halves the index, and shrinks hop-1 fan-out from the whole
+    hub set to the level-2 mesh."""
     from stream_processor_spark.catalog import Tables
     from stream_processor_spark.operators.storage import drop_warehouse_dir
 
@@ -456,14 +567,21 @@ def ensure_graph_index(
         )
     else:
         local = _local_edges_capped(spark, bkt, bits, m, max_bucket)
-    hubs = bkt.groupBy("b").agg(F.min("vec_id").alias("hub"))
-    hub_edges = (
-        hubs.select(F.col("hub").alias("src"), F.col("b").alias("src_b"))
-        .crossJoin(
-            F.broadcast(hubs.select(F.col("hub").alias("dst")))
+    if (1 << bits) <= HUB_MESH_MAX:
+        # fixture/oracle profiles (bits<=8): the original full mesh,
+        # kept verbatim so the unrolled-CTE oracles replay unchanged
+        hubs = bkt.groupBy("b").agg(F.min("vec_id").alias("hub"))
+        hub_edges = (
+            hubs.select(F.col("hub").alias("src"), F.col("b").alias("src_b"))
+            .crossJoin(
+                F.broadcast(hubs.select(F.col("hub").alias("dst")))
+            )
+            .filter(F.col("src") != F.col("dst"))
         )
-        .filter(F.col("src") != F.col("dst"))
-    )
+    else:
+        # round 14: second NSW level over the hub vectors — the former
+        # "KNOWN SCALE LIMIT" paragraph above, implemented
+        hub_edges = _hub_layer_edges(spark, bkt, bits)
     edges = local.unionByName(hub_edges).dropDuplicates(["src", "dst"])
     payload = edges.join(
         bkt.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("dst_emb")),
@@ -918,7 +1036,8 @@ def _dst_pool_from_table(
     spark: SparkSession, edges: DataFrame, bits: int, max_bucket: int | None
 ) -> dict[int, list]:
     """Cold-path pool derivation: the layout's distinct-dst view (every
-    node with at least one in-edge — hubs always qualify via the mesh),
+    node with at least one in-edge — hubs always qualify: via the mesh
+    on fixture profiles, via the level-2 star on hierarchical layouts),
     capped per sign bucket at the ``max_bucket`` smallest vec_ids.
     Bounded hydration at 2^bits·cap rows (the build's broadcast-model
     bound) when capped; one slim index scan."""

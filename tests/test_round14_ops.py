@@ -239,3 +239,56 @@ def test_bucket_adjacency_eviction_and_refetch(spark, monkeypatch):
         for s in got:
             assert got[s][0] == snap[b][s][0]
             assert (got[s][1] == snap[b][s][1]).all()
+
+
+def test_hierarchical_hub_layer_structure(spark):
+    """Round 14 retires the flat-mesh 'known scale limit': above
+    HUB_MESH_MAX buckets the hub layer is a second NSW level. Pins the
+    structural contract on a real hub frame (sf0.01, bits=10 -> 1024
+    buckets): (a) level-2 hubs fully meshed; (b) every hub reachable
+    from the entry INSIDE the hub layer (star + mesh — the mesh's
+    reachability guarantee, preserved); (c) edge volume is O(hubs·m +
+    4^(bits/2)), not O(4^bits); (d) every hub has at least one in-edge
+    (stays in the append candidate pool's distinct-dst view)."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators import graphann as ga
+
+    bits = 10
+    e = Tables(spark, "/root/testdata/sf0.01").embeddings
+    bkt = e.select(
+        "vec_id", "embedding",
+        ga._bucket_col(F.col("embedding"), bits).alias("b"),
+    )
+    hubs = {
+        int(r[1]): int(r[0])
+        for r in bkt.groupBy("b").agg(F.min("vec_id")).collect()
+    }  # vec_id -> bucket
+    pdf = ga._hub_layer_edges(spark, bkt, bits).toPandas()
+    n_hubs = len(hubs)
+    assert len(pdf) <= n_hubs * (2 * ga.GRAPH_M + 2) + (1 << bits)
+    # src_b is the src hub's LEVEL-1 bucket (partition pruning contract)
+    assert all(hubs[int(s)] == int(b) for s, b in zip(pdf["src"], pdf["src_b"]))
+    # every hub has an in-edge and an out-edge
+    assert set(pdf["src"]) == set(hubs) == set(pdf["dst"])
+    # level-2 mesh: min hub per bucket2 fully interconnected
+    bits2 = bits // 2
+    l2 = {}
+    for vid, b in sorted(hubs.items()):
+        l2.setdefault(b & ((1 << bits2) - 1), vid)
+    pairs = set(zip((int(x) for x in pdf["src"]), (int(x) for x in pdf["dst"])))
+    for a in l2.values():
+        for c in l2.values():
+            if a != c:
+                assert (a, c) in pairs
+    # reachability: BFS from the entry (global min hub) covers ALL hubs
+    adj: dict[int, list[int]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    entry = min(hubs)
+    seen, todo = {entry}, [entry]
+    while todo:
+        for d in adj.get(todo.pop(), ()):
+            if d not in seen:
+                seen.add(d)
+                todo.append(d)
+    assert seen == set(hubs)
