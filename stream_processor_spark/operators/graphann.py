@@ -214,6 +214,16 @@ def graph_names(
     return (name,)
 
 
+def _table_props(spark: SparkSession, name: str) -> dict[str, str]:
+    """TBLPROPERTIES of ``name`` as a dict ({} on any resolution
+    failure) — the one SHOW TBLPROPERTIES parse every reader shares."""
+    try:
+        rows = spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    except Exception:
+        return {}
+    return {str(r[0]): str(r[1]) for r in rows}
+
+
 def _recorded_graph_params(
     spark: SparkSession, edges_name: str
 ) -> tuple[int, int, int | None] | None:
@@ -225,11 +235,7 @@ def _recorded_graph_params(
     p = _LAYOUT_PARAMS.get(edges_name)
     if p is not None:
         return p
-    try:
-        rows = spark.sql(f"SHOW TBLPROPERTIES {edges_name}").collect()
-    except Exception:
-        return None
-    props = {str(r[0]): str(r[1]) for r in rows}
+    props = _table_props(spark, edges_name)
     if "spark_graft.graph.bits" not in props:
         return None
     cap = props.get("spark_graft.graph.cap", "none")
@@ -345,6 +351,37 @@ def _local_edges_capped(
     return bkt.mapInPandas(score, "src long, src_b long, dst long")
 
 
+def _freeze_layout_props(
+    spark: SparkSession,
+    edges_name: str,
+    bits: int,
+    m: int,
+    max_bucket: int | None,
+) -> None:
+    """Persist the frozen build parameters + entry point ON the layout
+    (round-13 ADVICE / round 14): a fresh process appending to this
+    table resolves bits/m/cap from here instead of trusting keyword
+    defaults, and the Spark serve path reads the entry with zero jobs.
+    The entry is derived from the WRITTEN table with the exact legacy
+    semantics (min over src, embedding via its in-edge) so
+    pre-property and post-property serves agree bit-for-bit."""
+    cap_s = "none" if max_bucket is None else str(int(max_bucket))
+    spark.sql(
+        f"ALTER TABLE {edges_name} SET TBLPROPERTIES ("
+        f"'spark_graft.graph.bits'='{int(bits)}',"
+        f"'spark_graft.graph.m'='{int(m)}',"
+        f"'spark_graft.graph.cap'='{cap_s}')"
+    )
+    _LAYOUT_PARAMS[edges_name] = (int(bits), int(m), max_bucket)
+    tbl = spark.table(edges_name)
+    entry_row = tbl.agg(F.min("src")).head()
+    if entry_row is not None and entry_row[0] is not None:
+        entry_id = int(entry_row[0])
+        erow = tbl.filter(F.col("dst") == entry_id).select("dst_emb").head()
+        if erow is not None:
+            _set_entry_prop(spark, edges_name, entry_id, list(erow[0]))
+
+
 #: full hub mesh up to this many sign buckets; above it the hub layer
 #: becomes a second NSW level (round 14 — retiring the former "KNOWN
 #: SCALE LIMIT" note below). 256 keeps every oracle-replayed fixture
@@ -392,6 +429,8 @@ def _hub_layer_edges(spark: SparkSession, bkt: DataFrame, bits: int):
     )
     rows.sort(key=lambda r: int(r[1]))  # deterministic, id-ordered
     n = len(rows)
+    if n == 0:  # empty corpus: the mesh path emits an empty edge set
+        return spark.createDataFrame([], "src long, src_b long, dst long")
     ids = np.asarray([int(r[1]) for r in rows], dtype=np.int64)
     bs = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
     embs = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
@@ -522,6 +561,14 @@ def ensure_graph_index(
     m = GRAPH_M if m is None else m
     (edges_name,) = graph_names(sf_dir, bits, m, max_bucket)
     if spark.catalog.tableExists(edges_name):
+        # crash-window backfill: a build that died between saveAsTable
+        # and the property freeze would otherwise leave a layout whose
+        # appends silently fall back to keyword defaults (the round-13
+        # uncapped-append bug, resurrected). The caller's args ARE the
+        # layout's parameters by construction — the table name is a
+        # hash of them — so re-freezing here is always correct.
+        if "spark_graft.graph.bits" not in _table_props(spark, edges_name):
+            _freeze_layout_props(spark, edges_name, bits, m, max_bucket)
         return (edges_name,)
     spark.sql(f"DROP TABLE IF EXISTS {edges_name}")
     drop_warehouse_dir(spark, edges_name)
@@ -594,28 +641,7 @@ def ensure_graph_index(
         .format("parquet")
         .saveAsTable(edges_name)
     )
-    # freeze the build parameters ON the layout (round-13 ADVICE): a
-    # fresh process appending to this table resolves bits/m/cap from
-    # here instead of trusting its keyword defaults
-    cap_s = "none" if max_bucket is None else str(int(max_bucket))
-    spark.sql(
-        f"ALTER TABLE {edges_name} SET TBLPROPERTIES ("
-        f"'spark_graft.graph.bits'='{int(bits)}',"
-        f"'spark_graft.graph.m'='{int(m)}',"
-        f"'spark_graft.graph.cap'='{cap_s}')"
-    )
-    # freeze the entry point too (round 14): the Spark serve path reads
-    # it from the catalog — zero jobs — instead of a min(src) scan +
-    # point lookup per serve. Derived from the WRITTEN table with the
-    # exact legacy semantics (min over src, embedding via its in-edge)
-    # so pre-property and post-property serves agree bit-for-bit.
-    tbl = spark.table(edges_name)
-    entry_row = tbl.agg(F.min("src")).head()
-    if entry_row is not None and entry_row[0] is not None:
-        entry_id = int(entry_row[0])
-        erow = tbl.filter(F.col("dst") == entry_id).select("dst_emb").head()
-        if erow is not None:
-            _set_entry_prop(spark, edges_name, entry_id, list(erow[0]))
+    _freeze_layout_props(spark, edges_name, bits, m, max_bucket)
     return (edges_name,)
 
 
@@ -841,16 +867,45 @@ def _serve_sig(spark: SparkSession, edges_name: str):
         return None
 
 
-def _set_entry_prop(spark: SparkSession, edges_name: str, entry: int, emb):
+def _set_entry_prop(
+    spark: SparkSession, edges_name: str, entry: int, emb
+) -> None:
+    """Freeze (entry, embedding) on the layout. The embedding is the
+    float32 parquet payload, so it round-trips EXACTLY through base85
+    of its little-endian float32 bytes — 4x smaller than the float
+    repr JSON (a Hive metastore caps TABLE_PARAMS values at ~4000
+    chars: b85 keeps dims ≤ ~740 under it vs ~190 for JSON). Failure
+    is non-fatal by design — a metastore that rejects the value just
+    leaves the layout on the legacy two-job entry derivation."""
+    import base64
+
+    b85 = base64.b85encode(
+        np.asarray(emb, dtype="<f4").tobytes()
+    ).decode("ascii")
+    try:
+        spark.sql(
+            f"ALTER TABLE {edges_name} SET TBLPROPERTIES "
+            f"('{_ENTRY_PROP}'='b85:{int(entry)}:{b85}')"
+        )
+    except Exception:
+        pass
+
+
+def _parse_entry_prop(val: str):
+    """(entry, emb float64[dim]) from either payload format: the r14
+    'b85:<id>:<base85-of-f4le>' form or the earlier JSON [id, [floats]]
+    (existing layouts keep working)."""
+    import base64
     import json as _json
 
-    payload = _json.dumps(
-        [int(entry), [float(x) for x in emb]], separators=(",", ":")
-    )
-    spark.sql(
-        f"ALTER TABLE {edges_name} SET TBLPROPERTIES "
-        f"('{_ENTRY_PROP}'='{payload}')"
-    )
+    if val.startswith("b85:"):
+        _tag, eid, blob = val.split(":", 2)
+        emb = np.frombuffer(
+            base64.b85decode(blob.encode("ascii")), dtype="<f4"
+        ).astype(np.float64)
+        return int(eid), emb
+    e, v = _json.loads(val)
+    return int(e), np.asarray(v, dtype=np.float64)
 
 
 def _graph_entry(spark: SparkSession, edges_name: str, edges: DataFrame):
@@ -859,19 +914,15 @@ def _graph_entry(spark: SparkSession, edges_name: str, edges: DataFrame):
     (and appends maintain) is a driver-side catalog read; layouts that
     predate the property fall back to the legacy two-job derivation,
     memoized against the layout signature either way."""
-    import json as _json
-
     sig = _serve_sig(spark, edges_name)
     hit = _ENTRY_CACHE.get(edges_name)
     if hit is not None and sig is not None and hit[0] == sig:
         return hit[1], hit[2]
     entry = emb = None
     try:
-        rows = spark.sql(f"SHOW TBLPROPERTIES {edges_name}").collect()
-        props = {str(r[0]): str(r[1]) for r in rows}
+        props = _table_props(spark, edges_name)
         if _ENTRY_PROP in props:
-            e, v = _json.loads(props[_ENTRY_PROP])
-            entry, emb = int(e), np.asarray(v, dtype=np.float64)
+            entry, emb = _parse_entry_prop(props[_ENTRY_PROP])
     except Exception:
         pass
     if entry is None:
@@ -928,6 +979,9 @@ class _BucketCacheAdjacency:
             for b in need:
                 self._touch(b)
             return
+        for b in need:  # cached-but-needed buckets stay hot too —
+            if b in self.buckets:  # without this a bucket every query
+                self._touch(b)  # uses (e.g. the entry's) ages out
         # pay one read; speculative buckets ride along for free(ish)
         fetch = sorted(
             set(missing) | {b for b in spec if b not in self.buckets}
@@ -1279,11 +1333,23 @@ def append_graph_index(
     # Spark-path serve caches: the appended buckets' adjacency changed
     _ENTRY_CACHE.pop(edges_name, None)
     _SPARK_ADJ_CACHE.pop(edges_name, None)
-    # maintain the frozen entry property on a new global-min vec_id
-    # (serve contract: entry == min(src) of the table; appended nodes
-    # all become srcs, so only the batch min can change it)
+    # maintain the frozen entry property on a new global-min vec_id.
+    # Serve contract: entry == min(src) of the table — so only batch
+    # nodes that actually RECEIVED edges qualify. A node whose home +
+    # Hamming-1 pool buckets hold no other candidate is ISOLATED (the
+    # kernel emits nothing for it: no out-edges, no reverse edges);
+    # freezing the entry to one would make every Spark-path serve
+    # return just the entry. Isolation is bucket-uniform, so the check
+    # is per-bucket arithmetic over the merged pool sizes.
+    sizes_all = {b: len(lst) for b, lst in merged.items()}
     bmin = None
-    for rows in batch_pool.values():
+    for b, rows in batch_pool.items():
+        tot = sum(
+            sizes_all.get(p, 0)
+            for p in [b] + [b ^ (1 << j) for j in range(bits)]
+        )
+        if tot <= 1:
+            continue  # isolated bucket: these nodes got no edges
         for t in rows:
             if bmin is None or t[0] < bmin[0]:
                 bmin = t
@@ -1344,14 +1410,11 @@ def compact_graph_edges(spark: SparkSession, edges_name: str) -> int:
         raise ValueError(f"{edges_name} is not a src_b-partitioned graph")
     # carry the frozen-parameter + entry TBLPROPERTIES across the swap
     # (the staging table is created bare)
-    try:
-        props = {
-            str(r[0]): str(r[1])
-            for r in spark.sql(f"SHOW TBLPROPERTIES {edges_name}").collect()
-            if str(r[0]).startswith("spark_graft.")
-        }
-    except Exception:
-        props = {}
+    props = {
+        k: v
+        for k, v in _table_props(spark, edges_name).items()
+        if k.startswith("spark_graft.")
+    }
     tmp = f"{edges_name}_compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     drop_warehouse_dir(spark, tmp)
@@ -1459,7 +1522,13 @@ def graph_query_indexed(
     emb_of: dict[int, np.ndarray] = {entry: entry_np}
     visited[entry] = float(cos_of(emb_of[entry][None, :])[0])
     beam = [entry]
-    bits = GRAPH_BITS if bits is None else bits  # must match the build
+    if bits is None:
+        # resolve the BUILD's frozen bits from the layout record (the
+        # append_graph_index discipline applied to the serve): a caller
+        # serving a scheduled bits=12 layout without re-passing bits
+        # would otherwise bucket every node wrong and silently degrade
+        rec = _recorded_graph_params(spark, edges_name)
+        bits = rec[0] if rec is not None else GRAPH_BITS
 
     def bucket_of(node: int) -> int:
         # src_b is a pure function of the node's embedding (sign of the
@@ -1550,7 +1619,13 @@ def graph_multi_query_indexed(
     query over that query's visited set."""
     beam_width = GRAPH_BEAM if beam_width is None else beam_width
     hops = GRAPH_HOPS if hops is None else hops
-    bits = GRAPH_BITS if bits is None else bits
+    if bits is None:
+        # resolve the BUILD's frozen bits from the layout record (the
+        # append_graph_index discipline applied to the serve): a caller
+        # serving a scheduled bits=12 layout without re-passing bits
+        # would otherwise bucket every node wrong and silently degrade
+        rec = _recorded_graph_params(spark, edges_name)
+        bits = rec[0] if rec is not None else GRAPH_BITS
     edges = spark.table(edges_name)
     local = None if _FORCE_SPARK_SERVE else _local_graph_layout(
         spark, edges_name

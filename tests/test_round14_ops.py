@@ -292,3 +292,129 @@ def test_hierarchical_hub_layer_structure(spark):
                 seen.add(d)
                 todo.append(d)
     assert seen == set(hubs)
+
+
+def test_entry_prop_roundtrip_both_formats():
+    """The frozen-entry payload round-trips exactly: the r14 b85 form
+    (float32 bytes — 4x smaller than JSON, Hive PARAM_VALUE headroom)
+    and the earlier JSON form both parse to the identical float64
+    embedding."""
+    import base64
+    import json
+
+    import numpy as np
+
+    from stream_processor_spark.operators import graphann as ga
+
+    emb32 = np.asarray([0.25, -1.5, 3.75, 0.1], dtype="<f4")
+    b85 = base64.b85encode(emb32.tobytes()).decode("ascii")
+    e1, v1 = ga._parse_entry_prop(f"b85:42:{b85}")
+    e2, v2 = ga._parse_entry_prop(
+        json.dumps([42, [float(x) for x in emb32]])
+    )
+    assert e1 == e2 == 42
+    assert (v1 == v2).all() and v1.dtype == np.float64
+    assert (v1 == emb32.astype(np.float64)).all()
+
+
+def test_hub_layer_empty_corpus(spark):
+    """An empty hub frame yields an empty edge frame (the mesh path's
+    behavior), not an np.stack crash."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.operators import graphann as ga
+
+    e = Tables(spark, SF_SMALL).embeddings.filter("vec_id < 0")
+    bkt = e.select(
+        "vec_id", "embedding",
+        ga._bucket_col(F.col("embedding"), 10).alias("b"),
+    )
+    assert ga._hub_layer_edges(spark, bkt, 10).count() == 0
+
+
+def test_ensure_backfills_props_after_crash_window(spark, tmp_path):
+    """A build that crashed between saveAsTable and the property freeze
+    leaves a layout without TBLPROPERTIES; the next ensure_graph_index
+    call (tableExists early return) must backfill them — otherwise a
+    fresh process's append would silently fall back to keyword defaults
+    (the round-13 uncapped-append bug, resurrected)."""
+    from stream_processor_spark.operators import graphann as ga
+
+    src = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    d = tmp_path / "crashwin"
+    d.mkdir()
+    src.filter("vec_id < 30").write.parquet(str(d / "embeddings.parquet"))
+    bits, m, cap = 3, 4, 5
+    (edges_name,) = ga.ensure_graph_index(
+        spark, str(d), bits=bits, m=m, max_bucket=cap
+    )
+    # simulate the crash window: strip every frozen property
+    for k in ("spark_graft.graph.bits", "spark_graft.graph.m",
+              "spark_graft.graph.cap", ga._ENTRY_PROP):
+        spark.sql(
+            f"ALTER TABLE {edges_name} UNSET TBLPROPERTIES IF EXISTS ('{k}')"
+        )
+    ga._LAYOUT_PARAMS.pop(edges_name, None)
+    ga._ENTRY_CACHE.pop(edges_name, None)
+    assert "spark_graft.graph.bits" not in ga._table_props(spark, edges_name)
+    (again,) = ga.ensure_graph_index(
+        spark, str(d), bits=bits, m=m, max_bucket=cap
+    )
+    assert again == edges_name
+    ga._LAYOUT_PARAMS.pop(edges_name, None)  # force the durable read
+    assert ga._recorded_graph_params(spark, edges_name) == (bits, m, cap)
+    assert ga._ENTRY_PROP in ga._table_props(spark, edges_name)
+
+
+def test_append_entry_skips_isolated_batch_min(spark, tmp_path):
+    """Freezing the entry to a batch node that received NO edges would
+    make every Spark-path serve return only the entry. A batch whose
+    global-min node is isolated (its home + Hamming-1 pool buckets hold
+    no other candidate) must NOT become the entry; the smallest
+    CONNECTED batch node must."""
+    import numpy as np
+
+    from stream_processor_spark.operators import graphann as ga
+
+    dim = len(
+        spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+        .select("embedding").head()[0]
+    )
+    pos = [1.0] * dim          # bucket 0b111 under bits=3
+    neg = [-1.0] * dim         # bucket 0b000, H1 = {1,2,4} — all empty
+    base = [(10 + i, [1.0 + 0.01 * i] * dim, 0) for i in range(6)]
+    d = tmp_path / "iso"
+    d.mkdir()
+    spark.createDataFrame(
+        base, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(d / "embeddings.parquet"))
+    bits, m, cap = 3, 2, 8
+    (edges_name,) = ga.ensure_graph_index(
+        spark, str(d), bits=bits, m=m, max_bucket=cap
+    )
+    assert ga._graph_entry(spark, edges_name, spark.table(edges_name))[0] == 10
+
+    batch = spark.createDataFrame(
+        [(0, neg, 1), (1, pos, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ga.append_graph_index(spark, edges_name, batch)
+    # vec 0 is isolated (no candidates anywhere near bucket 0) — the
+    # entry must advance to vec 1, the smallest CONNECTED batch node
+    entry, emb = ga._graph_entry(spark, edges_name, spark.table(edges_name))
+    assert entry == 1
+    srcs = {
+        int(r[0]) for r in
+        spark.table(edges_name).select("src").distinct().collect()
+    }
+    assert 0 not in srcs and 1 in srcs
+    assert entry == min(srcs)  # the frozen prop equals legacy min(src)
+    # and the Spark-path serve still walks past the entry
+    try:
+        ga._FORCE_SPARK_SERVE = True
+        ga._SPARK_ADJ_CACHE.pop(edges_name, None)
+        got = ga.graph_query_indexed(
+            spark, edges_name, np.asarray(pos, dtype=np.float64), bits=bits
+        ).collect()
+    finally:
+        ga._FORCE_SPARK_SERVE = False
+    assert len(got) > 1
