@@ -97,6 +97,61 @@ def generate_documents(spark, dst: str, replicas: int) -> None:
     )
 
 
+#: per-dim perturbation half-width for non-verbatim embedding replicas.
+#: The sf0.1 base vectors are unit-norm with per-component std 0.125;
+#: uniform offsets in [-0.1, 0.1] give a perturbation vector of norm
+#: ~0.46, i.e. cos(base, replica) ~ 0.91 and cos(replica, replica')
+#: ~ 0.83 — a real cluster around each base direction (within-base
+#: similarity far above the ~0 cross-base cosine) instead of an
+#: identical-vector clique.
+EMB_JITTER = 0.1
+#: verbatim embedding replicas kept per base vector (replica ids
+#: 0..EMB_KEEP-1). Deliberately NOT the documents keep_n=replicas//20
+#: schedule: a query's exact top-k is saturated by verbatim twins at
+#: cos=1.0, so 50 verbatim copies at sf100 would re-create the clique
+#: degeneracy the perturbation exists to remove. ONE verbatim twin per
+#: base preserves the exact-duplicate structure the semantic/embedding
+#: dedup records need (N_base known dup pairs) while leaving k-1 of
+#: every top-k to real geometry.
+EMB_KEEP = 2
+
+
+def generate_embeddings(spark, dst: str, replicas: int) -> None:
+    """Replicate the embeddings table with DISPERSED replicas.
+
+    Round-15 (round-14 verdict lead item): verbatim id-shifted replicas
+    made every sf10/sf100 base vector a 100/1000-member identical
+    clique, so the large-scale ANN recall/serve records measured clique
+    structure, not geometry (the vector twin of the 31-token text
+    degeneracy round 14 fixed). Replicas >= EMB_KEEP now carry a
+    deterministic JVM-side per-dim offset: uniform in [-EMB_JITTER,
+    EMB_JITTER] drawn from xxhash64(vec_id, dim) — keyed by the SHIFTED
+    vec_id so each replica draws independent noise (the
+    generate_documents discipline; no Python LCG, sidestepping the
+    stride-collapse pitfall in FIXTURES.md). Labels are kept: replicas
+    stay in-class, so label-conditioned records still make sense. The
+    sf0.001/0.01/0.1 oracle fixtures are untouched."""
+    from pyspark.sql import functions as F
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__rep")
+    embeddings = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    v_off = embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
+    jitter_emb = (
+        "CASE WHEN __rep < {keep} THEN embedding ELSE transform("
+        "embedding, (v, i) -> cast(v + ({jit} * (pmod(xxhash64(vec_id, i),"
+        " 1000001) / 500000.0 - 1.0)) as float)) END"
+    ).format(keep=EMB_KEEP, jit=EMB_JITTER)
+    (
+        embeddings.repartition(32).select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(v_off))
+        .withColumn("embedding", F.expr(jitter_emb))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "embeddings.parquet"))
+    )
+
+
 def generate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
     DSTDIR, repl = dst, replicas
     from pyspark.sql import functions as F
@@ -135,16 +190,7 @@ def generate(spark, dst: str = DST, replicas: int = REPLICAS) -> None:
     # corpus tables replicate 10x too (id-shifted so doc_id/vec_id 0 — the
     # query row — stays unique); dimensions stay fixed
     generate_documents(spark, DSTDIR, repl)
-    embeddings = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
-    v_off = embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
-    (
-        _spread(embeddings).select("*", rep)
-        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(v_off))
-        .drop("__rep")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(os.path.join(DSTDIR, "embeddings.parquet"))
-    )
+    generate_embeddings(spark, DSTDIR, repl)
     for name in ("region", "nation", "customer", "supplier", "part", "events"):
         link = os.path.join(DSTDIR, f"{name}.parquet")
         if not os.path.exists(link):

@@ -214,6 +214,16 @@ def graph_names(
     return (name,)
 
 
+def _sql_str(v) -> str:
+    """A single-quoted Spark SQL string literal for TBLPROPERTIES
+    values/keys — escapes backslashes AND single quotes (round-15
+    ADVICE: the compaction carry escaped only backslashes, safe while
+    every value was an int/'none'/b85 but a latent break for any future
+    arbitrary-string property). One shared helper so every property
+    writer quotes identically."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _table_props(spark: SparkSession, name: str) -> dict[str, str]:
     """TBLPROPERTIES of ``name`` as a dict ({} on any resolution
     failure) — the one SHOW TBLPROPERTIES parse every reader shares."""
@@ -368,9 +378,9 @@ def _freeze_layout_props(
     cap_s = "none" if max_bucket is None else str(int(max_bucket))
     spark.sql(
         f"ALTER TABLE {edges_name} SET TBLPROPERTIES ("
-        f"'spark_graft.graph.bits'='{int(bits)}',"
-        f"'spark_graft.graph.m'='{int(m)}',"
-        f"'spark_graft.graph.cap'='{cap_s}')"
+        f"'spark_graft.graph.bits'={_sql_str(int(bits))},"
+        f"'spark_graft.graph.m'={_sql_str(int(m))},"
+        f"'spark_graft.graph.cap'={_sql_str(cap_s)})"
     )
     _LAYOUT_PARAMS[edges_name] = (int(bits), int(m), max_bucket)
     tbl = spark.table(edges_name)
@@ -463,12 +473,16 @@ def _hub_layer_edges(spark: SparkSession, bkt: DataFrame, bits: int):
     # most 2^GRAPH_BITS_CEIL = 4096 rows, so the full n x n cosine is a
     # trivial driver-side matmul — no probe restriction needed, and the
     # probe-restricted variant measurably strands walks whose target
-    # region is Hamming-far in bucket2 space while cosine-reachable)
+    # region is Hamming-far in bucket2 space while cosine-reachable).
+    # Both operands are chunked (round-15 ADVICE): the scaled-dot's
+    # per-term rounding intermediate stays 512²·d float64 no matter how
+    # many hubs a caller's explicit bits produce or how wide the corpus
+    # embeddings are.
     saa = npk.self_norms_scaled(embs)
     if n >= 2:
         for lo in range(0, n, 512):
             M = np.arange(lo, min(lo + 512, n), dtype=np.int64)
-            cos = npk.dot_scaled(embs[M], embs).astype(np.float64) / (
+            cos = npk.dot_scaled_chunked(embs[M], embs).astype(np.float64) / (
                 np.sqrt(saa[M].astype(np.float64))[:, None]
                 * np.sqrt(saa.astype(np.float64))[None, :]
             )
@@ -885,7 +899,7 @@ def _set_entry_prop(
     try:
         spark.sql(
             f"ALTER TABLE {edges_name} SET TBLPROPERTIES "
-            f"('{_ENTRY_PROP}'='b85:{int(entry)}:{b85}')"
+            f"('{_ENTRY_PROP}'={_sql_str(f'b85:{int(entry)}:{b85}')})"
         )
     except Exception:
         pass
@@ -1081,7 +1095,10 @@ def _serve_prefetch(
     spec: set[int] = set()
     top = sorted(visited, key=lambda d: (-visited[d], d))[:_SERVE_PREFETCH_TOP]
     spec.update(emb_bucket(d) for d in top)
-    for b in beam_bs[:_SERVE_PREFETCH_H1_OF]:
+    # beam members often share a bucket — dedupe preserving rank order
+    # (round-15 ADVICE) so the H1 closure really covers the best TWO
+    # distinct buckets instead of collapsing onto one
+    for b in list(dict.fromkeys(beam_bs))[:_SERVE_PREFETCH_H1_OF]:
         spec.update(b ^ (1 << j) for j in range(bits))
     return spec
 
@@ -1179,7 +1196,31 @@ def append_graph_index(
     import pandas as pd
 
     rec = _recorded_graph_params(spark, edges_name)
-    if rec is not None and (bits, m, max_bucket) != rec:
+    if rec is None:
+        # Legacy layout (pre-r14, no frozen record, and this process
+        # never derived its name via graph_names/ensure_graph_index):
+        # the caller's keywords are the only parameter source, and a
+        # forgotten cap would silently re-derive an uncapped,
+        # corpus-sized candidate pool — the round-13 bug, persisting
+        # for unmigrated layouts (round-15 ADVICE). Warn loudly and
+        # FREEZE the keywords now (the same TBLPROPERTIES backfill
+        # `ensure_graph_index` performs in its crash window), so the
+        # hazard is a one-time surfaced event, not a standing trap.
+        # The safe migration path remains one ensure_graph_index call
+        # per process before appending to pre-r14 layouts.
+        import warnings
+
+        warnings.warn(
+            f"append_graph_index({edges_name!r}): layout has no frozen "
+            f"build-parameter record; trusting and freezing the "
+            f"caller's (bits={bits}, m={m}, max_bucket={max_bucket}). "
+            f"If these differ from the build's parameters the append "
+            f"is WRONG — run ensure_graph_index once to migrate "
+            f"pre-r14 layouts.",
+            stacklevel=2,
+        )
+        _freeze_layout_props(spark, edges_name, bits, m, max_bucket)
+    elif (bits, m, max_bucket) != rec:
         if (bits, m, max_bucket) != (GRAPH_BITS, GRAPH_M, None):
             raise ValueError(
                 f"append_graph_index({edges_name!r}): explicit "
@@ -1428,7 +1469,7 @@ def compact_graph_edges(spark: SparkSession, edges_name: str) -> int:
     swap_tables(spark, edges_name, tmp)
     if props:
         kv = ",".join(
-            f"'{k}'='{v}'".replace("\\", "\\\\") for k, v in props.items()
+            f"{_sql_str(k)}={_sql_str(v)}" for k, v in props.items()
         )
         spark.sql(f"ALTER TABLE {edges_name} SET TBLPROPERTIES ({kv})")
     _LOCAL_LAYOUT_CACHE.pop(edges_name, None)

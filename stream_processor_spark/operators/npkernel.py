@@ -73,6 +73,25 @@ def dot_scaled(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return round_half_up(prods).sum(axis=-1)
 
 
+def dot_scaled_chunked(
+    a: np.ndarray, b: np.ndarray, chunk: int = 512
+) -> np.ndarray:
+    """:func:`dot_scaled` for (n, d) x (k, d) with the k axis processed
+    in ``chunk``-sized slabs, so the per-term rounding intermediate
+    stays O(n·chunk·d) float64 instead of O(n·k·d) — bit-identical
+    output (each slab runs the exact 2D `dot_scaled` path; column
+    concatenation commutes with the per-pair sum). Callers that chunk
+    their FIRST operand (the hub-layer NSW scorer) use this for the
+    second so the transient is bounded by chunk² · d regardless of hub
+    count or embedding width."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    out = np.empty((a.shape[0], b.shape[0]), dtype=np.int64)
+    for lo in range(0, b.shape[0], chunk):
+        out[:, lo : lo + chunk] = dot_scaled(a, b[lo : lo + chunk])
+    return out
+
+
 def self_norms_scaled(a: np.ndarray) -> np.ndarray:
     """Per-row `sum(round((x*x)*1e16))` — the scaled self-norm term."""
     a = np.asarray(a, dtype=np.float64)

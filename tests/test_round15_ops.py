@@ -1,0 +1,122 @@
+"""Round-15 regression tests for the round-14 ADVICE findings: the
+chunked scaled-dot kernel (hub-layer NSW transient bound), prefetch
+beam-bucket dedup, shared TBLPROPERTIES quoting, and the legacy-layout
+append backfill."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_dot_scaled_chunked_bit_identical():
+    """dot_scaled_chunked must equal the unchunked 2D kernel bit-for-bit
+    for every chunk geometry (divisor, non-divisor, chunk > k) — the
+    hub-layer scorer relies on slab concatenation commuting with the
+    per-pair rounded sum."""
+    from stream_processor_spark.operators import npkernel as npk
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(scale=0.13, size=(37, 64))
+    b = rng.normal(scale=0.13, size=(1031, 64))
+    want = npk.dot_scaled(a, b)
+    for chunk in (1, 100, 512, 1031, 5000):
+        got = npk.dot_scaled_chunked(a, b, chunk=chunk)
+        assert got.dtype == np.int64
+        assert np.array_equal(got, want), chunk
+    # chunk larger than k, tiny operands
+    assert np.array_equal(
+        npk.dot_scaled_chunked(a[:5], b[:3], chunk=512),
+        npk.dot_scaled(a[:5], b[:3]),
+    )
+
+
+def test_serve_prefetch_dedupes_beam_buckets():
+    """Round-15 ADVICE: beam members often share a bucket; the H1
+    closure must cover the best TWO DISTINCT beam buckets, not collapse
+    onto one duplicated bucket."""
+    from stream_processor_spark.operators import graphann as ga
+
+    bits = 4
+    # no visited candidates: isolate the beam-bucket closure term
+    spec = ga._serve_prefetch({}, lambda d: 0, [5, 5, 9], bits)
+    for j in range(bits):
+        assert 5 ^ (1 << j) in spec
+        assert 9 ^ (1 << j) in spec  # collapsed away before the fix
+
+
+def _tiny_graph_layout(spark, tmp_path, bits=3, m=4, cap=6):
+    src = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    src.filter("vec_id < 40").write.parquet(str(d / "embeddings.parquet"))
+    from stream_processor_spark.operators import graphann as ga
+
+    (name,) = ga.ensure_graph_index(
+        spark, str(d), bits=bits, m=m, max_bucket=cap
+    )
+    return name, src
+
+
+def test_tblproperties_quoting_round_trip(spark, tmp_path):
+    """Round-15 ADVICE: a spark_graft.* property holding an arbitrary
+    string (single quotes, backslashes) must survive both a direct
+    freeze write and the compaction carry — one shared quoting helper
+    for every property writer."""
+    from stream_processor_spark.operators import graphann as ga
+
+    name, _src = _tiny_graph_layout(spark, tmp_path)
+    weird = "it's a \\ 'quoted\\' payload"
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES "
+        f"('spark_graft.test.weird'={ga._sql_str(weird)})"
+    )
+    assert ga._table_props(spark, name)["spark_graft.test.weird"] == weird
+    # the compaction swap re-applies carried properties via the same
+    # helper — the weird value must survive the ALTER mid-swap
+    ga.compact_graph_edges(spark, name)
+    props = ga._table_props(spark, name)
+    assert props["spark_graft.test.weird"] == weird
+    assert props["spark_graft.graph.bits"] == "3"  # frozen params carried
+
+
+def test_legacy_layout_append_warns_and_freezes(spark, tmp_path):
+    """Round-15 ADVICE: a pre-r14 layout (no TBLPROPERTIES record, no
+    in-process registry entry) must not silently trust keyword defaults
+    forever — the first append warns loudly and freezes the caller's
+    parameters, after which contradictory appends raise like any
+    recorded layout."""
+    from stream_processor_spark.operators import graphann as ga
+
+    bits, m, cap = 3, 4, 6
+    name, src = _tiny_graph_layout(spark, tmp_path, bits, m, cap)
+    # simulate the legacy layout: strip the record everywhere
+    spark.sql(
+        f"ALTER TABLE {name} UNSET TBLPROPERTIES IF EXISTS ("
+        f"'spark_graft.graph.bits','spark_graft.graph.m',"
+        f"'spark_graft.graph.cap')"
+    )
+    ga._LAYOUT_PARAMS.pop(name, None)
+    ga._POOL_CACHE.pop(name, None)
+    assert ga._recorded_graph_params(spark, name) is None
+
+    batch = src.filter("vec_id >= 40 and vec_id < 44")
+    with pytest.warns(UserWarning, match="no frozen build-parameter"):
+        ga.append_graph_index(
+            spark, name, batch, bits=bits, m=m, max_bucket=cap
+        )
+    # the caller's parameters are now the durable record ...
+    ga._LAYOUT_PARAMS.pop(name, None)  # force the TBLPROPERTIES read
+    assert ga._recorded_graph_params(spark, name) == (bits, m, cap)
+    # ... so the round-13 hazard is closed: a later contradictory
+    # explicit append raises instead of deriving an uncapped pool
+    with pytest.raises(ValueError, match="frozen build parameters"):
+        ga.append_graph_index(
+            spark, name,
+            src.filter("vec_id >= 44 and vec_id < 46"),
+            bits=5, m=2, max_bucket=None,
+        )
