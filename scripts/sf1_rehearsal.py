@@ -97,14 +97,20 @@ def generate_documents(spark, dst: str, replicas: int) -> None:
     )
 
 
-#: per-dim perturbation half-width for non-verbatim embedding replicas.
-#: The sf0.1 base vectors are unit-norm with per-component std 0.125;
-#: uniform offsets in [-0.1, 0.1] give a perturbation vector of norm
-#: ~0.46, i.e. cos(base, replica) ~ 0.91 and cos(replica, replica')
-#: ~ 0.83 — a real cluster around each base direction (within-base
-#: similarity far above the ~0 cross-base cosine) instead of an
-#: identical-vector clique.
-EMB_JITTER = 0.1
+#: per-REPLICA jitter amplitude range. The sf0.1 base vectors are
+#: unit-norm with per-component std 0.125; a replica with amplitude
+#: ``a`` takes per-dim offsets uniform in [-a, a], i.e. a perturbation
+#: vector of norm ~4.6a and cos(base, replica) ~ 1/sqrt(1+(4.6a)^2).
+#: The amplitude itself is uniform per replica in [MIN, MAX] — cos
+#: spread ~[0.66, 0.999] — so each base's neighbor distances DECAY
+#: smoothly: the exact top-k is the well-separated smallest-amplitude
+#: replicas, not a lottery over an equal-radius shell. (A first cut
+#: used one fixed amplitude for all replicas; that removed the clique
+#: but left every neighbor at cos ~0.91 +/- 0.04, making recall@10 a
+#: near-tie coin flip — graded amplitudes are what real corpora look
+#: like.)
+EMB_JITTER_MIN = 0.01
+EMB_JITTER_MAX = 0.25
 #: verbatim embedding replicas kept per base vector (replica ids
 #: 0..EMB_KEEP-1). Deliberately NOT the documents keep_n=replicas//20
 #: schedule: a query's exact top-k is saturated by verbatim twins at
@@ -124,23 +130,29 @@ def generate_embeddings(spark, dst: str, replicas: int) -> None:
     clique, so the large-scale ANN recall/serve records measured clique
     structure, not geometry (the vector twin of the 31-token text
     degeneracy round 14 fixed). Replicas >= EMB_KEEP now carry a
-    deterministic JVM-side per-dim offset: uniform in [-EMB_JITTER,
-    EMB_JITTER] drawn from xxhash64(vec_id, dim) — keyed by the SHIFTED
-    vec_id so each replica draws independent noise (the
-    generate_documents discipline; no Python LCG, sidestepping the
-    stride-collapse pitfall in FIXTURES.md). Labels are kept: replicas
-    stay in-class, so label-conditioned records still make sense. The
-    sf0.001/0.01/0.1 oracle fixtures are untouched."""
+    deterministic JVM-side perturbation with a GRADED amplitude: the
+    replica's amplitude is uniform in [EMB_JITTER_MIN, EMB_JITTER_MAX]
+    from xxhash64(vec_id), its per-dim offsets uniform in [-a, a] from
+    xxhash64(vec_id, dim) — keyed by the SHIFTED vec_id so each replica
+    draws independent noise (the generate_documents discipline; no
+    Python LCG, sidestepping the stride-collapse pitfall in
+    FIXTURES.md). Labels are kept: replicas stay in-class, so
+    label-conditioned records still make sense. The sf0.001/0.01/0.1
+    oracle fixtures are untouched."""
     from pyspark.sql import functions as F
 
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("__rep")
     embeddings = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     v_off = embeddings.agg(F.max("vec_id")).collect()[0][0] + 1
+    amp = (
+        "({mn} + ({mx} - {mn}) * (pmod(xxhash64(vec_id), 1000001)"
+        " / 1000000.0))"
+    ).format(mn=EMB_JITTER_MIN, mx=EMB_JITTER_MAX)
     jitter_emb = (
         "CASE WHEN __rep < {keep} THEN embedding ELSE transform("
-        "embedding, (v, i) -> cast(v + ({jit} * (pmod(xxhash64(vec_id, i),"
+        "embedding, (v, i) -> cast(v + ({amp} * (pmod(xxhash64(vec_id, i),"
         " 1000001) / 500000.0 - 1.0)) as float)) END"
-    ).format(keep=EMB_KEEP, jit=EMB_JITTER)
+    ).format(keep=EMB_KEEP, amp=amp)
     (
         embeddings.repartition(32).select("*", rep)
         .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(v_off))

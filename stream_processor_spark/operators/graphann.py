@@ -76,8 +76,8 @@ GRAPH_HOPS = 6
 
 # The bits(n) schedule aims the EXPECTED bucket population here...
 GRAPH_TARGET_BUCKET = 32
-# ...while the hard per-bucket candidate cap sits 4x above it: at most
-# this many dst candidates are kept per sign bucket (smallest vec_ids —
+# ...while the per-bucket candidate cap FLOOR sits 4x above it: at
+# most cap dst candidates are kept per sign bucket (smallest vec_ids —
 # the id that wins every tie-break), making construction pair work a
 # HARD bound instead of an expectation. The 4x headroom matters for
 # recall: with cap == target, HALF the buckets (any above the mean) get
@@ -85,13 +85,25 @@ GRAPH_TARGET_BUCKET = 32
 # sf1 recall 1.0 -> 0.8 in the first r12 rehearsal); with the headroom
 # the cap clips only genuinely skewed buckets — the LSH hot-bucket
 # guard semantics (`dedup.banded_candidate_pairs` max_bucket_size),
-# not typical-bucket truncation.
+# not typical-bucket truncation. This constant is the FLOOR of the
+# schedule: `graph_cap_for` raises it to 4x the expected bucket once
+# bits saturate (round 15 — a frozen 128 at the ceiling truncated
+# EVERY bucket of a 2M-vector corpus).
 GRAPH_MAX_BUCKET = 128
 
-# The flat hub mesh is O(4^bits) edges (module docstring) — past 2^12
-# buckets the hub layer needs its own NSW level, so the bits(n)
-# schedule saturates here and hands skew control to GRAPH_MAX_BUCKET.
-GRAPH_BITS_CEIL = 12
+# The flat hub mesh is O(4^bits) edges (module docstring); round 14's
+# hierarchical hub layer removed that limit, so the ceiling is now set
+# by the DRIVER-SIDE hub-layer build: 2^bits hubs are collected and
+# NSW-scored driver-side (chunked exact kernel) — 2^14 hubs is ~2.7e8
+# scored pairs (~1-2 min of numpy, 8 MB hub frame), the largest cost a
+# periodic rebuild should pay there. Past the ceiling bits stops
+# growing and `graph_cap_for` scales the per-bucket cap instead, so
+# the dst-candidate pool keeps covering the corpus (round 15: with the
+# cap FROZEN at 128 a 2M-vector corpus had only 4096*128 = 524k
+# retrievable candidates — recall 0.38 on dispersed geometry; the
+# clique fixture had masked it because ties retained exactly the
+# kept ids).
+GRAPH_BITS_CEIL = 14
 
 
 def graph_bits_for(
@@ -108,16 +120,16 @@ def graph_bits_for(
     ~N·(bits+1)·min(N/2^bits, cap). Holding the expected bucket at the
     target — bits = log2(N/target) — makes that
     N·(log2(N/target)+1)·O(target) = O(N log N), sub-quadratic by
-    construction; the per-bucket cap (`max_bucket`, 4x the target so it
-    only clips skew, see GRAPH_MAX_BUCKET) turns the expectation into a
-    hard bound on any corpus. The schedule floors at GRAPH_BITS
-    (fixture parity) and saturates at GRAPH_BITS_CEIL (the
-    flat-hub-mesh limit): past 2^12 buckets bits stops growing and the
-    cap alone bounds per-bucket work. log2(N/target) rounds to nearest
+    construction; the per-bucket cap (`graph_cap_for`, 4x the EXPECTED
+    bucket so it only clips skew) turns the expectation into a hard
+    bound on any corpus. The schedule floors at GRAPH_BITS (fixture
+    parity) and saturates at GRAPH_BITS_CEIL (the driver-side
+    hub-layer build limit): past 2^14 buckets bits stops growing and
+    the SCALED cap alone bounds per-bucket work while keeping the
+    dst pool corpus-covering. log2(N/target) rounds to nearest
     (a half-bit either way moves the expected bucket by at most
     sqrt(2)× — noise next to corpus skew). Points on the curve:
-    N=20k → 9, N=131k+ → 12 (saturated; docs/GRAPH_SF100_r12.json
-    records 20k/200k/2M).
+    N=20k → 9, N=200k → 13, N=1M+ → 14 (saturated).
     """
     import math
 
@@ -125,6 +137,30 @@ def graph_bits_for(
         return floor_bits
     sched = math.floor(math.log2(n / target_bucket) + 0.5)
     return max(floor_bits, min(ceil_bits, sched))
+
+
+def graph_cap_for(n: int, bits: int | None = None) -> int:
+    """Per-bucket candidate cap with guaranteed 4x headroom over the
+    EXPECTED bucket population (round 15).
+
+    The cap is a skew guard: it must clip only genuinely hot buckets,
+    never the typical one, or true neighbors are silently dropped from
+    the dst-candidate pool (the scale-knob-headroom rule — with the cap
+    frozen at GRAPH_MAX_BUCKET a saturated-bits 2M-vector corpus kept
+    only 26% of its vectors retrievable). 4 * ceil(N/2^bits) keeps the
+    headroom uniform: below saturation it tracks the schedule's
+    22-46-row expected bucket (~GRAPH_MAX_BUCKET, the r12 constant);
+    once bits saturates at GRAPH_BITS_CEIL it GROWS with the corpus so
+    2^bits * cap always covers N with 4x slack. The broadcast candidate
+    model is then O(min(N, 2^bits*cap)) — i.e. O(corpus) at the
+    ceiling, ~1 GB of 64-dim float64 at 2M vectors; size the driver
+    accordingly (LIMITS.md caps the profile at ~10M vectors per 48 GB
+    driver; past that the hub layer must be distributed and bits grown
+    further)."""
+    import math
+
+    bits = graph_bits_for(n) if bits is None else bits
+    return max(GRAPH_MAX_BUCKET, 4 * math.ceil(n / (1 << bits)))
 
 
 # Largest oracle-fixture corpus (sf0.1's 2000 vectors): at or below
@@ -184,7 +220,8 @@ def graph_auto_params(
         _AUTO_N_CACHE[key] = n
     if n <= GRAPH_AUTO_N:
         return GRAPH_BITS, None
-    return graph_bits_for(n), GRAPH_MAX_BUCKET
+    bits = graph_bits_for(n)
+    return bits, graph_cap_for(n, bits)
 
 
 #: layout name -> (bits, m, max_bucket); the in-process half of the
@@ -423,7 +460,7 @@ def _hub_layer_edges(spark: SparkSession, bkt: DataFrame, bits: int):
       variant measurably stranded walks whose target region was
       Hamming-far in bucket2 space while cosine-reachable.
 
-    Hub count is bounded by 2^GRAPH_BITS_CEIL = 4096 (`graph_bits_for`
+    Hub count is bounded by 2^GRAPH_BITS_CEIL = 16384 (`graph_bits_for`
     saturates there), so the layer builds DRIVER-SIDE on the collected
     hub frame — within the existing 2^bits broadcast-model bound, one
     numpy pass, no pair shuffle. dst_emb is attached by the build's
@@ -470,8 +507,9 @@ def _hub_layer_edges(spark: SparkSession, bkt: DataFrame, bits: int):
             add(i, h2)
             add(h2, i)
     # NSW over hubs: GLOBAL exact top-m per hub (the hub frame is at
-    # most 2^GRAPH_BITS_CEIL = 4096 rows, so the full n x n cosine is a
-    # trivial driver-side matmul — no probe restriction needed, and the
+    # most 2^GRAPH_BITS_CEIL = 16384 rows, so the full n x n cosine is
+    # a bounded driver-side pass (~1-2 min of chunked exact kernel at
+    # the ceiling) — no probe restriction needed, and the
     # probe-restricted variant measurably strands walks whose target
     # region is Hamming-far in bucket2 space while cosine-reachable).
     # Both operands are chunked (round-15 ADVICE): the scaled-dot's
@@ -543,9 +581,11 @@ def ensure_graph_index(
     `mapInPandas` pass (npkernel scaled-int64 arithmetic, bit-identical
     to the JVM fold — pinned by tests/test_round12_ops.py's
     capped≡uncapped edge-set check), so construction has NO pair
-    shuffle at all; the model broadcast is bounded at 2^bits·C rows
-    (≤524,288 embeddings ≈ 270 MB of 64-dim float64 at the bits=12
-    ceiling with C=128 — size driver/executor memory accordingly).
+    shuffle at all; the model broadcast is bounded at min(N, 2^bits·C)
+    rows — O(corpus) once `graph_cap_for` scales C at the bits
+    ceiling, ~1 GB of 64-dim float64 at 2M vectors; size
+    driver/executor memory accordingly (LIMITS.md caps the profile at
+    ~10M vectors per 48 GB driver).
     ``max_bucket=None`` keeps the original pure-JVM pair-join path
     (the registered fixture entry's oracle replays that one).
 
@@ -1266,9 +1306,10 @@ def append_graph_index(
     merged = _cap_merge(pool, batch_pool, max_bucket)
     # broadcast ONLY the probe-relevant slice: the batch's home +
     # Hamming-1 buckets. A small batch touches few buckets, so the
-    # shipped model is O(batch·bits·cap) — not the full 2^bits·cap pool
-    # (~270 MB at the bits=12 ceiling), which made warm appends pay a
-    # corpus-sized broadcast for a 1000-vector batch.
+    # shipped model is O(batch·bits·cap) — not the full min(N,
+    # 2^bits·cap) pool (corpus-sized at the scaled-cap ceiling), which
+    # made warm appends pay a corpus-sized broadcast for a 1000-vector
+    # batch.
     needed: set[int] = set()
     for b in batch_pool:
         needed.add(b)

@@ -338,14 +338,15 @@ def text_dup_spans_merged_fast(t):
 _DUP_SPANS_FUSED = True
 
 
-def _dup_windows_fast(t, fused: bool | None = None):
-    """Duplicated 10-token window starts (doc_id, pos) via the
-    single-pass token-prehash/slice-hash pipeline (the fast twin's
-    engine; see `text_dup_spans_merged_fast` for the full rationale
-    and measured numbers)."""
+def _window_hashes(t):
+    """(doc_id, pos, gh) for every 10-token window: each token
+    xxhash64'd once, each window hashing the 10-long slice of the
+    pre-hash array — all whole-stage-codegen builtins. Shared by the
+    fused/unfused member-recovery shapes and the A/B harness
+    (scripts/r15_dup_spans_ab.py)."""
     d = t.documents.filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.split("text", " ").alias("tk"))
-    g = (
+    return (
         toks.filter(F.size("tk") >= _WIN)
         .withColumn("th", F.transform(F.col("tk"), lambda x: F.xxhash64(x)))
         .select(
@@ -359,6 +360,14 @@ def _dup_windows_fast(t, fused: bool | None = None):
         )
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "gh")
     )
+
+
+def _dup_windows_fast(t, fused: bool | None = None):
+    """Duplicated 10-token window starts (doc_id, pos) via the
+    single-pass token-prehash/slice-hash pipeline (the fast twin's
+    engine; see `text_dup_spans_merged_fast` for the full rationale
+    and measured numbers)."""
+    g = _window_hashes(t)
     if fused is None:
         fused = _DUP_SPANS_FUSED
     if not fused:

@@ -4431,24 +4431,13 @@ SELECT query_id, vec_id, cosine FROM (
 """
 
 
-@register("sim_ann_sq8_multiquery", oracle=_sq8_multi_oracle([0, 1, 2]))
-def sim_ann_sq8_multiquery(t):
-    """Batched SQ8: THREE query vectors (vec_id 0/1/2) served in ONE
-    corpus pass — the (mn, mx) codebook fits once (query-independent),
-    and the single Arrow-batched scan quantizes/dequantizes each vector
-    ONCE then scores it against every query (the dequantized matrix is
-    reused across queries — the batched-ADC trick). Each batch emits
-    only its per-query top-`shortlist` rows (a safe superset of the
-    global shortlist — the standard partial top-k), so the window
-    input stays bounded by batches x queries x shortlist, not the
-    corpus. Per-query shortlist and exact-cosine rerank are one
-    window each; rows per query are identical to `sim_ann_sq8`.
-
-    Scale: N queries = ONE corpus scan + per-batch O(n·d + n·N) numpy
-    (vs N scans each repeating quantization); the window input is
-    model-sized. This is the remaining retrieval path from round-6
-    verdict item 7, completing multi-query serving across BM25, IVF,
-    PQ and SQ8."""
+def _sq8_multi_frame(t, qids=(0, 1, 2), shortlist=50, topk=10):
+    """Parameterized body of `sim_ann_sq8_multiquery` (round 15: the
+    shortlist is the corpus-density knob — at 2M dispersed vectors the
+    exact top-10 gaps are smaller than the 8-bit quantization noise,
+    so a shortlist pinned at 50 misses them; scale records call this
+    with shortlist ~ the near-neighbor family size while the
+    registered entry keeps the oracle-replayed 50)."""
     import pandas as pd
 
     e = t.embeddings
@@ -4467,7 +4456,7 @@ def sim_ann_sq8_multiquery(t):
     ok = mx > mn
     span_safe = np.where(ok, span, 1.0)
     qrows = (
-        e.filter(F.col("vec_id").isin([0, 1, 2]))
+        e.filter(F.col("vec_id").isin(list(qids)))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -4476,7 +4465,6 @@ def sim_ann_sq8_multiquery(t):
     qids = sorted(int(r[0]) for r in qrows)
     Q = {int(r[0]): np.asarray(r[1], dtype=np.float64) for r in qrows}
     sqqs = {qid: npk.self_norms_scaled(Q[qid][None, :])[0] for qid in qids}
-    shortlist, topk = 50, 10
 
     def score(batches):
         for pdf in batches:
@@ -4529,6 +4517,28 @@ def sim_ann_sq8_multiquery(t):
         .filter(F.col("__rn") <= topk)
         .drop("__rn")
     )
+
+
+@register("sim_ann_sq8_multiquery", oracle=_sq8_multi_oracle([0, 1, 2]))
+def sim_ann_sq8_multiquery(t):
+    """Batched SQ8: THREE query vectors (vec_id 0/1/2) served in ONE
+    corpus pass — the (mn, mx) codebook fits once (query-independent),
+    and the single Arrow-batched scan quantizes/dequantizes each vector
+    ONCE then scores it against every query (the dequantized matrix is
+    reused across queries — the batched-ADC trick). Each batch emits
+    only its per-query top-`shortlist` rows (a safe superset of the
+    global shortlist — the standard partial top-k), so the window
+    input stays bounded by batches x queries x shortlist, not the
+    corpus. Per-query shortlist and exact-cosine rerank are one
+    window each; rows per query are identical to `sim_ann_sq8`.
+
+    Scale: N queries = ONE corpus scan + per-batch O(n·d + n·N) numpy
+    (vs N scans each repeating quantization); the window input is
+    model-sized. This is the remaining retrieval path from round-6
+    verdict item 7, completing multi-query serving across BM25, IVF,
+    PQ and SQ8. Body in `_sq8_multi_frame`; the shortlist knob there
+    scales with near-neighbor density on large corpora."""
+    return _sq8_multi_frame(t)
 
 
 # ------------------------------------------------ combined IVF+PQ index ----

@@ -18,8 +18,8 @@ def test_graph_bits_schedule():
     assert ga.graph_bits_for(500) == ga.GRAPH_BITS  # fixture scale
     assert ga.graph_bits_for(32) == ga.GRAPH_BITS  # n <= target
     assert ga.graph_bits_for(20_000) == 9
-    assert ga.graph_bits_for(200_000) == ga.GRAPH_BITS_CEIL  # saturated
-    assert ga.graph_bits_for(2_000_000) == ga.GRAPH_BITS_CEIL
+    assert ga.graph_bits_for(200_000) == 13
+    assert ga.graph_bits_for(2_000_000) == ga.GRAPH_BITS_CEIL  # saturated
     assert ga.graph_bits_for(10**9) == ga.GRAPH_BITS_CEIL
     vals = [ga.graph_bits_for(n) for n in (100, 1000, 10**4, 10**5, 10**6, 10**7)]
     assert vals == sorted(vals)
@@ -30,7 +30,29 @@ def test_graph_bits_schedule():
         b = ga.graph_bits_for(n)
         if b < ga.GRAPH_BITS_CEIL:
             assert n / (1 << b) <= 2 * ga.GRAPH_TARGET_BUCKET
-            assert n / (1 << b) <= ga.GRAPH_MAX_BUCKET / 2
+            assert n / (1 << b) <= ga.graph_cap_for(n, b) / 2
+
+
+def test_graph_cap_schedule_covers_corpus():
+    """Round 15: the cap keeps >= 4x headroom over the EXPECTED bucket
+    at EVERY corpus size — a frozen cap at the bits ceiling left a
+    2M-vector corpus with a 524k-candidate dst pool (26% retrievable,
+    recall 0.38 on dispersed geometry). 2^bits * cap must always cover
+    the corpus with slack, and the floor keeps the r12 constant where
+    the schedule is unsaturated."""
+    for n in (5_000, 50_000, 200_000, 2_000_000, 50_000_000):
+        b = ga.graph_bits_for(n)
+        cap = ga.graph_cap_for(n, b)
+        assert cap >= ga.GRAPH_MAX_BUCKET
+        assert cap >= 4 * (n / (1 << b))  # headroom over expected bucket
+        assert (1 << b) * cap >= n  # dst pool covers the corpus
+    # unsaturated regime: the scaled cap stays near the r12 constant
+    # (exactly it when the schedule lands on-target; within 2x at the
+    # rounding's sqrt(2) worst case)
+    assert ga.graph_cap_for(2_048) == ga.GRAPH_MAX_BUCKET
+    assert ga.graph_cap_for(5_000) <= 2 * ga.GRAPH_MAX_BUCKET
+    # saturated regime: the cap grows with the corpus
+    assert ga.graph_cap_for(2_000_000) > ga.GRAPH_MAX_BUCKET
 
 
 def _edge_sets(spark, name):
@@ -148,4 +170,4 @@ def test_graph_auto_params_regimes(spark):
     if os.path.exists(os.path.join(scratch, "embeddings.parquet")):
         bits, cap = ga.graph_auto_params(spark, scratch)
         assert bits == ga.graph_bits_for(20_000) == 9
-        assert cap == ga.GRAPH_MAX_BUCKET
+        assert cap == ga.graph_cap_for(20_000, 9)
