@@ -364,7 +364,7 @@ def main() -> None:
                 "mean_recall": round(sum(r["recall_at_10"] for r in per_q) / len(per_q), 2),
             }
         layouts["pq"] = {"build_sec": b, "scaled_shortlist": scaled_short, **pq_modes}
-        print(f"{tag} pq: {layouts['pq']['mean_recall']} recall", flush=True)
+        print(f"{tag} pq: " + str({k: v['mean_recall'] for k, v in pq_modes.items()}), flush=True)
 
         # ---- ivfpq (coarse nprobe=3 x residual ADC, shortlist 50)
         t0 = time.perf_counter()
@@ -390,7 +390,7 @@ def main() -> None:
             }
         layouts["ivfpq"] = {"build_sec": b, "nprobe": 3,
                             "scaled_shortlist": scaled_short, **ipq_modes}
-        print(f"{tag} ivfpq: {layouts['ivfpq']['mean_recall']} recall", flush=True)
+        print(f"{tag} ivfpq: " + str({k: v['mean_recall'] for k, v in ipq_modes.items()}), flush=True)
 
         # ---- hamming (sign shortlist 50 + exact rerank, driver-side)
         t0 = time.perf_counter()
@@ -453,7 +453,7 @@ def main() -> None:
                 "mean_recall": round(sum(r["recall_at_10"] for r in per_q) / len(per_q), 2),
             }
         layouts["sq8"] = {"scaled_shortlist": scaled_short, **sq8_modes}
-        print(f"{tag} sq8: {layouts['sq8']['mean_recall']} recall", flush=True)
+        print(f"{tag} sq8: " + str({k: v['mean_recall'] for k, v in sq8_modes.items()}), flush=True)
 
         del E, sxx
         entry["corpus_vectors"] = n
