@@ -61,10 +61,41 @@ def main() -> None:
     }
 
     # DuckDB first (no JVM competing for memory); full fetchall like
-    # every prior compare record
+    # every prior compare record.
+    # dedup_semantic_indexed's bit-exact oracle hits the documented
+    # int64 boundary at sf10 (LIMITS.md: the Lloyd centroid sums
+    # overflow BIGINT at 200k vectors and the oracle fails LOUDLY by
+    # design). A throughput denominator does not need bit-exactness,
+    # so for that entry ONLY the BIGINT casts are relaxed to DuckDB's
+    # native HUGEINT accumulation (same scan/join/aggregate shape,
+    # same cardinalities) and the record flags it timing-only.
+    import re
+
+    def timing_sql(name: str, sql: str) -> tuple[str, bool]:
+        if name != "dedup_semantic_indexed":
+            return sql, False
+        relaxed = re.sub(
+            r"CAST\(CAST\(SUM\((\w+)\) AS BIGINT\) AS DOUBLE\)",
+            r"CAST(SUM(\1) AS DOUBLE)",
+            sql,
+        )
+        relaxed = re.sub(
+            r"CAST\(SUM\((\w+)\) AS BIGINT\)", r"SUM(\1)", relaxed
+        )
+        # the Lloyd centroid mean spans lines:
+        #   CAST(CAST(SUM(CAST(round(...)
+        #        AS BIGINT)) AS BIGINT) AS DOUBLE) / (1e16 * COUNT(*))
+        # drop its outer BIGINT narrowing (paired replaces keep parens
+        # balanced)
+        relaxed = relaxed.replace("CAST(CAST(SUM(", "CAST(SUM(")
+        relaxed = relaxed.replace(
+            ") AS BIGINT) AS DOUBLE) / (1e16", ") AS DOUBLE) / (1e16"
+        )
+        return relaxed, True
+
     con = duck_con_dir(SF10)
     for name in QUERIES:
-        sql = REGISTRY[name].oracle
+        sql, relaxed = timing_sql(name, REGISTRY[name].oracle)
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -74,6 +105,12 @@ def main() -> None:
             "duckdb_sec": round(best, 3),
             "oracle_rows": len(rows),
         }
+        if relaxed:
+            out["queries"][name]["duckdb_timing_only"] = (
+                "bit-exact oracle overflows BIGINT at this scale "
+                "(LIMITS.md int64-boundary row); HUGEINT-relaxed SQL "
+                "with identical plan shape used as the denominator"
+            )
         print(f"duckdb {name}: {best:.3f}s ({len(rows)} rows)", file=sys.stderr)
     con.close()
 

@@ -325,36 +325,62 @@ def text_dup_spans_merged_fast(t):
     WindowExec buffers partitions in a SPILLING row array, so the hot
     gram degrades to disk instead of OOM. Identical results by
     construction (tests/test_round11_ops.py pins them equal on a
-    pathological single-gram-duplicated-50k-times corpus); measured
-    10.5 s vs 9.3 s at sf10 — the 13% premium is why fused stays the
-    default for natural corpora."""
+    pathological single-gram-duplicated-50k-times corpus). Round 15
+    flipped the DEFAULT to the window shape: on the Zipf corpus
+    (realistic vocabulary, small duplicated-gram groups) the
+    controlled A/B measured window 2.50 s vs fused 3.66 s vs two-pass
+    16.5 s at sf10 (docs/DUP_SPANS_AB_r15.json) — the old corpus' huge
+    groups were what made collect_list pay; spill safety now comes
+    free with the faster shape."""
     return _spans_from_dup_windows(_dup_windows_fast(t))
 
 
 # Fused member recovery (collect_list per gram hash) vs spill-safe
 # window count — see text_dup_spans_merged_fast. Module constant so
-# deployments with known boilerplate skew flip it once; tests
+# deployments with different corpus shapes flip it once; tests
 # monkeypatch it (resolved at CALL time, never at def time).
-_DUP_SPANS_FUSED = True
+# Round 15 (docs/DUP_SPANS_AB_r15.json): on the Zipf corpus —
+# realistic vocabulary, small duplicated-gram groups — the WINDOW
+# shape wins the controlled A/B (2.50 s vs 3.66 s fused vs 16.5 s
+# two-pass at sf10, 0.34x DuckDB), and it is also the spill-safe one;
+# the fused shape's win was an artifact of the old 31-token corpus'
+# huge groups. Window count is therefore the default now.
+_DUP_SPANS_FUSED = False
 
 
 def _window_hashes(t):
     """(doc_id, pos, gh) for every 10-token window: each token
-    xxhash64'd once, each window hashing the 10-long slice of the
-    pre-hash array — all whole-stage-codegen builtins. Shared by the
-    fused/unfused member-recovery shapes and the A/B harness
-    (scripts/r15_dup_spans_ab.py)."""
+    xxhash64'd once, each window hashing its 10 pre-hash values with
+    ONE variadic xxhash64 call. Shared by the fused/unfused
+    member-recovery shapes and the A/B harness
+    (scripts/r15_dup_spans_ab.py).
+
+    Round 15: the former `xxhash64(slice(th, i, 10))` allocated an
+    array per window AND — because `th` was referenced through a
+    lambda — CollapseProject re-inlined the whole token-hash transform
+    into the window expression (O(len^2) re-evaluation per document).
+    Materializing `th` in its own projection and hashing the 10
+    scalars variadically removed both costs (measured ~6x on the
+    shingle stage at sf10; same gh VALUES? no — different hash, same
+    EQUALITY classes, which is all the span algebra uses; the oracle
+    groups by gram strings either way)."""
     d = t.documents.filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.split("text", " ").alias("tk"))
+    with_th = toks.filter(F.size("tk") >= _WIN).select(
+        "doc_id", F.transform(F.col("tk"), lambda x: F.xxhash64(x)).alias("th")
+    )
     return (
-        toks.filter(F.size("tk") >= _WIN)
-        .withColumn("th", F.transform(F.col("tk"), lambda x: F.xxhash64(x)))
-        .select(
+        with_th.select(
             "doc_id",
             F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - (_WIN - 1)),
-                    lambda i: F.xxhash64(F.slice(F.col("th"), i, _WIN)),
+                    F.sequence(F.lit(1), F.size("th") - (_WIN - 1)),
+                    lambda i: F.xxhash64(
+                        *[
+                            F.element_at(F.col("th"), i + j)
+                            for j in range(_WIN)
+                        ]
+                    ),
                 )
             ).alias("p0", "gh"),
         )

@@ -373,38 +373,64 @@ def text_boilerplate_ngrams(t):
     integer-scaled coverage ``boiler_pct = n_boiler * 10000 div
     n_shingles`` — the signal a cleaning pass thresholds on.
 
-    Scale: shingle document frequency is one hash aggregate on the
-    shingle key; the join back and the per-doc aggregate shuffle only
-    the slim (doc_id, shingle) projection. All-expression shingling
-    (transform over sequence) — no Python, no explode of non-distinct
-    shingles.
+    Scale (round 15, re-planned on the Zipf corpus — the string-keyed
+    shape measured 17x DuckDB at sf10): shingles shuffle as 8-byte
+    xxhash64 keys, never strings — each token is hashed ONCE and each
+    3-token shingle hashes the 3-long slice of the pre-hash array (the
+    `text_dup_spans_merged_fast` discipline; equality-preserving
+    because split tokens contain no separator, collision-safe by the
+    same documented argument — the hash never reaches the output).
+    The document-frequency aggregate is FILTERED to df >= {10} BEFORE
+    the join back, so the join's build side is only the boilerplate
+    dictionary (small by definition — boilerplate is the repeated
+    minority), not the corpus; per-doc totals come straight from the
+    distinct-shingle array length, no join at all. The only
+    corpus-sized shuffles left are the slim (gh) df aggregate and the
+    (doc_id) count — both map-side combinable.
     """
     d = t.documents
     tk = tx.tokens(F.col("text"))
+    # token-hash array materialized in its OWN projection: referenced
+    # through a lambda, CollapseProject re-inlines the whole transform
+    # into every element_at — an O(len^2) re-evaluation per window that
+    # measured 8.5 s for this stage at sf10; split out it is 0.6 s.
+    # Variadic xxhash64 over the three scalars (not xxhash64(slice()))
+    # avoids one array allocation per window on top of that.
+    with_th = d.filter(F.col("text").isNotNull() & (F.size(tk) >= 3)).select(
+        "doc_id", F.transform(tk, lambda x: F.xxhash64(x)).alias("th")
+    )
     sh3 = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tk, i),
-            F.element_at(tk, i + 1),
-            F.element_at(tk, i + 2),
+        F.sequence(F.lit(1), F.size("th") - 2),
+        lambda i: F.xxhash64(
+            F.element_at(F.col("th"), i),
+            F.element_at(F.col("th"), i + 1),
+            F.element_at(F.col("th"), i + 2),
         ),
     )
-    sh = (
-        d.filter(F.col("text").isNotNull() & (F.size(tk) >= 3))
-        .select("doc_id", F.explode(F.array_distinct(sh3)).alias("shingle"))
+    base = with_th.select("doc_id", F.array_distinct(sh3).alias("ghs"))
+    sh = base.select("doc_id", F.explode("ghs").alias("gh"))
+    boiler_dict = (
+        sh.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("gh")
     )
-    df = sh.groupBy("shingle").agg(F.count("*").cast("long").alias("df"))
-    return (
-        sh.join(df, "shingle")
+    boiler = (
+        sh.join(boiler_dict, "gh")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_boiler"),
+        .agg(F.count(F.lit(1)).cast("long").alias("n_boiler"))
+    )
+    return (
+        base.select(
+            "doc_id", F.size("ghs").cast("long").alias("n_shingles")
+        )
+        .join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("long")).alias(
+                "n_boiler"
+            ),
         )
         .select(
             "doc_id",
@@ -724,6 +750,82 @@ def _bpe_batched_oracle(rounds: int, k: int, peels: int) -> str:
     FROM ({union}) ORDER BY merge_idx"""
 
 
+#: vocabularies at or below this many distinct words run the batched
+#: trainer's merge rounds DRIVER-SIDE (round 15). The vocabulary is the
+#: trainer's MODEL — bounded by distinct alphabetic words, not corpus
+#: rows — so hydrating it follows the npkernel bounded-model discipline
+#: (2M words ~ 150 MB on a 48 GB driver). Above the bound the original
+#: relational round loop runs unchanged.
+_BPE_DRIVER_VOCAB_MAX = 2_000_000
+
+
+def _bpe_rounds_driver(rows, rounds, k, peels, on_round):
+    """The batched trainer's merge rounds in pure Python over the
+    hydrated vocabulary — operation-for-operation the relational loop
+    below (pair counts summing word freq per ADJACENT OCCURRENCE,
+    total-order rank (cnt DESC, pair ASC), `peels` dominance-peeling
+    levels, rank-ordered batch cap, innermost-first replace fold with
+    the trailing-space convention), so the oracle's unrolled-CTE
+    replay hash-matches either path. Eliminates the ~5 Spark jobs per
+    round the 16-round loop paid on a vocabulary-sized frame (measured
+    ~0.9 s/round of pure scheduling at sf10 — 2.2x DuckDB for a
+    31-word model; driver rounds are sub-millisecond there).
+    tests/test_round15_ops.py pins driver==relational on a multi-round
+    vocabulary."""
+    import time as _time
+
+    vocab = [(r[0], r[1], int(r[2])) for r in rows]
+    merges: list[tuple[int, str, int]] = []
+    for _rnd in range(1, rounds + 1):
+        _t0 = _time.perf_counter()
+        cnt: dict[str, int] = {}
+        for _tok, s, freq in vocab:
+            syms = s.split(" ")
+            for j in range(len(syms) - 1):
+                p = syms[j] + " " + syms[j + 1]
+                cnt[p] = cnt.get(p, 0) + freq
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        cand = [(p, c, i + 1) for i, (p, c) in enumerate(ranked)]
+        levels: list[tuple[str, int, int]] = []
+        for _lvl in range(peels):
+            symmin: dict[str, int] = {}
+            for p, _c, r in cand:
+                for sym in p.split(" "):
+                    if sym not in symmin or r < symmin[sym]:
+                        symmin[sym] = r
+            dom = [
+                (p, c, r)
+                for p, c, r in cand
+                if symmin[p.split(" ")[0]] == r
+                and symmin[p.split(" ")[1]] == r
+            ]
+            if not dom:
+                break
+            levels.extend(dom)
+            domsyms = {sym for p, _c, _r in dom for sym in p.split(" ")}
+            cand = [
+                (p, c, r)
+                for p, c, r in cand
+                if p.split(" ")[0] not in domsyms
+                and p.split(" ")[1] not in domsyms
+            ]
+        sel = sorted(levels, key=lambda x: x[2])[:k]
+        if not sel:
+            break
+        new_vocab = []
+        for tok, s, freq in vocab:
+            s2 = s + " "
+            for p, _c, _r in sel:  # rank order == the innermost-first fold
+                s2 = s2.replace(p + " ", p.replace(" _", "") + " ")
+            new_vocab.append((tok, s2.rstrip(" "), freq))
+        vocab = new_vocab
+        for p, c, _r in sel:
+            merges.append((len(merges) + 1, p.replace("_", ""), int(c)))
+        if on_round is not None:
+            on_round(_rnd, len(sel), _time.perf_counter() - _t0)
+    return merges, vocab
+
+
 def _bpe_fit_batched(
     t,
     rounds: int | None = None,
@@ -763,6 +865,17 @@ def _bpe_fit_batched(
         F.rtrim(F.regexp_replace(F.col("tok"), "(.)", "_$1 ")).alias("s"),
         "freq",
     ).localCheckpoint()
+
+    # model-sized vocabulary -> run the rounds driver-side (round 15):
+    # one corpus aggregate stays distributed, the 16 merge rounds stop
+    # paying ~5 scheduler round-trips each on a vocabulary-sized frame
+    if vocab.count() <= _BPE_DRIVER_VOCAB_MAX:
+        d_merges, d_vocab = _bpe_rounds_driver(
+            vocab.collect(), rounds, k, peels, on_round
+        )
+        return d_merges, t._spark.createDataFrame(
+            d_vocab, "tok string, s string, freq long"
+        )
 
     merges: list[tuple[int, str, int]] = []
     for _rnd in range(1, rounds + 1):

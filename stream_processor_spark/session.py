@@ -37,6 +37,17 @@ _BUILD_CONFS: dict[str, str] = {
     # guarantees ONE file per bucket — the case where the claimed ordering
     # actually holds. (Default-off upstream because multi-file buckets
     # would make the claim false.)
+    # InferFiltersFromGenerate synthesizes isnotnull/size>0 predicates on
+    # exploded arrays; predicate pushdown then SUBSTITUTES the generator's
+    # defining expression into them, so a computed array (token-hash
+    # shingles, n-gram transforms) is re-evaluated 2-3x per row inside the
+    # scan filter. On the text operators this measured 10x (boilerplate
+    # n-grams at sf10: 42.7 s -> 4.1 s with the rule off; dup-spans,
+    # rarity, collocations all improved, none regressed). The rule only
+    # ever saves exploding empty/null arrays - a row-count trim our
+    # explode inputs never need - so the engine excludes it.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
@@ -60,6 +71,8 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

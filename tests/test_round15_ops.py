@@ -120,3 +120,42 @@ def test_legacy_layout_append_warns_and_freezes(spark, tmp_path):
             src.filter("vec_id >= 44 and vec_id < 46"),
             bits=5, m=2, max_bucket=None,
         )
+
+
+def test_bpe_driver_rounds_match_relational(spark):
+    """Round 15: the batched BPE trainer's merge rounds run driver-side
+    for model-sized vocabularies. The driver loop must be
+    operation-for-operation the relational loop — same merges, same
+    final vocabulary — on a multi-round fixture (the oracle replays
+    the same trajectory either way)."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.queries import llm_pipeline as lp
+
+    t = Tables(spark, "/root/testdata/sf0.01")
+    m_driver, v_driver = lp._bpe_fit_batched(t)
+    saved = lp._BPE_DRIVER_VOCAB_MAX
+    lp._BPE_DRIVER_VOCAB_MAX = 0  # force the relational path
+    try:
+        m_rel, v_rel = lp._bpe_fit_batched(t)
+    finally:
+        lp._BPE_DRIVER_VOCAB_MAX = saved
+    assert len(m_driver) > 20  # multi-round, multi-batch trajectory
+    assert m_driver == m_rel
+    assert sorted(map(tuple, v_driver.collect())) == sorted(
+        map(tuple, v_rel.collect())
+    )
+
+
+def test_dup_spans_window_default_and_shapes_agree(spark):
+    """Round 15 flipped the dup-spans member-recovery default to the
+    spill-safe window shape after the Zipf-corpus A/B
+    (docs/DUP_SPANS_AB_r15.json). Both shapes must still emit identical
+    spans, and the module default must be the window shape."""
+    from stream_processor_spark.catalog import Tables
+    from stream_processor_spark.queries import curation_extra as ce
+
+    assert ce._DUP_SPANS_FUSED is False
+    t = Tables(spark, "/root/testdata/sf0.01")
+    a = ce._spans_from_dup_windows(ce._dup_windows_fast(t, fused=True))
+    b = ce._spans_from_dup_windows(ce._dup_windows_fast(t, fused=False))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
