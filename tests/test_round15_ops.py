@@ -159,3 +159,47 @@ def test_dup_spans_window_default_and_shapes_agree(spark):
     a = ce._spans_from_dup_windows(ce._dup_windows_fast(t, fused=True))
     b = ce._spans_from_dup_windows(ce._dup_windows_fast(t, fused=False))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_gate_feat_rewrites_match_reference_forms(spark):
+    """Round-15 optimization: `_gate_feat`'s n_chars (space-count
+    identity) and top_freq (sorted run-length) rewrites must equal the
+    original regexp_replace / count-per-distinct forms on adversarial
+    strings — consecutive/leading/trailing spaces, all-identical
+    tokens, singleton docs."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.queries.llm_pipeline import _gate_feat
+
+    rows = [
+        (1, "a b c a a"),
+        (2, "x"),
+        (3, "same same same same"),
+        (4, "  leading and  double  spaces "),
+        (5, "the of and to in is it a"),
+        (6, "tail space "),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chars"], r["top_freq"])
+        for r in _gate_feat(d).collect()
+    }
+    tk = F.split("text", " ")
+    ref = {
+        r["doc_id"]: (r["n_chars"], r["top_freq"])
+        for r in d.select(
+            "doc_id",
+            F.length(F.regexp_replace(F.col("text"), " ", ""))
+            .cast("long")
+            .alias("n_chars"),
+            F.array_max(
+                F.transform(
+                    F.array_distinct(tk),
+                    lambda u: F.size(F.filter(tk, lambda x: x == u)),
+                )
+            )
+            .cast("long")
+            .alias("top_freq"),
+        ).collect()
+    }
+    assert got == ref
