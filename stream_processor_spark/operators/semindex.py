@@ -262,15 +262,23 @@ def stream_semantic_updates(
 
 
 def candidate_pairs_from_index(
-    spark: SparkSession, band_name: str
+    spark: SparkSession, band_name: str, distinct: bool = True
 ):
     """Distinct candidate pairs (id_a < id_b) from the persisted band
     keys — the serve-side half of `similarity.banded_candidate_pairs`:
     the explode, the window cap and its shuffle are already paid in the
-    layout, so this is one co-bucketed self-join + distinct."""
+    layout, so this is one co-bucketed self-join + distinct.
+
+    ``distinct=False`` returns raw pairs (one row per shared band) and
+    skips the pair-level dedup shuffle — sound only for consumers whose
+    own final aggregate absorbs multiplicity (the semantic-dedup
+    verify; same contract as `similarity.banded_candidate_pairs`).
+    The append-replay heal (see `append_semantic_index`) is preserved
+    either way: replayed duplicate band rows produce duplicate PAIRS,
+    which the consumer's final distinct collapses identically."""
     x = spark.table(band_name).alias("x")
     y = spark.table(band_name).alias("y")
-    return (
+    pairs = (
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -280,5 +288,5 @@ def candidate_pairs_from_index(
         .select(
             F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
         )
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs

@@ -176,8 +176,18 @@ def banded_candidate_pairs(
     n_bands: int = 4,
     bits: int = 4,
     max_bucket: int = 256,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
+
+    ``distinct=False`` skips the pair-level dedup shuffle and returns
+    raw pairs (one row per SHARED band, ≤ n_bands per pair). Use it
+    only when the consumer's own final aggregate/distinct absorbs
+    multiplicity (the semantic-dedup verify does) — the raw form saves
+    a full exchange of the widest intermediate (round-15 optimization:
+    the dedup here removed only ~9 % of rows at sf0.1 but cost a
+    full candidate-pair shuffle; consumers that need set semantics,
+    e.g. triangle counting, keep the default).
 
     Explode bands (n_bands rows per vector, narrow ints) → band-bucket
     self-equi-join → distinct. The join key is hash-derived, so bucket
@@ -200,7 +210,7 @@ def banded_candidate_pairs(
     """
     bands = _capped_bands(embeddings, id_col, vec_col, n_bands, bits, max_bucket)
     x, y = bands.alias("x"), bands.alias("y")
-    return (
+    pairs = (
         x.join(
             y,
             (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -208,8 +218,8 @@ def banded_candidate_pairs(
             & (F.col("x.__id") < F.col("y.__id")),
         )
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def fan_out(df: DataFrame) -> DataFrame:

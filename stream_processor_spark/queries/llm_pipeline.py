@@ -227,6 +227,33 @@ assign AS (
 )
 
 
+def _sem_verify_batches(batches):
+    """Arrow-batched exact-cosine verify for `_sem_dropped`: the same
+    1e16-scaled int64 arithmetic as `similarity.cosine`, vectorized via
+    `npkernel` (bit-identical per tests/test_npkernel.py — half-up
+    per-term rounding, exact int64 sums, single-IEEE-op derivations),
+    so the τ comparison decides on exactly the values the oracle
+    replays. Emits the dropped (higher-id) side only."""
+    import numpy as np
+
+    from stream_processor_spark.operators import npkernel as npk
+
+    for b in batches:
+        if len(b) == 0:
+            continue
+        va = npk.stack_embeddings(b["va"])
+        vb = npk.stack_embeddings(b["vb"])
+        xy = npk.round_half_up((va * vb) * npk.SCALE).sum(axis=-1)
+        xx = npk.round_half_up((va * va) * npk.SCALE).sum(axis=-1)
+        yy = npk.round_half_up((vb * vb) * npk.SCALE).sum(axis=-1)
+        cos = xy.astype(np.float64) / (
+            np.sqrt(xx.astype(np.float64)) * np.sqrt(yy.astype(np.float64))
+        )
+        keep = b.loc[cos > _SEM_TAU, ["vec_id"]]
+        if len(keep):
+            yield keep
+
+
 def _sem_dropped(t, cand, assigned):
     """Shared pairwise tail of both semantic-dedup twins: same-cluster
     filter -> exact scaled-int64 cosine over the candidate pairs ->
@@ -235,10 +262,25 @@ def _sem_dropped(t, cand, assigned):
     The pair frame is explicitly repartitioned to cluster parallelism
     first: AQE's size estimate of the slim (id, id) pairs coalesces the
     downstream stage to ~3 partitions, and the embedding joins plus the
-    higher-order-function cosine (interpreted, not codegen) then run
-    nearly serial — measured 3.7 s -> 1.2 s at sf0.1 from this one
-    repartition. The shuffled rows are two longs each; the cost is
-    noise at any scale."""
+    cosine verify then run nearly serial — measured 3.7 s -> 1.2 s at
+    sf0.1 from this one repartition. The shuffled rows are two longs
+    each; the cost is noise at any scale.
+
+    Round-15 optimizations (results hash-identical, measured at sf0.1):
+    - ``cand`` arrives RAW (``distinct=False`` at both call sites): the
+      pair-level distinct removed only ~9 % duplicate rows but cost a
+      full shuffle of the widest intermediate, and its (id_a, id_b)
+      partitioning is not reusable by the id_a join that follows — the
+      final dropped-side distinct (τ-survivors only, one slim column)
+      absorbs multiplicity identically at every scale.
+    - the verify runs as an Arrow-batched `mapInPandas` over ONLY
+      (vec_id, va, vb) (`_sem_verify_batches`): same bit-exact
+      arithmetic via `npkernel`, vectorized instead of the interpreted
+      higher-order-function fold (guide §4.2 — the IVF serve precedent).
+    Alternatives falsified on record (scripts/r15_sem_ab.py +
+    OPTIMIZATION_r15.md): pre-joining a (cluster, embedding) side frame
+    2.5× slower at sf0.1; dropping the explicit repartition 3× slower
+    (AQE coalesces the verify to ~3 tasks)."""
     e = t.embeddings
     ca = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("cl_a")
@@ -258,9 +300,8 @@ def _sem_dropped(t, cand, assigned):
     return (
         same.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos", sim.cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") > _SEM_TAU)
-        .select(F.col("id_b").alias("vec_id"))
+        .select(F.col("id_b").alias("vec_id"), "va", "vb")
+        .mapInPandas(_sem_verify_batches, "vec_id long")
         .distinct()
     )
 
@@ -297,7 +338,7 @@ def dedup_semantic(t):
         kmeans.pack_centroids(cent),
         out_col="cluster_id",
     ).select("vec_id", "cluster_id").localCheckpoint()
-    cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4)
+    cand = sim.banded_candidate_pairs(e, n_bands=4, bits=4, distinct=False)
     dropped = _sem_dropped(t, cand, assigned)
     return assigned.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster_id"
@@ -328,7 +369,7 @@ def dedup_semantic_indexed(t):
         t._spark, t._dir
     )
     assigned = t._spark.table(asn_name)
-    cand = candidate_pairs_from_index(t._spark, band_name)
+    cand = candidate_pairs_from_index(t._spark, band_name, distinct=False)
     dropped = _sem_dropped(t, cand, assigned)
     return assigned.join(dropped, "vec_id", "left_anti").select(
         "vec_id", "cluster_id"
