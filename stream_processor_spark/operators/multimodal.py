@@ -38,6 +38,17 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+
+def _batch_payloads(pdf, id_col, payload_col, payload_from):
+    """Payload series for one Arrow batch: synthesized in-stage when
+    ``payload_from`` is set (fused generate+decode — the bytes never
+    cross the Arrow boundary; round 15, guide §4), else the shipped
+    binary column."""
+    if payload_from is not None:
+        return payload_from(pdf[id_col])
+    return pdf[payload_col]
+
+
 def extract_binary_features(df: DataFrame, id_col: str = "doc_id",
                             payload_col: str = "payload") -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
@@ -777,6 +788,7 @@ def decode_image(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     on_error: str = "raise",
+    payload_from=None,
 ) -> DataFrame:
     """REAL image decode over a binary column: parse each payload
     (BMP/PPM, :func:`decode_image_bytes`), emit integer-exact pixel
@@ -807,7 +819,10 @@ def decode_image(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     recs.append(
                         (doc_id,) + (None,) * 9 + ((None,) if tolerant else ())
@@ -845,7 +860,9 @@ def decode_image(
     schema = IMAGE_STATS_SCHEMA + (
         ", decode_failed boolean" if tolerant else ""
     )
-    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(gen, schema=schema)
 
 
 # Deterministic image fixture: pixel(d, y, x, c) from the engine's pinned
@@ -976,7 +993,8 @@ IMAGE_WSUM_SCHEMA = (
 
 
 def decode_image_weighted(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    payload_from=None,
 ) -> DataFrame:
     """POSITION-WEIGHTED decode verification: per-channel sums of
     (y*W + x + 1) * value. Plain pixel statistics are invariant under
@@ -990,7 +1008,10 @@ def decode_image_weighted(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     recs.append((doc_id,) + (None,) * 5)
                     continue
@@ -1014,9 +1035,36 @@ def decode_image_weighted(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(
         gen, schema=IMAGE_WSUM_SCHEMA
     )
+
+
+def mixed_image_payload_series():
+    """``ids -> format-rotating payload bytes`` series fn (fixture
+    behind `attach_mixed_image_payload`) for ``payload_from=`` fusion:
+    format rotates by doc_id % 4 (bmp / png / gif / jpeg)."""
+    from stream_processor_spark.operators.gif import encode_gif
+    from stream_processor_spark.operators.jpeg import encode_jpeg
+
+    def series(ids: pd.Series) -> pd.Series:
+        pal = gif_fixture_palette()  # hoisted: one palette per batch
+
+        def enc(d: int) -> bytes:
+            k = d % 4
+            if k == 0:
+                return encode_bmp(fixture_pixels(d))
+            if k == 1:
+                return encode_png(fixture_pixels(d))
+            if k == 2:
+                return encode_gif(gif_fixture_indices(d), pal)
+            return encode_jpeg(jpeg_fixture_pixels(d), subsampling="420")
+
+        return ids.map(lambda d: enc(int(d)))
+
+    return series
 
 
 def attach_mixed_image_payload(
@@ -1034,23 +1082,8 @@ def attach_mixed_image_payload(
     from stream_processor_spark.operators.gif import encode_gif
     from stream_processor_spark.operators.jpeg import encode_jpeg
 
-    @pandas_udf(BinaryType())
-    def gen_mixed(ids: pd.Series) -> pd.Series:
-        pal = gif_fixture_palette()  # hoisted: one palette per batch
-
-        def enc(d: int) -> bytes:
-            k = d % 4
-            if k == 0:
-                return encode_bmp(fixture_pixels(d))
-            if k == 1:
-                return encode_png(fixture_pixels(d))
-            if k == 2:
-                return encode_gif(gif_fixture_indices(d), pal)
-            return encode_jpeg(jpeg_fixture_pixels(d), subsampling="420")
-
-        return ids.map(lambda d: enc(int(d)))
-
-    return df.withColumn("payload", gen_mixed(F.col(id_col)))
+    gen = pandas_udf(mixed_image_payload_series(), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 def rgba_fixture_pixels(doc_id: int):
@@ -1067,17 +1100,13 @@ def rgba_fixture_pixels(doc_id: int):
     return v.reshape(h, w, 4).astype(np.uint8)
 
 
-def attach_image_payload(
-    df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
-) -> DataFrame:
-    """Attach a REAL encoded binary payload per row (``fmt``: 'bmp' or
-    'png'), generated from the deterministic fixture formula — the test
-    stand-in for reading image bytes out of parquet. Arrow-batched
-    pandas_udf (BinaryType). PNG payloads use the cycling row filter so
-    every decode exercises all five scanline filters."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BinaryType
-
+def image_payload_series(fmt: str = "bmp"):
+    """``ids -> encoded payload bytes`` series fn for every image
+    fixture format — the single source of the per-format encoders that
+    `attach_image_payload` wraps as a pandas_udf, and that the decode
+    entry points accept as ``payload_from`` to fuse generation into the
+    decode stage (round 15, guide §4: the bytes then never cross the
+    Arrow boundary)."""
     if fmt in ("jpeg", "jpeg_progressive"):
         # JPEG is LOSSY, so its fixture is macroblock-constant (DC-only
         # blocks) — the decode has the closed form the registry oracle
@@ -1087,18 +1116,13 @@ def attach_image_payload(
         from stream_processor_spark.operators.jpeg import encode_jpeg
 
         prog = fmt == "jpeg_progressive"
-
-        @pandas_udf(BinaryType())
-        def gen_jpg(ids: pd.Series) -> pd.Series:
-            return ids.map(
-                lambda d: encode_jpeg(
-                    jpeg_fixture_pixels(int(d)),
-                    subsampling="420",
-                    progressive=prog,
-                )
+        return lambda ids: ids.map(
+            lambda d: encode_jpeg(
+                jpeg_fixture_pixels(int(d)),
+                subsampling="420",
+                progressive=prog,
             )
-
-        return df.withColumn("payload", gen_jpg(F.col(id_col)))
+        )
 
     if fmt in ("gif", "gif_interlaced", "gif_notable"):
         # GIF is PALETTED: the fixture draws palette indices (one LCG
@@ -1111,7 +1135,6 @@ def attach_image_payload(
         ilace = fmt == "gif_interlaced"
         notable = fmt == "gif_notable"
 
-        @pandas_udf(BinaryType())
         def gen_gif(ids: pd.Series) -> pd.Series:
             pal = None if notable else gif_fixture_palette()
             return ids.map(
@@ -1123,14 +1146,13 @@ def attach_image_payload(
                 )
             )
 
-        return df.withColumn("payload", gen_gif(F.col(id_col)))
+        return gen_gif
 
     if fmt == "gif_anim":
         # ANIMATED GIF89a: per-frame GCEs with transparency, real LZW
         # per frame — the composed-frame oracle replays last-drawn-wins
         from stream_processor_spark.operators.gif import encode_gif_frames
 
-        @pandas_udf(BinaryType())
         def gen_anim(ids: pd.Series) -> pd.Series:
             pal = gif_fixture_palette()
             return ids.map(
@@ -1141,56 +1163,36 @@ def attach_image_payload(
                 )
             )
 
-        return df.withColumn("payload", gen_anim(F.col(id_col)))
+        return gen_anim
 
     if fmt == "png16":
-
-        @pandas_udf(BinaryType())
-        def gen_p16(ids: pd.Series) -> pd.Series:
-            return ids.map(
-                lambda d: encode_png16(png16_fixture_pixels(int(d)))
-            )
-
-        return df.withColumn("payload", gen_p16(F.col(id_col)))
+        return lambda ids: ids.map(
+            lambda d: encode_png16(png16_fixture_pixels(int(d)))
+        )
 
     if fmt == "png_adam7":
-
-        @pandas_udf(BinaryType())
-        def gen_a7(ids: pd.Series) -> pd.Series:
-            return ids.map(
-                lambda d: encode_png(fixture_pixels(int(d)), interlace=True)
-            )
-
-        return df.withColumn("payload", gen_a7(F.col(id_col)))
+        return lambda ids: ids.map(
+            lambda d: encode_png(fixture_pixels(int(d)), interlace=True)
+        )
 
     if fmt == "png_rgba":
-
-        @pandas_udf(BinaryType())
-        def gen_rgba(ids: pd.Series) -> pd.Series:
-            return ids.map(
-                lambda d: encode_png_rgba(rgba_fixture_pixels(int(d)))
-            )
-
-        return df.withColumn("payload", gen_rgba(F.col(id_col)))
+        return lambda ids: ids.map(
+            lambda d: encode_png_rgba(rgba_fixture_pixels(int(d)))
+        )
 
     if fmt == "jpeg_restart":
         from stream_processor_spark.operators.jpeg import encode_jpeg
 
-        @pandas_udf(BinaryType())
-        def gen_jr(ids: pd.Series) -> pd.Series:
-            return ids.map(
-                lambda d: encode_jpeg(
-                    jpeg_fixture_pixels(int(d)),
-                    subsampling="420",
-                    restart_interval=1,
-                )
+        return lambda ids: ids.map(
+            lambda d: encode_jpeg(
+                jpeg_fixture_pixels(int(d)),
+                subsampling="420",
+                restart_interval=1,
             )
-
-        return df.withColumn("payload", gen_jr(F.col(id_col)))
+        )
 
     if fmt == "png_paletted":
 
-        @pandas_udf(BinaryType())
         def gen_pal(ids: pd.Series) -> pd.Series:
             pal = gif_fixture_palette()
             return ids.map(
@@ -1199,15 +1201,25 @@ def attach_image_payload(
                 )
             )
 
-        return df.withColumn("payload", gen_pal(F.col(id_col)))
+        return gen_pal
 
     enc = {"bmp": encode_bmp, "png": encode_png}[fmt]
+    return lambda ids: ids.map(lambda d: enc(fixture_pixels(int(d))))
 
-    @pandas_udf(BinaryType())
-    def gen_img(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda d: enc(fixture_pixels(int(d))))
 
-    return df.withColumn("payload", gen_img(F.col(id_col)))
+def attach_image_payload(
+    df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp"
+) -> DataFrame:
+    """Attach a REAL encoded binary payload per row (``fmt``: 'bmp' or
+    'png'), generated from the deterministic fixture formula — the test
+    stand-in for reading image bytes out of parquet. Arrow-batched
+    pandas_udf (BinaryType). PNG payloads use the cycling row filter so
+    every decode exercises all five scanline filters."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    gen = pandas_udf(image_payload_series(fmt), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 AHASH_SCHEMA = (
@@ -1217,7 +1229,8 @@ AHASH_SCHEMA = (
 
 
 def ahash_image(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    payload_from=None,
 ) -> DataFrame:
     """Perceptual average-hash (aHash) over a binary image column: the
     standard near-duplicate-image fingerprint — grayscale each decoded
@@ -1236,7 +1249,10 @@ def ahash_image(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     recs.append((doc_id,) + (None,) * 5)
                     continue
@@ -1258,7 +1274,9 @@ def ahash_image(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(gen, schema=AHASH_SCHEMA)
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(gen, schema=AHASH_SCHEMA)
 
 
 # ---------------------------------------------------------------- WAV/PCM ----
@@ -1590,6 +1608,7 @@ def decode_audio(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     on_error: str = "raise",
+    payload_from=None,
 ) -> DataFrame:
     """REAL audio decode over a binary column: parse each WAV payload
     (PCM16 / G.711 / IMA-ADPCM — the dispatch lives in decode_wav) and
@@ -1601,7 +1620,14 @@ def decode_audio(
     `decode_image` discipline applied to audio. NULL payload → NULL
     stats (SQL semantics). ``on_error="null"`` is the corrupt-payload
     batch contract (see decode_image): failed rows keep NULL stats plus
-    a decode_failed flag instead of killing the job."""
+    a decode_failed flag instead of killing the job.
+
+    ``payload_from`` (round-15 optimization, guide §4): a callable
+    ``pd.Series[id] -> pd.Series[bytes]`` that synthesizes the payload
+    INSIDE this same Python stage (e.g. `audio_payload_series()`), so
+    the bytes never cross the Arrow boundary at all — one Python stage
+    instead of generate-udf → JVM → decode. Identical results by
+    construction (same encoder fed to the same decoder)."""
     import numpy as np
 
     if on_error not in ("raise", "null"):
@@ -1611,7 +1637,11 @@ def decode_audio(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            payloads = (
+                payload_from(pdf[id_col]) if payload_from is not None
+                else pdf[payload_col]
+            )
+            for doc_id, payload in zip(pdf[id_col], payloads):
                 if payload is None:
                     recs.append(
                         (doc_id,) + (None,) * 6 + ((None,) if tolerant else ())
@@ -1656,7 +1686,8 @@ def decode_audio(
     schema = AUDIO_STATS_SCHEMA + (
         ", decode_failed boolean" if tolerant else ""
     )
-    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+    cols = [id_col] if payload_from is not None else [id_col, payload_col]
+    return df.select(*cols).mapInPandas(gen, schema=schema)
 
 
 # Deterministic audio fixture: sample(d, i) from the same pinned LCG as
@@ -1676,19 +1707,23 @@ def audio_fixture_samples(doc_id: int):
     return ((v % 2001) - 1000).astype(np.int16)
 
 
+def audio_payload_series():
+    """``ids -> PCM16 WAV payload bytes`` series fn (the fixture
+    formula behind `attach_audio_payload`); pass as ``payload_from`` to
+    `decode_audio` to fuse generation into the decode stage."""
+    return lambda ids: ids.map(
+        lambda d: encode_wav(audio_fixture_samples(int(d)))
+    )
+
+
 def attach_audio_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL PCM16 WAV binary payload per row from the
     deterministic fixture formula (16 kHz mono)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    @pandas_udf(BinaryType())
-    def gen_wav(ids: pd.Series) -> pd.Series:
-        return ids.map(
-            lambda d: encode_wav(audio_fixture_samples(int(d)))
-        )
-
-    return df.withColumn("payload", gen_wav(F.col(id_col)))
+    gen = pandas_udf(audio_payload_series(), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 # The classic fixtures stride doc_ids by 4096, but 4096 ≡ 0 (mod 256),
@@ -1715,6 +1750,14 @@ def g711_fixture_codes(doc_id: int):
     return (v % 256).astype(np.uint8)
 
 
+def g711_payload_series(law: str = "ulaw"):
+    """``ids -> G.711 WAV payload bytes`` series fn (fixture behind
+    `attach_g711_payload`) for `decode_audio(payload_from=...)`."""
+    return lambda ids: ids.map(
+        lambda d: encode_wav_g711(g711_fixture_codes(int(d)), law=law)
+    )
+
+
 def attach_g711_payload(
     df: DataFrame, law: str = "ulaw", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1723,13 +1766,8 @@ def attach_g711_payload(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    @pandas_udf(BinaryType())
-    def gen_g711(ids: pd.Series) -> pd.Series:
-        return ids.map(
-            lambda d: encode_wav_g711(g711_fixture_codes(int(d)), law=law)
-        )
-
-    return df.withColumn("payload", gen_g711(F.col(id_col)))
+    gen = pandas_udf(g711_payload_series(law), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 _ADPCM_NB_BASE, _ADPCM_NB_MOD = 8, 5  # data bytes = 8 + doc_id % 5
@@ -1754,21 +1792,25 @@ def adpcm_fixture(doc_id: int):
     return pred0, index0, data
 
 
+def adpcm_payload_series():
+    """``ids -> IMA-ADPCM WAV payload bytes`` series fn (fixture behind
+    `attach_adpcm_payload`) for `decode_audio(payload_from=...)`."""
+
+    def enc(d: int) -> bytes:
+        pred0, index0, data = adpcm_fixture(d)
+        return encode_wav_ima_adpcm(pred0, index0, data)
+
+    return lambda ids: ids.map(lambda d: enc(int(d)))
+
+
 def attach_adpcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL IMA-ADPCM WAV binary payload per row from the
     deterministic fixture (8 kHz mono, one block)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    @pandas_udf(BinaryType())
-    def gen_adpcm(ids: pd.Series) -> pd.Series:
-        def enc(d: int) -> bytes:
-            pred0, index0, data = adpcm_fixture(d)
-            return encode_wav_ima_adpcm(pred0, index0, data)
-
-        return ids.map(lambda d: enc(int(d)))
-
-    return df.withColumn("payload", gen_adpcm(F.col(id_col)))
+    gen = pandas_udf(adpcm_payload_series(), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 def adpcm_stereo_fixture(doc_id: int):
@@ -1800,6 +1842,18 @@ def adpcm_stereo_fixture(doc_id: int):
     return preds, idxs, np.stack(chans)
 
 
+def adpcm_stereo_payload_series():
+    """``ids -> stereo IMA-ADPCM WAV payload bytes`` series fn (fixture
+    behind `attach_adpcm_stereo_payload`) for
+    `decode_audio(payload_from=...)`."""
+
+    def enc(d: int) -> bytes:
+        preds, idxs, data = adpcm_stereo_fixture(d)
+        return encode_wav_ima_adpcm(preds, idxs, data)
+
+    return lambda ids: ids.map(lambda d: enc(int(d)))
+
+
 def attach_adpcm_stereo_payload(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1808,15 +1862,8 @@ def attach_adpcm_stereo_payload(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    @pandas_udf(BinaryType())
-    def gen_adpcm2(ids: pd.Series) -> pd.Series:
-        def enc(d: int) -> bytes:
-            preds, idxs, data = adpcm_stereo_fixture(d)
-            return encode_wav_ima_adpcm(preds, idxs, data)
-
-        return ids.map(lambda d: enc(int(d)))
-
-    return df.withColumn("payload", gen_adpcm2(F.col(id_col)))
+    gen = pandas_udf(adpcm_stereo_payload_series(), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 # ------------------------------------------------------------------- Y4M ----
@@ -1905,6 +1952,7 @@ def demux_video(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     every: int = 2,
+    payload_from=None,
 ) -> DataFrame:
     """REAL video frame sampling over a binary column: demux each Y4M
     payload (container parse, not byte-slicing — this retires
@@ -1919,7 +1967,10 @@ def demux_video(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     continue
                 _fps, frames = decode_y4m(bytes(payload))
@@ -1946,7 +1997,9 @@ def demux_video(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(
         gen, schema=VIDEO_FRAME_SCHEMA
     )
 
@@ -1979,19 +2032,22 @@ def video_fixture_frames(doc_id: int):
     ]
 
 
+def video_payload_series():
+    """``ids -> Y4M payload bytes`` series fn (fixture behind
+    `attach_video_payload`) for ``payload_from=`` fusion."""
+    return lambda ids: ids.map(
+        lambda d: encode_y4m(video_fixture_frames(int(d)))
+    )
+
+
 def attach_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL Y4M binary payload per row from the deterministic
     fixture formula (3..6 frames of 4x5 C444)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    @pandas_udf(BinaryType())
-    def gen_y4m(ids: pd.Series) -> pd.Series:
-        return ids.map(
-            lambda d: encode_y4m(video_fixture_frames(int(d)))
-        )
-
-    return df.withColumn("payload", gen_y4m(F.col(id_col)))
+    gen = pandas_udf(video_payload_series(), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 # ---------------------------------------------------------- MJPEG / AVI ----
@@ -2010,7 +2066,8 @@ MJPEG_FRAME_SCHEMA = (
 
 
 def decode_mjpeg_video(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    payload_from=None,
 ) -> DataFrame:
     """REAL compressed-video decode over a binary column: walk each
     AVI's RIFF grammar, decode every MJPEG frame through the baseline
@@ -2025,7 +2082,10 @@ def decode_mjpeg_video(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     continue
                 _w, _h, _fps, frames = demux_avi_mjpeg(bytes(payload))
@@ -2052,7 +2112,9 @@ def decode_mjpeg_video(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(
         gen, schema=MJPEG_FRAME_SCHEMA
     )
 
@@ -2080,33 +2142,37 @@ def mjpeg_fixture_frames(doc_id: int):
     ]
 
 
+def mjpeg_payload_series():
+    """``ids -> MJPEG/AVI payload bytes`` series fn (fixture behind
+    `attach_mjpeg_payload`) for ``payload_from=`` fusion."""
+    from stream_processor_spark.operators.avi import encode_avi_mjpeg
+    from stream_processor_spark.operators.jpeg import encode_jpeg
+
+    return lambda ids: ids.map(
+        lambda d: encode_avi_mjpeg(
+            [
+                encode_jpeg(fr, subsampling="420")
+                for fr in mjpeg_fixture_frames(int(d))
+            ],
+            width=16,
+            height=16,
+        )
+    )
+
+
 def attach_mjpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a REAL MJPEG-in-AVI binary payload per row: each fixture
     frame is JPEG-encoded (4:2:0 baseline) and muxed into the AVI."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    from stream_processor_spark.operators.avi import encode_avi_mjpeg
-    from stream_processor_spark.operators.jpeg import encode_jpeg
-
-    @pandas_udf(BinaryType())
-    def gen_avi(ids: pd.Series) -> pd.Series:
-        return ids.map(
-            lambda d: encode_avi_mjpeg(
-                [
-                    encode_jpeg(fr, subsampling="420")
-                    for fr in mjpeg_fixture_frames(int(d))
-                ],
-                width=16,
-                height=16,
-            )
-        )
-
-    return df.withColumn("payload", gen_avi(F.col(id_col)))
+    gen = pandas_udf(mjpeg_payload_series(), BinaryType())
+    return df.withColumn("payload", gen(F.col(id_col)))
 
 
 def decode_gif_anim(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    payload_from=None,
 ) -> DataFrame:
     """REAL animated-GIF decode over a binary column: every frame is
     COMPOSED per the spec's render model (transparency leaves the
@@ -2121,7 +2187,10 @@ def decode_gif_anim(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     continue
                 for idx, fr in enumerate(decode_gif_frames(bytes(payload))):
@@ -2147,7 +2216,9 @@ def decode_gif_anim(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(
         gen, schema=MJPEG_FRAME_SCHEMA
     )
 
@@ -2159,7 +2230,8 @@ PNG16_STATS_SCHEMA = (
 
 
 def decode_png16_stats(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload",
+    payload_from=None,
 ) -> DataFrame:
     """16-bit PNG decode over a binary column: per-document integer
     stats of the full-range uint16 samples, including the
@@ -2171,7 +2243,10 @@ def decode_png16_stats(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     continue
                 v = decode_png16(bytes(payload))[:, :, 0].astype(np.int64)
@@ -2196,7 +2271,9 @@ def decode_png16_stats(
                 ],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(
         gen, schema=PNG16_STATS_SCHEMA
     )
 
@@ -2211,6 +2288,7 @@ def audio_windows(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     window: int = 16,
+    payload_from=None,
 ) -> DataFrame:
     """Windowed audio features over a binary WAV column: decode each
     PCM16 payload and emit per-window integer-exact energy stats
@@ -2225,7 +2303,10 @@ def audio_windows(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     continue
                 _rate, _ch, s = decode_wav(bytes(payload))
@@ -2246,7 +2327,9 @@ def audio_windows(
                 columns=["doc_id", "win_idx", "n_samples", "sum_abs", "peak"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(
         gen, schema=AUDIO_WINDOW_SCHEMA
     )
 
@@ -2261,6 +2344,7 @@ def scene_deltas(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     cut_threshold: int = 1500,
+    payload_from=None,
 ) -> DataFrame:
     """Scene-cut detection over a binary Y4M column: demux each video,
     compute the exact frame-to-frame luma delta (sum over Y-plane pixels
@@ -2275,7 +2359,10 @@ def scene_deltas(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+            for doc_id, payload in zip(
+                pdf[id_col],
+                _batch_payloads(pdf, id_col, payload_col, payload_from),
+            ):
                 if payload is None:
                     continue
                 _fps, frames = decode_y4m(bytes(payload))
@@ -2291,6 +2378,8 @@ def scene_deltas(
                 columns=["doc_id", "frame_idx", "y_delta", "is_cut"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.select(
+        *([id_col] if payload_from is not None else [id_col, payload_col])
+    ).mapInPandas(
         gen, schema=SCENE_DELTA_SCHEMA
     )

@@ -1207,7 +1207,8 @@ def multimodal_ahash_dedup(t):
     from stream_processor_spark.operators import multimodal as mm
 
     hashes = mm.ahash_image(
-        mm.attach_image_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("bmp"),
     )
     w = Window.partitionBy("height", "width", "hash_hi", "hash_lo")
     return hashes.withColumn(

@@ -1136,7 +1136,10 @@ def multimodal_decode_stats(t):
     JPEG/PNG keep the NotImplementedError contract). Scale notes: pure
     map pass (one Arrow crossing, no shuffle before the final per-doc
     stats, which aggregate inside the same mapInPandas batch)."""
-    return mm.decode_image(mm.attach_image_payload(t.documents.select("doc_id")))
+    return mm.decode_image(
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("bmp"),
+    )
 
 
 @register("multimodal_png_stats", oracle=_IMG_STATS_ORACLE)
@@ -1154,7 +1157,8 @@ def multimodal_png_stats(t):
     byte-perfect. JPEG stays honestly gated (libjpeg absent). Scale
     notes: identical to the BMP twin — one Arrow crossing, map-only."""
     return mm.decode_image(
-        mm.attach_image_payload(t.documents.select("doc_id"), fmt="png")
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("png"),
     )
 
 
@@ -1236,7 +1240,8 @@ def multimodal_jpeg_stats(t):
     identical dataflow to the BMP twin — one Arrow crossing, map-only,
     no shuffle."""
     return mm.decode_image(
-        mm.attach_image_payload(t.documents.select("doc_id"), fmt="jpeg")
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("jpeg"),
     )
 
 
@@ -5086,7 +5091,8 @@ def multimodal_wav_stats(t):
     format this engine would actually scan. Scale: one Arrow crossing,
     map-only, stats fold inside the batch."""
     return mm.decode_audio(
-        mm.attach_audio_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.audio_payload_series(),
     )
 
 
@@ -5234,7 +5240,8 @@ def multimodal_video_frames(t):
     flatMap map-only pass; a real corpus shards by video and scales
     linearly with cores."""
     return mm.demux_video(
-        mm.attach_video_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.video_payload_series(),
     )
 
 
@@ -5664,7 +5671,8 @@ def multimodal_audio_windows(t):
     one Arrow crossing; a real corpus shards by file and scales
     linearly with cores."""
     return mm.audio_windows(
-        mm.attach_audio_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.audio_payload_series(),
     )
 
 
@@ -5706,7 +5714,8 @@ def multimodal_scene_cuts(t):
     crossing; consecutive frames live in the same payload so no shuffle
     ever touches pixels."""
     return mm.scene_deltas(
-        mm.attach_video_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.video_payload_series(),
     )
 
 

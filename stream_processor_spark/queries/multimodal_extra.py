@@ -119,7 +119,8 @@ def multimodal_ulaw_stats(t):
     multimodal_wav_stats — one Arrow crossing, map-only, stats fold
     inside the batch."""
     return mm.decode_audio(
-        mm.attach_g711_payload(t.documents.select("doc_id"), law="ulaw")
+        t.documents.select("doc_id"),
+        payload_from=mm.g711_payload_series("ulaw"),
     )
 
 
@@ -151,7 +152,8 @@ def multimodal_alaw_stats(t):
     oracle discipline: SQL bit arithmetic replays the expansion on the
     closed-form codeword fixture without seeing the bytes."""
     return mm.decode_audio(
-        mm.attach_g711_payload(t.documents.select("doc_id"), law="alaw")
+        t.documents.select("doc_id"),
+        payload_from=mm.g711_payload_series("alaw"),
     )
 
 
@@ -233,7 +235,8 @@ def multimodal_adpcm_stats(t):
     size (the production swap-in is a C codec behind the same
     dispatch)."""
     return mm.decode_audio(
-        mm.attach_adpcm_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.adpcm_payload_series(),
     )
 
 
@@ -305,7 +308,8 @@ def multimodal_adpcm_stereo_stats(t):
     (operators/multimodal.py:decode_ima_adpcm_block). Scale: identical
     dataflow to the mono twin — one Arrow crossing, map-only."""
     return mm.decode_audio(
-        mm.attach_adpcm_stereo_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.adpcm_stereo_payload_series(),
     )
 
 
@@ -359,7 +363,8 @@ def multimodal_gif_stats(t):
     frames beyond the first. Scale: identical dataflow to the BMP
     twin — one Arrow crossing, map-only, no shuffle."""
     return mm.decode_image(
-        mm.attach_image_payload(t.documents.select("doc_id"), fmt="gif")
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("gif"),
     )
 
 
@@ -404,9 +409,8 @@ def multimodal_gif_notable_stats(t):
     plane itself is what's verified. Scale: identical dataflow to the
     other GIF entries — one Arrow crossing, map-only, no shuffle."""
     return mm.decode_image(
-        mm.attach_image_payload(
-            t.documents.select("doc_id"), fmt="gif_notable"
-        )
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("gif_notable"),
     )
 
 
@@ -565,7 +569,8 @@ def multimodal_mixed_stats(t):
     (JPEG costs more than BMP) is absorbed by Arrow batch granularity,
     not a shuffle."""
     return mm.decode_image(
-        mm.attach_mixed_image_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.mixed_image_payload_series(),
     )
 
 
@@ -643,7 +648,8 @@ def multimodal_mjpeg_frames(t):
     flatMap through one Arrow crossing, no shuffle — per-frame stats
     fold inside the batch."""
     return mm.decode_mjpeg_video(
-        mm.attach_mjpeg_payload(t.documents.select("doc_id"))
+        t.documents.select("doc_id"),
+        payload_from=mm.mjpeg_payload_series(),
     )
 
 
@@ -719,9 +725,8 @@ def multimodal_gif_interlaced(t):
     deinterlace. Old web scrapes are full of interlaced GIFs; this
     retires that gate. Scale: same map-only plan as the GIF twin."""
     return mm.decode_image_weighted(
-        mm.attach_image_payload(
-            t.documents.select("doc_id"), fmt="gif_interlaced"
-        )
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("gif_interlaced"),
     )
 
 
@@ -761,7 +766,8 @@ def multimodal_png_adam7(t):
     (`multimodal_png_rgba`); 16-bit depth stays honestly gated. Scale:
     same map-only plan as the PNG twin."""
     return mm.decode_image_weighted(
-        mm.attach_image_payload(t.documents.select("doc_id"), fmt="png_adam7")
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("png_adam7"),
     )
 
 
@@ -776,9 +782,8 @@ def multimodal_png_paletted(t):
     identical weighted sums — a cross-codec consistency check the hash
     makes exact."""
     return mm.decode_image_weighted(
-        mm.attach_image_payload(
-            t.documents.select("doc_id"), fmt="png_paletted"
-        )
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("png_paletted"),
     )
 
 
@@ -813,9 +818,8 @@ def multimodal_jpeg_progressive_stats(t):
     Arithmetic/lossless/hierarchical frames stay honestly gated.
     Scale: identical map-only plan to the baseline twin."""
     return mm.decode_image(
-        mm.attach_image_payload(
-            t.documents.select("doc_id"), fmt="jpeg_progressive"
-        )
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("jpeg_progressive"),
     )
 
 
@@ -858,7 +862,8 @@ def multimodal_png_rgba(t):
     Sub/Average/Paeth row. Gray (type 0) and gray+alpha (type 4)
     decode too, unit-tested; 16-bit depth stays honestly gated."""
     return mm.decode_image(
-        mm.attach_image_payload(t.documents.select("doc_id"), fmt="png_rgba")
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("png_rgba"),
     )
 
 
@@ -875,9 +880,8 @@ def multimodal_jpeg_restart_stats(t):
     suite additionally pins restart≡plain equality on random images for
     both baseline and progressive streams."""
     return mm.decode_image(
-        mm.attach_image_payload(
-            t.documents.select("doc_id"), fmt="jpeg_restart"
-        )
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("jpeg_restart"),
     )
 
 
@@ -952,7 +956,8 @@ def multimodal_gif_anim_frames(t):
     (H.264/VP9/AV1) need motion compensation + CABAC — a codec
     library, not stdlib."""
     return mm.decode_gif_anim(
-        mm.attach_image_payload(t.documents.select("doc_id"), fmt="gif_anim")
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("gif_anim"),
     )
 
 
@@ -994,5 +999,6 @@ def multimodal_png16_stats(t):
     bytes. Scale: identical dataflow to the 8-bit PNG twin — one Arrow
     crossing, map-only, no shuffle."""
     return mm.decode_png16_stats(
-        mm.attach_image_payload(t.documents.select("doc_id"), fmt="png16")
+        t.documents.select("doc_id"),
+        payload_from=mm.image_payload_series("png16"),
     )
