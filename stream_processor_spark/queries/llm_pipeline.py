@@ -1478,11 +1478,18 @@ def corpus_curate_e2e(t):
     gated = feat.filter(_gate_mask_col() == 0).select(
         "doc_id", "__fp", "n_tokens"
     )
-    keep = (
-        gated.groupBy("__fp")
-        .agg(F.min(F.struct("doc_id", "n_tokens")).alias("s"))
-        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.n_tokens").alias("n_tokens"))
-    )
+    # min_by instead of min(struct): a struct-valued aggregation buffer
+    # forces SortAggregate (per-partition sort of the survivor stream in
+    # BOTH plan branches); (min, min_by) buffers are fixed-width longs,
+    # so the dedup stays a HashAggregate. Identical rows: doc_id is
+    # unique within a fingerprint group, so "row of the min doc_id" and
+    # "min of (doc_id, n_tokens) structs" pick the same record
+    # (round 15; plan 4 SortAggregate+Sort -> 0, interleaved best-of-5
+    # 0.66 -> 0.62 s at sf0.1).
+    keep = gated.groupBy("__fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    ).select("doc_id", "n_tokens")
     sized = keep.select(
         "doc_id",
         "n_tokens",
