@@ -13,9 +13,13 @@ layout. This module proves it (round-5 verdict item 1):
   only the buckets containing query tokens (``SelectedBucketsCount``
   in the scan, pinned by tests/test_plans.py), so per-query cost
   scales with the MATCHED postings, not the corpus — the property that
-  makes BM25 serving viable at 100 TB. Document frequencies need no
-  separate table: the filtered postings retain every row of each query
-  token, so ``df = count(*) group by tok`` over the pruned scan.
+  makes BM25 serving viable at 100 TB. Document frequencies come from a
+  per-batch df DICTIONARY table written alongside (round 15): the serve
+  reads the pruned token slice and folds SUM(df) over a handful of
+  batch rows instead of re-counting a common token's millions of
+  matched postings on every query (legacy layouts without the
+  dictionary are backfilled once by ``ensure_postings``; the old
+  pruned-scan aggregate remains the fallback).
 
 The write is the amortized cost: the same tokenization the per-query
 path would otherwise repeat per query, paid once. Same tokenizer as
@@ -74,6 +78,55 @@ def build_postings_frame(docs: DataFrame) -> DataFrame:
 
 
 STATS_SCHEMA = "batch_id string, n long, sum_len long"
+
+# Per-batch document-frequency dictionary (round-15 optimization): one
+# (batch_id, tok, df) row per batch and token, bucketed+sorted by tok
+# like the postings. Serving reads the pruned tok slice and folds
+# SUM(df) instead of re-aggregating matched postings every query — at
+# corpus scale a common token's postings are millions of rows, and the
+# df fold over them per query was the one remaining corpus-bound stage
+# in the serve path. Exactness contract = the stats table's: batch doc
+# sets disjoint (replays skipped by the same fingerprint gate;
+# crash-retry double-appends healed by the serve's (batch_id, tok)
+# dedup; out-of-contract re-adds healed by `repair_stats`).
+DF_SCHEMA = "batch_id string, tok string, df long"
+
+
+def df_dict_name(post_name: str) -> str:
+    """Deterministic df-dictionary table name for a postings layout —
+    derived from the postings name so no caller signature changes."""
+    return f"{post_name}_df"
+
+
+def _batch_df_frame(postings_frame: DataFrame, batch_id: str) -> DataFrame:
+    """(batch_id, tok, df) rows for ONE batch's postings frame. The
+    frame has one row per (tok, doc_id) by construction, so COUNT(*)
+    per token IS that batch's document frequency."""
+    return postings_frame.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    ).select(F.lit(batch_id).alias("batch_id"), "tok", "df")
+
+
+def _serve_dfreq(spark: SparkSession, post_name: str, post: DataFrame,
+                 qtokens) -> DataFrame:
+    """(tok, df double) for the query tokens: pruned read of the df
+    dictionary when the layout has one (dedup by (batch_id, tok) heals
+    crash-retry double-appends; SUM folds base + append batches —
+    identical integers to a from-scratch count under the stats table's
+    disjoint-batch contract), else the legacy from-scratch aggregate
+    over the matched postings."""
+    df_name = df_dict_name(post_name)
+    if spark.catalog.tableExists(df_name):
+        return (
+            spark.table(df_name)
+            .filter(F.col("tok").isin(list(qtokens)))
+            .dropDuplicates(["batch_id", "tok"])
+            .groupBy("tok")
+            .agg(F.sum("df").cast("double").alias("df"))
+        )
+    return post.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
 
 
 def _batch_stats(postings_frame: DataFrame) -> tuple[str, int, int]:
@@ -149,11 +202,12 @@ def ensure_postings(
     post_name, stats_name = postings_names(spark, sf_dir, num_buckets)
     recover_swap(spark, post_name, f"{post_name}_compacting")
 
+    df_name = df_dict_name(post_name)
     if not (
         spark.catalog.tableExists(post_name)
         and spark.catalog.tableExists(stats_name)
     ):
-        for name in (post_name, stats_name):
+        for name in (post_name, stats_name, df_name):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             drop_warehouse_dir(spark, name)
         # build-job parallelism pinned; scan splits must not cap tokenize
@@ -178,6 +232,24 @@ def ensure_postings(
             .write.mode("overwrite")
             .format("parquet")
             .saveAsTable(stats_name)
+        )
+    if not spark.catalog.tableExists(df_name):
+        # df dictionary: built from the postings at write time (base
+        # build), or BACKFILLED once for a pre-r15 layout — the
+        # (tok, doc_id) dedup makes the backfill exact even when the
+        # legacy table carries streaming-replay duplicates, matching
+        # the dedup_replays serve semantics (identity otherwise).
+        (
+            _batch_df_frame(
+                spark.table(post_name).dropDuplicates(["tok", "doc_id"]),
+                "__base__",
+            )
+            .repartition(num_buckets, F.col("tok"))
+            .write.mode("overwrite")
+            .bucketBy(num_buckets, "tok")
+            .sortBy("tok")
+            .format("parquet")
+            .saveAsTable(df_name)
         )
     return post_name, stats_name
 
@@ -212,6 +284,7 @@ def append_postings(
     is per-document and per-batch stats sum exactly to the corpus
     totals when batch doc sets are disjoint (use :func:`repair_stats`
     after out-of-contract re-adds of existing doc_ids)."""
+    df_name = df_dict_name(post_name)
     pframe = build_postings_frame(new_docs)
     pframe.persist()
     try:
@@ -223,14 +296,24 @@ def append_postings(
         # found via the graph path)
         spark.catalog.refreshTable(post_name)
         fp, n, sum_len = _batch_stats(pframe)
+        committed = {
+            r["batch_id"]
+            for r in spark.table(stats_name).select("batch_id").collect()
+        }
+        if fp in committed:
+            return False
+        if spark.catalog.tableExists(df_name):
+            # the batch's per-token df rows, under the SAME fingerprint
+            # gate as the stats row (a replayed batch never reaches
+            # here; a crash-retry that re-appends is healed by the
+            # serve's (batch_id, tok) dedup — identical rows, same
+            # batch_id)
+            _batch_df_frame(pframe, fp).write.mode("append").insertInto(
+                df_name
+            )
+            spark.catalog.refreshTable(df_name)
     finally:
         pframe.unpersist()
-    committed = {
-        r["batch_id"]
-        for r in spark.table(stats_name).select("batch_id").collect()
-    }
-    if fp in committed:
-        return False
     (
         spark.createDataFrame([(fp, n, sum_len)], STATS_SCHEMA)
         .write.mode("append")
@@ -245,13 +328,21 @@ def repair_stats(spark: SparkSession, post_name: str, stats_name: str) -> None:
     out-of-contract ingests (same doc_id appended in two different
     batches double-counts in the incremental fold). One distinct
     (doc, len) pass over the whole postings table, rewriting the stats
-    table as a single base row."""
+    table as a single base row — and (round 15) the df dictionary as a
+    single repair row-set from the (tok, doc_id)-deduped postings."""
     fp, n, sum_len = _batch_stats(spark.table(post_name))
     (
         spark.createDataFrame([("__repair__", n, sum_len)], STATS_SCHEMA)
         .write.mode("overwrite")
         .insertInto(stats_name, overwrite=True)
     )
+    df_name = df_dict_name(post_name)
+    if spark.catalog.tableExists(df_name):
+        _batch_df_frame(
+            spark.table(post_name).dropDuplicates(["tok", "doc_id"]),
+            "__repair__",
+        ).write.mode("overwrite").insertInto(df_name, overwrite=True)
+        spark.catalog.refreshTable(df_name)
 
 
 def bm25_multi_query(
@@ -273,8 +364,8 @@ def bm25_multi_query(
     broadcast (query_id, tok) frame then fans each matched posting out
     to the queries containing its token, and one (query_id, doc_id)
     aggregate produces every ranking. Document frequencies come from
-    the pruned postings GROUPED ONCE — never per query, so a token
-    shared by many queries is counted once. Per-token/doc scoring terms
+    the df dictionary's pruned token slice (one fold regardless of how
+    many queries share a token). Per-token/doc scoring terms
     are the exact `bm25_from_postings` expressions: for each query_id
     the result is IDENTICAL to serving that query alone (tested), so
     the registered multi-query entry reuses the same oracle shape with
@@ -289,9 +380,7 @@ def bm25_multi_query(
     if dedup_replays:
         post = post.dropDuplicates(["tok", "doc_id"])
     stats = read_stats(spark, stats_name)
-    dfreq = post.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
+    dfreq = _serve_dfreq(spark, post_name, post, all_toks)
     qtok = spark.createDataFrame(
         [(qid, tok) for qid, toks in queries.items() for tok in set(toks)],
         "query_id long, tok string",
@@ -379,9 +468,7 @@ def bm25_from_postings(
     if dedup_replays:
         post = post.dropDuplicates(["tok", "doc_id"])
     stats = read_stats(spark, stats_name)
-    dfreq = post.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
+    dfreq = _serve_dfreq(spark, post_name, post, qtokens)
     idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term = (
         idf

@@ -203,3 +203,70 @@ def test_gate_feat_rewrites_match_reference_forms(spark):
         ).collect()
     }
     assert got == ref
+
+
+def test_bm25_df_dictionary_heals_and_backfills(spark, tmp_path):
+    """Round-15 df dictionary: (a) serve folds the dictionary to the
+    same scores as the legacy pruned-postings aggregate; (b) a
+    crash-retry double-append of the SAME batch's df rows is healed by
+    the serve's (batch_id, tok) dedup; (c) a legacy layout without the
+    dictionary is backfilled by ensure_postings."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.postings import (
+        _batch_df_frame,
+        bm25_from_postings,
+        build_postings_frame,
+        df_dict_name,
+        ensure_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b c d"), (2, "a d d e")],
+        "doc_id long, text string",
+    )
+    d = tmp_path / "corpus"
+    docs.write.parquet(str(d / "documents.parquet"))
+    post, stats = ensure_postings(spark, str(d), num_buckets=4)
+    df_name = df_dict_name(post)
+    assert spark.catalog.tableExists(df_name)
+    qtok = ["a", "b", "d"]
+    base = sorted(
+        map(tuple, bm25_from_postings(spark, post, stats, qtok).collect())
+    )
+
+    # (a) equality vs the legacy aggregate (fallback path, same input)
+    spark.sql(
+        f"ALTER TABLE {df_name} RENAME TO {df_name}_hidden"
+    )
+    try:
+        legacy = sorted(
+            map(tuple, bm25_from_postings(spark, post, stats, qtok).collect())
+        )
+    finally:
+        spark.sql(f"ALTER TABLE {df_name}_hidden RENAME TO {df_name}")
+    assert base == legacy
+
+    # (b) crash-retry: identical df rows re-appended under the same
+    # batch_id must not change any score
+    pframe = build_postings_frame(
+        spark.read.parquet(str(d / "documents.parquet"))
+    )
+    _batch_df_frame(pframe, "__base__").write.mode("append").insertInto(
+        df_name
+    )
+    spark.catalog.refreshTable(df_name)
+    healed = sorted(
+        map(tuple, bm25_from_postings(spark, post, stats, qtok).collect())
+    )
+    assert healed == base
+
+    # (c) legacy backfill: drop the dictionary; ensure recreates it
+    spark.sql(f"DROP TABLE {df_name}")
+    post2, stats2 = ensure_postings(spark, str(d), num_buckets=4)
+    assert (post2, stats2) == (post, stats)
+    assert spark.catalog.tableExists(df_name)
+    refilled = sorted(
+        map(tuple, bm25_from_postings(spark, post, stats, qtok).collect())
+    )
+    assert refilled == base
