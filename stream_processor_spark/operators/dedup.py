@@ -208,6 +208,53 @@ def lsh_band_frame(
     return hs, bands
 
 
+# a<b pairs from the sorted per-bucket membership array `ds`:
+# slice(ds, i+2, ...) is every element AFTER 0-based position i+1, so the
+# nested transform emits exactly the (ds[i], ds[j]) i<j combinations —
+# ds ascending makes a<b structural (round-15: replaces the band
+# self-join; candidates are generated in-partition from the grouped
+# bucket, no second pass over the bands and no join).
+_PAIR_EXPLODE = (
+    "flatten(transform(ds, (a, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+)
+
+
+def _capped_bucket_pairs(
+    bands: DataFrame, size_agg: Column, max_bucket_size: int
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from equal
+    (band_idx, band_key) buckets at or under the hot-bucket cap.
+
+    Round-15 shape (guide §2.3/§2.4): the old plan filtered BOTH sides
+    of a band self-join by a separately aggregated bucket-size frame —
+    four passes over the bands (two scans + the duplicated size
+    aggregate, Catalyst does not share common subtrees) plus the join
+    itself. Here the size guard is aggregated once, the surviving
+    bucket rows are collected per bucket (bounded at max_bucket_size
+    members BY the guard join, so the aggregation buffer can never
+    materialize a hot bucket), and the a<b combinations are exploded
+    in-partition: two passes total, no candidate join. On the bucketed
+    layout (and the co-partitioned build frame) both aggregates reuse
+    the band_key clustering, so the only exchange left is the final
+    pair distinct. Pair set proven identical to the self-join shape."""
+    ok = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(size_agg.alias("__bn"))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+    return (
+        bands.join(ok, ["band_idx", "band_key"])
+        .groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+
 def minhash_names(sf_dir: str) -> tuple[str, str]:
     """Deterministic (bands, hset) table names for the persisted
     MinHash layout — pure tag computation for router probes."""
@@ -406,27 +453,26 @@ def minhash_pairs_from_index(
             F.countDistinct("doc_id") if dedup_replays
             else F.count(F.lit(1))
         )
-        sizes = (
-            bands.groupBy("band_idx", "band_key")
-            .agg(size_agg.alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        cand = _capped_bucket_pairs(bands, size_agg, max_bucket_size)
+    else:
+        # no cap, no size guard: keep the self-join — collecting an
+        # unbounded bucket's membership into one aggregation buffer is
+        # exactly the blow-up the guard exists to prevent
+        left = bands.alias("x")
+        right = bands.alias("y")
+        cand = (
+            left.join(
+                right,
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        bands = bands.join(sizes, ["band_idx", "band_key"])
-    left = bands.alias("x")
-    right = bands.alias("y")
-    cand = (
-        left.join(
-            right,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
     ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hset_a"))
     hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hset_b"))
     inter = F.size(F.array_intersect("hset_a", "hset_b"))
@@ -476,25 +522,30 @@ def minhash_det_near_dup_pairs(
     hs, bands_h = lsh_band_frame(docs, id_col, text_col, min_tokens)
     bands = bands_h.select("doc_id", "band_idx", "band_key")
     if max_bucket_size is not None:
-        sizes = (
-            bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        # round-15: the capped-bucket collect shape also halves the
+        # number of times the EXPENSIVE band frame (shingle + MinHash
+        # per doc) is evaluated — Catalyst re-runs the un-cached
+        # subtree once per reference (was 3: size agg + both join
+        # sides; now 2: size agg + collect input)
+        cand = _capped_bucket_pairs(
+            bands, F.count(F.lit(1)), max_bucket_size
         )
-        bands = bands.join(sizes, ["band_idx", "band_key"])
-    left = bands.alias("x")
-    right = bands.alias("y")
-    cand = (
-        left.join(
-            right,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    else:
+        left = bands.alias("x")
+        right = bands.alias("y")
+        cand = (
+            left.join(
+                right,
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
     ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hset_a"))
     hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hset_b"))
     inter = F.size(F.array_intersect("hset_a", "hset_b"))

@@ -270,3 +270,63 @@ def test_bm25_df_dictionary_heals_and_backfills(spark, tmp_path):
         map(tuple, bm25_from_postings(spark, post, stats, qtok).collect())
     )
     assert refilled == base
+
+
+def test_capped_bucket_pairs_shape(spark):
+    """Round-15 collect-shape pair generation: equals the old band
+    self-join on an engineered corpus with (a) a hot bucket above the
+    cap (must contribute no pairs), (b) replayed duplicate band rows
+    (countDistinct guard + set-collect must heal them), (c) unordered
+    ids (pairs must come out a < b)."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.dedup import _capped_bucket_pairs
+
+    rows = []
+    # bucket (0, 100): 3 docs, under cap
+    for d in (7, 3, 5):
+        rows.append((d, 0, 100))
+    # bucket (0, 200): 5 docs -> above cap of 4, dropped entirely
+    for d in range(10, 15):
+        rows.append((d, 0, 200))
+    # bucket (1, 100): 2 docs, one REPLAYED row (duplicate)
+    rows += [(21, 1, 100), (22, 1, 100), (22, 1, 100)]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_key long"
+    )
+    got = sorted(
+        map(
+            tuple,
+            _capped_bucket_pairs(
+                bands, F.countDistinct("doc_id"), 4
+            ).collect(),
+        )
+    )
+    # reference: the old self-join shape on the same input
+    sizes = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.countDistinct("doc_id").alias("__bn"))
+        .filter(F.col("__bn") <= 4)
+        .drop("__bn")
+    )
+    b2 = bands.join(sizes, ["band_idx", "band_key"])
+    ref = sorted(
+        map(
+            tuple,
+            b2.alias("x")
+            .join(
+                b2.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == ref == [(3, 5), (3, 7), (5, 7), (21, 22)]
+    assert all(a < b for a, b in got)
