@@ -274,19 +274,17 @@ def candidate_pairs_from_index(
     own final aggregate absorbs multiplicity (the semantic-dedup
     verify; same contract as `similarity.banded_candidate_pairs`).
     The append-replay heal (see `append_semantic_index`) is preserved
-    either way: replayed duplicate band rows produce duplicate PAIRS,
-    which the consumer's final distinct collapses identically."""
-    x = spark.table(band_name).alias("x")
-    y = spark.table(band_name).alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
+    either way: replayed duplicate band rows are collapsed by the
+    bucket collect_set before any pair exists (round-15 collect shape,
+    `similarity.bucket_pair_explode` — one scan of the band table
+    instead of a self-join's two, no candidate join; the bucket
+    membership buffer is bounded by the cap the layout bakes in at
+    build/append time)."""
+    from stream_processor_spark.operators.similarity import (
+        bucket_pair_explode,
+    )
+
+    pairs = bucket_pair_explode(
+        spark.table(band_name), "vec_id", "id_a", "id_b"
     )
     return pairs.distinct() if distinct else pairs

@@ -209,17 +209,47 @@ def banded_candidate_pairs(
     buckets — dim permitting) before relying on the cap.
     """
     bands = _capped_bands(embeddings, id_col, vec_col, n_bands, bits, max_bucket)
-    x, y = bands.alias("x"), bands.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
-    )
+    pairs = bucket_pair_explode(bands, "__id", "id_a", "id_b")
     return pairs.distinct() if distinct else pairs
+
+
+# a<b pairs from the sorted per-bucket membership `ds`: slice(ds, i+2,
+# ...) is every element after 0-based position i+1, so the nested
+# transform emits exactly the (ds[i], ds[j]) i<j combinations, and ds
+# ascending makes a<b structural.
+_PAIR_EXPLODE = (
+    "flatten(transform(ds, (a, i) -> "
+    "transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))"
+)
+
+
+def bucket_pair_explode(
+    bands: DataFrame, id_name: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Per-(band_idx, band_key) a<b id pairs, one row per shared band,
+    generated by collecting each bucket's (cap-bounded) membership set
+    and exploding the combinations in-partition.
+
+    Round-15 shape (guide §2.3/§2.4): replaces the band self-equi-join,
+    whose TWO references to the band frame made Catalyst evaluate it
+    twice — for `banded_candidate_pairs` that is the explode plus the
+    window-cap SHUFFLE twice per query, for the persisted layout two
+    scans. The groupBy reuses the band frame's existing
+    (band_idx, band_key)-compatible clustering (window exchange or
+    bucketed table), so pair generation adds no exchange at all; the
+    collect buffer is bounded by the hot-bucket cap the callers apply
+    upstream (collect_set additionally heals replayed duplicate rows
+    in persisted layouts, where the self-join emitted duplicate pairs
+    for the consumer's distinct to absorb). Pair sets are identical to
+    the join shape; raw (distinct=False) multiplicity stays one row
+    per shared band."""
+    return (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_set(id_name)).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+        .select(F.col("p.a").alias(a_name), F.col("p.b").alias(b_name))
+    )
 
 
 def fan_out(df: DataFrame) -> DataFrame:

@@ -330,3 +330,49 @@ def test_capped_bucket_pairs_shape(spark):
     )
     assert got == ref == [(3, 5), (3, 7), (5, 7), (21, 22)]
     assert all(a < b for a, b in got)
+
+
+def test_bucket_pair_explode_matches_self_join(spark):
+    """Round-15 collect-shape for the semantic band generators: pair
+    SET equals the old band self-join, including a replayed duplicate
+    band row (collect_set heals it; the join shape emitted a duplicate
+    pair for the consumer's distinct to absorb), and raw multiplicity
+    stays one row per shared band."""
+    from pyspark.sql import functions as F
+
+    from stream_processor_spark.operators.similarity import (
+        bucket_pair_explode,
+    )
+
+    rows = [
+        (1, 0, 10), (2, 0, 10), (3, 0, 10),   # bucket with 3 members
+        (1, 1, 20), (2, 1, 20),               # second shared band for (1,2)
+        (2, 1, 20),                           # replayed duplicate row
+        (9, 2, 30),                           # singleton: no pairs
+    ]
+    bands = spark.createDataFrame(
+        rows, "vec_id long, band_idx int, band_key long"
+    )
+    raw = bucket_pair_explode(bands, "vec_id", "id_a", "id_b").collect()
+    got_raw = sorted((r.id_a, r.id_b) for r in raw)
+    # (1,2) shares bands 0 and 1 -> two raw rows; replay adds nothing
+    assert got_raw == [(1, 2), (1, 2), (1, 3), (2, 3)]
+    x, y = bands.alias("x"), bands.alias("y")
+    ref = sorted(
+        map(
+            tuple,
+            x.join(
+                y,
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("id_a"),
+                F.col("y.vec_id").alias("id_b"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    assert sorted(set(got_raw)) == ref
