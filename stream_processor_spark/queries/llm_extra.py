@@ -60,7 +60,20 @@ def corpus_shard_by_tokens(t):
         # 2^53 and could flip a bucket/shard boundary vs the oracle
         F.expr(f"doc_id div {_RANGE}").alias("bucket"),
     )
-    local = sized.withColumn(
+    # Round 15: bucket totals via max(local_cum) over the SAME windowed
+    # frame — with both branches reading one identical
+    # scan→filter→exchange subtree, AQE's exchange reuse tokenizes and
+    # scans the corpus ONCE (final adaptive plan: 1 Scan parquet, was
+    # 2; the old separate sum(n_tokens) aggregate defeated reuse via
+    # column pruning + one-sided isnotnull pushdown, which is why the
+    # previous comment resorted to "persist sized at 100 TB" — no
+    # longer needed). The explicit isnotnull(bucket) filter mirrors the
+    # join's pushed predicate symmetrically; max == sum because
+    # n_tokens >= 0 keeps the cumsum non-decreasing. The second window
+    # sort over the reused shuffle is a per-partition sort of slim
+    # (doc_id, n_tokens) rows — noise next to a corpus re-scan.
+    shared = sized.filter(F.col("bucket").isNotNull())
+    local = shared.withColumn(
         "local_cum",
         F.sum("n_tokens").over(
             Window.partitionBy("bucket")
@@ -68,14 +81,9 @@ def corpus_shard_by_tokens(t):
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    # bucket totals via a plain hash aggregate over the slim projection
-    # (NOT max(local_cum) over the windowed frame — as a lazy plan that
-    # would run the per-bucket window sort twice). Spark scans the slim
-    # (doc_id, n_tokens) projection twice; at 100 TB persist `sized`
-    # between the passes.
     offsets = (
-        sized.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
+        local.groupBy("bucket")
+        .agg(F.max("local_cum").alias("bucket_total"))
         .withColumn(
             "offset",
             F.coalesce(

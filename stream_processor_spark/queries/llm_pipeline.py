@@ -35,8 +35,26 @@ def _with_begin_off(sized):
     global token offset in doc_id order, via the engine's DISTRIBUTED
     prefix sum (per-bucket local cumsum in parallel + one tiny cascaded
     bucket-offset pass) — bit-identical to the sequential running sum by
-    associativity of +, with no single-threaded global window."""
-    local = sized.withColumn(
+    associativity of +, with no single-threaded global window.
+
+    The bucket totals are ``max(local_cum)`` over the SAME windowed
+    frame, not a second ``sum(n_tokens)`` aggregate over ``sized``
+    (round 15): with both branches reading one identical
+    scan→filter→exchange subtree, AQE's exchange reuse evaluates the
+    upstream — a corpus scan+tokenize here, the whole gate+dedup
+    pipeline in `corpus_curate_e2e` — ONCE instead of once per branch
+    (final adaptive plan: 1 Scan parquet, was 2; the separate-aggregate
+    shape defeats reuse because column pruning and the join's one-sided
+    isnotnull pushdown make the two subtrees canonically different).
+    The explicit isnotnull(bucket) filter mirrors the inner join's
+    pushed predicate symmetrically into both branches — it drops
+    nothing the join would keep. max(local_cum) == the bucket's
+    n_tokens sum because n_tokens >= 0 makes the running sum
+    non-decreasing (size() is never negative), so the last row IS the
+    max; null n_tokens rows repeat the previous cumsum value in both
+    shapes."""
+    shared = sized.filter(F.col("bucket").isNotNull())
+    local = shared.withColumn(
         "local_cum",
         F.sum("n_tokens").over(
             Window.partitionBy("bucket")
@@ -45,8 +63,8 @@ def _with_begin_off(sized):
         ),
     )
     offsets = (
-        sized.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
+        local.groupBy("bucket")
+        .agg(F.max("local_cum").alias("bucket_total"))
         .withColumn(
             "offset",
             F.coalesce(
@@ -1154,7 +1172,21 @@ def corpus_token_budget_mix(t):
         F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
         F.expr(f"doc_id div {_RANGE}").alias("bucket"),
     )
-    local = sized.withColumn(
+    # Round 15: the cumsum and bucket-total branches share ONE
+    # scan→filter→exchange subtree (AQE exchange reuse — same shape as
+    # `_with_begin_off`; bucket totals are max(local_cum), exact because
+    # n_tokens >= 0 keeps the running sum non-decreasing). The explicit
+    # isnotnull filter mirrors the inner join's pushed predicates
+    # symmetrically so the subtrees canonicalize identically; it drops
+    # nothing the join would keep. `total` deliberately stays an
+    # aggregate over the UNFILTERED projection (its own scan): the
+    # oracle's corpus total counts null-lang documents too, so deriving
+    # it from the joined branches would change the budget on data with
+    # null langs. 3 corpus scans → 2.
+    shared = sized.filter(
+        F.col("lang").isNotNull() & F.col("bucket").isNotNull()
+    )
+    local = shared.withColumn(
         "local_cum",
         F.sum("n_tokens").over(
             Window.partitionBy("lang", "bucket")
@@ -1163,8 +1195,8 @@ def corpus_token_budget_mix(t):
         ),
     )
     offsets = (
-        sized.groupBy("lang", "bucket")
-        .agg(F.sum("n_tokens").alias("bucket_total"))
+        local.groupBy("lang", "bucket")
+        .agg(F.max("local_cum").alias("bucket_total"))
         .withColumn(
             "offset",
             F.coalesce(
