@@ -2095,6 +2095,18 @@ ORDER BY cosine DESC, vec_id LIMIT 10
     return "WITH " + coarse + ",\n" + glue + ",\n" + pq + ",\n" + serve
 
 
+# Handle to the residual frame persisted by the PREVIOUS
+# _pq_residual_frame invocation, unpersisted on the next build. This is
+# the inverse of memoization: it exists only to GUARANTEE that every
+# invocation's action recomputes the coarse fit from the parquet inputs
+# (Spark's CacheManager matches canonicalized plans, so without the
+# explicit unpersist a rebuilt identical frame would silently reuse the
+# prior run's cached rows — exactly the cross-run reuse the bench
+# forbids). Within ONE invocation the cache is what dedupes the ~6 lazy
+# re-evaluations of the residual subtree (see _pq_residual_frame).
+_PQR_PERSISTED: list = []
+
+
 def _pq_residual_frame(t, shortlist=_PQR_SHORTLIST):
     e = t.embeddings
     M, SUB, K = _PQ_M, _PQ_SUB, _PQ_K
@@ -2146,9 +2158,29 @@ def _pq_residual_frame(t, shortlist=_PQR_SHORTLIST):
             ).alias("rv"),
         )
     )
+    # Round 15: the residual frame embeds the ENTIRE coarse fit +
+    # assignment, and the lazy PQ fit references it ~5 times (fit
+    # seeds + two joins per iteration) with compounding lineage —
+    # static plan 106 parquet scans, measured 15-17 s at sf0.1 vs
+    # 0.26 s for the non-residual twin whose fit input is a bare scan.
+    # A LAZY persist of the SLIM (vec_id, rv) projection dedupes the
+    # fit's re-evaluations inside the action — nothing computes at
+    # build time. Falsified alternatives, kept on record: lazy
+    # localCheckpoint (with AQE, toRdd materializes the shuffle stages
+    # at BUILD time, outside the timed action — 5.0-5.8 s but a timing-
+    # contract violation) and persisting the WIDE base (the columnar
+    # cache conversion of three array<double> columns costs more than
+    # it saves: 12-15 s). The coding pass keeps the un-cached base on
+    # purpose: it is a single reference, and reconstructing __cl from
+    # embedding - rv is not IEEE-exact. The previous invocation's cache
+    # is dropped above so every run still computes from parquet.
+    while _PQR_PERSISTED:
+        _PQR_PERSISTED.pop().unpersist()
+    rv_slim = base.select("vec_id", "rv").persist()
+    _PQR_PERSISTED.append(rv_slim)
     books = kmeans.pack_codebooks(
         kmeans.lloyd_fit_pq(
-            base.select("vec_id", "rv"),
+            rv_slim,
             n_sub=M,
             sub_dim=SUB,
             k=K,
