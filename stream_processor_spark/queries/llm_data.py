@@ -2095,26 +2095,61 @@ ORDER BY cosine DESC, vec_id LIMIT 10
     return "WITH " + coarse + ",\n" + glue + ",\n" + pq + ",\n" + serve
 
 
-# Handle to the residual frame persisted by the PREVIOUS
-# _pq_residual_frame invocation, unpersisted on the next build. This is
-# the inverse of memoization: it exists only to GUARANTEE that every
-# invocation's action recomputes the coarse fit from the parquet inputs
-# (Spark's CacheManager matches canonicalized plans, so without the
-# explicit unpersist a rebuilt identical frame would silently reuse the
-# prior run's cached rows — exactly the cross-run reuse the bench
-# forbids). Within ONE invocation the cache is what dedupes the ~6 lazy
-# re-evaluations of the residual subtree (see _pq_residual_frame).
+# Handles to the frames persisted by the PREVIOUS _pq_residual_frame
+# invocation, unpersisted on the next build. This is the inverse of
+# memoization: it exists only to GUARANTEE that every invocation's
+# action recomputes the coarse fit from the parquet inputs (Spark's
+# CacheManager matches canonicalized plans, so without the explicit
+# unpersist a rebuilt identical frame would silently reuse the prior
+# run's cached rows — exactly the cross-run reuse the bench forbids).
+# Within ONE invocation the caches are what dedupe the lazy
+# re-evaluations of the fit subtrees (see _pq_residual_frame).
 _PQR_PERSISTED: list = []
 
 
+def _pqr_drop_previous() -> None:
+    """Unpersist the previous invocation's caches. A stale handle whose
+    SparkSession has since stopped must not break the new build
+    (multi-session tests/tools) — drop it silently."""
+    while _PQR_PERSISTED:
+        h = _PQR_PERSISTED.pop()
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+
+
 def _pq_residual_frame(t, shortlist=_PQR_SHORTLIST):
+    # Round 16: the round-15 shape still re-embedded the coarse fit +
+    # assignment twice (rv cache build AND the coding pass) and carried
+    # `embedding`/`__cl` (2×64 doubles) through the shortlist — static
+    # plan 103 Exchanges / 62 scans / 51 BNLJ, and for the 2000-row
+    # sf0.1 fixture nearly ALL the wall time was Catalyst re-optimizing
+    # that tree per action, not data work. This shape cuts the plan at
+    # the three natural model boundaries with LAZY per-invocation
+    # persists (nothing computes at build time; the previous
+    # invocation's caches are dropped above so every run computes from
+    # parquet):
+    #   cent  — the coarse (label, pos, c) fit result, k·dim rows;
+    #   bres  — ONE corpus pass producing (vec_id, list_id, rv);
+    #   books — the 1-row packed residual codebooks.
+    # The serve then scores SLIM rows: the per-candidate base term
+    # <q, c_list> is computed once per LIST (k=10 values, identical
+    # dot_scaled call on the identical centroid array — bit-equal to
+    # the per-row <q, __cl> it replaces) and looked up by list_id, and
+    # `embedding` is re-attached only for the top-`shortlist` rerank
+    # rows via a broadcast join on vec_id (same parquet values the old
+    # shape carried through).
+    _pqr_drop_previous()
     e = t.embeddings
     M, SUB, K = _PQ_M, _PQ_SUB, _PQ_K
-    coarse = kmeans.pack_centroids(kmeans.lloyd_fit(e, k=10, iters=2))
+    cent = kmeans.lloyd_fit(e, k=10, iters=2).persist()
+    _PQR_PERSISTED.append(cent)
+    coarse = kmeans.pack_centroids(cent)
 
-    # assignment that KEEPS the winning centroid's array (for residuals
-    # and the base score term) — same argmax struct as kmeans.assign_cosine
-    base = (
+    # assignment that KEEPS the winning centroid's array (for the
+    # residual) — same argmax struct as kmeans.assign_cosine
+    bres = (
         sim.fan_out(e)
         .select(
             "vec_id",
@@ -2145,68 +2180,74 @@ def _pq_residual_frame(t, shortlist=_PQR_SHORTLIST):
         .select(
             "vec_id",
             "embedding",
+            "list_id",
             F.element_at(
                 F.filter(F.col("cents"), lambda c: c["clabel"] == F.col("list_id")), 1
             )["carr"].alias("__cl"),
         )
         .select(
             "vec_id",
-            "embedding",
-            "__cl",
+            "list_id",
             F.zip_with(
                 F.col("embedding"), F.col("__cl"), lambda x, y: x.cast("double") - y
             ).alias("rv"),
         )
+        .persist()
     )
-    # Round 15: the residual frame embeds the ENTIRE coarse fit +
-    # assignment, and the lazy PQ fit references it ~5 times (fit
-    # seeds + two joins per iteration) with compounding lineage —
-    # static plan 106 parquet scans, measured 15-17 s at sf0.1 vs
-    # 0.26 s for the non-residual twin whose fit input is a bare scan.
-    # A LAZY persist of the SLIM (vec_id, rv) projection dedupes the
-    # fit's re-evaluations inside the action — nothing computes at
-    # build time. Falsified alternatives, kept on record: lazy
-    # localCheckpoint (with AQE, toRdd materializes the shuffle stages
-    # at BUILD time, outside the timed action — 5.0-5.8 s but a timing-
-    # contract violation) and persisting the WIDE base (the columnar
-    # cache conversion of three array<double> columns costs more than
-    # it saves: 12-15 s). The coding pass keeps the un-cached base on
-    # purpose: it is a single reference, and reconstructing __cl from
-    # embedding - rv is not IEEE-exact. The previous invocation's cache
-    # is dropped above so every run still computes from parquet.
-    while _PQR_PERSISTED:
-        _PQR_PERSISTED.pop().unpersist()
-    rv_slim = base.select("vec_id", "rv").persist()
-    _PQR_PERSISTED.append(rv_slim)
+    _PQR_PERSISTED.append(bres)
     books = kmeans.pack_codebooks(
         kmeans.lloyd_fit_pq(
-            rv_slim,
+            bres.select("vec_id", "rv"),
             n_sub=M,
             sub_dim=SUB,
             k=K,
             iters=_PQ_ITERS,
             vec_col="rv",
         )
-    )
-    coded = base.crossJoin(F.broadcast(books)).select(
-        "vec_id",
-        "embedding",
-        "__cl",
-        kmeans.pq_code_expr("rv", M, SUB).alias("code"),
-    )
+    ).persist()
+    _PQR_PERSISTED.append(books)
+
+    # one-row query model: the ADC table plus the per-list base terms
+    # <q, c_list> (same dot_scaled over the same packed centroid arrays
+    # the old per-row <q, __cl> used — exact int64, bit-equal)
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    qb = q.crossJoin(F.broadcast(books)).select(
-        "qv", kmeans.pq_adc_expr("qv", SUB).alias("__adc")
+    model = (
+        q.crossJoin(F.broadcast(books))
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            kmeans.pq_adc_expr("qv", SUB).alias("__adc"),
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    c["clabel"].alias("clabel"),
+                    sim.dot_scaled(F.col("qv"), c["carr"]).alias("bterm"),
+                ),
+            ).alias("__bt"),
+            "books",
+        )
     )
-    score = sim.dot_scaled(F.col("qv"), F.col("__cl")) + kmeans.pq_adc_score(M)
-    shortlist_df = (
-        coded.crossJoin(F.broadcast(qb))
-        .select("vec_id", "embedding", "qv", score.alias("__s"))
+    bterm = F.element_at(
+        F.filter(F.col("__bt"), lambda b: b["clabel"] == F.col("list_id")), 1
+    )["bterm"]
+    score = bterm + kmeans.pq_adc_score(M)
+    short = (
+        bres.crossJoin(F.broadcast(model))
+        .select(
+            "vec_id",
+            "list_id",
+            kmeans.pq_code_expr("rv", M, SUB).alias("code"),
+            "__adc",
+            "__bt",
+        )
+        .select("vec_id", score.alias("__s"))
         .orderBy(F.col("__s").desc(), F.col("vec_id"))
         .limit(shortlist)
+        .select("vec_id")
     )
     return (
-        shortlist_df.select(
+        e.join(F.broadcast(short), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
             "vec_id", sim.cosine(F.col("embedding"), F.col("qv")).alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
@@ -2237,7 +2278,13 @@ def sim_ann_pq_residual(t):
     coarse model (the winning centroid's array is pulled from the packed
     row — no join); residual-PQ fit = `kmeans.lloyd_fit_pq` on the
     residual column; serving identical to `sim_ann_pq_trained` plus the
-    per-candidate base term. At 100 TB, list_id partitions the corpus,
+    base term <q, c_list>, computed once per LIST and looked up by
+    list_id (exact int64 — the same dot against the same centroid array
+    every row of the list would compute). The three model boundaries
+    (coarse fit, slim residuals, codebooks) are lazily persisted per
+    invocation so the shortlist scores slim (vec_id, list_id, rv) rows
+    and `embedding` is re-read only for the rerank candidates (a
+    broadcast semi-join on vec_id). At 100 TB, list_id partitions the corpus,
     codes are written once, and the coarse/codebook models stay
     broadcast-sized. Measured on the fixture: at an equal 30-candidate
     shortlist the residual ADC reaches recall@10 0.7 where plain PQ gets

@@ -397,10 +397,15 @@ def test_pq_residual_slim_cache_lazy_and_fresh_per_invocation(spark):
     )
     build_jobs = len(sc.statusTracker().getJobIdsForGroup("r15-pqr-build"))
     assert build_jobs <= 1, f"build ran {build_jobs} jobs - not lazy"
-    # the fit references resolve to the cached slim frame
+    # the fit references resolve to the cached slim frames
     assert "InMemoryTableScan" in plan
+    # round 16: THREE lazy per-invocation caches at the model boundaries
+    # (coarse cent, slim assignment+residual, packed codebooks) — every
+    # one must be registered and still lazy at build time
+    assert len(ld._PQR_PERSISTED) == 3
+    for h in ld._PQR_PERSISTED:
+        assert h.storageLevel.useMemory
     first_handle = ld._PQR_PERSISTED[0]
-    assert first_handle.storageLevel.useMemory
     sc.setJobGroup("r15-pqr-exec", "execute")
     rows = df.collect()
     exec_jobs = len(sc.statusTracker().getJobIdsForGroup("r15-pqr-exec"))
