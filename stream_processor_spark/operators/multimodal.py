@@ -1079,9 +1079,6 @@ def attach_mixed_image_payload(
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
-    from stream_processor_spark.operators.gif import encode_gif
-    from stream_processor_spark.operators.jpeg import encode_jpeg
-
     gen = pandas_udf(mixed_image_payload_series(), BinaryType())
     return df.withColumn("payload", gen(F.col(id_col)))
 

@@ -114,7 +114,17 @@ def _serve_dfreq(spark: SparkSession, post_name: str, post: DataFrame,
     crash-retry double-appends; SUM folds base + append batches —
     identical integers to a from-scratch count under the stats table's
     disjoint-batch contract), else the legacy from-scratch aggregate
-    over the matched postings."""
+    over the matched postings.
+
+    Contract note: the dictionary path ALWAYS serves replay-healed
+    document frequencies, regardless of the caller's ``dedup_replays``
+    flag (which governs the tf side). On a batch-built index (the
+    ``dedup_replays=False`` setting) the two are identical — there are
+    no duplicate rows to heal. A table carrying unhealed replay
+    duplicates served with ``dedup_replays=False`` is outside the serve
+    contract (streaming-appended layouts must pass True); under that
+    misuse the dictionary df stays healed while tf counts the
+    duplicates, instead of the legacy consistently-inflated both."""
     df_name = df_dict_name(post_name)
     if spark.catalog.tableExists(df_name):
         return (
@@ -278,6 +288,15 @@ def append_postings(
     at-least-once replay; its duplicate POSTINGS rows are healed at
     serve time by ``dedup_replays=True``. Returns True when the stats
     row was appended, False for a detected replay.
+
+    Write-order note: the batch's df-dictionary rows land BEFORE its
+    stats row. A crash between the two leaves a transient window where
+    served idf includes the batch's df while n/avgdl from
+    :func:`read_stats` still exclude it — healed when the foreachBatch
+    retry lands the stats row (the df re-append is deduped by
+    (batch_id, tok) at serve). The order is deliberate: reversed, the
+    fingerprint gate would skip the retry and the missing df rows would
+    never be backfilled (a permanent gap instead of a transient one).
 
     Equivalence contract (tested): append(A) then append(B) produces
     the same query results as building from A∪B, because tokenization

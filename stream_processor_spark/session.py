@@ -46,6 +46,12 @@ _BUILD_CONFS: dict[str, str] = {
     # rarity, collocations all improved, none regressed). The rule only
     # ever saves exploding empty/null arrays - a row-count trim our
     # explode inputs never need - so the engine excludes it.
+    # Round-16 scope audit (docs/INFER_FILTERS_SCOPE_r16.json): after the
+    # round-15 re-plans no registry entry explodes a bare attribute, so
+    # with the rule RE-ENABLED every one of the 47 generator entries
+    # plans identically (normalized plan text, zero pushed-filter or
+    # Filter-count changes) - the exclusion costs nothing today and only
+    # guards future generator sites against the trap above.
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
