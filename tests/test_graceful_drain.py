@@ -20,7 +20,11 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _wait_for(predicate, timeout=90.0, interval=0.5, what="condition"):
+# 240 s matches the runner's --timeout: the subprocess pipeline's first
+# micro-batch can take >90 s on a loaded/shared host (round-16: the 90 s
+# wait flaked once with three Spark JVMs running; solo the whole test
+# passes in ~84 s).
+def _wait_for(predicate, timeout=240.0, interval=0.5, what="condition"):
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
         if predicate():
